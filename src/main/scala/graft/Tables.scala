@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + the canonical HBase-style cells layout.
+  *
+  * Data model rationale (SURVEY.md §1): the reference is an HBase support
+  * library; HBase's Bigtable model is `(rowkey, cf, qualifier, ts) -> value`
+  * with multi-versioning and delete tombstones. We re-express that model
+  * columnar-first: parquet entity tables for analytics, plus a derived
+  * "cells" view that restores row-at-a-time KeyValue semantics where the
+  * HBase-flavored operators (versions, tombstones, prefix scans, bulk-load
+  * split planning) need them.
+  *
+  * Scale note: every loader returns a plain parquet-backed DataFrame so
+  * Catalyst keeps predicate pushdown / column pruning; nothing here forces
+  * materialization. At 100 TB the same code reads a partitioned directory
+  * tree instead of a single file — the operators downstream are agnostic.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it natively only as
+    * BIGINT nanos via this legacy flag (SURVEY.md §2.1 R5). Safe to set
+    * unconditionally: it only affects nanos-typed parquet columns.
+    */
+  def withNanos(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") withNanos(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Portable zero-pad used to build lexicographically sortable rowkeys —
+    * the standard HBase composite-key encoding (numeric components padded so
+    * byte order == numeric order).
+    */
+  def pad(c: Column): Column = lpad(c.cast("string"), 12, "0")
+
+  /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style
+    * cell per event. `op` synthesizes delete tombstones deterministically.
+    * rowkey = user:event so the key space is dense and range-scannable.
+    */
+  def cells(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    ev.select(
+      concat(pad(col("user_id")), lit(":"), pad(col("event_id"))).as("rowkey"),
+      lit("e").as("cf"),
+      col("event_type").as("qualifier"),
+      col("ts"),
+      col("value"),
+      when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads <outDir>/oracle_sql.json, runs each SQL in DuckDB over views named
+after the parquet tables in <sfDir>, reads the Spark result parquet from
+<outDir>/<name>/, sorts columns by name on both sides, and compares
+row-by-row with exact value equality (Decimal vs float compared
+numerically; floats must be bit-identical per SURVEY §2.1 R2/R7).
+"""
+import sys, json, glob, math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("v", str(v))
+    if isinstance(v, Decimal):
+        return ("num", v.normalize())
+    if isinstance(v, int):
+        return ("num", Decimal(v).normalize())
+    if isinstance(v, float):
+        return ("f", v)
+    return ("v", str(v))
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    npass = nfail = 0
+    for name in sorted(oracle):
+        try:
+            duck = con.execute(oracle[name])
+            dcols = [c[0] for c in duck.description]
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            nfail += 1
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            nfail += 1
+            continue
+        sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        scols = [c[0] for c in sq.description]
+        srows = sq.fetchall()
+        dc, dr = normalize(dcols, drows)
+        sc, sr = normalize(scols, srows)
+        if dc != sc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            nfail += 1
+            continue
+        if len(dr) != len(sr):
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            nfail += 1
+            continue
+        bad = next((i for i, (a, b) in enumerate(zip(sr, dr)) if a != b), None)
+        if bad is not None:
+            print(f"FAIL {name}: row {bad} spark={sr[bad]} duck={dr[bad]}")
+            nfail += 1
+            continue
+        print(f"PASS {name} ({len(sr)} rows)")
+        npass += 1
+    print(f"== {npass} pass, {nfail} fail ==")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
