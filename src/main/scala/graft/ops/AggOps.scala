@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** D family — aggregation (SURVEY.md §2.5).
+  *
+  * Every groupBy here compiles to HashAggregateExec with an automatic
+  * partial (map-side) + final split, so the shuffle carries one row per
+  * (partition, group), not per input row — the property that keeps these
+  * linear at 100 TB. Decimal-exact sums per R2 keep partial aggregation
+  * order-independent across any executor count.
+  */
+object AggOps {
+
+  val d1_agg_basic: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"),
+        dsum(col("l_quantity")).as("s"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  /** d2 — R2 average: exact decimal sum, single deterministic division. */
+  val d2_agg_avg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
+
+  /** d3 — exact COUNT(DISTINCT): Catalyst expands to a two-phase plan. */
+  val d3_agg_distinct: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("dp"),
+      countDistinct(col("l_suppkey")).as("ds"))
+
+  /** d5 — GROUPING SETS via the Dataset API (Spark 4 groupingSets). */
+  val d5_agg_gsets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val d6_agg_rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val d7_agg_cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** d8 — collect_set, order-normalized per R1 (raw collect order is
+    * nondeterministic by partitioning — never exposed).
+    */
+  val d8_agg_collect: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(concat_ws(",", array_sort(collect_set(col("c_nationkey")))).as("nations"))
+      .orderBy(col("c_mktsegment").asc_nulls_last)
+
+  /** d9 — exact median, linear interpolation (same formula both engines). */
+  val d9_agg_median: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
+  /** d10 — stddev via R3 exact decimal sums of x and x², one double formula
+    * at the end (builtin Welford accumulators differ across engines).
+    */
+  val d10_agg_stddev: Q = (s, d) => {
+    val p = col("o_totalprice").cast(DecimalType(18, 2))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(p * p).cast("double").as("s2"),
+        sum(p).cast("double").as("s1"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("o_orderstatus"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1)).as("sd"))
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+  }
+
+  /** d11 — argmax with deterministic tiebreak via struct ordering. */
+  val d11_agg_argmax: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"))
+      .orderBy(col("o_custkey").asc_nulls_last)
+      .limit(300)
+
+  /** d12 — conditional aggregation. */
+  val d12_agg_condagg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DecimalType(38, 2)).as("spend"),
+        count_if(col("event_type") === "error").as("errors"))
+      .orderBy(col("user_id").asc_nulls_last)
+      .limit(200)
+
+  /** d13 — HBase Increment: counter value = sum of put deltas per rowkey. */
+  val d13_hbase_increment: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("op") === "put")
+      .groupBy(col("rowkey"))
+      .agg(dsum(col("value")).as("counter"))
+      .orderBy(col("rowkey").asc_nulls_last)
+      .limit(300)
+
+  /** d14 — HBase Append: ordered value concatenation per rowkey. */
+  val d14_hbase_append: Q = (s, d) =>
+    Tables.cells(s, d)
+      .groupBy(col("rowkey"))
+      .agg(concat_ws(",", array_sort(collect_list(col("qualifier")))).as("appended"))
+      .orderBy(col("rowkey").asc_nulls_last)
+      .limit(300)
+
+  val queries: Map[String, Q] = Map(
+    "d1_agg_basic" -> d1_agg_basic,
+    "d2_agg_avg" -> d2_agg_avg,
+    "d3_agg_distinct" -> d3_agg_distinct,
+    "d5_agg_gsets" -> d5_agg_gsets,
+    "d6_agg_rollup" -> d6_agg_rollup,
+    "d7_agg_cube" -> d7_agg_cube,
+    "d8_agg_collect" -> d8_agg_collect,
+    "d9_agg_median" -> d9_agg_median,
+    "d10_agg_stddev" -> d10_agg_stddev,
+    "d11_agg_argmax" -> d11_agg_argmax,
+    "d12_agg_condagg" -> d12_agg_condagg,
+    "d13_hbase_increment" -> d13_hbase_increment,
+    "d14_hbase_append" -> d14_hbase_append)
+}

@@ -1,0 +1,184 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** B family — projection, filters, HBase read predicates (SURVEY.md §2.3).
+  *
+  * All plain-column predicates (B2–B6, B9–B11) stay as raw Catalyst
+  * comparisons so they reach the parquet reader as PushedFilters — at
+  * 100 TB that's the difference between scanning a row-group and skipping
+  * it. The HBase-semantics ops (B7/B8/B15) are window compositions over the
+  * cells view, partitioned by the cell coordinate so they shuffle once on
+  * the natural key.
+  */
+object FilterOps {
+
+  /** b1 — projection with expression select. */
+  val b1_project: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+      // (orderkey, linenumber) is NOT unique in the synthetic fixture —
+      // disc_price tiebreak makes the order total (R1).
+      .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last,
+        col("disc_price").asc_nulls_last)
+      .limit(200)
+
+  /** b2 — comparison + boolean predicates; all push to parquet. */
+  val b2_filter_pred: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(10, 20)
+        && col("l_discount") > 0.05
+        && !(col("l_returnflag") === "A"))
+      .agg(count(lit(1)).as("n"))
+
+  /** b3 — IN-list predicate. */
+  val b3_filter_in: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "P"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
+
+  /** b4 — HBase PrefixFilter: startsWith on the sortable rowkey. On a
+    * rowkey-sorted layout this prunes to the matching key range.
+    */
+  val b4_rowkey_prefix: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("rowkey").startsWith("000000000042:"))
+      .agg(count(lit(1)).as("n"))
+
+  /** b5 — HBase RegexStringComparator ⇒ rlike. */
+  val b5_filter_regex: Q = (s, d) =>
+    Tables.nation(s, d)
+      .filter(col("n_name").rlike("^NATION_1[0-9]$"))
+      .select(col("n_name"))
+      .orderBy(col("n_name").asc_nulls_last)
+
+  /** b6 — NULL semantics. */
+  val b6_filter_null: Q = (s, d) =>
+    Tables.customer(s, d).agg(
+      count(lit(1)).as("nn"),
+      count_if(col("c_acctbal").isNull).as("nulls"))
+
+  /** b7 — latest-version read (HBase Get default, VERSIONS=>1): newest put
+    * per cell coordinate.
+    */
+  val b7_latest_cells: Q = (s, d) => {
+    val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
+      .orderBy(col("ts").desc, col("value").asc)
+    Tables.cells(s, d)
+      .filter(col("op") === "put")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rowkey"), col("qualifier"), col("value"))
+      .orderBy(col("rowkey").asc_nulls_last, col("qualifier").asc_nulls_last)
+      .limit(500)
+  }
+
+  /** b8 — maxVersions N read (Scan#readVersions): same window, rn <= 3. */
+  val b8_max_versions: Q = (s, d) => {
+    val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
+      .orderBy(col("ts").desc, col("value").asc)
+    Tables.cells(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** b9 — rowkey range scan (Scan#withStartRow/#withStopRow): BETWEEN on the
+    * zero-padded composite key ⇒ parquet min/max pruning.
+    */
+  val b9_rowkey_range: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("rowkey").between(
+        "000000000010:000000000000", "000000000020:000000999999999999"))
+      .agg(count(lit(1)).as("n"))
+
+  /** b10 — time-range scan (Scan#setTimeRange) on BIGINT nanos. */
+  val b10_ts_range: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("ts").between(1704500000000000000L, 1705500000000000000L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_last)
+
+  /** b11 — qualifier/column-prefix filter. */
+  val b11_qualifier_filter: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("qualifier").startsWith("c"))
+      .agg(count(lit(1)).as("n"))
+
+  /** b12 — SingleColumnValueFilter: keep whole rows (users) where some cell
+    * matches, expressed as a left-semi join (EXISTS). The matching side is
+    * tiny after the filter, so AQE broadcasts it.
+    */
+  val b12_scvf_exists: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val matching = ev
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select(col("user_id").as("m_user"))
+    ev.join(matching, col("user_id") === col("m_user"), "left_semi")
+      .agg(countDistinct(col("user_id")).as("n"))
+  }
+
+  /** b13 — PageFilter: first k rows per region, regions modeled as 8-way
+    * salt buckets. Per-bucket windows shuffle on the bucket key only.
+    */
+  val b13_page_per_bucket: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      (col("user_id") % 8).as("bucket"),
+      concat(Tables.pad(col("user_id")), lit(":"), Tables.pad(col("event_id"))).as("rowkey"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("rowkey").asc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("bucket"), col("rowkey"))
+      .orderBy(col("bucket").asc_nulls_last, col("rowkey").asc_nulls_last)
+  }
+
+  /** b14 — FirstKeyOnly/KeyOnly fast path: keys + first qualifier only. */
+  val b14_first_key: Q = (s, d) =>
+    Tables.cells(s, d)
+      .groupBy(col("rowkey"))
+      .agg(min(col("qualifier")).as("first_qual"))
+      .orderBy(col("rowkey").asc_nulls_last)
+      .limit(300)
+
+  /** b15 — delete-tombstone masking: the newest delete per cell coordinate
+    * masks all older puts (HBase KeyValue.Type.Delete read semantics).
+    */
+  val b15_tombstone_mask: Q = (s, d) => {
+    val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
+    Tables.cells(s, d)
+      .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(w))
+      .filter(col("op") === "put" && (col("del_ts").isNull || col("ts") > col("del_ts")))
+      .agg(count(lit(1)).as("survivors"))
+  }
+
+  /** b16 — canary-style table verification: row count + decimal checksum. */
+  val b16_table_checksum: Q = (s, d) =>
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      dsum(col("o_totalprice")).as("checksum"))
+
+  val queries: Map[String, Q] = Map(
+    "b1_project" -> b1_project,
+    "b2_filter_pred" -> b2_filter_pred,
+    "b3_filter_in" -> b3_filter_in,
+    "b4_rowkey_prefix" -> b4_rowkey_prefix,
+    "b5_filter_regex" -> b5_filter_regex,
+    "b6_filter_null" -> b6_filter_null,
+    "b7_latest_cells" -> b7_latest_cells,
+    "b8_max_versions" -> b8_max_versions,
+    "b9_rowkey_range" -> b9_rowkey_range,
+    "b10_ts_range" -> b10_ts_range,
+    "b11_qualifier_filter" -> b11_qualifier_filter,
+    "b12_scvf_exists" -> b12_scvf_exists,
+    "b13_page_per_bucket" -> b13_page_per_bucket,
+    "b14_first_key" -> b14_first_key,
+    "b15_tombstone_mask" -> b15_tombstone_mask,
+    "b16_table_checksum" -> b16_table_checksum)
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A family — scans, sources, sinks (SURVEY.md §2.2).
+  *
+  * HBase heritage: A4 is the bulk-read path (TableSnapshotInputFormat
+  * semantics — scan every cell), A5 is the bulk-load planner
+  * (HFileOutputFormat2 semantics — global sort by rowkey + region split
+  * points), A6 is a time-range snapshot read (Scan#setTimeRange).
+  */
+object ScanOps {
+
+  /** a1 — full parquet scan + count/checksum. Only l_quantity survives
+    * column pruning: the scan reads one column of ten.
+    */
+  val a1_scan_parquet: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_quantity")).as("qsum"))
+
+  /** a4 — cells scan: per (cf, qualifier) cardinality over the KeyValue view. */
+  val a4_cells_scan: Q = (s, d) =>
+    Tables.cells(s, d)
+      .groupBy(col("cf"), col("qualifier"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
+
+  /** a5 — bulk-load split planning: exact 16-way split points of the sorted
+    * rowkey space. The oracle-checked form uses a global ntile (single
+    * partition — fine at verify scale); the production write path is
+    * `repartitionByRange(n, $"rowkey").sortWithinPartitions(...)`, which
+    * computes the same boundaries by reservoir sampling without a global
+    * sort, and is what [[graft.plans.BulkLoad]] exposes.
+    */
+  val a5_bulkload_splits: Q = (s, d) => {
+    val w = Window.orderBy(col("rowkey").asc_nulls_last)
+    Tables.cells(s, d)
+      .select(col("rowkey"))
+      .withColumn("bucket", ntile(16).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rowkey")).as("split_point"))
+      .orderBy(col("bucket").asc_nulls_last)
+  }
+
+  /** a6 — snapshot/as-of-T read: latest version of every cell as of T0
+    * (mid of the measured ts range), delete-agnostic per Scan#setTimeRange.
+    */
+  val a6_cells_asof: Q = (s, d) => {
+    val t0 = 1705362487499628968L
+    val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
+      .orderBy(col("ts").desc, col("value").asc)
+    Tables.cells(s, d)
+      .filter(col("ts") <= t0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rowkey"), col("qualifier"), col("value"))
+      .orderBy(col("rowkey").asc_nulls_last, col("qualifier").asc_nulls_last)
+      .limit(500)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a1_scan_parquet" -> a1_scan_parquet,
+    "a4_cells_scan" -> a4_cells_scan,
+    "a5_bulkload_splits" -> a5_bulkload_splits,
+    "a6_cells_asof" -> a6_cells_asof)
+}
