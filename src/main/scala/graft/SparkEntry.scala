@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.ScanOps.queries ++ ops.FilterOps.queries ++ ops.JoinOps.queries ++
-      ops.AggOps.queries ++ ops.SortSetOps.queries
+      ops.AggOps.queries ++ ops.SortSetOps.queries ++ ops.WindowOps.queries ++
+      ops.FnOps.queries ++ ops.TextOps.queries ++ ops.UdxOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.9 H — scalar function families. One oracle query per family,
+  * exercising every listed function; all stock codegen'd
+  * `org.apache.spark.sql.functions`, so each stays inside whole-stage
+  * codegen and never blocks parquet pushdown/pruning.
+  */
+object FnOps {
+
+  /** h1: string family — substr/upper/lower-adjacent/trim via lpad, length,
+    * reverse, levenshtein.
+    */
+  def h1_fn_string: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("u"),
+        length(col("p_name")).as("l"),
+        lpad(col("p_size").cast("string"), 4, "0").as("pad"),
+        reverse(col("p_brand")).as("rev"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"))
+      .orderBy(asc_nulls_last("p_partkey")).limit(200)
+
+  /** h2: regexp_extract / regexp_replace. */
+  def h2_fn_regex: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("g"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("r"))
+      .orderBy(asc_nulls_last("p_partkey")).limit(200)
+
+  /** h3: date/time family. `o_orderdate` is TIMESTAMP_NTZ in the fixture;
+    * add_months/datediff operate on its date part (R8 dialect pair on the
+    * DuckDB side: date_diff + INTERVAL arithmetic).
+    */
+  def h3_fn_datetime: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"),
+        add_months(col("o_orderdate"), 3).cast("date").as("plus3"))
+      .orderBy(asc_nulls_last("o_orderkey")).limit(200)
+
+  /** h4: math family over int-derived values only (R6). */
+  def h4_fn_math: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        abs(col("p_size") - 25).as("a"),
+        pow(col("p_size"), 2).as("p2"),
+        sqrt(col("p_size").cast("double")).as("sq"),
+        (col("p_size") % 7).as("md"),
+        signum(col("p_size") - 25).cast("int").as("sg"),
+        greatest(col("p_size"), lit(10)).as("g"),
+        least(col("p_size"), lit(40)).as("l"))
+      .orderBy(asc_nulls_last("p_partkey")).limit(200)
+
+  /** h5: CASE WHEN / coalesce / nullif. */
+  def h5_fn_cond: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "hi")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("lo").as("b"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("s"))
+      .orderBy(asc_nulls_last("o_orderkey")).limit(200)
+
+  /** h6: array family — split/size/slice/sort_array/array_join. */
+  def h6_fn_array: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ntok"),
+        array_join(sort_array(slice(split(col("text"), " "), 1, 3)), ",").as("head3"))
+      .orderBy(asc_nulls_last("doc_id")).limit(100)
+
+  /** h7: higher-order lambdas — transform + aggregate left fold (R7: the
+    * 0.0-init left fold is bit-identical to DuckDB's list_reduce).
+    */
+  def h7_fn_lambda: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        aggregate(
+          transform(col("embedding"), x => x.cast("double") * 2),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      .orderBy(asc_nulls_last("vec_id")).limit(100)
+
+  /** h9: JSON extraction over events.props (`{"k": <int>}` shape). */
+  def h9_fn_json: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("int").cast(DecimalType(18, 0)))
+        .cast(DecimalType(38, 0)).as("ksum"))
+      .orderBy(asc_nulls_last("event_type"))
+
+  /** h10: hash family — sha256 + md5 (the rowkey-salting substrate; xxhash64
+    * and crc32 exist Spark-side but have no DuckDB twin — unit-tested
+    * instead, SURVEY §2.9).
+    */
+  def h10_fn_hash: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        sha2(col("p_name"), 256).as("h"),
+        md5(col("p_name")).as("m"))
+      .orderBy(asc_nulls_last("p_partkey")).limit(100)
+
+  /** h11: struct build + field access. */
+  def h11_fn_struct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+          .getField("status").as("st"))
+      .orderBy(asc_nulls_last("o_orderkey")).limit(100)
+
+  /** h12: casts incl. try_cast. floor-then-cast keeps double→int portable
+    * (Spark casts truncate, DuckDB casts round — floor first makes both
+    * exact).
+    */
+  def h12_fn_cast: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("ip"),
+        col("o_orderkey").cast("string").as("s"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad"))
+      .orderBy(asc_nulls_last("o_orderkey")).limit(100)
+
+  def queries: Map[String, Q] = Map(
+    "h1_fn_string" -> h1_fn_string,
+    "h2_fn_regex" -> h2_fn_regex,
+    "h3_fn_datetime" -> h3_fn_datetime,
+    "h4_fn_math" -> h4_fn_math,
+    "h5_fn_cond" -> h5_fn_cond,
+    "h6_fn_array" -> h6_fn_array,
+    "h7_fn_lambda" -> h7_fn_lambda,
+    "h9_fn_json" -> h9_fn_json,
+    "h10_fn_hash" -> h10_fn_hash,
+    "h11_fn_struct" -> h11_fn_struct,
+    "h12_fn_cast" -> h12_fn_cast)
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.11 J — LLM-training-data pipeline operators (oracle-backed
+  * subset: exact dedup, shingling, tokenization, TF-IDF, language/quality
+  * stats, brute-force cosine top-k, vector norms, embedding join).
+  *
+  * Scale design: every op here is expressed as shuffle-partitioned
+  * groupBy/join on a key (hash, token, doc_id, vec_id) — no driver-side
+  * collection, no global windows. The brute-force cosine (j8) deliberately
+  * broadcasts only the tiny probe set and streams the corpus side; the ANN
+  * path for full corpus×corpus similarity at 100 TB is MinHashOps/AnnOps.
+  */
+object TextOps {
+
+  /** Left-fold dot product of two float vectors in double precision —
+    * deterministic across engines per R7 (float×float exact in double;
+    * 0.0-init left fold == DuckDB list_reduce).
+    */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Left-fold L2 norm. */
+  def l2Col(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** j1: exact dedup — normalize, content-hash, keep one survivor per hash.
+    * The canonical 100 TB exact-dedup shape: one shuffle on the hash key
+    * with map-side partial aggregation.
+    */
+  def j1_dedup_exact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("keep"))
+      .agg(count(lit(1)).as("kept"))
+
+  /** j3: 5-char character shingles (the MinHash substrate). sequence +
+    * transform + explode keeps generation distributed and codegen'd.
+    */
+  def j3_text_shingles: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(0))),
+          i => col("text").substr(i, lit(5)))).as("sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct("sh").as("shingles"))
+      .orderBy(asc_nulls_last("doc_id"))
+
+  /** j4: tokenize + token counts — global top-20 tokens >2 chars. */
+  def j4_text_tokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 2)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc_nulls_last("tok")).limit(20)
+
+  /** j5: TF-IDF from exact integer counts (deterministic scalar ln —
+    * engine-specific hashing like HashingTF is deliberately avoided).
+    * Round(,6) caps last-ulp libm ln() divergence between JVM and C.
+    */
+  def j5_text_tfidf: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 2)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ndocs = Tables.documents(s, d).agg(countDistinct("doc_id").as("ndocs"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(ndocs))
+      .where(col("doc_id") < 10)
+      .select(col("doc_id"), col("tok"),
+        round(col("tf").cast("double")
+          * log(col("ndocs").cast("double") / col("df").cast("double")), 6).as("tfidf"))
+      .orderBy(asc_nulls_last("doc_id"), desc("tfidf"), asc_nulls_last("tok")).limit(50)
+  }
+
+  /** j6: language distribution stats. */
+  def j6_text_langstats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast(DecimalType(18, 0))).cast(DecimalType(38, 0)).as("chars"))
+      .orderBy(asc_nulls_last("lang"))
+
+  /** j7: quality-filter stats per source (length-band acceptance). */
+  def j7_text_quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("n_chars").between(100, 400)).as("mid"),
+        min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .orderBy(asc_nulls_last("source"))
+
+  /** j8: brute-force cosine top-5 — the exact baseline ANN (J9) is graded
+    * against. Probe set is broadcast; corpus side never shuffles.
+    */
+  def j8_sim_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("p_emb"))
+    val sims = broadcast(probes).crossJoin(emb)
+      .where(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        (dotCol(col("p_emb"), col("embedding"))
+          / (l2Col(col("p_emb")) * l2Col(col("embedding")))).as("sim"))
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("pid", "vec_id", "rn")
+      .orderBy(asc_nulls_last("pid"), asc_nulls_last("rn"))
+  }
+
+  /** j10: L2 norms (R7 left fold). */
+  def j10_vec_norms: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), l2Col(col("embedding")).as("l2"))
+      .orderBy(asc_nulls_last("vec_id")).limit(100)
+
+  /** j13: embedding ⟷ document metadata join (vec_id = doc_id). */
+  def j13_embed_join: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+      .groupBy("label", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_last("label"), asc_nulls_last("lang"))
+
+  def queries: Map[String, Q] = Map(
+    "j1_dedup_exact" -> j1_dedup_exact,
+    "j3_text_shingles" -> j3_text_shingles,
+    "j4_text_tokens" -> j4_text_tokens,
+    "j5_text_tfidf" -> j5_text_tfidf,
+    "j6_text_langstats" -> j6_text_langstats,
+    "j7_text_quality" -> j7_text_quality,
+    "j8_sim_topk" -> j8_sim_topk,
+    "j10_vec_norms" -> j10_vec_norms,
+    "j13_embed_join" -> j13_embed_join)
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.6 E — window functions, plus the two streaming batch twins
+  * (§2.10 i2/i4) that share the window machinery.
+  *
+  * Scale notes: every window here is partitioned by a key (user/custkey/
+  * event_type) except e3/e4, whose semantics are inherently global
+  * (ntile/percent_rank over the whole relation). A global window sorts into
+  * ONE partition — acceptable for low-cardinality outputs, and flagged here
+  * deliberately: at 100 TB the scale path for global quantile ranks is
+  * `approxQuantile`/range-partitioned rank composition, not WindowExec.
+  */
+object WindowOps {
+
+  /** e1: newest/most-expensive order per customer via row_number. */
+  def e1_win_rownum: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey")
+      .orderBy(asc_nulls_last("o_custkey")).limit(300)
+  }
+
+  /** e2: rank vs dense_rank divergence on p_brand/p_size ties. */
+  def e2_win_rank: Q = (s, d) => {
+    val wr = Window.partitionBy("p_brand").orderBy(col("p_size"), col("p_partkey"))
+    val wd = Window.partitionBy("p_brand").orderBy(col("p_size"))
+    Tables.part(s, d)
+      .select(col("p_brand"), col("p_size"),
+        rank().over(wr).as("rnk"), dense_rank().over(wd).as("drnk"))
+      .where(col("rnk") <= 3)
+      .orderBy(asc_nulls_last("p_brand"), asc_nulls_last("rnk"), asc_nulls_last("p_size"))
+  }
+
+  /** e3: decile assignment over a total order (R1: unique-key tiebreak).
+    * Global window — see scale note in the object doc.
+    */
+  def e3_win_ntile: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(ntile(10).over(w).as("tile"), col("o_orderkey"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"))
+      .orderBy(asc_nulls_last("tile"))
+  }
+
+  /** e4: percent_rank / cume_dist (25-row nation — global window is fine). */
+  def e4_win_pctrank: Q = (s, d) => {
+    val w = Window.orderBy(col("n_nationkey"))
+    Tables.nation(s, d)
+      .select(col("n_name"), percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy(asc_nulls_last("n_name"))
+  }
+
+  /** e5: lag — inter-event gap stats per user. Computed in MICROSECONDS on
+    * both engines: DuckDB 1.0 truncates TIMESTAMP_NS to µs at parquet scan
+    * time, so µs is the largest precision the oracle can see; `div`
+    * (integer division) keeps >2^53 tick arithmetic exact (R2-adjacent).
+    */
+  def e5_win_lag: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.select((col("us") - lag("us", 1).over(w)).as("gap"))
+      .where(col("gap").isNotNull)
+      .agg(count(lit(1)).as("gaps"),
+        sum(expr("gap div 1000").cast(DecimalType(18, 0))).cast(DecimalType(38, 0)).as("total_ms"))
+  }
+
+  /** e6: first_value / last_value with an explicit unbounded frame. */
+  def e6_win_nth: Q = (s, d) => {
+    val wBase = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wFull = wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        first("event_type").over(wBase).as("first_val"),
+        last("event_type").over(wFull).as("last_val"),
+        row_number().over(wBase).as("rn"))
+      .where(col("rn") === 1)
+      .select("user_id", "first_val", "last_val")
+      .orderBy(asc_nulls_last("user_id"))
+  }
+
+  /** e7: running decimal revenue per customer's order history (R2). */
+  def e7_win_running: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)).as("run"))
+      .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("o_orderkey")).limit(500)
+  }
+
+  /** e8: value-range frame on an int column. */
+  def e8_win_range: Q = (s, d) => {
+    val w = Window.orderBy(col("p_size")).rangeBetween(-5, Window.currentRow)
+    Tables.part(s, d)
+      .select(col("p_partkey"), count(lit(1)).over(w).as("cnt"))
+      .orderBy(asc_nulls_last("p_partkey")).limit(300)
+  }
+
+  /** e9: top-3 spenders per event_type — agg then windowed top-k. */
+  def e9_win_topk_group: Q = (s, d) => {
+    val spend = Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(dsum(col("value")).as("spend"))
+    val w = Window.partitionBy("event_type").orderBy(col("spend").desc, col("user_id"))
+    spend.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("event_type", "user_id", "spend")
+      .orderBy(asc_nulls_last("event_type"), desc("spend"), asc_nulls_last("user_id"))
+  }
+
+  /** i2 batch twin: tumbling 1h window = integer-division time bucket.
+    * Integer `div` keeps >2^53 nanos exact on both engines.
+    */
+  def i2_window_tumbling_batch: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("ts div 3600000000000").cast("long").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      .orderBy(asc_nulls_last("hour_bucket"), asc_nulls_last("event_type"))
+
+  /** i4 batch twin: 30-min-gap sessionization via lag + running sum —
+    * the classic distributed sessionizer (per-user partitioned windows;
+    * scales linearly with user count).
+    */
+  def i4_window_session_batch: Q = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("ts") - lag("ts", 1).over(wOrd) > 1800000000000L
+          || lag("ts", 1).over(wOrd).isNull, 1).otherwise(0).as("new_s"))
+      .withColumn("session_id", sum("new_s").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_last("user_id"), asc_nulls_last("session_id"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "e1_win_rownum" -> e1_win_rownum,
+    "e2_win_rank" -> e2_win_rank,
+    "e3_win_ntile" -> e3_win_ntile,
+    "e4_win_pctrank" -> e4_win_pctrank,
+    "e5_win_lag" -> e5_win_lag,
+    "e6_win_nth" -> e6_win_nth,
+    "e7_win_running" -> e7_win_running,
+    "e8_win_range" -> e8_win_range,
+    "e9_win_topk_group" -> e9_win_topk_group,
+    "i2_window_tumbling_batch" -> i2_window_tumbling_batch,
+    "i4_window_session_batch" -> i4_window_session_batch)
+}

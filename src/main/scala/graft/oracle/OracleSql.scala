@@ -257,6 +257,217 @@ object OracleSql {
         |ON a.user_id = b.b_user AND a.a_id < b.b_id
         |   AND b.b_ts BETWEEN a.a_ts AND a.a_ts + 3600000000000""".stripMargin)
 
+  val windows: Map[String, String] = Map(
+    "e1_win_rownum" ->
+      """SELECT o_custkey, o_orderkey FROM
+        |  (SELECT o_custkey, o_orderkey,
+        |          row_number() OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_totalprice DESC, o_orderkey) rn
+        |   FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey NULLS LAST LIMIT 300""".stripMargin,
+    "e2_win_rank" ->
+      """SELECT p_brand, p_size, rnk, drnk FROM
+        |  (SELECT p_brand, p_size,
+        |          rank()       OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) rnk,
+        |          dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) drnk
+        |   FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand NULLS LAST, rnk NULLS LAST, p_size NULLS LAST""".stripMargin,
+    "e3_win_ntile" ->
+      """SELECT tile, count(*) AS n, min(o_orderkey) AS mn FROM
+        |  (SELECT o_orderkey, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders)
+        |GROUP BY tile ORDER BY tile NULLS LAST""".stripMargin,
+    "e4_win_pctrank" ->
+      """SELECT n_name, pr, cd FROM
+        |  (SELECT n_name, percent_rank() OVER (ORDER BY n_nationkey) pr,
+        |                  cume_dist()    OVER (ORDER BY n_nationkey) cd FROM nation)
+        |ORDER BY n_name NULLS LAST""".stripMargin,
+    "e5_win_lag" ->
+      """SELECT count(*) AS gaps,
+        |       CAST(sum(CAST(gap // 1000 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS total_ms FROM
+        |  (SELECT epoch_us(ts) - lag(epoch_us(ts))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |   FROM events)
+        |WHERE gap IS NOT NULL""".stripMargin,
+    "e6_win_nth" ->
+      """SELECT user_id, first_val, last_val FROM
+        |  (SELECT user_id,
+        |     first_value(event_type) OVER w AS first_val,
+        |     last_value(event_type)  OVER (PARTITION BY user_id
+        |       ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+        |     row_number() OVER w AS rn
+        |   FROM events
+        |   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id))
+        |WHERE rn = 1 ORDER BY user_id NULLS LAST""".stripMargin,
+    "e7_win_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(run AS DECIMAL(38,2)) AS run FROM
+        |  (SELECT o_custkey, o_orderkey,
+        |          sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |   FROM orders)
+        |ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST LIMIT 500""".stripMargin,
+    "e8_win_range" ->
+      """SELECT p_partkey, cnt FROM
+        |  (SELECT p_partkey,
+        |          count(*) OVER (ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) cnt
+        |   FROM part)
+        |ORDER BY p_partkey NULLS LAST LIMIT 300""".stripMargin,
+    "e9_win_topk_group" ->
+      """SELECT event_type, user_id, spend FROM
+        |  (SELECT event_type, user_id, spend,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY spend DESC, user_id) rn
+        |   FROM (SELECT event_type, user_id,
+        |                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |         FROM events GROUP BY event_type, user_id))
+        |WHERE rn <= 3 ORDER BY event_type NULLS LAST, spend DESC, user_id NULLS LAST""".stripMargin,
+    "i2_window_tumbling_batch" ->
+      """SELECT CAST(epoch_ns(ts) AS BIGINT) // 3600000000000 AS hour_bucket,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket NULLS LAST, event_type NULLS LAST""".stripMargin,
+    "i4_window_session_batch" ->
+      """SELECT user_id, session_id, count(*) AS n FROM
+        |  (SELECT user_id, event_id,
+        |          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   FROM (SELECT user_id, event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts2,
+        |                CASE WHEN CAST(epoch_ns(ts) AS BIGINT)
+        |                          - lag(CAST(epoch_ns(ts) AS BIGINT))
+        |                            OVER (PARTITION BY user_id
+        |                                  ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id)
+        |                          > 1800000000000
+        |                       OR lag(CAST(epoch_ns(ts) AS BIGINT))
+        |                            OVER (PARTITION BY user_id
+        |                                  ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id) IS NULL
+        |                     THEN 1 ELSE 0 END AS new_s
+        |         FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id NULLS LAST, session_id NULLS LAST""".stripMargin)
+
+  val fns: Map[String, String] = Map(
+    "h1_fn_string" ->
+      """SELECT p_partkey, upper(substr(p_name,1,5)) u, length(p_name) l,
+        |       lpad(CAST(p_size AS VARCHAR), 4, '0') pad, reverse(p_brand) rev,
+        |       levenshtein(p_brand, 'Brand#11') lev
+        |FROM part ORDER BY p_partkey NULLS LAST LIMIT 200""".stripMargin,
+    "h2_fn_regex" ->
+      """SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) g,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') r
+        |FROM part ORDER BY p_partkey NULLS LAST LIMIT 200""".stripMargin,
+    "h3_fn_datetime" ->
+      """SELECT o_orderkey, year(o_orderdate) y, month(o_orderdate) m,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) mstart,
+        |       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) dd,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) plus3
+        |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 200""".stripMargin,
+    "h4_fn_math" ->
+      """SELECT p_partkey, abs(p_size - 25) a, pow(p_size, 2) p2, sqrt(CAST(p_size AS DOUBLE)) sq,
+        |       p_size % 7 md, CAST(sign(p_size - 25) AS INT) sg,
+        |       greatest(p_size, 10) g, least(p_size, 40) l
+        |FROM part ORDER BY p_partkey NULLS LAST LIMIT 200""".stripMargin,
+    "h5_fn_cond" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 200000 THEN 'hi'
+        |            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END b,
+        |       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') s
+        |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 200""".stripMargin,
+    "h6_fn_array" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+        |       array_to_string(list_sort((string_split(text, ' '))[1:3]), ',') AS head3
+        |FROM documents ORDER BY doc_id NULLS LAST LIMIT 100""".stripMargin,
+    "h7_fn_lambda" ->
+      """SELECT vec_id,
+        |       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*2),
+        |                   (a,x) -> a+x) AS s
+        |FROM embeddings ORDER BY vec_id NULLS LAST LIMIT 100""".stripMargin,
+    "h9_fn_json" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(CAST(props->>'$.k' AS INT) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS ksum
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS LAST""".stripMargin,
+    "h10_fn_hash" ->
+      """SELECT p_partkey, sha256(p_name) h, md5(p_name) m
+        |FROM part ORDER BY p_partkey NULLS LAST LIMIT 100""".stripMargin,
+    "h11_fn_struct" ->
+      """SELECT o_orderkey,
+        |       struct_pack(status := o_orderstatus, priority := o_orderpriority).status AS st
+        |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin,
+    "h12_fn_cast" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) ip,
+        |       CAST(o_orderkey AS VARCHAR) s,
+        |       try_cast(o_orderpriority AS INT) bad
+        |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin)
+
+  val texts: Map[String, String] = Map(
+    "j1_dedup_exact" ->
+      """SELECT count(*) AS kept FROM
+        |  (SELECT min(doc_id) AS keep FROM documents GROUP BY sha256(lower(trim(text))))""".stripMargin,
+    "j3_text_shingles" ->
+      """SELECT doc_id, count(DISTINCT sh) AS shingles FROM
+        |  (SELECT doc_id, substr(text, i, 5) AS sh
+        |   FROM documents, unnest(generate_series(1, greatest(length(text)-4, 0))) AS t(i)
+        |   WHERE doc_id < 50)
+        |GROUP BY doc_id ORDER BY doc_id NULLS LAST""".stripMargin,
+    "j4_text_tokens" ->
+      """SELECT tok, count(*) AS n FROM
+        |  (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |WHERE length(tok) > 2 GROUP BY tok ORDER BY n DESC, tok NULLS LAST LIMIT 20""".stripMargin,
+    "j5_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |toks2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 2),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2 GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks2) GROUP BY tok),
+        |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM documents)
+        |SELECT doc_id, tok,
+        |       round(CAST(tf AS DOUBLE) * ln(CAST(ndocs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |FROM tf JOIN df USING (tok) CROSS JOIN nd
+        |WHERE doc_id < 10
+        |ORDER BY doc_id NULLS LAST, tfidf DESC, tok NULLS LAST LIMIT 50""".stripMargin,
+    "j6_text_langstats" ->
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
+    "j7_text_quality" ->
+      """SELECT source, count(*) AS n,
+        |       count(*) FILTER (WHERE n_chars BETWEEN 100 AND 400) AS mid,
+        |       min(n_chars) mn, max(n_chars) mx
+        |FROM documents GROUP BY source ORDER BY source NULLS LAST""".stripMargin,
+    "j8_sim_topk" ->
+      """WITH sims AS (
+        |  SELECT p.vec_id AS pid, e.vec_id,
+        |         list_reduce(list_transform(generate_series(1, len(p.embedding)),
+        |             i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |             (a,x) -> a+x)
+        |         / (sqrt(list_reduce(list_transform(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,x) -> a+x))
+        |            * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,x) -> a+x))) AS sim
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) p
+        |  CROSS JOIN embeddings e WHERE e.vec_id <> p.vec_id)
+        |SELECT pid, vec_id, rn FROM
+        |  (SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) rn
+        |   FROM sims)
+        |WHERE rn <= 5 ORDER BY pid NULLS LAST, rn NULLS LAST""".stripMargin,
+    "j10_vec_norms" ->
+      """SELECT vec_id,
+        |       sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+        |                        (a,x) -> a+x)) AS l2
+        |FROM embeddings ORDER BY vec_id NULLS LAST LIMIT 100""".stripMargin,
+    "j13_embed_join" ->
+      """SELECT label, lang, count(*) AS n FROM embeddings JOIN documents ON vec_id = doc_id
+        |GROUP BY label, lang ORDER BY label NULLS LAST, lang NULLS LAST""".stripMargin)
+
+  val udx: Map[String, String] = Map(
+    "k1_udf_scalar" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS v FROM lineitem
+        |ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, v NULLS LAST LIMIT 200""".stripMargin,
+    "k2_udaf_sum" ->
+      """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST""".stripMargin,
+    "k3_udtf_explode" ->
+      """SELECT doc_id, count(*) AS n FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id NULLS LAST LIMIT 100""".stripMargin)
+
   def all: Map[String, String] =
-    scans ++ filters ++ joins ++ aggs ++ sortSets
+    scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++ udx
 }
