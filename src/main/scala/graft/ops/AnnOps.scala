@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.11 J8/J9 — similarity search over embedding columns.
+  *
+  * Brute-force cosine (TextOps.j8_sim_topk) is the exact baseline; this
+  * file is the scale path: random-hyperplane LSH bucketing so the
+  * candidate join is an equi-join on bucket keys instead of a cross join.
+  * Hyperplanes are derived from seeded xxhash64 — fully deterministic,
+  * no RNG state to ship to executors, and the whole signature pipeline
+  * stays inside whole-stage codegen.
+  *
+  * At 100 TB: corpus side is hashed once and written bucket-partitioned
+  * (one shuffle); each probe batch touches only matching buckets —
+  * multi-probe (flipping low-confidence bits) trades recall for bucket
+  * fan-out without rehashing the corpus.
+  */
+object AnnOps {
+
+  /** Deterministic hyperplane component: hash(plane, dim) mapped to a
+    * signed double. Scale is irrelevant — only the dot-product sign is
+    * used.
+    */
+  private def planeComp(p: Column, j: Column): Column =
+    xxhash64(p, j).cast("double")
+
+  /** Sign bit of emb · plane(p) for one hyperplane. */
+  private def planeBit(emb: Column, p: Column, dim: Int): Column =
+    when(aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, j) => acc + element_at(emb, j).cast("double") * planeComp(p, j)) >= 0, 1L)
+      .otherwise(0L)
+
+  /** Random-hyperplane LSH bucket key: nBits sign bits packed into a long.
+    * P(bit match) = 1 - angle/π, so close vectors collide with high
+    * probability. `table` offsets the plane ids so each hash table draws
+    * independent hyperplanes.
+    */
+  def hyperplaneKey(emb: Column, nBits: Int, dim: Int, table: Column): Column =
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
+      (acc, p) => acc * 2 + planeBit(emb, p + table * 1024, dim))
+
+  /** Corpus bucketed under `tables` independent hash tables (standard
+    * multi-table LSH: a pair is a candidate if it collides in ANY table).
+    */
+  def bucketed(emb: DataFrame, nBits: Int = 12, tables: Int = 4): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      explode(transform(sequence(lit(0), lit(tables - 1)),
+        t => struct(t.as("tbl"),
+          hyperplaneKey(col("embedding"), nBits, 64, t).as("key")))).as("bkt"))
+      .select(col("vec_id"), col("embedding"),
+        col("bkt.tbl").as("tbl"), col("bkt.key").as("key"))
+
+  /** ANN top-k: probes and corpus hashed with the same tables; candidates
+    * = bucket-collision pairs; exact cosine re-rank picks top-k.
+    */
+  def annTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
+              nBits: Int = 12, tables: Int = 4): DataFrame = {
+    val cb = bucketed(corpus, nBits, tables)
+    val pb = bucketed(probes, nBits, tables)
+      .select(col("tbl"), col("key"), col("vec_id").as("pid"), col("embedding").as("p_emb"))
+    val cands = pb.join(cb, Seq("tbl", "key"))
+      .where(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), col("p_emb"), col("embedding"))
+      .distinct()
+    val sims = cands.select(col("pid"), col("vec_id"),
+      (TextOps.dotCol(col("p_emb"), col("embedding"))
+        / (TextOps.l2Col(col("p_emb")) * TextOps.l2Col(col("embedding")))).as("sim"))
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("pid", "vec_id", "rn", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold)
+    * via the same bucketing — the "semantic dedup" stage of a training
+    * pipeline.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                         nBits: Int = 10, tables: Int = 4): DataFrame = {
+    val b = bucketed(emb, nBits, tables)
+    val l = b.select(col("tbl"), col("key"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = b.select(col("tbl"), col("key"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("tbl", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ea"), col("eb")).distinct()
+      .select(col("a"), col("b"),
+        (TextOps.dotCol(col("ea"), col("eb"))
+          / (TextOps.l2Col(col("ea")) * TextOps.l2Col(col("eb")))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Recall@k of the ANN result against an exact top-k result (both keyed
+    * (pid, vec_id)) — the J9 acceptance metric (§5.3).
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame): Double = {
+    val hit = exact.join(ann, Seq("pid", "vec_id"), "left_semi").count()
+    val total = exact.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.11 J2 — near-duplicate detection at 100 TB scale:
+  * shingle → MinHash signature → LSH band bucketing → candidate pairs →
+  * signature-similarity verify → connected-component clustering.
+  *
+  * Everything up to the pair join is stock codegen'd higher-order
+  * functions (`transform`/`array_min`/`xxhash64`), so signature
+  * computation is a single embarrassingly-parallel scan: no shuffle until
+  * the band-bucket equi-join, which Catalyst plans as a standard shuffled
+  * hash/sort-merge join keyed on (band, bandHash) — the published
+  * MinHash-LSH layout (PAPERS.md dedup lines). Candidate verification and
+  * clustering touch only the candidate-pair set, which LSH keeps ~linear
+  * in the true-duplicate count instead of O(n²).
+  */
+object DedupOps {
+
+  /** Distinct k-character shingles of a text column. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** MinHash signature: for each of n seeded xxhash64 functions, the min
+    * over the shingle set. Pure codegen'd HOFs — one pass, no shuffle.
+    */
+  def minhashSig(shs: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      seed => array_min(transform(shs, sh => xxhash64(seed, sh))))
+
+  /** LSH banding: split the signature into `bands` bands of `rows` values;
+    * hash each band. Two docs share a band hash iff their signatures agree
+    * on that whole band.
+    */
+  def bandsOf(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows))).as("bh")))
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  def sigSimilarity(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), id => id)).cast("double") / size(a)
+
+  /** Signatures for every document: (doc_id, sig). */
+  def signatures(docs: DataFrame, k: Int = 5, n: Int = 128): DataFrame =
+    docs.select(col("doc_id"), minhashSig(shingles(col("text"), k), n).as("sig"))
+
+  /** Candidate near-dup pairs (a < b) from LSH banding, with estimated
+    * Jaccard ≥ threshold. bands*rows must equal the signature length.
+    */
+  def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4,
+                     threshold: Double = 0.7): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(bandsOf(col("sig"), bands, rows)).as("bnd"))
+    val l = banded.select(col("bnd"), col("doc_id").as("a"), col("sig").as("sa"))
+    val r = banded.select(col("bnd"), col("doc_id").as("b"), col("sig").as("sb"))
+    l.join(r, l("bnd") === r("bnd") && col("a") < col("b"))
+      .select(col("a"), col("b"), sigSimilarity(col("sa"), col("sb")).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Connected components over the duplicate-pair graph by iterative
+    * min-label propagation (converges in O(log n) rounds on near-dup
+    * clusters, which are small by construction). Each round is one
+    * shuffle keyed on doc_id; at scale this is the standard large-graph
+    * CC pattern (hash-partitioned label exchange).
+    */
+  def clusters(pairs: DataFrame, vertices: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** J2 end-to-end: near-dup cluster assignment for every document. */
+  def minhashDedup(s: SparkSession, d: String,
+                   threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = signatures(docs).cache()
+    val pairs = candidatePairs(sigs, threshold = threshold)
+    clusters(pairs, sigs.select("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard for a pair set — the verify stage when estimated
+    * similarity isn't enough (joins shingle sets only for candidates).
+    */
+  def exactJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double")
+          / size(array_union(col("sha"), col("shb")))).as("jaccard"))
+  }
+
+  /** SimHash (64-bit): per-token hash votes ±1 per bit; the sign vector is
+    * the fingerprint. Near-dups = small Hamming distance. Pure HOF + one
+    * groupBy(doc) shuffle.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // votes[b] = sum over tokens of (+1 if bit b set else -1)
+    val votes = toks.groupBy("doc_id")
+      .agg(collect_list("h").as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), b =>
+          aggregate(col("hs"), lit(0L),
+            (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+          .as("votes"))
+    votes.select(col("doc_id"),
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => acc + when(element_at(col("votes"), b + 1) > 0,
+          call_function("shiftleft", lit(1L), b)).otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit sub-keys (any pair within
+    * Hamming distance 3 of a 64-bit key shares at least one exact 16-bit
+    * block — pigeonhole), then verify the distance. Avoids the O(n²)
+    * cross join the same way the LSH band join does.
+    */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocked = fps.select(col("doc_id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("blk"),
+          call_function("shiftright", col("simhash"), i * 16).bitwiseAND(0xffffL).as("key")))).as("b"))
+    val l = blocked.select(col("b"), col("doc_id").as("a"), col("simhash").as("fa"))
+    val r = blocked.select(col("b"), col("doc_id").as("b2"), col("simhash").as("fb"))
+    l.join(r, l("b") === r("b") && col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b"), hamming(col("fa"), col("fb")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxHamming)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.10 I — Structured Streaming surface. Each op is the
+  * streaming twin of a batch operator in WindowOps/JoinOps; the §5.4
+  * equivalence tests replay the events fixture as a file stream and
+  * assert the streamed result equals the batch result.
+  *
+  * Event time: the fixture's ts is BIGINT nanos; Structured Streaming
+  * watermarks need TimestampType, so `ets` = nanos truncated to micros —
+  * deterministic, and the same truncation DuckDB applies (TIMESTAMP_NS →
+  * µs), keeping stream, batch, and oracle in one time domain.
+  *
+  * Scale posture: state stores are hash-partitioned by group key
+  * (user_id / window), so a 1000-executor cluster shards state linearly;
+  * watermarks bound state size; sinks go through foreachBatch + parquet
+  * commit protocol for exactly-once.
+  */
+object StreamOps {
+
+  /** I1: replay an events parquet fixture as a micro-batch file stream.
+    * maxFilesPerTrigger=1 gives deterministic micro-batch boundaries in
+    * tests; schema comes from the batch reader (streams can't infer).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.withNanos(spark)
+    val schema = Tables.events(spark, sfDir).schema
+    // The file source requires a directory; the fixture ships events as a
+    // single parquet file, so stage it (once) under a stable temp dir.
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_events_${sfDir.hashCode.toHexString}")
+    if (!java.nio.file.Files.exists(dir.resolve("events.parquet"))) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** I2: tumbling 1h window aggregate with a 1h watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("v"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("v"))
+
+  /** I3: sliding 1h window, 15m slide. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** I4: gap-based session windows (30 min). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ets", "1 hour")
+      .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sstart"), col("user_id"), col("n"))
+
+  /** I6: streaming dedup within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ets", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** I8: stream–static join (stream enriched with a broadcastable dim). */
+  def streamStaticJoin(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+
+  /** I9: stream–stream self-join, time-bounded (pairs within 1h) — the
+    * streaming twin of C11. Both sides watermarked so join state is GC'd.
+    */
+  def streamStreamJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.withWatermark("ets", "2 hours")
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"), col("ets").as("l_ets"))
+    val r = b.withWatermark("ets", "2 hours")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("ets").as("r_ets"))
+    l.join(r,
+      col("l_user") === col("r_user") && col("l_id") < col("r_id")
+        && col("r_ets") >= col("l_ets")
+        && col("r_ets") <= col("l_ets") + expr("INTERVAL 1 HOUR"))
+  }
+
+  // ---- I7: arbitrary stateful sessionizer (flatMapGroupsWithState) ----
+
+  case class Ev(user_id: Long, event_id: Long, etsMicros: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Long, n: Long)
+
+  /** Per-user sessionizer with explicit state + event-time timeout — the
+    * arbitrary-stateful-processing surface (same semantics as
+    * WindowOps.i4 batch twin; equivalence-tested in StreamingSpec).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMicros: Long = 1800000000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ets")).as("etsMicros")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[List[SessionState]]) =>
+          // Accumulate sorted events into gap-delimited sessions; with
+          // NoTimeout + AvailableNow replay this sees each user once.
+          val sorted = evs.toSeq.sortBy(e => (e.etsMicros, e.event_id))
+          var sessions = List.empty[SessionState]
+          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.etsMicros - s.last <= gapMicros =>
+                cur = Some(s.copy(last = e.etsMicros, n = s.n + 1))
+              case Some(s) =>
+                sessions ::= s
+                cur = Some(SessionState(e.etsMicros, e.etsMicros, 1))
+              case None =>
+                cur = Some(SessionState(e.etsMicros, e.etsMicros, 1))
+            }
+          }
+          val all = (cur.toList ++ sessions).reverse
+          state.update(cur.toList)
+          all.iterator.map(s => SessionOut(uid, s.start, s.n))
+      }
+  }
+
+  /** I10: exactly-once parquet sink — foreachBatch + idempotent overwrite
+    * by batchId partition; checkpointed so restart resumes, and a replayed
+    * batch overwrites rather than duplicates.
+    */
+  def exactlyOnceParquetSink(df: DataFrame, outDir: String,
+                             checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.{AnnOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.3 — ANN acceptance: recall@k against the brute-force exact
+  * top-k (TextOps.j8 machinery), plus cosine near-dup on a planted
+  * duplicate vector.
+  */
+class AnnSpec extends SparkSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("ann recall@5 >= 0.6 vs brute force") {
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = TextOps.j8_sim_topk(spark, sf).select("pid", "vec_id")
+    // Fixture embeddings are near-uniform (neighbor angles ≈ 90°), the
+    // hardest case for hyperplane LSH — wide coverage (4 bits, 16 tables)
+    // is needed here; clustered real-world corpora allow far tighter
+    // buckets (standard recall/candidate-count tuning).
+    val ann = AnnOps.annTopK(emb, probes, k = 5, nBits = 4, tables = 16)
+    val recall = AnnOps.recallAtK(ann.select("pid", "vec_id"), exact)
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("ann candidates are a strict subset of the corpus (no self matches)") {
+    val probes = emb.where(col("vec_id") < 5)
+    val ann = AnnOps.annTopK(emb, probes, k = 5, nBits = 8, tables = 4)
+    assert(ann.where(col("pid") === col("vec_id")).count() == 0)
+    assert(ann.groupBy("pid").count().where(col("count") > 5).count() == 0)
+  }
+
+  test("cosine near-dup finds a planted duplicate vector") {
+    val dup = emb.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val withDup = emb.select("vec_id", "embedding").union(dup)
+    val pairs = AnnOps.cosineNearDupPairs(withDup, threshold = 0.999, nBits = 8, tables = 8)
+    assert(pairs.where(col("a") === 0 && col("b") === 100000).count() == 1,
+      "planted identical vector not recovered as near-dup")
+  }
+
+  test("hyperplane bucketing is deterministic") {
+    val b1 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
+    val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
+    assert(b1.map(_.toString).sorted.sameElements(b2.map(_.toString).sorted))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.3 property tests for the near-dup stack: planted near-dups
+  * are found, Jaccard estimates track exact Jaccard, exact dedup is
+  * idempotent, SimHash behaves like a locality-sensitive fingerprint.
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  /** docs ∪ lightly-mutated copies (id+10000): each copy differs from its
+    * source by one appended token — a planted near-duplicate.
+    */
+  private lazy val planted = {
+    val mutated = docs.select((col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" xq")).as("text"))
+    docs.select("doc_id", "text").union(mutated).cache()
+  }
+
+  test("minhash signature length and determinism") {
+    val sigs = DedupOps.signatures(docs.limit(20))
+    val two = sigs.select(size(col("sig"))).distinct().collect()
+    assert(two.map(_.getInt(0)).toSet == Set(128))
+    assert(sigs.collect().map(_.toString).sorted.sameElements(
+      DedupOps.signatures(docs.limit(20)).collect().map(_.toString).sorted))
+  }
+
+  test("jaccard estimate within eps of exact for planted pairs") {
+    val sigs = DedupOps.signatures(planted)
+    val pairs = (0L until 20L).map(i => (i, i + 10000)).toDF("a", "b")
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .select(col("a"), DedupOps.sigSimilarity(col("sa"), col("sb")).as("est"))
+    val exact = DedupOps.exactJaccard(planted, pairs)
+    val joined = est.join(exact, "a").select("est", "jaccard").collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.15,
+        s"estimate ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("planted near-dups land in the same cluster") {
+    val sigs = DedupOps.signatures(planted)
+    val pairs = DedupOps.candidatePairs(sigs, threshold = 0.6)
+    val labels = DedupOps.clusters(pairs, planted.select("doc_id"))
+    val clusterOf = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val together = (0L until 50L).count(i => clusterOf(i) == clusterOf(i + 10000))
+    assert(together >= 45, s"only $together/50 planted pairs clustered together")
+  }
+
+  test("exact dedup idempotence: dedup(dedup(x)) = dedup(x)") {
+    val once = docs.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+    val kept = docs.join(once.select("doc_id"), "doc_id")
+    val twice = kept.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+    assert(once.count() == twice.count())
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, determinism") {
+    val fp = DedupOps.simhash(planted).cache()
+    val d = fp.select(col("doc_id"), col("simhash"))
+    val dist = d.where(col("doc_id") < 50)
+      .join(d.select((col("doc_id") - 10000).as("doc_id"), col("simhash").as("s2")),
+        "doc_id")
+      .select(DedupOps.hamming(col("simhash"), col("s2")).as("dist"))
+      .agg(avg("dist"), max("dist")).collect().head
+    assert(dist.getDouble(0) <= 8.0, s"avg hamming ${dist.getDouble(0)} too high for near-dups")
+    // identical text ⇒ identical fingerprint
+    val self = DedupOps.simhash(docs.limit(10))
+      .join(DedupOps.simhash(docs.limit(10)).withColumnRenamed("simhash", "s2"), "doc_id")
+      .where(col("simhash") =!= col("s2")).count()
+    assert(self == 0)
+  }
+
+  test("simhash blocking finds low-distance pairs") {
+    val fp = DedupOps.simhash(planted)
+    val pairs = DedupOps.simhashPairs(fp, maxHamming = 3)
+    // every reported pair honors the bound
+    assert(pairs.where(col("dist") > 3).count() == 0)
+    // planted copies (1-token diff on ~60-token docs) mostly within 3 bits
+    val hits = pairs.where(col("b") - col("a") === 10000).count()
+    assert(hits >= 30, s"only $hits planted pairs under Hamming 3")
+  }
+}

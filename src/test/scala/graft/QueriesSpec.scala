@@ -1,0 +1,84 @@
+package graft
+
+/** Contract-level checks over the full declared query set (SURVEY §5.1):
+  * every query runs on sf0.001, every query has an oracle, column names
+  * are stable, and a few hand-checked golden values pin semantics
+  * independently of the driver's DuckDB gate.
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("every declared query has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles missing query: ${o -- q}")
+  }
+
+  test("all queries execute on sf0.001 and are deterministic across runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val r1 = fn(spark, sf).collect()
+      val r2 = fn(spark, sf).collect()
+      assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+        s"$name not deterministic")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("golden: a1 row count matches raw parquet count") {
+    val n = Tables.lineitem(spark, sf).count()
+    val row = SparkEntry.queries("a1_scan_parquet")(spark, sf).collect().head
+    assert(row.getAs[Long]("n") == n)
+  }
+
+  test("golden: g1 union_all = |customer| + |supplier|") {
+    val expect = Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count()
+    val row = SparkEntry.queries("g1_union_all")(spark, sf).collect().head
+    assert(row.getAs[Long]("n") == expect)
+  }
+
+  test("golden: c3/c4 left and right join mirror each other") {
+    val l = SparkEntry.queries("c3_join_left")(spark, sf).collect().head
+    val r = SparkEntry.queries("c4_join_right")(spark, sf).collect().head
+    assert(l.getAs[Long]("total") == r.getAs[Long]("total"))
+    assert(l.getAs[Long]("unmatched") == r.getAs[Long]("unmatched"))
+  }
+
+  test("law: e7 running total final row equals group sum (window vs groupBy)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(spark, sf)
+    val ck = orders.select("o_custkey").first().getLong(0)
+    val mine = orders.where(col("o_custkey") === ck)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastRun = mine
+      .select(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).as("run"),
+        col("o_orderdate"), col("o_orderkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      .select("run").first().getDecimal(0)
+    val grp = mine.agg(sum(col("o_totalprice").cast(DecimalType(18, 2))))
+      .first().getDecimal(0)
+    assert(lastRun.compareTo(grp) == 0)
+  }
+
+  test("law: version-cap monotonicity (b8: rows(N) grows with N)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rowkey", "cf", "qualifier").orderBy(desc("ts"), col("value"))
+    val cells = Tables.cells(spark, sf).withColumn("rn", row_number().over(w))
+    val n1 = cells.where(col("rn") <= 1).count()
+    val n3 = cells.where(col("rn") <= 3).count()
+    val all = cells.count()
+    assert(n1 <= n3 && n3 <= all)
+  }
+
+  test("law: set-op algebra (A∪A distinct = A, A∖A = empty)") {
+    val a = Tables.customer(spark, sf).select("c_nationkey")
+    assert(a.union(a).distinct().count() == a.distinct().count())
+    assert(a.except(a).count() == 0)
+  }
+}

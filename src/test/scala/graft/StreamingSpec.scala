@@ -1,0 +1,146 @@
+package graft
+
+import graft.streaming.StreamOps
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** SURVEY §5.4 — batch–stream equivalence: each streaming op replayed
+  * over the events fixture (AvailableNow file stream) must equal its
+  * batch twin computed with the same expressions.
+  */
+class StreamingSpec extends SparkSuite {
+
+  /** Run a streaming query to completion into a memory sink, in Complete
+    * or Append mode, and return the result table.
+    */
+  private def runStream(df: DataFrame, mode: String, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private lazy val batchEvents =
+    Tables.events(spark, sf).withColumn("ets", timestamp_micros(expr("ts div 1000"))).cache()
+
+  test("I1/I2: tumbling window stream equals batch twin") {
+    val streamed = runStream(StreamOps.tumblingCounts(StreamOps.eventsStream(spark, sf)),
+      "complete", "t_tumbling")
+    val batch = batchEvents
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    assert(streamed.select("wstart", "event_type", "n").collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
+  test("I3: sliding window stream equals batch twin") {
+    val streamed = runStream(StreamOps.slidingCounts(StreamOps.eventsStream(spark, sf)),
+      "complete", "t_sliding")
+    val batch = batchEvents
+      .groupBy(window(col("ets"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
+  test("I4: session window stream equals batch session_window") {
+    val streamed = runStream(StreamOps.sessionCounts(StreamOps.eventsStream(spark, sf)),
+      "complete", "t_session")
+    val batch = batchEvents
+      .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sstart"), col("user_id"), col("n"))
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
+  test("I6: streaming dedup equals batch dropDuplicates") {
+    val streamed = runStream(StreamOps.dedupStream(StreamOps.eventsStream(spark, sf))
+      .select("event_id"), "append", "t_dedup")
+    assert(streamed.count() == batchEvents.dropDuplicates("event_id").count())
+  }
+
+  test("I7: flatMapGroupsWithState sessionizer equals i4 batch twin") {
+    val streamed = runStream(
+      StreamOps.sessionize(spark, StreamOps.eventsStream(spark, sf)).toDF(),
+      "append", "t_fmgws")
+    val batch = ops.WindowOps.i4_window_session_batch(spark, sf)
+    // same multiset of (user, session size)
+    val a = streamed.groupBy("user_id").agg(count(lit(1)).as("sessions"),
+      sum("n").as("events"))
+    val b = batch.groupBy("user_id").agg(count(lit(1)).as("sessions"),
+      sum("n").as("events"))
+    assert(a.collect().map(_.toString).sorted.sameElements(
+      b.collect().map(_.toString).sorted))
+  }
+
+  test("I8: stream-static join equals batch join") {
+    val streamed = runStream(
+      StreamOps.streamStaticJoin(StreamOps.eventsStream(spark, sf),
+        Tables.customer(spark, sf)), "complete", "t_ss")
+    val batch = batchEvents.join(
+      Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+      batchEvents("user_id") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
+  test("I9: stream-stream time-bounded join equals batch interval join") {
+    val streamed = runStream(
+      StreamOps.streamStreamJoin(StreamOps.eventsStream(spark, sf),
+        StreamOps.eventsStream(spark, sf)).select("l_id", "r_id"),
+      "append", "t_ssj")
+    val e = batchEvents.select(col("user_id"), col("event_id"), col("ets"))
+    val batch = e.as("a").join(e.as("b"),
+      col("a.user_id") === col("b.user_id") && col("a.event_id") < col("b.event_id")
+        && col("b.ets") >= col("a.ets")
+        && col("b.ets") <= col("a.ets") + expr("INTERVAL 1 HOUR"))
+      .select(col("a.event_id").as("l_id"), col("b.event_id").as("r_id"))
+    assert(streamed.count() == batch.count())
+  }
+
+  test("I10: exactly-once sink — restart does not duplicate") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    def run(): Unit = {
+      val q = StreamOps.exactlyOnceParquetSink(
+        StreamOps.eventsStream(spark, sf).select("event_id", "ets"), out, ckpt).start()
+      q.awaitTermination()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    run() // restart from checkpoint: no new data ⇒ no change
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == n2)
+    assert(n1 == Tables.events(spark, sf).count())
+  }
+
+  test("I5: late rows beyond the watermark are dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ets", "v")
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "10 minutes")).agg(count(lit(1)).as("n"))
+    val q = df.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 * 365 * 50 + min * 60000L)
+    mem.addData((ts(0), 1L), (ts(5), 2L))
+    q.processAllAvailable()
+    mem.addData((ts(60), 3L))   // advances watermark far past the first window
+    q.processAllAvailable()
+    mem.addData((ts(1), 4L))    // late beyond watermark: must be dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_late").collect()
+    val firstWindowN = rows.filter(_.getStruct(0).getTimestamp(0).getTime == ts(0).getTime)
+      .map(_.getAs[Long]("n"))
+    assert(firstWindowN.forall(_ == 2L), s"late row leaked into closed window: ${rows.mkString}")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.TextAnalysisOps
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("langId picks the right profile on crafted texts") {
+    val crafted = Seq(
+      (1L, "the cat is in the house and it is warm for the winter"),
+      (2L, "der hund ist nicht in das haus und die katze ist mit ein ball"),
+      (3L, "el perro y la casa de los gatos en una calle por la noche con pan"),
+      (4L, "le chien est dans la maison et les chats pour une nuit dans le jardin que"),
+      (5L, "中文文本处理测试数据")
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysisOps.withLang(crafted)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(1L) == "en"); assert(pred(2L) == "de"); assert(pred(3L) == "es")
+    assert(pred(4L) == "fr"); assert(pred(5L) == "zh")
+  }
+
+  test("quality features are bounded and quality score in [0,1]") {
+    val docs = Tables.documents(spark, sf)
+    val feats = TextAnalysisOps.qualityFeatures(docs)
+    assert(feats.where(col("alpha_ratio") < 0 || col("alpha_ratio") > 1).count() == 0)
+    assert(feats.where(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    val q = TextAnalysisOps.qualityScore(docs)
+    assert(q.where(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("token counts: ws <= bpeish, both positive on fixture docs") {
+    val tc = TextAnalysisOps.tokenCounts(Tables.documents(spark, sf))
+    assert(tc.where(col("ws_tokens") <= 0).count() == 0)
+    assert(tc.where(col("bpe_tokens") < col("ws_tokens")).count() == 0,
+      "bpe-ish tokenization must split at least as finely as whitespace")
+  }
+
+  test("fingerprints: identical text same prints; mutation changes few") {
+    val docs = Tables.documents(spark, sf).limit(30).cache()
+    val fp1 = TextAnalysisOps.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fp2 = TextAnalysisOps.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp1.forall { case (k, v) => fp2(k) == v })
+    // appending a token preserves most prints (winnowing locality)
+    val mutated = docs.select(col("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+    val fpm = TextAnalysisOps.fingerprints(mutated).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fp1.foreach { case (k, v) =>
+      val keep = v.toSet.intersect(fpm(k).toSet).size.toDouble / v.size
+      assert(keep > 0.7, s"doc $k kept only ${keep * 100}%% of prints after 1-token append")
+    }
+  }
+}
