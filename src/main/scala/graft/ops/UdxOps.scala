@@ -69,8 +69,31 @@ object UdxOps {
       .orderBy(asc_nulls_last("doc_id")).limit(100)
   }
 
+  /** k5: j8 re-expressed through the native codegen'd CosineSim Catalyst
+    * expression (graft.functions.CosineSim) — same oracle as j8, so the
+    * driver gate proves the custom expression is bit-identical to the
+    * HOF formulation.
+    */
+  def k5_expr_cosine: Q = (s, d) => {
+    graft.functions.CosineSim.register(s)
+    val emb = graft.Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("p_emb"))
+    val sims = broadcast(probes).crossJoin(emb)
+      .where(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        expr("graft_cosine(p_emb, embedding)").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("pid", "vec_id", "rn")
+      .orderBy(asc_nulls_last("pid"), asc_nulls_last("rn"))
+  }
+
   def queries: Map[String, Q] = Map(
     "k1_udf_scalar" -> k1_udf_scalar,
     "k2_udaf_sum" -> k2_udaf_sum,
-    "k3_udtf_explode" -> k3_udtf_explode)
+    "k3_udtf_explode" -> k3_udtf_explode,
+    "k5_expr_cosine" -> k5_expr_cosine)
 }

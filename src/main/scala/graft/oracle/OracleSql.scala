@@ -468,6 +468,11 @@ object OracleSql {
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY doc_id ORDER BY doc_id NULLS LAST LIMIT 100""".stripMargin)
 
+  /** k5 runs the same DuckDB text as j8 — the custom Catalyst expression
+    * must be bit-identical to the HOF cosine.
+    */
+  def k5: Map[String, String] = Map("k5_expr_cosine" -> texts("j8_sim_topk"))
+
   def all: Map[String, String] =
-    scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++ udx
+    scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++ udx ++ k5
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the ".explain and iterate" discipline
+  * codified (SURVEY §4): pushdown reaches the parquet scan, pruning
+  * limits ReadSchema, small dims broadcast, top-k avoids a global sort,
+  * and hot paths stay inside whole-stage codegen. These are the
+  * properties that decide 100 TB behavior; the tests pin them so a
+  * refactor can't silently regress a plan.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def scanLine(df: DataFrame): String =
+    physical(df).linesIterator.filter(_.contains("FileScan")).mkString("\n")
+
+  test("filter pushdown: b2 predicates reach the parquet scan") {
+    val scan = scanLine(SparkEntry.queries("b2_filter_pred")(spark, sf))
+    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("GreaterThanOrEqual(l_quan") || scan.contains("GreaterThan(l_disc"), scan)
+  }
+
+  test("column pruning: b1 reads only the 4 needed lineitem columns") {
+    val scan = scanLine(SparkEntry.queries("b1_project")(spark, sf))
+    val readSchema = scan.split("ReadSchema:").last
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("partition pruning substrate: b10 ts range is pushed to the scan") {
+    val scan = scanLine(SparkEntry.queries("b10_ts_range")(spark, sf))
+    assert(scan.contains("PushedFilters: [") && scan.contains("ts"), scan)
+  }
+
+  test("broadcast: c2 nation-customer join uses BroadcastHashJoin") {
+    val plan = physical(SparkEntry.queries("c2_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("top-k: f2 plans TakeOrderedAndProject, not a global sort") {
+    val plan = physical(SparkEntry.queries("f2_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregation is partial+final (map-side combine) for d1") {
+    val plan = physical(SparkEntry.queries("d1_agg_basic")(spark, sf))
+    assert(plan.contains("partial_"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("flagship join-agg pipeline stays in whole-stage codegen") {
+    // AQE finalizes the plan only after execution; "*(n)" prefixes then
+    // mark WholeStageCodegen stages in the compact form
+    val df = SparkEntry.queries("c1_join_inner")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
+  test("j8 probe side is broadcast (corpus never shuffles for brute force)") {
+    val plan = physical(ops.TextOps.j8_sim_topk(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("decimal sums keep exact partial aggregation (no double partials)") {
+    val plan = physical(SparkEntry.queries("a1_scan_parquet")(spark, sf))
+    assert(plan.contains("sum(cast(l_quantity"), plan)
+  }
+}
