@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100 TB layout utilities (SURVEY.md §4 custom rows): rowkey salting for
+  * hot-spot spreading, salted range scans, skew-salted joins, and
+  * bucketed co-located joins. These are the write-path / layout levers a
+  * large deployment combines with the query operators.
+  */
+object ScaleOps {
+
+  // ------------------------------------------------------------- salting
+
+  /** HBase hot-spot pattern: prefix the rowkey with hash(key) % n so
+    * monotonically-increasing keys spread across n regions/partitions.
+    * Deterministic (crc32), so readers can recompute the salt.
+    */
+  def saltKey(key: Column, buckets: Int): Column =
+    concat(lpad((crc32(key) % buckets).cast("string"), 2, "0"), lit("|"), key)
+
+  /** Salted table: adds salted_key and range-partitions by it — the A5
+    * bulk-load write path with hot-spot spreading.
+    */
+  def saltTable(df: DataFrame, key: Column, buckets: Int, partitions: Int): DataFrame =
+    df.withColumn("salted_key", saltKey(key, buckets))
+      .repartitionByRange(partitions, col("salted_key"))
+      .sortWithinPartitions("salted_key")
+
+  /** Salted range scan (the API-layer expansion SURVEY §4 chose over a
+    * Catalyst rule): a logical `key BETWEEN lo AND hi` becomes the union
+    * of the per-salt ranges `s|lo .. s|hi`, each of which min/max-prunes
+    * independently. Expressed as one OR predicate so it stays a single
+    * scan with n pushable ranges.
+    */
+  def saltedRangeScan(salted: DataFrame, lo: String, hi: String, buckets: Int): DataFrame = {
+    val pred = (0 until buckets)
+      .map(s => f"$s%02d|")
+      .map(p => col("salted_key").between(p + lo, p + hi))
+      .reduce(_ || _)
+    salted.where(pred)
+  }
+
+  // ----------------------------------------------------------- skew join
+
+  /** Skew-salted join: replicate the build side `factor` times and
+    * scatter the probe side's hot keys across the replicas — the manual
+    * fallback when AQE's OptimizeSkewedJoin can't help (e.g. skewed
+    * aggregation feeding a join). Result is identical to
+    * `big.join(small, bigKey === smallKey)`.
+    */
+  def skewSaltedJoin(big: DataFrame, small: DataFrame,
+                     bigKey: Column, smallKey: Column,
+                     factor: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+    val explodedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedBig.join(explodedSmall,
+      bigKey === smallKey && saltedBig("_salt") === explodedSmall("_salt"))
+      .drop("_salt")
+  }
+
+  // ----------------------------------------------------------- bucketing
+
+  /** Write both join sides bucketed by the join key: subsequent equi-joins
+    * on that key are exchange-free (bucket-local), the co-located-join
+    * layout for repeated 100 TB joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two previously-bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.ScaleOps
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSuite {
+
+  test("salted range scan returns exactly the rows of the logical range") {
+    val cells = Tables.cells(spark, sf)
+    val lo = "000000000010:000000000000"
+    val hi = "000000000020:999999999999"
+    val expected = cells.where(col("rowkey").between(lo, hi)).count()
+    val salted = ScaleOps.saltTable(cells, col("rowkey"), buckets = 8, partitions = 4)
+    val got = ScaleOps.saltedRangeScan(salted, lo, hi, buckets = 8).count()
+    assert(got == expected)
+  }
+
+  test("salting spreads a monotonically increasing key across buckets") {
+    import spark.implicits._
+    val seqKeys = (1 to 1000).map(i => f"$i%012d").toDF("k")
+    val spread = seqKeys.select(ScaleOps.saltKey(col("k"), 8).substr(1, 2).as("salt"))
+      .groupBy("salt").count().collect()
+    assert(spread.length == 8, s"only ${spread.length} salt buckets used")
+    assert(spread.map(_.getLong(1)).max < 400, "salting left a hot bucket")
+  }
+
+  test("skew-salted join equals the plain join") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val salted = ScaleOps.skewSaltedJoin(orders, customer,
+      orders("o_custkey"), customer("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    assert(salted.collect().map(_.toString).sorted
+      .sameElements(plain.collect().map(_.toString).sorted))
+  }
+
+  test("bucketed join is exchange-free on the bucket key") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    Seq("c_bkt", "o_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    ScaleOps.writeBucketed(Tables.customer(spark, sf), "c_bkt", "c_custkey", 4)
+    ScaleOps.writeBucketed(
+      Tables.orders(spark, sf).withColumnRenamed("o_custkey", "c_custkey"),
+      "o_bkt", "c_custkey", 4)
+    // force the sort-merge path (tiny fixtures would broadcast, which
+    // hides the property under test: bucket-local, exchange-free SMJ)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.bucketedJoin(spark, "c_bkt", "o_bkt", "c_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // and it is still correct
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val expect = orders.join(customer, orders("o_custkey") === customer("c_custkey")).count()
+    assert(ScaleOps.bucketedJoin(spark, "c_bkt", "o_bkt", "c_custkey").count() == expect)
+  }
+}
