@@ -81,8 +81,11 @@ object CosineSim {
   * SQL function in every session of the cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSim.name),
       new ExpressionInfo(classOf[CosineSim].getName, CosineSim.name),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
