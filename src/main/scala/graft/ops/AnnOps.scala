@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,5 +97,57 @@ object AnnOps {
     val hit = exact.join(ann, Seq("pid", "vec_id"), "left_semi").count()
     val total = exact.count()
     if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  // -------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
+    * every corpus vector to one of `nlist` cells; a probe searches only
+    * its `nProbe` nearest cells, then exact-cosine re-ranks.
+    *
+    * Scale shape: centroids are tiny (nlist×dim doubles) and broadcast;
+    * corpus assignment is one narrow scan; the candidate join is an
+    * equi-join on the cell id, so a 100 TB corpus can be written
+    * partitioned by cell and each probe batch touches nProbe partitions —
+    * the classic IVF-flat layout.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+              k: Int = 5, nlist: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+
+    val feats = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(feats)
+    val assigned = model.transform(feats).select(col("vec_id"), col("embedding"), col("cell"))
+
+    // centroids: nlist rows, broadcastable by construction
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "center")
+
+    // each probe → its nProbe nearest cells (L2 to the centroid)
+    val pc = probes.select(col("vec_id").as("pid"), col("embedding").as("p_emb"))
+      .crossJoin(broadcast(centroids))
+    val dist = pc.select(col("pid"), col("p_emb"), col("cell"),
+      aggregate(zip_with(col("p_emb"), col("center"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x).as("d2"))
+    val w = Window.partitionBy("pid").orderBy(col("d2"), col("cell"))
+    val probeCells = dist.withColumn("pr", row_number().over(w))
+      .where(col("pr") <= nProbe).select("pid", "p_emb", "cell")
+
+    // candidates from the probed cells only, exact cosine re-rank
+    val cands = probeCells.join(assigned, "cell")
+      .where(col("vec_id") =!= col("pid"))
+    val sims = cands.select(col("pid"), col("vec_id"),
+      (TextOps.dotCol(col("p_emb"), col("embedding"))
+        / (TextOps.l2Col(col("p_emb")) * TextOps.l2Col(col("embedding")))).as("sim"))
+    val wr = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(wr)).where(col("rn") <= k)
+      .select("pid", "vec_id", "rn", "sim")
   }
 }

@@ -39,6 +39,16 @@ class AnnSpec extends SparkSuite {
       "planted identical vector not recovered as near-dup")
   }
 
+  test("IVF ANN: recall@5 vs brute force, bounded candidate work") {
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = TextOps.j8_sim_topk(spark, sf).select("pid", "vec_id")
+    // uniform fixture again needs wide probing; nProbe=8 of nlist=16
+    val ivf = AnnOps.ivfTopK(spark, emb, probes, k = 5, nlist = 16, nProbe = 8)
+    val recall = AnnOps.recallAtK(ivf.select("pid", "vec_id"), exact)
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+    assert(ivf.groupBy("pid").count().where(col("count") > 5).count() == 0)
+  }
+
   test("hyperplane bucketing is deterministic") {
     val b1 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
     val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
