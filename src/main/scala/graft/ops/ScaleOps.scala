@@ -77,4 +77,52 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  // ------------------------------------------------- distributed ntile
+
+  /** Exact global ntile without a single-partition window — the scale
+    * path for the E3/E4 class of inherently-global rankings.
+    *
+    * Shape: range-partition on the sort key (shuffle 1, parallel), rank
+    * locally per range partition (shuffle 2, keyed by partition id, still
+    * parallel), then add driver-computed per-partition offsets (tiny —
+    * `partitions` longs) to get the exact global rank; the ntile formula
+    * is then a scalar expression. Bit-identical to
+    * `ntile(n) OVER (ORDER BY sortCols)` for a total order (caller
+    * supplies the unique tiebreak per determinism rule R1).
+    */
+  def distributedNtile(df: DataFrame, sortCols: Seq[Column], n: Int,
+                       partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cache: the partition-count job and the ranking job must see the
+    // SAME range-partition assignment (boundary sampling would otherwise
+    // be re-run per job)
+    val parted = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    // per-partition row counts → global offsets (driver-side, `partitions` rows)
+    val counts = parted.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val total = offsets.last
+    val offsetDf = parted.sparkSession.createDataFrame(
+      (0 until partitions).map(pid => (pid, offsets(pid))))
+      .toDF("_pid", "_offset")
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    val ranked = parted
+      .withColumn("_lrank", row_number().over(w))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn("_grank", col("_offset") + col("_lrank"))
+    // ntile semantics: first (total % n) tiles hold ceil(total/n) rows
+    val base = total / n
+    val rem = total % n
+    val cut = rem * (base + 1)
+    ranked.withColumn("tile",
+      when(col("_grank") <= cut, ((col("_grank") - 1) / (base + 1)).cast("int") + 1)
+        .otherwise(lit(rem).cast("int")
+          + ((col("_grank") - 1 - cut) / math.max(base, 1)).cast("int") + 1))
+      .drop("_pid", "_offset", "_lrank", "_grank")
+  }
 }

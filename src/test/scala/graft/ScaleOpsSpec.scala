@@ -69,4 +69,23 @@ class ScaleOpsSpec extends SparkSuite {
     val expect = orders.join(customer, orders("o_custkey") === customer("c_custkey")).count()
     assert(ScaleOps.bucketedJoin(spark, "c_bkt", "o_bkt", "c_custkey").count() == expect)
   }
+
+  test("distributed ntile equals the global-window ntile bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf)
+    val sortCols = Seq(col("o_totalprice"), col("o_orderkey"))
+    val stock = orders.select(col("o_orderkey"),
+      ntile(10).over(Window.orderBy(sortCols: _*)).as("tile"))
+    val dist = ScaleOps.distributedNtile(orders, sortCols, 10, partitions = 4)
+      .select("o_orderkey", "tile")
+    val a = stock.collect().map(_.toString).sorted
+    val b = dist.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // the only window is the per-range-partition local rank (partitioned
+    // by _pid) — no global single-partition window anywhere in the plan
+    val plan = dist.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("[_pid")),
+      s"global window leaked into:\n$plan")
+  }
 }
