@@ -61,9 +61,23 @@ object ScanOps {
       .limit(500)
   }
 
+  /** a8 — qualifier pivot: the schemaless cells layout widened back to
+    * fixed columns (SURVEY §1.1 "pivoting to fixed columns"). Explicit
+    * value list keeps the plan one pass (no distinct-collect job) and the
+    * output schema static — the form that scales.
+    */
+  val a8_cells_pivot: Q = (s, d) =>
+    Tables.cells(s, d)
+      .groupBy("rowkey")
+      .pivot("qualifier", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(dsum(col("value")))
+      .na.fill(0.0)
+      .orderBy(col("rowkey").asc_nulls_last).limit(300)
+
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
     "a4_cells_scan" -> a4_cells_scan,
     "a5_bulkload_splits" -> a5_bulkload_splits,
-    "a6_cells_asof" -> a6_cells_asof)
+    "a6_cells_asof" -> a6_cells_asof,
+    "a8_cells_pivot" -> a8_cells_pivot)
 }

@@ -40,7 +40,16 @@ object OracleSql {
           |          row_number() OVER (PARTITION BY rowkey, cf, qualifier
           |                             ORDER BY ts DESC, value) AS rn
           |   FROM cells WHERE ts <= 1705362487499628968)
-          |WHERE rn = 1 ORDER BY rowkey NULLS LAST, qualifier NULLS LAST LIMIT 500""".stripMargin))
+          |WHERE rn = 1 ORDER BY rowkey NULLS LAST, qualifier NULLS LAST LIMIT 500""".stripMargin),
+    "a8_cells_pivot" ->
+      (cellsCte +
+        """SELECT rowkey,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='click') AS DECIMAL(38,2)), 0) AS click,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='error') AS DECIMAL(38,2)), 0) AS error,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='purchase') AS DECIMAL(38,2)), 0) AS purchase,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='signup') AS DECIMAL(38,2)), 0) AS signup,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='view') AS DECIMAL(38,2)), 0) AS view
+          |FROM cells GROUP BY rowkey ORDER BY rowkey NULLS LAST LIMIT 300""".stripMargin))
 
   val filters: Map[String, String] = Map(
     "b1_project" ->
