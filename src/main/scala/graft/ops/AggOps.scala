@@ -87,7 +87,11 @@ object AggOps {
         count(lit(1)).as("cnt"))
       .select(
         col("o_orderstatus"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1)).as("sd"))
+        // round(.,4): DuckDB converts DECIMAL->DOUBLE as hugeint/10^scale
+        // (two roundings) vs Spark's single correctly-rounded cast — a
+        // last-ulp gap at sf>=0.1 sum magnitudes; 4 decimals is exact for
+        // both well away from the divergence scale
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1)), 4).as("sd"))
       .orderBy(col("o_orderstatus").asc_nulls_last)
   }
 

@@ -157,10 +157,10 @@ object OracleSql {
         |GROUP BY l_returnflag ORDER BY l_returnflag NULLS LAST""".stripMargin,
     "d10_agg_stddev" ->
       """SELECT o_orderstatus,
-        |  sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |        - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |          * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-        |       / (count(*) - 1)) AS sd
+        |       / (count(*) - 1)), 4) AS sd
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST""".stripMargin,
     "d11_agg_argmax" ->
       // arg_max with a composite tiebreak isn't available in this DuckDB

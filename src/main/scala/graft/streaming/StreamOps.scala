@@ -27,17 +27,44 @@ object StreamOps {
     * maxFilesPerTrigger=1 gives deterministic micro-batch boundaries in
     * tests; schema comes from the batch reader (streams can't infer).
     */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, sfDir: String,
+                   splits: Int = 4): DataFrame = {
     Tables.withNanos(spark)
     val schema = Tables.events(spark, sfDir).schema
-    // The file source requires a directory; the fixture ships events as a
-    // single parquet file, so stage it (once) under a stable temp dir.
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_events_${sfDir.hashCode.toHexString}")
-    if (!java.nio.file.Files.exists(dir.resolve("events.parquet"))) {
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    // The file source requires a directory; stage the fixture (once) as
+    // `splits` files so maxFilesPerTrigger=1 yields a genuine
+    // multi-micro-batch replay — each batch must update state, not just
+    // recompute (the property the §5.4 equivalence tests exercise).
+    //
+    // FileStreamSource orders batches by file MODIFICATION TIME, so the
+    // splits are written sequentially in event-time order (a parallel
+    // multi-part write finishes parts in arbitrary order, which replays
+    // history out of order and makes the watermark drop whole batches as
+    // late — observed, not hypothetical).
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_events_${sfDir.hashCode.toHexString}_$splits")
+    if (!Files.exists(dir.resolve("_STAGED"))) {
+      Files.createDirectories(dir)
+      val ev = Tables.events(spark, sfDir)
+      val Array(lo, hi) = ev.agg(min("event_id"), max("event_id"))
+        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+      val span = hi - lo + 1
+      (0 until splits).foreach { k =>
+        val from = lo + span * k / splits
+        val until = lo + span * (k + 1) / splits
+        val tmp = dir.resolve(s"_tmp_$k")
+        ev.where(col("event_id") >= from && col("event_id") < until)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, dir.resolve(f"events_$k%03d.parquet"))
+        Files.setLastModifiedTime(dir.resolve(f"events_$k%03d.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createFile(dir.resolve("_STAGED"))
     }
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -99,9 +126,17 @@ object StreamOps {
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n: Long)
 
-  /** Per-user sessionizer with explicit state + event-time timeout — the
-    * arbitrary-stateful-processing surface (same semantics as
-    * WindowOps.i4 batch twin; equivalence-tested in StreamingSpec).
+  /** Per-user sessionizer with explicit state — the arbitrary-stateful-
+    * processing surface (same semantics as the WindowOps.i4 batch twin;
+    * equivalence-tested in StreamingSpec over a multi-micro-batch replay).
+    *
+    * Emission contract: every batch re-emits each session it TOUCHED
+    * (sessions closed in the batch are final; the still-open session is
+    * its state-so-far). With per-user time-ordered arrival a session's
+    * start is immutable and its size only grows, so the reader's
+    * `max(n) GROUP BY (user, session_start)` is the exact final result —
+    * the standard upsert-sink shape for streaming sessionization. State
+    * per user is ONE open session, bounded regardless of history length.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMicros: Long = 1800000000L): Dataset[SessionOut] = {
@@ -113,25 +148,23 @@ object StreamOps {
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, evs, state: GroupState[List[SessionState]]) =>
-          // Accumulate sorted events into gap-delimited sessions; with
-          // NoTimeout + AvailableNow replay this sees each user once.
           val sorted = evs.toSeq.sortBy(e => (e.etsMicros, e.event_id))
-          var sessions = List.empty[SessionState]
+          var closed = List.empty[SessionState]
           var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.etsMicros - s.last <= gapMicros =>
                 cur = Some(s.copy(last = e.etsMicros, n = s.n + 1))
               case Some(s) =>
-                sessions ::= s
+                closed ::= s
                 cur = Some(SessionState(e.etsMicros, e.etsMicros, 1))
               case None =>
                 cur = Some(SessionState(e.etsMicros, e.etsMicros, 1))
             }
           }
-          val all = (cur.toList ++ sessions).reverse
+          val touched = (cur.toList ++ closed).reverse
           state.update(cur.toList)
-          all.iterator.map(s => SessionOut(uid, s.start, s.n))
+          touched.iterator.map(s => SessionOut(uid, s.start, s.n))
       }
   }
 

@@ -64,13 +64,15 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() == batchEvents.dropDuplicates("event_id").count())
   }
 
-  test("I7: flatMapGroupsWithState sessionizer equals i4 batch twin") {
+  test("I7: flatMapGroupsWithState sessionizer equals i4 batch twin across micro-batches") {
     val streamed = runStream(
       StreamOps.sessionize(spark, StreamOps.eventsStream(spark, sf)).toDF(),
       "append", "t_fmgws")
+    // emission contract: final session state = max(n) per (user, start)
+    val finalSessions = streamed.groupBy("user_id", "session_start")
+      .agg(max("n").as("n"))
     val batch = ops.WindowOps.i4_window_session_batch(spark, sf)
-    // same multiset of (user, session size)
-    val a = streamed.groupBy("user_id").agg(count(lit(1)).as("sessions"),
+    val a = finalSessions.groupBy("user_id").agg(count(lit(1)).as("sessions"),
       sum("n").as("events"))
     val b = batch.groupBy("user_id").agg(count(lit(1)).as("sessions"),
       sum("n").as("events"))
