@@ -18,6 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dogfood the custom planner path: row_number-top-k rewrites to the
+    // bounded-heap TopKPerGroup operator (equality-pinned by
+    // TopKStrategySpec and the DuckDB gate itself)
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteWindowTopK)
+    spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warmup pass (untimed)
     ordered.foreach { case (_, fn) =>

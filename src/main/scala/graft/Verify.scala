@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dogfood the custom planner path: row_number-top-k rewrites to the
+    // bounded-heap TopKPerGroup operator (equality-pinned by
+    // TopKStrategySpec and the DuckDB gate itself)
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteWindowTopK)
+    spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
