@@ -28,18 +28,19 @@ object ScanOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
 
-  /** a5 — bulk-load split planning: exact 16-way split points of the sorted
-    * rowkey space. The oracle-checked form uses a global ntile (single
-    * partition — fine at verify scale); the production write path is
-    * `repartitionByRange(n, $"rowkey").sortWithinPartitions(...)`, which
-    * computes the same boundaries by reservoir sampling without a global
-    * sort, and is what [[graft.plans.BulkLoad]] exposes.
+  /** a5 — bulk-load split planning: exact 16-way split points of the
+    * sorted rowkey space, via the distributed exact ntile
+    * ([[ScaleOps.distributedNtile]] — range partition + local rank +
+    * offsets) instead of a single-partition global window, so the same
+    * code computes split points for a 100 TB keyspace. The approximate
+    * production alternative (`repartitionByRange`'s reservoir-sampled
+    * boundaries) is exercised by ScaleOps.saltTable.
     */
   val a5_bulkload_splits: Q = (s, d) => {
-    val w = Window.orderBy(col("rowkey").asc_nulls_last)
-    Tables.cells(s, d)
-      .select(col("rowkey"))
-      .withColumn("bucket", ntile(16).over(w).cast("long"))
+    val cells = Tables.cells(s, d).select(col("rowkey"))
+    ScaleOps.distributedNtile(cells, Seq(col("rowkey")), 16,
+      partitions = s.sparkContext.defaultParallelism)
+      .withColumn("bucket", col("tile").cast("long"))
       .groupBy(col("bucket"))
       .agg(max(col("rowkey")).as("split_point"))
       .orderBy(col("bucket").asc_nulls_last)

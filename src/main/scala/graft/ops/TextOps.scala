@@ -107,13 +107,18 @@ object TextOps {
     */
   def j8_sim_topk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val probes = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("pid"), col("embedding").as("p_emb"))
-    val sims = broadcast(probes).crossJoin(emb)
+    // norms precomputed once per row (not once per pair) — sqrt is
+    // deterministic, so sim stays bit-identical to the inline form
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      l2Col(col("embedding")).as("e_norm"))
+    val probes = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("p_emb"),
+        col("e_norm").as("p_norm"))
+    val sims = broadcast(probes).crossJoin(corpus)
       .where(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"),
         (dotCol(col("p_emb"), col("embedding"))
-          / (l2Col(col("p_emb")) * l2Col(col("embedding")))).as("sim"))
+          / (col("p_norm") * col("e_norm"))).as("sim"))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)

@@ -10,11 +10,9 @@ import org.apache.spark.sql.types.DecimalType
   * (§2.10 i2/i4) that share the window machinery.
   *
   * Scale notes: every window here is partitioned by a key (user/custkey/
-  * event_type) except e3/e4, whose semantics are inherently global
-  * (ntile/percent_rank over the whole relation). A global window sorts into
-  * ONE partition — acceptable for low-cardinality outputs, and flagged here
-  * deliberately: at 100 TB the scale path for global quantile ranks is
-  * `approxQuantile`/range-partitioned rank composition, not WindowExec.
+  * event_type) except e4, whose 25-row input makes a global window free.
+  * e3's global ntile runs through ScaleOps.distributedNtile (range
+  * partition + local rank + offsets) — exact, and parallel at any scale.
   */
 object WindowOps {
 
@@ -42,14 +40,13 @@ object WindowOps {
   /** e3: decile assignment over a total order (R1: unique-key tiebreak).
     * Global window — see scale note in the object doc.
     */
-  def e3_win_ntile: Q = (s, d) => {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(ntile(10).over(w).as("tile"), col("o_orderkey"))
+  def e3_win_ntile: Q = (s, d) =>
+    ScaleOps.distributedNtile(Tables.orders(s, d),
+      Seq(col("o_totalprice"), col("o_orderkey")), 10,
+      partitions = s.sparkContext.defaultParallelism)
       .groupBy("tile")
       .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"))
       .orderBy(asc_nulls_last("tile"))
-  }
 
   /** e4: percent_rank / cume_dist (25-row nation — global window is fine). */
   def e4_win_pctrank: Q = (s, d) => {
