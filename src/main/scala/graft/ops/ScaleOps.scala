@@ -78,6 +78,21 @@ object ScaleOps {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  // -------------------------------------------- partitioned layout / DPP
+
+  /** Hive-style partitioned layout for the cells/events data: directory
+    * per partition value, so qualifier/event-type predicates prune whole
+    * directories at plan time (static) and join-derived predicates prune
+    * at runtime (dynamic partition pruning). At 100 TB this, plus the
+    * rowkey sort within files, is the read-path layout.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+
+  /** Read back a partitioned layout. */
+  def readPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   // ------------------------------------------------- distributed ntile
 
   /** Exact global ntile without a single-partition window — the scale

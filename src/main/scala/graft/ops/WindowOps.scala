@@ -37,8 +37,8 @@ object WindowOps {
       .orderBy(asc_nulls_last("p_brand"), asc_nulls_last("rnk"), asc_nulls_last("p_size"))
   }
 
-  /** e3: decile assignment over a total order (R1: unique-key tiebreak).
-    * Global window — see scale note in the object doc.
+  /** e3: decile assignment over a total order (R1: unique-key tiebreak),
+    * via the distributed exact ntile — see the object doc scale note.
     */
   def e3_win_ntile: Q = (s, d) =>
     ScaleOps.distributedNtile(Tables.orders(s, d),
