@@ -164,6 +164,27 @@ object FilterOps {
       count(lit(1)).as("n"),
       dsum(col("o_totalprice")).as("checksum"))
 
+  /** b17 — major compaction (HBase heritage): TTL expiry, delete-tombstone
+    * masking, version cap, and tombstone discard composed into the
+    * rewritten-table view — the read-side semantics of an HBase major
+    * compaction. One shuffle on the cell coordinate; at 100 TB this is the
+    * periodic rewrite job, range-partitioned by rowkey on write (A5).
+    */
+  val b17_compaction: Q = (s, d) => {
+    val ttlFloor = 1704800000000000000L
+    val coord = Window.partitionBy("rowkey", "cf", "qualifier")
+    val live = Tables.cells(s, d).where(col("ts") >= ttlFloor)
+      .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
+    val survivors = live.where(col("op") === "put"
+      && (col("del_ts").isNull || col("ts") > col("del_ts")))
+    val versioned = survivors.withColumn("rn",
+      row_number().over(coord.orderBy(col("ts").desc, col("value"))))
+      .where(col("rn") <= 2)
+    versioned.groupBy("qualifier")
+      .agg(count(lit(1)).as("n"), countDistinct("rowkey").as("nrows"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "b1_project" -> b1_project,
     "b2_filter_pred" -> b2_filter_pred,
@@ -180,5 +201,6 @@ object FilterOps {
     "b13_page_per_bucket" -> b13_page_per_bucket,
     "b14_first_key" -> b14_first_key,
     "b15_tombstone_mask" -> b15_tombstone_mask,
-    "b16_table_checksum" -> b16_table_checksum)
+    "b16_table_checksum" -> b16_table_checksum,
+    "b17_compaction" -> b17_compaction)
 }

@@ -121,7 +121,20 @@ object OracleSql {
           |   FROM cells)
           |WHERE op = 'put' AND (del_ts IS NULL OR ts > del_ts)""".stripMargin),
     "b16_table_checksum" ->
-      s"SELECT count(*) AS n, ${dsum("o_totalprice")} AS checksum FROM orders")
+      s"SELECT count(*) AS n, ${dsum("o_totalprice")} AS checksum FROM orders",
+    "b17_compaction" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n, count(DISTINCT rowkey) AS nrows FROM
+          |  (SELECT qualifier, rowkey,
+          |          row_number() OVER (PARTITION BY rowkey, cf, qualifier
+          |                             ORDER BY ts DESC, value) AS rn
+          |   FROM (SELECT rowkey, cf, qualifier, ts, value, op,
+          |                max(CASE WHEN op='delete' THEN ts END)
+          |                  OVER (PARTITION BY rowkey, cf, qualifier) AS del_ts
+          |         FROM cells WHERE ts >= 1704800000000000000)
+          |   WHERE op = 'put' AND (del_ts IS NULL OR ts > del_ts))
+          |WHERE rn <= 2
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin))
 
   val aggs: Map[String, String] = Map(
     "d1_agg_basic" ->
