@@ -28,14 +28,22 @@ abstract class TopKExecBase extends UnaryExecNode {
   protected def accumulate(iter: Iterator[InternalRow]): mutable.HashMap[UnsafeRow, mutable.PriorityQueue[UnsafeRow]] = {
     val groupProj = UnsafeProjection.create(partitionSpec, child.output)
     val ordering = GenerateOrdering.generate(orderSpec, child.output)
+    // children usually emit UnsafeRow, but that's not contractual —
+    // convert anything else so the value-based hash/equals of the heap
+    // keys and entries stays valid
+    val toUnsafe = UnsafeProjection.create(child.output, child.output)
+    def unsafeCopy(row: InternalRow): UnsafeRow = row match {
+      case u: UnsafeRow => u.copy()
+      case other => toUnsafe(other).copy()
+    }
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
     iter.foreach { row =>
       val key = groupProj(row)
       val heap = heaps.getOrElseUpdate(key.copy(),
         mutable.PriorityQueue.empty[UnsafeRow](ordering.asInstanceOf[Ordering[UnsafeRow]]))
-      if (heap.size < k) heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+      if (heap.size < k) heap.enqueue(unsafeCopy(row))
       else if (ordering.compare(row, heap.head) < 0) {
-        heap.dequeue(); heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
+        heap.dequeue(); heap.enqueue(unsafeCopy(row))
       }
     }
     heaps
