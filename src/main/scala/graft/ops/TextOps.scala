@@ -73,8 +73,9 @@ object TextOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .where(length(col("tok")) > 2)
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // tf already has one row per (doc, tok) — df is a second aggregation
+    // over it, not a second pass over the corpus
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ndocs = Tables.documents(s, d).agg(countDistinct("doc_id").as("ndocs"))
     tf.join(broadcast(df), "tok")
       .crossJoin(broadcast(ndocs))

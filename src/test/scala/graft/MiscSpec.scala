@@ -21,6 +21,22 @@ class MiscSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("A2: ORC round-trip preserves data") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.supplier(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("s_suppkey").collect().map(_.toString)
+      .sameElements(src.orderBy("s_suppkey").collect().map(_.toString)))
+  }
+
+  test("A2: text source reads lines") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Tables.documents(spark, sf).select("text").limit(50)
+      .write.mode("overwrite").text(dir)
+    assert(spark.read.text(dir).count() == 50)
+  }
+
   test("A2: JSON round-trip preserves data") {
     val dir = Files.createTempDirectory("graft_json").toString
     val src = Tables.region(spark, sf)
