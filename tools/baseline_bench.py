@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Vanilla-Spark baseline battery (SURVEY.md §6 / BASELINE.md).
+
+Measures stock Spark SQL 4.1.2 — no graft code, no custom optimizer rules —
+on the sf0.1 fixtures. This is the honest "stock Spark" bar the engine must
+stay within 2x of (BASELINE.json:2). Driver-side tooling only (pyspark is a
+driver dependency, same stack as tools/compare.py; the graded library itself
+is pure Scala).
+
+Usage: python3 tools/baseline_bench.py [sfDir] [cpus]
+Prints one JSON line: {"metric":"baseline_total","value":N,"unit":"sec","queries":{...}}
+"""
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+CPUS = sys.argv[2] if len(sys.argv) > 2 else "8"
+
+spark = (
+    SparkSession.builder.master(f"local[{CPUS}]")
+    .config("spark.sql.shuffle.partitions", CPUS)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+
+for t in ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]:
+    spark.read.parquet(f"{SF}/{t}.parquet").createOrReplaceTempView(t)
+
+# The 15-query battery of SURVEY.md §6: scan-agg, filtered-agg, 3-way join,
+# broadcast join, window top-k, global top-k, distinct, rollup, except,
+# JSON extract, time-bucket, lag-sessionize, exact dedup, cosine top-k,
+# anti-join. Pure Spark SQL text — what a user would write without graft.
+Q = {
+    "B1_scan_agg": """
+        SELECT l_returnflag, l_linestatus, count(*) n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) s
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "B2_filtered_agg": """
+        SELECT count(*) n FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+          AND NOT (l_returnflag = 'A')""",
+    "B3_join3": """
+        SELECT c_mktsegment, count(*) n,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) rev
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_mktsegment""",
+    "B4_join_bcast": """
+        SELECT /*+ BROADCAST(nation) */ n_name, count(*) n
+        FROM nation JOIN customer ON n_nationkey = c_nationkey GROUP BY n_name""",
+    "B5_win_topk": """
+        SELECT * FROM (SELECT o_custkey, o_orderkey,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) rn
+          FROM orders) WHERE rn <= 3""",
+    "B6_global_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "B7_distinct": "SELECT count(DISTINCT l_partkey) dp, count(DISTINCT l_suppkey) ds FROM lineitem",
+    "B8_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) n FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "B9_except": """
+        SELECT count(*) n FROM
+          (SELECT n_nationkey k FROM nation EXCEPT SELECT c_nationkey FROM customer)""",
+    "B10_json": """
+        SELECT event_type, sum(CAST(get_json_object(props,'$.k') AS DECIMAL(18,0))) ksum
+        FROM events GROUP BY event_type""",
+    "B11_timebucket": """
+        SELECT CAST(floor(ts / 3600000000000) AS BIGINT) hb, event_type, count(*) n
+        FROM events GROUP BY 1, 2""",
+    "B12_lag_sessionize": """
+        SELECT user_id, session_id, count(*) n FROM
+          (SELECT user_id, event_id,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+           FROM (SELECT user_id, event_id, ts,
+                        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                  > 1800000000000
+                               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             THEN 1 ELSE 0 END new_s
+                 FROM events))
+        GROUP BY user_id, session_id""",
+    "B13_exact_dedup": """
+        SELECT count(*) kept FROM
+          (SELECT min(doc_id) FROM documents GROUP BY sha2(lower(trim(text)), 256))""",
+    "B14_cosine_topk": """
+        SELECT * FROM (SELECT pid, vec_id,
+            row_number() OVER (PARTITION BY pid ORDER BY sim DESC, vec_id) rn
+          FROM (SELECT p.vec_id pid, e.vec_id,
+                  aggregate(zip_with(p.embedding, e.embedding,
+                                     (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                            0D, (a, x) -> a + x)
+                  / (sqrt(aggregate(transform(p.embedding, x -> CAST(x AS DOUBLE) * x),
+                                    0D, (a, x) -> a + x))
+                     * sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * x),
+                                      0D, (a, x) -> a + x))) sim
+                FROM (SELECT * FROM embeddings WHERE vec_id < 10) p
+                CROSS JOIN embeddings e WHERE e.vec_id <> p.vec_id))
+        WHERE rn <= 5""",
+    "B15_anti_join": "SELECT count(*) n FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey",
+}
+
+# untimed warmup pass, then timed pass (same protocol as graft.Bench)
+for name, sql in Q.items():
+    spark.sql(sql).count()
+res = {}
+for name, sql in Q.items():
+    t0 = time.time()
+    spark.sql(sql).count()
+    res[name] = round(time.time() - t0, 4)
+
+print(json.dumps({"metric": "baseline_total", "value": round(sum(res.values()), 3),
+                  "unit": "sec", "queries": res, "sf": SF, "cpus": CPUS}))
+spark.stop()
