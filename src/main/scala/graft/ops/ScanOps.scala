@@ -75,10 +75,34 @@ object ScanOps {
       .na.fill(0.0)
       .orderBy(col("rowkey").asc_nulls_last).limit(300)
 
+  /** a9 — HBase bulk write + bulk read, end to end: cells →
+    * range-partitioned sorted HFile v3 region files ([[graft.sources
+    * .HFileOps.bulkWrite]], our from-spec codec) → distributed read-back →
+    * per-(cf,qualifier) count / value-checksum / ts-checksum / tombstone
+    * count. Hash-matching the DuckDB oracle (which reads the ORIGINAL cells
+    * view) proves the round trip is lossless on every column. The write
+    * lands under java.io.tmpdir, one region file per executor partition.
+    */
+  val a9_hfile_roundtrip: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hfile_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir, regions = 4)
+    graft.sources.HFileOps.read(s, dir)
+      .groupBy(col("cf"), col("qualifier"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        // µs domain: DuckDB truncates TIMESTAMP_NS to µs (FIXTURES.md §F4.2)
+        sum((expr("ts div 1000") % 1000003L).cast("decimal(18,0)")).as("tsum"),
+        count(when(col("op") === "delete", 1)).as("dels"))
+      .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
     "a4_cells_scan" -> a4_cells_scan,
     "a5_bulkload_splits" -> a5_bulkload_splits,
     "a6_cells_asof" -> a6_cells_asof,
-    "a8_cells_pivot" -> a8_cells_pivot)
+    "a8_cells_pivot" -> a8_cells_pivot,
+    "a9_hfile_roundtrip" -> a9_hfile_roundtrip)
 }

@@ -41,6 +41,14 @@ object OracleSql {
           |                             ORDER BY ts DESC, value) AS rn
           |   FROM cells WHERE ts <= 1705362487499628968)
           |WHERE rn = 1 ORDER BY rowkey NULLS LAST, qualifier NULLS LAST LIMIT 500""".stripMargin),
+    "a9_hfile_roundtrip" ->
+      (cellsCte +
+        """SELECT cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS vsum,
+          |  sum(CAST((ts // 1000) % 1000003 AS DECIMAL(18,0))) AS tsum,
+          |  count(*) FILTER (WHERE op = 'delete') AS dels
+          |FROM cells GROUP BY cf, qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     "a8_cells_pivot" ->
       (cellsCte +
         """SELECT rowkey,

@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HFile v3 codec — the HBase bulk-load file format, from the public format
+  * specification (Apache HBase book, "Appendix E: HFile format"; class layout
+  * mirrors the public o.a.h.hbase.io.hfile.HFileBlock / KeyValue javadoc).
+  * Closes SURVEY.md §7.4's deferred item: no HBase jars exist offline
+  * (build.sbt is Spark + scalatest only), so the codec is implemented from
+  * the spec rather than wrapped.
+  *
+  * Bit-compatible with real HFiles:
+  *   - KeyValue cell serialization (`keyLen:4 | valLen:4 | key | value`,
+  *     key = `rowLen:2 | row | famLen:1 | family | qualifier | ts:8 | type:1`),
+  *     type codes Put=4 / Delete=8 / DeleteColumn=12 / DeleteFamily=14.
+  *   - 33-byte block header (`magic:8 | onDiskSizeWithoutHeader:4 |
+  *     uncompressedSizeWithoutHeader:4 | prevBlockOffset:8 | checksumType:1 |
+  *     bytesPerChecksum:4 | onDiskDataSizeWithHeader:4`), block magics
+  *     (`DATABLK*`, `IDXROOT2`, `FILEINF2`, `TRABLK"$`), checksumType NULL.
+  *   - Root index entries (`offset:8 | onDiskSize:4 | firstKey` with the
+  *     Hadoop-vint length prefix), and the trailing 4-byte version word
+  *     (major=3, minor=0, minor in the high byte).
+  *
+  * Documented deviations (a faithful subset, not a drop-in): the trailer
+  * body is fixed-layout big-endian rather than protobuf (no protobuf
+  * dependency resolvable offline), compression is always NONE, and no Bloom
+  * or intermediate-level index blocks are written (root index only — fine up
+  * to ~128k blocks per region file; real HBase splits regions long before).
+  */
+object HFileCodec {
+
+  val DataMagic: Array[Byte] = "DATABLK*".getBytes(UTF_8)
+  val RootIndexMagic: Array[Byte] = "IDXROOT2".getBytes(UTF_8)
+  val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(UTF_8)
+  val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(UTF_8)
+
+  val HeaderSize = 33
+  val MajorVersion = 3
+
+  /** KeyValue type codes [public: o.a.h.hbase.KeyValue.Type]. */
+  val TypePut: Byte = 4
+  val TypeDelete: Byte = 8
+
+  final case class HCell(row: Array[Byte], family: Array[Byte],
+                         qualifier: Array[Byte], ts: Long, typ: Byte,
+                         value: Array[Byte]) {
+    /** The serialized key part (what block-index firstKey entries hold). */
+    def keyBytes: Array[Byte] = {
+      val buf = ByteBuffer.allocate(2 + row.length + 1 + family.length +
+        qualifier.length + 8 + 1)
+      buf.putShort(row.length.toShort).put(row)
+        .put(family.length.toByte).put(family).put(qualifier)
+        .putLong(ts).put(typ)
+      buf.array()
+    }
+  }
+
+  def encodeKeyValue(c: HCell): Array[Byte] = {
+    val key = c.keyBytes
+    val buf = ByteBuffer.allocate(4 + 4 + key.length + c.value.length)
+    buf.putInt(key.length).putInt(c.value.length).put(key).put(c.value)
+    buf.array()
+  }
+
+  /** Decode one KeyValue at `off`; returns (cell, offsetAfter). */
+  def decodeKeyValue(b: Array[Byte], off: Int): (HCell, Int) = {
+    val buf = ByteBuffer.wrap(b, off, b.length - off)
+    val keyLen = buf.getInt; val valLen = buf.getInt
+    val rowLen = buf.getShort
+    val row = new Array[Byte](rowLen); buf.get(row)
+    val famLen = buf.get
+    val fam = new Array[Byte](famLen); buf.get(fam)
+    val qualLen = keyLen - 2 - rowLen - 1 - famLen - 8 - 1
+    val qual = new Array[Byte](qualLen); buf.get(qual)
+    val ts = buf.getLong; val typ = buf.get
+    val value = new Array[Byte](valLen); buf.get(value)
+    (HCell(row, fam, qual, ts, typ, value), off + 4 + 4 + keyLen + valLen)
+  }
+
+  /** Hadoop WritableUtils vint (positive case — lengths are never negative). */
+  def writeVInt(out: ByteArrayOutputStream, i: Int): Unit = {
+    if (i <= 127) out.write(i)
+    else {
+      var len = -112
+      var tmp = i.toLong
+      while (tmp != 0) { tmp >>= 8; len -= 1 }
+      out.write(len)
+      val n = -(len + 112)
+      var idx = n
+      while (idx != 0) {
+        val shift = (idx - 1) * 8
+        out.write(((i.toLong & (0xffL << shift)) >> shift).toInt)
+        idx -= 1
+      }
+    }
+  }
+
+  def readVInt(b: Array[Byte], off: Int): (Int, Int) = {
+    val first = b(off)
+    if (first >= -112) (first.toInt, off + 1)
+    else {
+      val n = -(first + 112)
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(off + 1 + i) & 0xff); i += 1 }
+      (v.toInt, off + 1 + n)
+    }
+  }
+
+  private def blockHeader(magic: Array[Byte], payloadLen: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(HeaderSize)
+    buf.put(magic)
+      .putInt(payloadLen)                     // onDiskSizeWithoutHeader (no compression)
+      .putInt(payloadLen)                     // uncompressedSizeWithoutHeader
+      .putLong(-1L)                           // prevBlockOffset (unused by our reader)
+      .put(0: Byte)                           // checksumType NULL
+      .putInt(16384)                          // bytesPerChecksum
+      .putInt(HeaderSize + payloadLen)        // onDiskDataSizeWithHeader
+    buf.array()
+  }
+
+  /** Serialize sorted cells into a full HFile byte stream.
+    * One streaming pass, O(blockSize) memory beyond the index entries.
+    */
+  def write(cells: Iterator[HCell], blockSize: Int = 64 * 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
+    val block = new ByteArrayOutputStream(blockSize + 1024)
+    var firstKey: Array[Byte] = null
+    var entryCount = 0L
+    var totalUncompressed = 0L
+
+    def flushBlock(): Unit = if (block.size() > 0) {
+      val payload = block.toByteArray
+      val offset = out.size().toLong
+      out.write(blockHeader(DataMagic, payload.length))
+      out.write(payload)
+      index += ((offset, HeaderSize + payload.length, firstKey))
+      totalUncompressed += HeaderSize + payload.length
+      block.reset(); firstKey = null
+    }
+
+    cells.foreach { c =>
+      if (firstKey == null) firstKey = c.keyBytes
+      block.write(encodeKeyValue(c))
+      entryCount += 1
+      if (block.size() >= blockSize) flushBlock()
+    }
+    flushBlock()
+
+    // file-info block (entry kept minimal: count as 8 bytes)
+    val fileInfoOffset = out.size().toLong
+    val fi = ByteBuffer.allocate(8).putLong(entryCount).array()
+    out.write(blockHeader(FileInfoMagic, fi.length)); out.write(fi)
+
+    // root index block
+    val rootIndexOffset = out.size().toLong
+    val idx = new ByteArrayOutputStream()
+    index.foreach { case (off, size, key) =>
+      val e = ByteBuffer.allocate(12).putLong(off).putInt(size).array()
+      idx.write(e, 0, 12)
+      writeVInt(idx, key.length)
+      idx.write(key, 0, key.length)
+    }
+    val idxPayload = idx.toByteArray
+    out.write(blockHeader(RootIndexMagic, idxPayload.length)); out.write(idxPayload)
+
+    // trailer: magic + fixed-layout fields (deviation: protobuf in real HBase)
+    out.write(TrailerMagic)
+    val tr = ByteBuffer.allocate(8 + 8 + 4 + 8 + 8 + 4)
+    tr.putLong(fileInfoOffset)
+      .putLong(rootIndexOffset)   // loadOnOpenDataOffset
+      .putInt(index.size)         // dataIndexCount
+      .putLong(totalUncompressed)
+      .putLong(entryCount)
+      .putInt(2)                  // compression codec NONE [public: o.a.h.hbase.io.compress.Compression.Algorithm]
+    out.write(tr.array())
+    // version word, minor in the high byte [public: o.a.h.hbase.io.hfile.FixedFileTrailer]
+    out.write(ByteBuffer.allocate(4).putInt(MajorVersion & 0x00ffffff).array())
+    out.toByteArray
+  }
+
+  final case class Trailer(fileInfoOffset: Long, rootIndexOffset: Long,
+                           dataIndexCount: Int, totalUncompressed: Long,
+                           entryCount: Long, majorVersion: Int)
+
+  def readTrailer(file: Array[Byte]): Trailer = {
+    val trailerLen = 8 + (8 + 8 + 4 + 8 + 8 + 4) + 4
+    val buf = ByteBuffer.wrap(file, file.length - trailerLen, trailerLen)
+    val magic = new Array[Byte](8); buf.get(magic)
+    require(java.util.Arrays.equals(magic, TrailerMagic), "bad trailer magic")
+    val t = Trailer(buf.getLong, buf.getLong, buf.getInt, buf.getLong,
+      buf.getLong, 0)
+    t.copy(majorVersion = ByteBuffer.wrap(file, file.length - 4, 4).getInt & 0x00ffffff)
+  }
+
+  /** Decode every cell by walking the root index → data blocks. */
+  def read(file: Array[Byte]): Iterator[HCell] = {
+    val trailer = readTrailer(file)
+    // parse root index entries
+    val idxHdr = trailer.rootIndexOffset.toInt
+    require(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(file, idxHdr, idxHdr + 8), RootIndexMagic),
+      "bad root index magic")
+    val idxLen = ByteBuffer.wrap(file, idxHdr + 8, 4).getInt
+    var p = idxHdr + HeaderSize
+    val end = idxHdr + HeaderSize + idxLen
+    val blocks = ArrayBuffer.empty[(Long, Int)]
+    while (p < end) {
+      val bb = ByteBuffer.wrap(file, p, 12)
+      val off = bb.getLong; val size = bb.getInt
+      val (keyLen, p2) = readVInt(file, p + 12)
+      p = p2 + keyLen
+      blocks += ((off, size))
+    }
+    require(blocks.size == trailer.dataIndexCount, "index count mismatch")
+    blocks.iterator.flatMap { case (off, size) =>
+      val hdr = off.toInt
+      require(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(file, hdr, hdr + 8), DataMagic),
+        "bad data block magic")
+      val payloadLen = ByteBuffer.wrap(file, hdr + 8, 4).getInt
+      require(HeaderSize + payloadLen == size, "block size mismatch")
+      new Iterator[HCell] {
+        private var q = hdr + HeaderSize
+        private val stop = hdr + HeaderSize + payloadLen
+        def hasNext: Boolean = q < stop
+        def next(): HCell = {
+          val (c, nq) = decodeKeyValue(file, q); q = nq; c
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import graft.sources.{HFileCodec, HFileOps}
+import graft.sources.HFileCodec.HCell
+import org.apache.spark.sql.functions._
+
+class HFileSpec extends SparkSuite {
+
+  private def cell(row: String, qual: String, ts: Long, v: Double,
+                   typ: Byte = HFileCodec.TypePut): HCell =
+    HCell(row.getBytes(UTF_8), "e".getBytes(UTF_8), qual.getBytes(UTF_8), ts,
+      typ, java.nio.ByteBuffer.allocate(8).putDouble(v).array())
+
+  private def tmpDir(tag: String): Path =
+    Files.createTempDirectory(s"graft-hfile-$tag")
+
+  test("KeyValue encode/decode round-trips every field") {
+    val c = cell("row-00042", "click", 1705362487499628968L, 3.25,
+      HFileCodec.TypeDelete)
+    val bytes = HFileCodec.encodeKeyValue(c)
+    val (d, next) = HFileCodec.decodeKeyValue(bytes, 0)
+    assert(next == bytes.length)
+    assert(new String(d.row, UTF_8) == "row-00042")
+    assert(new String(d.family, UTF_8) == "e")
+    assert(new String(d.qualifier, UTF_8) == "click")
+    assert(d.ts == c.ts && d.typ == HFileCodec.TypeDelete)
+    assert(java.nio.ByteBuffer.wrap(d.value).getDouble == 3.25)
+  }
+
+  test("hadoop vint: single-byte and multi-byte lengths round-trip") {
+    for (n <- Seq(0, 1, 42, 127, 128, 300, 65535, 1 << 20)) {
+      val out = new java.io.ByteArrayOutputStream()
+      HFileCodec.writeVInt(out, n)
+      val (m, off) = HFileCodec.readVInt(out.toByteArray, 0)
+      assert(m == n && off == out.size(), s"vint $n")
+    }
+  }
+
+  test("file structure: magics, block index, trailer, version word") {
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val bytes = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    // data magic at offset 0
+    assert(bytes.slice(0, 8).sameElements(HFileCodec.DataMagic))
+    val tr = HFileCodec.readTrailer(bytes)
+    assert(tr.majorVersion == 3)
+    assert(tr.entryCount == 5000)
+    assert(tr.dataIndexCount > 1, "multi-block file expected at 8KiB blocks")
+    assert(bytes.slice(tr.rootIndexOffset.toInt, tr.rootIndexOffset.toInt + 8)
+      .sameElements(HFileCodec.RootIndexMagic))
+    assert(bytes.slice(tr.fileInfoOffset.toInt, tr.fileInfoOffset.toInt + 8)
+      .sameElements(HFileCodec.FileInfoMagic))
+    // decode returns the exact sequence back, in key order
+    val back = HFileCodec.read(bytes).toSeq
+    assert(back.size == 5000)
+    assert(back.map(c => new String(c.row, UTF_8)) == cells.map(c => new String(c.row, UTF_8)))
+  }
+
+  test("spark bulk write + read round-trips the sf0.001 cells multiset exactly") {
+    val dir = tmpDir("roundtrip").toString
+    val src = Tables.cells(spark, sf)
+    val files = HFileOps.bulkWrite(src, dir, regions = 4)
+    assert(files.nonEmpty && files.forall(_.endsWith(".hfile")))
+    val back = HFileOps.read(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(back) == canon(src))
+  }
+
+  test("region files are rowkey-range partitioned and internally sorted") {
+    val dir = tmpDir("ranges")
+    HFileOps.bulkWrite(Tables.cells(spark, sf), dir.toString, regions = 4)
+    val perFile = Files.list(dir).filter(_.toString.endsWith(".hfile"))
+      .sorted.toArray.map(_.asInstanceOf[Path]).toSeq.map { p =>
+        val rows = HFileCodec.read(Files.readAllBytes(p))
+          .map(c => new String(c.row, UTF_8)).toSeq
+        assert(rows == rows.sorted, s"$p not sorted")
+        (rows.head, rows.last)
+      }
+    // across files (sorted by name = partition id): disjoint ascending ranges
+    perFile.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "region ranges overlap")
+      case _ =>
+    }
+  }
+
+  test("a9 oracle query: round-trip aggregate equals the same aggregate on the source") {
+    val viaHfile = ops.ScanOps.a9_hfile_roundtrip(spark, sf)
+    val direct = Tables.cells(spark, sf)
+      .groupBy(col("cf"), col("qualifier"))
+      .agg(
+        count(lit(1)).as("n"),
+        ops.dsum(col("value")).as("vsum"),
+        sum((expr("ts div 1000") % 1000003L).cast("decimal(18,0)")).as("tsum"),
+        count(when(col("op") === "delete", 1)).as("dels"))
+      .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
+    assert(viaHfile.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+  }
+}
