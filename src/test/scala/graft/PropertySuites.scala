@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.functions.MinHashAgg
+import graft.sources.HFileCodec
+import graft.sources.HFileCodec.HCell
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** SURVEY §5.3 property-based tests — run by sbt's native ScalaCheck
+  * framework (the scalatest↔scalacheck bridge isn't in the offline cache,
+  * so these live in Properties suites rather than ScalaTest specs). All
+  * laws here are over pure JVM functions — no SparkSession — so the
+  * generators can be aggressive.
+  */
+object HFileCodecProps extends Properties("HFileCodec") {
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 64).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
+      .map(_.mkString.getBytes(UTF_8))
+  private val nonEmptyBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(1, 64).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar))
+      .map(_.mkString.getBytes(UTF_8))
+
+  private val cellGen: Gen[HCell] = for {
+    row <- nonEmptyBytes
+    fam <- nonEmptyBytes
+    qual <- bytesGen
+    ts <- Gen.chooseNum(0L, Long.MaxValue)
+    typ <- Gen.oneOf(HFileCodec.TypePut, HFileCodec.TypeDelete)
+    value <- bytesGen
+  } yield HCell(row, fam, qual, ts, typ, value)
+
+  private def same(a: HCell, b: HCell): Boolean =
+    java.util.Arrays.equals(a.row, b.row) &&
+      java.util.Arrays.equals(a.family, b.family) &&
+      java.util.Arrays.equals(a.qualifier, b.qualifier) &&
+      a.ts == b.ts && a.typ == b.typ &&
+      java.util.Arrays.equals(a.value, b.value)
+
+  property("keyValue round-trip") = forAll(cellGen) { c =>
+    val (d, off) = HFileCodec.decodeKeyValue(HFileCodec.encodeKeyValue(c), 0)
+    same(c, d) && off == HFileCodec.encodeKeyValue(c).length
+  }
+
+  property("vint round-trip, any non-negative int") =
+    forAll(Gen.chooseNum(0, Int.MaxValue)) { n =>
+      val out = new java.io.ByteArrayOutputStream()
+      HFileCodec.writeVInt(out, n)
+      val (m, off) = HFileCodec.readVInt(out.toByteArray, 0)
+      m == n && off == out.size()
+    }
+
+  property("file write/read preserves cell sequence at any block size") =
+    forAll(Gen.chooseNum(1, 50).flatMap(Gen.listOfN(_, cellGen)),
+           Gen.oneOf(64, 512, 8192)) { (cells, blockSize) =>
+      val bytes = HFileCodec.write(cells.iterator, blockSize)
+      val back = HFileCodec.read(bytes).toList
+      back.size == cells.size && back.zip(cells).forall((same _).tupled)
+    }
+
+  property("trailer entryCount == written cells") =
+    forAll(Gen.chooseNum(0, 100).flatMap(Gen.listOfN(_, cellGen))) { cells =>
+      HFileCodec.readTrailer(HFileCodec.write(cells.iterator)).entryCount == cells.size
+    }
+}
+
+/** MinHash sketch algebra (SURVEY §5.3: merge laws + Jaccard ε-bound live
+  * in MinHashAggSpec; here the pure merge/reduce laws get random inputs).
+  */
+object MinHashProps extends Properties("MinHashAgg") {
+
+  private val agg = new MinHashAgg(64)
+  private val setGen: Gen[List[Long]] =
+    Gen.chooseNum(1, 200).flatMap(Gen.listOfN(_, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+
+  private def sketch(xs: List[Long]): Array[Long] =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  property("merge is commutative") = forAll(setGen, setGen) { (a, b) =>
+    agg.merge(sketch(a), sketch(b)).sameElements(agg.merge(sketch(b), sketch(a)))
+  }
+
+  property("merge is associative") = forAll(setGen, setGen, setGen) { (a, b, c) =>
+    agg.merge(agg.merge(sketch(a), sketch(b)), sketch(c))
+      .sameElements(agg.merge(sketch(a), agg.merge(sketch(b), sketch(c))))
+  }
+
+  property("merge of sketches == sketch of union") = forAll(setGen, setGen) { (a, b) =>
+    agg.merge(sketch(a), sketch(b)).sameElements(sketch(a ++ b))
+  }
+
+  property("identical sets estimate 1.0") = forAll(setGen) { a =>
+    MinHashAgg.estimate(sketch(a), sketch(a)) == 1.0
+  }
+
+  property("order-insensitive (shuffle invariance)") = forAll(setGen) { a =>
+    sketch(a).sameElements(sketch(a.reverse))
+  }
+}
