@@ -10,72 +10,84 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import scala.collection.mutable
 
-/** Physical side of TopKPerGroup: bounded k-row heaps per group.
+/** Physical side of TopKPerGroup.
   *
-  * Partial stage (map side, any distribution): each input partition keeps
-  * at most k rows per group — the shuffle then moves only candidate
-  * survivors, exactly like partial aggregation does for sums.
-  * Final stage (requires clustering on the group key): merges candidates,
-  * sorts each group's ≤ partitions×k rows, emits the true top-k with the
-  * row_number attribute appended.
+  * Partial stage (map side, any distribution): best-effort candidate
+  * pruning — at most k rows per group survive, exactly like partial
+  * aggregation prunes for sums. Memory is BOUNDED: the group map caps at
+  * [[TopKPartialExec.MaxTrackedGroups]]; once full, rows of untracked
+  * groups pass through unpruned (correctness never depends on the partial
+  * stage). Without the cap, a high-cardinality group key (groups ≈ rows)
+  * would allocate one heap object per input row and OOM an executor at
+  * scale — measured 35 s of GC churn on a 10M-unique-group input before
+  * this bound existed (ScaleSmoke b7).
+  *
+  * Final stage (requires clustering on the group key): SORT-BASED — asks
+  * EnsureRequirements for child ordering (groupKey, orderSpec), then emits
+  * ranks in one streaming pass with O(1) state beyond Spark's external
+  * (spillable) sort. No per-group state ever accumulates, so group
+  * cardinality cannot OOM the reduce side either.
   */
-abstract class TopKExecBase extends UnaryExecNode {
-  def partitionSpec: Seq[Expression]
-  def orderSpec: Seq[SortOrder]
-  def k: Int
-
-  /** group key → bounded max-heap (worst candidate on top). */
-  protected def accumulate(iter: Iterator[InternalRow]): mutable.HashMap[UnsafeRow, mutable.PriorityQueue[UnsafeRow]] = {
-    val groupProj = UnsafeProjection.create(partitionSpec, child.output)
-    val ordering = GenerateOrdering.generate(orderSpec, child.output)
-    // children usually emit UnsafeRow, but that's not contractual —
-    // convert anything else so the value-based hash/equals of the heap
-    // keys and entries stays valid
-    val toUnsafe = UnsafeProjection.create(child.output, child.output)
-    def unsafeCopy(row: InternalRow): UnsafeRow = row match {
-      case u: UnsafeRow => u.copy()
-      case other => toUnsafe(other).copy()
-    }
-    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-    iter.foreach { row =>
-      val key = groupProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        mutable.PriorityQueue.empty[UnsafeRow](ordering.asInstanceOf[Ordering[UnsafeRow]]))
-      if (heap.size < k) heap.enqueue(unsafeCopy(row))
-      else if (ordering.compare(row, heap.head) < 0) {
-        heap.dequeue(); heap.enqueue(unsafeCopy(row))
-      }
-    }
-    heaps
-  }
-}
-
-/** Map-side candidate pruning; output schema unchanged. */
 case class TopKPartialExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends TopKExecBase {
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] = Seq(UnspecifiedDistribution)
 
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
-      accumulate(iter).valuesIterator.flatMap(_.iterator)
+      val groupProj = UnsafeProjection.create(partitionSpec, child.output)
+      val ordering = GenerateOrdering.generate(orderSpec, child.output)
+        .asInstanceOf[Ordering[InternalRow]]
+      val toUnsafe = UnsafeProjection.create(child.output, child.output)
+      def unsafeCopy(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u.copy()
+        case other => toUnsafe(other).copy()
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      // rows of tracked groups are absorbed (or provably pruned); rows of
+      // untracked groups flow through once the map hits its memory bound
+      val passthrough = iter.flatMap { row =>
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < k) { heap.enqueue(unsafeCopy(row)); Iterator.empty }
+            else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(unsafeCopy(row)); Iterator.empty
+            } else Iterator.empty // worse than k tracked candidates: pruned
+          case None if heaps.size < TopKPartialExec.MaxTrackedGroups =>
+            val heap = mutable.PriorityQueue.empty[UnsafeRow](
+              ordering.asInstanceOf[Ordering[UnsafeRow]])
+            heap.enqueue(unsafeCopy(row))
+            heaps.put(key.copy(), heap)
+            Iterator.empty
+          case None => Iterator.single(row) // map full: defer to final stage
+        }
+      }
+      passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
     copy(child = newChild)
 }
 
-/** Reduce-side exact top-k + rank emission. */
+object TopKPartialExec {
+  /** ≤ MaxTrackedGroups × (k+1) rows resident per task — a few hundred MB
+    * worst-case at k≲100, independent of input group cardinality.
+    */
+  val MaxTrackedGroups: Int = 1 << 16
+}
+
+/** Reduce-side exact top-k + rank emission, sort-based (see class doc). */
 case class TopKFinalExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     k: Int,
     rnAttr: Attribute,
-    child: SparkPlan) extends TopKExecBase {
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rnAttr
 
@@ -84,15 +96,27 @@ case class TopKFinalExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partitionSpec.isEmpty) Seq(AllTuples) else Seq(ClusteredDistribution(partitionSpec))
 
+  /** Sort by (group key, order) — EnsureRequirements plants an external
+    * spillable SortExec, so this node never buffers more than one row.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec)
+
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
-      val ordering = GenerateOrdering.generate(orderSpec, child.output)
+      val groupProj = UnsafeProjection.create(partitionSpec, child.output)
       val project = UnsafeProjection.create(output, child.output :+ rnAttr)
-      accumulate(iter).valuesIterator.flatMap { heap =>
-        val sorted = heap.dequeueAll.reverse // ascending under `ordering`
-        sorted.iterator.zipWithIndex.map { case (row, i) =>
-          project(new JoinedRow(row, InternalRow(i + 1)))
+      var currentGroup: UnsafeRow = null
+      var rank = 0
+      iter.flatMap { row =>
+        val key = groupProj(row)
+        if (currentGroup == null || key != currentGroup) {
+          currentGroup = key.copy()
+          rank = 0
         }
+        rank += 1
+        if (rank <= k) Iterator.single(project(new JoinedRow(row, InternalRow(rank))))
+        else Iterator.empty
       }
     }
 
@@ -100,7 +124,7 @@ case class TopKFinalExec(
     copy(child = newChild)
 }
 
-/** Planner strategy: TopKPerGroup → final(shuffle inserted by
+/** Planner strategy: TopKPerGroup → final(shuffle+sort inserted by
   * EnsureRequirements)(partial(child)).
   */
 object TopKStrategy extends SparkStrategy {

@@ -70,4 +70,17 @@ class PlanSpec extends SparkSuite {
     val plan = physical(SparkEntry.queries("a1_scan_parquet")(spark, sf))
     assert(plan.contains("sum(cast(l_quantity"), plan)
   }
+
+  test("c11 interval self-join keeps its equi key (no nested-loop product)") {
+    val plan = physical(SparkEntry.queries("c11_join_interval")(spark, sf))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("c10 as-of is one window shuffle by user, not a join") {
+    val plan = physical(SparkEntry.queries("c10_join_asof")(spark, sf))
+    assert(plan.contains("Window") || plan.contains("RunningWindowFunction"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
