@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.DecimalType
   * (§2.10 i2/i4) that share the window machinery.
   *
   * Scale notes: every window here is partitioned by a key (user/custkey/
-  * event_type) except e4, whose 25-row input makes a global window free.
-  * e3's global ntile runs through ScaleOps.distributedNtile (range
-  * partition + local rank + offsets) — exact, and parallel at any scale.
+  * event_type) except e4, whose input (nation) is 25 rows at every scale
+  * factor, making a global window free. e3's global ntile runs through
+  * ScaleOps.distributedNtile (range partition + local rank + offsets) and
+  * e8's global range frame through a distinct-value band join — both
+  * exact, and parallel at any scale.
   */
 object WindowOps {
 
@@ -95,11 +97,25 @@ object WindowOps {
       .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("o_orderkey")).limit(500)
   }
 
-  /** e8: value-range frame on an int column. */
+  /** e8: value-range frame on an int column.
+    *
+    * A global `RANGE BETWEEN -5 AND CURRENT ROW` frame depends only on the
+    * row's own p_size value (RANGE frames include all peers), so instead of
+    * a single-partition global WindowExec — which `part` outgrows at scale —
+    * the band count is computed once per distinct p_size on a tiny
+    * aggregate, band-self-joined there, and broadcast back onto the fact
+    * rows. Bit-identical to the window form; no global shuffle-to-one.
+    */
   def e8_win_range: Q = (s, d) => {
-    val w = Window.orderBy(col("p_size")).rangeBetween(-5, Window.currentRow)
+    val sizeCounts = Tables.part(s, d).groupBy("p_size")
+      .agg(count(lit(1)).as("c"))
+    val banded = sizeCounts.as("a")
+      .join(broadcast(sizeCounts.select(col("p_size").as("b_size"), col("c").as("b_c"))),
+        col("b_size").between(col("p_size") - 5, col("p_size")))
+      .groupBy("p_size").agg(sum("b_c").as("cnt"))
     Tables.part(s, d)
-      .select(col("p_partkey"), count(lit(1)).over(w).as("cnt"))
+      .join(broadcast(banded), "p_size")
+      .select(col("p_partkey"), col("cnt"))
       .orderBy(asc_nulls_last("p_partkey")).limit(300)
   }
 

@@ -83,4 +83,10 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Window") || plan.contains("RunningWindowFunction"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("e8 range frame avoids the single-partition global window") {
+    val plan = physical(SparkEntry.queries("e8_win_range")(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
