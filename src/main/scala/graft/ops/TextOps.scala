@@ -133,6 +133,55 @@ object TextOps {
       .select(col("vec_id"), l2Col(col("embedding")).as("l2"))
       .orderBy(asc_nulls_last("vec_id")).limit(100)
 
+  /** j14: n-gram Jaccard near-dup ranking — exact 5-char-shingle Jaccard
+    * of each probe doc against the corpus, top-5 most similar per probe.
+    * Probe-broadcast shape like j8: the corpus side never shuffles, and
+    * per-pair cost is one hash intersection of the two distinct-shingle
+    * sets. Full corpus×corpus near-dup at 100 TB goes through MinHash+LSH
+    * (MinHashOps); this is its exact oracle-checked counterpart.
+    * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — one IEEE division of exact ints,
+    * bit-identical across engines.
+    */
+  def j14_dedup_ngram: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("t")) - 4, lit(1))),
+          i => col("t").substr(i, lit(5)))).as("sh"))
+    val probes = sh.where(col("doc_id") < 10)
+      .select(col("doc_id").as("pid"), col("sh").as("psh"))
+    val pairs = broadcast(probes).crossJoin(sh)
+      .where(col("doc_id") =!= col("pid"))
+      .withColumn("c", size(array_intersect(col("psh"), col("sh"))))
+      .select(col("pid"), col("doc_id"),
+        (col("c").cast("double")
+          / (size(col("psh")) + size(col("sh")) - col("c"))).as("jaccard"))
+    val w = Window.partitionBy("pid").orderBy(col("jaccard").desc, col("doc_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("pid", "doc_id", "rn", "jaccard")
+      .orderBy(asc_nulls_last("pid"), asc_nulls_last("rn"))
+  }
+
+  /** j15: embedding-cosine near-dup ranking — the 50 most-similar embedding
+    * pairs (a<b) under exact cosine, through the native codegen'd
+    * graft_cosine expression. The fixture plants no true near-dups (max
+    * pair cosine ≈ 0.46 measured), so the ranking form is the stable
+    * declaration; a threshold form is a one-line WHERE. All-pairs is
+    * bounded to a 1000-vector window — the unbounded-scale path is
+    * AnnOps (LSH / IVF), recall-gated against this exact baseline.
+    */
+  def j15_dedup_cosine: Q = (s, d) => {
+    graft.functions.CosineSim.register(s)
+    val emb = Tables.embeddings(s, d).where(col("vec_id") < 1000)
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"), expr("graft_cosine(ea, eb)").as("sim"))
+      .orderBy(desc("sim"), asc_nulls_last("va"), asc_nulls_last("vb")).limit(50)
+  }
+
   /** j13: embedding ⟷ document metadata join (vec_id = doc_id). */
   def j13_embed_join: Q = (s, d) =>
     Tables.embeddings(s, d)
@@ -150,5 +199,7 @@ object TextOps {
     "j7_text_quality" -> j7_text_quality,
     "j8_sim_topk" -> j8_sim_topk,
     "j10_vec_norms" -> j10_vec_norms,
-    "j13_embed_join" -> j13_embed_join)
+    "j13_embed_join" -> j13_embed_join,
+    "j14_dedup_ngram" -> j14_dedup_ngram,
+    "j15_dedup_cosine" -> j15_dedup_cosine)
 }

@@ -484,7 +484,33 @@ object OracleSql {
         |FROM embeddings ORDER BY vec_id NULLS LAST LIMIT 100""".stripMargin,
     "j13_embed_join" ->
       """SELECT label, lang, count(*) AS n FROM embeddings JOIN documents ON vec_id = doc_id
-        |GROUP BY label, lang ORDER BY label NULLS LAST, lang NULLS LAST""".stripMargin)
+        |GROUP BY label, lang ORDER BY label NULLS LAST, lang NULLS LAST""".stripMargin,
+    "j14_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, greatest(length(t)-4, 1)),
+        |             i -> substr(t, i, 5))) AS sh
+        |  FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+        |pairs AS (
+        |  SELECT p.doc_id AS pid, c.doc_id AS doc_id,
+        |         len(list_intersect(p.sh, c.sh)) AS cc, len(p.sh) AS na, len(c.sh) AS nb
+        |  FROM (SELECT * FROM sh WHERE doc_id < 10) p
+        |  CROSS JOIN sh c WHERE c.doc_id <> p.doc_id)
+        |SELECT pid, doc_id, rn, jaccard FROM
+        |  (SELECT pid, doc_id, CAST(cc AS DOUBLE)/(na+nb-cc) AS jaccard,
+        |          row_number() OVER (PARTITION BY pid
+        |              ORDER BY CAST(cc AS DOUBLE)/(na+nb-cc) DESC, doc_id) rn
+        |   FROM pairs)
+        |WHERE rn <= 5 ORDER BY pid NULLS LAST, rn NULLS LAST""".stripMargin,
+    "j15_dedup_cosine" ->
+      """WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        |       / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))
+        |          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (x,y) -> x+y))) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, va NULLS LAST, vb NULLS LAST LIMIT 50""".stripMargin)
 
   val udx: Map[String, String] = Map(
     "k1_udf_scalar" ->
