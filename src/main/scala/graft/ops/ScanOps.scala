@@ -86,7 +86,12 @@ object ScanOps {
   val a9_hfile_roundtrip: Q = (s, d) => {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hfile_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir, regions = 4)
+    // region count sized from the data (~1M cells/region, min 4) — the
+    // result is region-count-invariant, but task memory is not. cells is a
+    // 1:1 projection of events, so the count comes from parquet metadata.
+    val nCells = Tables.events(s, d).count()
+    graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
+      regions = graft.sources.HFileOps.regionCountFor(nCells))
     graft.sources.HFileOps.read(s, dir)
       .groupBy(col("cf"), col("qualifier"))
       .agg(

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import scala.collection.mutable
 
@@ -37,7 +38,19 @@ case class TopKPartialExec(
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] = Seq(UnspecifiedDistribution)
 
-  override protected def doExecute(): RDD[InternalRow] =
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "prunedRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows pruned map-side (worse than k tracked candidates)"),
+    "passthroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through (group map at capacity)"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // resolved driver-side so tests can shrink the bound to force the
+    // passthrough path on small data
+    val maxTracked = conf.getConfString("spark.graft.topk.maxTrackedGroups",
+      TopKPartialExec.MaxTrackedGroups.toString).toInt
+    val pruned = longMetric("prunedRows")
+    val passedThrough = longMetric("passthroughRows")
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(partitionSpec, child.output)
       val ordering = GenerateOrdering.generate(orderSpec, child.output)
@@ -56,27 +69,29 @@ case class TopKPartialExec(
           case Some(heap) =>
             if (heap.size < k) { heap.enqueue(unsafeCopy(row)); Iterator.empty }
             else if (ordering.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(unsafeCopy(row)); Iterator.empty
-            } else Iterator.empty // worse than k tracked candidates: pruned
-          case None if heaps.size < TopKPartialExec.MaxTrackedGroups =>
+              heap.dequeue(); heap.enqueue(unsafeCopy(row)); pruned += 1; Iterator.empty
+            } else { pruned += 1; Iterator.empty } // worse than k tracked candidates
+          case None if heaps.size < maxTracked =>
             val heap = mutable.PriorityQueue.empty[UnsafeRow](
               ordering.asInstanceOf[Ordering[UnsafeRow]])
             heap.enqueue(unsafeCopy(row))
             heaps.put(key.copy(), heap)
             Iterator.empty
-          case None => Iterator.single(row) // map full: defer to final stage
+          case None => passedThrough += 1; Iterator.single(row) // map full: defer to final stage
         }
       }
       passthrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
     copy(child = newChild)
 }
 
 object TopKPartialExec {
-  /** ≤ MaxTrackedGroups × (k+1) rows resident per task — a few hundred MB
-    * worst-case at k≲100, independent of input group cardinality.
+  /** Default for `spark.graft.topk.maxTrackedGroups`: ≤ cap × (k+1) rows
+    * resident per task — a few hundred MB worst-case at k≲100, independent
+    * of input group cardinality.
     */
   val MaxTrackedGroups: Int = 1 << 16
 }

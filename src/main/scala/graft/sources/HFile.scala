@@ -123,11 +123,14 @@ object HFileCodec {
     buf.array()
   }
 
-  /** Serialize sorted cells into a full HFile byte stream.
-    * One streaming pass, O(blockSize) memory beyond the index entries.
+  /** Serialize sorted cells as a full HFile onto `sink`, streaming: one
+    * pass, O(blockSize) heap beyond the root-index entries — a region file
+    * larger than the heap writes fine. Returns bytes written.
     */
-  def write(cells: Iterator[HCell], blockSize: Int = 64 * 1024): Array[Byte] = {
-    val out = new ByteArrayOutputStream(1 << 20)
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int): Long = {
+    var written = 0L
+    def emit(b: Array[Byte]): Unit = { sink.write(b); written += b.length }
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
     val block = new ByteArrayOutputStream(blockSize + 1024)
     var firstKey: Array[Byte] = null
@@ -136,9 +139,9 @@ object HFileCodec {
 
     def flushBlock(): Unit = if (block.size() > 0) {
       val payload = block.toByteArray
-      val offset = out.size().toLong
-      out.write(blockHeader(DataMagic, payload.length))
-      out.write(payload)
+      val offset = written
+      emit(blockHeader(DataMagic, payload.length))
+      emit(payload)
       index += ((offset, HeaderSize + payload.length, firstKey))
       totalUncompressed += HeaderSize + payload.length
       block.reset(); firstKey = null
@@ -153,12 +156,12 @@ object HFileCodec {
     flushBlock()
 
     // file-info block (entry kept minimal: count as 8 bytes)
-    val fileInfoOffset = out.size().toLong
+    val fileInfoOffset = written
     val fi = ByteBuffer.allocate(8).putLong(entryCount).array()
-    out.write(blockHeader(FileInfoMagic, fi.length)); out.write(fi)
+    emit(blockHeader(FileInfoMagic, fi.length)); emit(fi)
 
     // root index block
-    val rootIndexOffset = out.size().toLong
+    val rootIndexOffset = written
     val idx = new ByteArrayOutputStream()
     index.foreach { case (off, size, key) =>
       val e = ByteBuffer.allocate(12).putLong(off).putInt(size).array()
@@ -167,10 +170,10 @@ object HFileCodec {
       idx.write(key, 0, key.length)
     }
     val idxPayload = idx.toByteArray
-    out.write(blockHeader(RootIndexMagic, idxPayload.length)); out.write(idxPayload)
+    emit(blockHeader(RootIndexMagic, idxPayload.length)); emit(idxPayload)
 
     // trailer: magic + fixed-layout fields (deviation: protobuf in real HBase)
-    out.write(TrailerMagic)
+    emit(TrailerMagic)
     val tr = ByteBuffer.allocate(8 + 8 + 4 + 8 + 8 + 4)
     tr.putLong(fileInfoOffset)
       .putLong(rootIndexOffset)   // loadOnOpenDataOffset
@@ -178,9 +181,16 @@ object HFileCodec {
       .putLong(totalUncompressed)
       .putLong(entryCount)
       .putInt(2)                  // compression codec NONE [public: o.a.h.hbase.io.compress.Compression.Algorithm]
-    out.write(tr.array())
+    emit(tr.array())
     // version word, minor in the high byte [public: o.a.h.hbase.io.hfile.FixedFileTrailer]
-    out.write(ByteBuffer.allocate(4).putInt(MajorVersion & 0x00ffffff).array())
+    emit(ByteBuffer.allocate(4).putInt(MajorVersion & 0x00ffffff).array())
+    written
+  }
+
+  /** In-memory convenience form (specs, small files). */
+  def write(cells: Iterator[HCell], blockSize: Int = 64 * 1024): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    write(cells, out, blockSize)
     out.toByteArray
   }
 
@@ -196,6 +206,44 @@ object HFileCodec {
     val t = Trailer(buf.getLong, buf.getLong, buf.getInt, buf.getLong,
       buf.getLong, 0)
     t.copy(majorVersion = ByteBuffer.wrap(file, file.length - 4, 4).getInt & 0x00ffffff)
+  }
+
+  /** Stream-decode cells block-by-block from `in` — O(blockSize) heap,
+    * independent of file size: the region-server read shape. Relies on the
+    * v3 layout invariant that the file-info block follows the last data
+    * block, so the data section ends at the first non-`DATABLK*` magic.
+    */
+  def readStreaming(in: java.io.InputStream): Iterator[HCell] = new Iterator[HCell] {
+    private var blockIter: Iterator[HCell] = Iterator.empty
+    private var done = false
+
+    private def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(b, off, n - off)
+        require(r >= 0, "unexpected EOF inside an HFile block")
+        off += r
+      }
+      b
+    }
+
+    private def advance(): Unit =
+      while (!done && !blockIter.hasNext) {
+        val hdr = readFully(HeaderSize)
+        val payloadLen = ByteBuffer.wrap(hdr, 8, 4).getInt
+        if (java.util.Arrays.equals(java.util.Arrays.copyOfRange(hdr, 0, 8), DataMagic)) {
+          val payload = readFully(payloadLen)
+          blockIter = new Iterator[HCell] {
+            private var q = 0
+            def hasNext: Boolean = q < payload.length
+            def next(): HCell = { val (c, nq) = decodeKeyValue(payload, q); q = nq; c }
+          }
+        } else done = true // file-info block: past the data section
+      }
+
+    def hasNext: Boolean = { advance(); blockIter.hasNext }
+    def next(): HCell = { advance(); blockIter.next() }
   }
 
   /** Decode every cell by walking the root index → data blocks. */

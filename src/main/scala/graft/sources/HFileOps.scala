@@ -56,10 +56,12 @@ object HFileOps {
             else HFileCodec.TypePut,
             java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
         }
-        val bytes = HFileCodec.write(cellsIt, blockSize)
         val name = f"region-$pid%05d.hfile"
         val tmp = Paths.get(dir, s".$name.${TaskContext.get.taskAttemptId}.tmp")
-        Files.write(tmp, bytes)
+        // stream the codec straight to disk: a region file bigger than the
+        // task heap writes fine (O(blockSize) memory, see HFileCodec.write)
+        val os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16)
+        try HFileCodec.write(cellsIt, os, blockSize) finally os.close()
         Files.move(tmp, Paths.get(dir, name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         Iterator.single(name)
@@ -67,24 +69,41 @@ object HFileOps {
     }.collect().toSeq.sorted
   }
 
-  /** Read every region file under `dir` back into the cells schema.
-    * `binaryFile` is Spark's distributed whole-file source: one task per
-    * region file, decode on executors. Region files are block-indexed and
-    * bounded by region size, so per-task memory is bounded the same way a
-    * region server's is.
+  /** Pick a region count from the cell count, the way HBase sizes regions
+    * by bytes: ~1M cells (≈90 MB serialized) per region file keeps both the
+    * write task and the whole-file read task comfortably inside a normal
+    * executor heap, at any input scale. Floor of 4 preserves multi-region
+    * coverage on the small fixtures; cap of 4096 bounds tiny-file count.
+    */
+  def regionCountFor(cellCount: Long): Int =
+    math.min(4096L, math.max(4L, (cellCount + (1L << 20) - 1) / (1L << 20))).toInt
+
+  /** Read every region file under `dir` back into the cells schema —
+    * one task per region file, each STREAMING its file block-by-block
+    * ([[HFileCodec.readStreaming]]): per-task heap is O(blockSize)
+    * regardless of region size, the same bound a region server's block
+    * reader has. (A whole-file `binaryFile` read held each region as one
+    * byte array — 32 concurrent multi-hundred-MB humongous allocations
+    * OOM'd an 8 GB heap at the 100M-row smoke scale.) The driver-side
+    * listing is one name per region — bounded, never data.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.hfile").load(dir)
-      .select("content")
-    val rows = files.rdd.flatMap { r =>
-      HFileCodec.read(r.getAs[Array[Byte]](0)).map { c =>
-        Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
-          new String(c.qualifier, UTF_8), c.ts,
-          java.nio.ByteBuffer.wrap(c.value).getDouble,
-          if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
+    import scala.jdk.CollectionConverters._
+    val paths = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".hfile")).toSeq.sorted
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val in = new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(p)), 1 << 16)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        HFileCodec.readStreaming(in).map { c =>
+          Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+            new String(c.qualifier, UTF_8), c.ts,
+            java.nio.ByteBuffer.wrap(c.value).getDouble,
+            if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
+        }
       }
-    }
     spark.createDataFrame(rows, cellsSchema)
   }
 }

@@ -58,6 +58,22 @@ class HFileSpec extends SparkSuite {
     assert(back.map(c => new String(c.row, UTF_8)) == cells.map(c => new String(c.row, UTF_8)))
   }
 
+  test("streaming read equals index-walk read on the same bytes") {
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
+      if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
+    val bytes = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    val walked = HFileCodec.read(bytes).toSeq
+    val streamed = HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(streamed.size == walked.size)
+    streamed.zip(walked).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.row, b.row)
+        && java.util.Arrays.equals(a.qualifier, b.qualifier)
+        && a.ts == b.ts && a.typ == b.typ
+        && java.util.Arrays.equals(a.value, b.value))
+    }
+  }
+
   test("spark bulk write + read round-trips the sf0.001 cells multiset exactly") {
     val dir = tmpDir("roundtrip").toString
     val src = Tables.cells(spark, sf)

@@ -73,6 +73,37 @@ class TopKStrategySpec extends SparkSuite {
       }
   }
 
+  test("partial-stage passthrough (group map at capacity) stays exact") {
+    // Shrink the tracked-group bound far below the input's group count so
+    // most rows take the map-full passthrough branch — the path production
+    // data never exercises at test scale.
+    def q(): DataFrame = {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(spark, sf)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    }
+    val stock = q().collect().map(_.toString)
+    spark.conf.set("spark.graft.topk.maxTrackedGroups", "3")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain tree for metric lookup
+    try {
+      val (custom, passthrough) = withTopK {
+        val df = q()
+        val rows = df.collect().map(_.toString)
+        val pt = df.queryExecution.executedPlan
+          .collect { case t: graft.plans.TopKPartialExec => t }
+          .map(_.metrics("passthroughRows").value).sum
+        (rows, pt)
+      }
+      assert(custom.sorted.sameElements(stock.sorted))
+      assert(passthrough > 0, "conf did not shrink the map: passthrough branch never ran")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxTrackedGroups")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("multi-column group keys and string ordering work") {
     def q(): DataFrame = {
       val w = Window.partitionBy("l_returnflag", "l_linestatus")
