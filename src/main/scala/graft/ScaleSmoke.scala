@@ -24,9 +24,18 @@ object ScaleSmoke {
     "b17_compaction",         // TTL + tombstone + version-cap composition
     "e9_win_topk_group",      // bounded-heap TopKPerGroup path
     "c10_join_asof",          // as-of window by user
+    "c11_join_interval",      // banded self-join (pairs within 1h per user)
+    "b12_scvf_exists",        // EXISTS semi-join back to whole rows
     "i4_window_session_batch",// lag + running-sum sessionization
     "d13_hbase_increment",    // counter aggregation per rowkey
-    "a9_hfile_roundtrip")     // full HFile bulk write + read back
+    "a9_hfile_roundtrip",     // full HFile bulk write + read back
+    // LLM-pipeline families over the scaled documents/embeddings tables
+    "j1_dedup_exact",         // corpus-wide hash dedup
+    "j4_text_tokens",         // tokenize + global top-k
+    "j5_text_tfidf",          // two-level aggregation over all tokens
+    "j8_sim_topk",            // probe-broadcast cosine over the corpus
+    "j14_dedup_ngram",        // exact shingle-Jaccard vs the whole corpus
+    "j15_dedup_cosine")       // bounded-window pair ranking (constant work)
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -56,6 +65,43 @@ object ScaleSmoke {
         concat(lit("{\"k\": "), (col("id") % 100).cast("string"), lit("}")).as("props"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+
+    // documents/embeddings scaled at 1/10 the events factor (100× corpus
+    // when events run 1000×): the probe-broadcast text/vector queries are
+    // deliberately linear in corpus size, so 100× already exposes any
+    // superlinear term without making the smoke an hour long. Word-salad
+    // text from a small vocabulary (the fixture's shape), deterministic
+    // hash-derived embeddings.
+    val nDocs = math.max(100L, n / 200L)
+    val nVecs = math.max(100L, n / 500L)
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val vocab = array(Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+        "part", "hash", "batch", "window", "spark", "order", "data", "column", "join",
+        "small", "line", "customer", "query", "the", "a", "big", "merge", "stream",
+        "filter", "sort", "shuffle", "broadcast").map(lit): _*)
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        element_at(array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh")),
+          ((col("id") % 5) + 1).cast("int")).as("lang"),
+        concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
+        array_join(transform(
+          sequence(lit(1), lit(10) + (col("id") % 70).cast("int")),
+          i => element_at(vocab,
+            (pmod(xxhash64(col("id"), i), lit(30)) + 1).cast("int"))), " ").as("text"))
+      docs.withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      spark.range(nVecs).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000) / 1000.0).cast("float"))
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
     val results = heavies.map { name =>
