@@ -85,6 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(CosineSim.name),
       new ExpressionInfo(classOf[CosineSim].getName, CosineSim.name),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier(Shingles.name),
+      new ExpressionInfo(classOf[Shingles].getName, Shingles.name),
+      (es: Seq[Expression]) => Shingles(es(0), es(1).eval() match {
+        case i: Int => i
+        case other => other.toString.toInt
+      })))
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

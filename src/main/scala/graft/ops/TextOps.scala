@@ -141,26 +141,33 @@ object TextOps {
     * (MinHashOps); this is its exact oracle-checked counterpart.
     * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — one IEEE division of exact ints,
     * bit-identical across engines.
+    *
+    * Shingle generation goes through the native [[graft.functions.Shingles]]
+    * expression — the declarative substr-per-position spelling is O(len²)
+    * per document (see that class's doc; it was 3.7 s of j14's 4 s at
+    * sf0.1) while the native walk is O(len·k) and value-identical.
     */
   def j14_dedup_ngram: Q = (s, d) => {
+    graft.functions.Shingles.register(s)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(length(col("t")) - 4, lit(1))),
-          i => col("t").substr(i, lit(5)))).as("sh"))
+        array_distinct(expr("graft_shingles(t, 5)")).as("sh"))
     val probes = sh.where(col("doc_id") < 10)
       .select(col("doc_id").as("pid"), col("sh").as("psh"))
+    // intersect once per pair: only (c, na, nb) ints cross the window's
+    // exchange; deriving jaccard downstream keeps CollapseProject from
+    // substituting (and re-evaluating) the hash intersection per reference
     val pairs = broadcast(probes).crossJoin(sh)
       .where(col("doc_id") =!= col("pid"))
-      .withColumn("c", size(array_intersect(col("psh"), col("sh"))))
       .select(col("pid"), col("doc_id"),
-        (col("c").cast("double")
-          / (size(col("psh")) + size(col("sh")) - col("c"))).as("jaccard"))
-    val w = Window.partitionBy("pid").orderBy(col("jaccard").desc, col("doc_id"))
+        size(array_intersect(col("psh"), col("sh"))).as("c"),
+        size(col("psh")).as("na"), size(col("sh")).as("nb"))
+    val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    val w = Window.partitionBy("pid").orderBy(jac.desc, col("doc_id"))
     pairs.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
-      .select("pid", "doc_id", "rn", "jaccard")
+      .select(col("pid"), col("doc_id"), col("rn"), jac.as("jaccard"))
       .orderBy(asc_nulls_last("pid"), asc_nulls_last("rn"))
   }
 

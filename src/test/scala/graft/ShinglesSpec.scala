@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.Shingles
+import org.apache.spark.sql.functions._
+
+/** The native O(len·k) shingle expression must equal the declarative
+  * substr-per-position spelling on every input — including the fixture
+  * corpus, multi-byte UTF-8 (char windows, not byte windows), and the
+  * short/empty edge cases the sequence(1, max(len-k+1, 1)) form defines.
+  */
+class ShinglesSpec extends SparkSuite {
+
+  private def declarative(c: org.apache.spark.sql.Column, k: Int) =
+    transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k)))
+
+  test("equals the declarative spelling on the fixture corpus") {
+    Shingles.register(spark)
+    val df = Tables.documents(spark, sf)
+      .select(lower(col("text")).as("t"))
+      .select(expr("graft_shingles(t, 5)").as("native"),
+        declarative(col("t"), 5).as("decl"))
+      .where(not(col("native") === col("decl")))
+    assert(df.count() == 0)
+  }
+
+  test("edge cases: empty, shorter-than-k, exactly-k, multi-byte chars") {
+    Shingles.register(spark)
+    import spark.implicits._
+    val rows = Seq("", "ab", "abcde", "abcdef", "héllo wörld", "日本語のテキスト", "aあbいc")
+    val df = rows.toDF("t")
+      .select(col("t"), expr("graft_shingles(t, 5)").as("native"),
+        declarative(col("t"), 5).as("decl"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"input '${r.getString(0)}'")
+    }
+  }
+
+  test("k=2 and k=9 windows match too") {
+    Shingles.register(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "日本語テキストです").toDF("t")
+    for (k <- Seq(2, 9)) {
+      val bad = df.select(expr(s"graft_shingles(t, $k)").as("native"),
+          declarative(col("t"), k).as("decl"))
+        .where(not(col("native") === col("decl"))).count()
+      assert(bad == 0, s"k=$k")
+    }
+  }
+}
