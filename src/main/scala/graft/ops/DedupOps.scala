@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct k-character shingles of a text column. */
+  /** Distinct k-character shingles of a text column, via the native
+    * O(len·k) [[graft.functions.Shingles]] expression (the declarative
+    * substr-per-position form is O(len²) per document — disqualifying for
+    * the 100 TB dedup path this object IS). Callers register the function
+    * on their session first ([[graft.functions.Shingles.register]]); the
+    * DataFrame-taking entry points here do it themselves.
+    */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => text.substr(i, lit(k))))
+    array_distinct(call_function(graft.functions.Shingles.name, text, lit(k)))
 
   /** MinHash signature: for each of n seeded xxhash64 functions, the min
     * over the shingle set. Pure codegen'd HOFs — one pass, no shuffle.
@@ -45,8 +49,10 @@ object DedupOps {
     size(filter(zip_with(a, b, (x, y) => x === y), id => id)).cast("double") / size(a)
 
   /** Signatures for every document: (doc_id, sig). */
-  def signatures(docs: DataFrame, k: Int = 5, n: Int = 128): DataFrame =
+  def signatures(docs: DataFrame, k: Int = 5, n: Int = 128): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
     docs.select(col("doc_id"), minhashSig(shingles(col("text"), k), n).as("sig"))
+  }
 
   /** Candidate near-dup pairs (a < b) from LSH banding, with estimated
     * Jaccard ≥ threshold. bands*rows must equal the signature length.
@@ -106,6 +112,7 @@ object DedupOps {
     * similarity isn't enough (joins shingle sets only for candidates).
     */
   def exactJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
     val sh = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")

@@ -106,9 +106,12 @@ object TextAnalysisOps {
     * distinct set per doc usable as an index key.
     */
   def fingerprints(docs: DataFrame, k: Int = 7, w: Int = 4): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    // native O(len·k) k-gram slicing (vs O(len²) substr-per-position),
+    // hashed in the same position order the rolling form produced
     val grams = transform(
-      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
-      i => xxhash64(col("text").substr(i, lit(k))))
+      call_function(graft.functions.Shingles.name, col("text"), lit(k)),
+      sh => xxhash64(sh))
     val windows = transform(
       sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
       i => array_min(slice(grams, i, lit(w))))
