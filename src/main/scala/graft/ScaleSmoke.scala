@@ -80,15 +80,30 @@ object ScaleSmoke {
         "part", "hash", "batch", "window", "spark", "order", "data", "column", "join",
         "small", "line", "customer", "query", "the", "a", "big", "merge", "stream",
         "filter", "sort", "shuffle", "broadcast").map(lit): _*)
+      // text = salad(srcId) + unique token + (" xq" on planted near-dups):
+      // every 100th doc is a 1-token mutation of its predecessor, the rest
+      // are unique — a realistic ~1% near-dup rate instead of the
+      // degenerate all-similar word salad (which stalls any LSH, ours or
+      // not, in quadratic candidate verification)
+      val srcId = when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id"))
       val docs = spark.range(nDocs).select(
         col("id").as("doc_id"),
         element_at(array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh")),
           ((col("id") % 5) + 1).cast("int")).as("lang"),
         concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
-        array_join(transform(
-          sequence(lit(1), lit(10) + (col("id") % 70).cast("int")),
-          i => element_at(vocab,
-            (pmod(xxhash64(col("id"), i), lit(30)) + 1).cast("int"))), " ").as("text"))
+        // ~30k-word effective vocabulary (base word + numeric variant):
+        // random docs then share almost no shingles, like a real corpus.
+        // A 30-word vocab gave random doc pairs ~25% Jaccard, and LSH on
+        // a corpus where EVERYTHING is near-dup rightly produces a
+        // billion-pair candidate set — realistic entropy, realistic cost.
+        concat(
+          array_join(transform(
+            sequence(lit(1), lit(10) + (srcId % 70).cast("int")),
+            i => concat(
+              element_at(vocab, (pmod(xxhash64(srcId, i), lit(30)) + 1).cast("int")),
+              pmod(xxhash64(srcId, i, lit(7)), lit(997)).cast("string"))), " "),
+          lit(" u"), hex(xxhash64(srcId)),
+          when(col("id") % 100 === 99, " xq").otherwise("")).as("text"))
       docs.withColumn("n_chars", length(col("text")).cast("long"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -104,10 +119,28 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
-    val results = heavies.map { name =>
-      val fn = SparkEntry.queries(name)
+    // spec-only pipelines (no oracle: engine-specific hashes/seeds) whose
+    // 100 TB claims should be measured, not just argued: MinHash+LSH dedup
+    // end-to-end, IVF ANN build+probe, winnowing fingerprints
+    val pipelines: Seq[(String, () => Long)] = Seq(
+      "j2_minhash_lsh_e2e" -> (() =>
+        ops.DedupOps.minhashDedup(spark, dir).count()),
+      "j9_ivf_build_probe" -> (() => {
+        val emb = Tables.embeddings(spark, dir)
+        ops.AnnOps.ivfTopK(spark, emb, emb.where(col("vec_id") < 10)).count()
+      }),
+      "fingerprint_winnow" -> (() =>
+        // explode-count so the fingerprint arrays are actually computed
+        // (count over a global agg can prune the aggregate's work)
+        ops.TextAnalysisOps.fingerprints(Tables.documents(spark, dir))
+          .select(explode(col("fingerprint"))).count()))
+
+    val runs: Seq[(String, () => Long)] =
+      heavies.map(n => n -> (() => SparkEntry.queries(n)(spark, dir).count())) ++ pipelines
+
+    val results = runs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows = fn(spark, dir).count()
+      val rows = fn()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"$name%-26s $sec%8.2fs  ($rows rows)")
       name -> sec

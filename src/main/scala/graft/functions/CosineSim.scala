@@ -91,6 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case i: Int => i
         case other => other.toString.toInt
       })))
+    ext.injectFunction((FunctionIdentifier(MinHashSig.name),
+      new ExpressionInfo(classOf[MinHashSig].getName, MinHashSig.name),
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1).eval() match {
+        case i: Int => i
+        case other => other.toString.toInt
+      })))
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

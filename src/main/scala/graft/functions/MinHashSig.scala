@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature: `graft_minhash(shingles, n)` maps an
+  * `array<string>` shingle set to its n-function MinHash signature
+  * (`array<bigint>`), SURVEY.md §2.11 J2 / §2.12 K4-adjacent.
+  *
+  * Why native: the HOF spelling
+  * `transform(sequence(0, n-1), s -> array_min(transform(shs, sh ->
+  * xxhash64(s, sh))))` re-hashes every shingle's bytes once per hash
+  * function — n×|shs| string hashes through interpreted lambda
+  * dispatch, ~milliseconds per document at n=128. This expression hashes
+  * each shingle's bytes ONCE (xxHash64), then derives the n functions by
+  * integer avalanche mixing of that base hash — the standard
+  * one-hash + universal-mixing MinHash construction — in one tight JVM
+  * loop: O(|shs|·n) long ops, no per-element allocation.
+  *
+  * Signature VALUES differ from the HOF spelling (both are
+  * engine-specific hash families); the collision/estimate guarantees are
+  * the same and DedupSpec's planted-dup + ε-bound tests pin them.
+  */
+case class MinHashSig(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  val name = "graft_minhash"
+
+  private final val P2 = 0xC2B2AE3D27D4EB4FL // xxHash64 primes
+  private final val P3 = 0x165667B19E3779F9L
+
+  /** xxHash64-style avalanche of (base ^ f(seed)) — one distinct
+    * permutation-quality mix per hash-function index.
+    */
+  private def mix(base: Long, i: Int): Long = {
+    var h = base ^ (i * P3 + P2)
+    h ^= h >>> 33; h *= P2
+    h ^= h >>> 29; h *= P3
+    h ^= h >>> 32
+    h
+  }
+
+  def sig(shs: ArrayData, n: Int): ArrayData = {
+    val m = shs.numElements()
+    val out = new Array[Long](n)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val s = shs.getUTF8String(j)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var i = 0
+      while (i < n) {
+        val h = mix(base, i)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Runtime registration on an existing session (test/driver path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      es => MinHashSig(es(0), es(1).eval() match {
+        case i: Int => i
+        case other => other.toString.toInt
+      }), "internal")
+}

@@ -29,12 +29,13 @@ object DedupOps {
   def shingles(text: Column, k: Int): Column =
     array_distinct(call_function(graft.functions.Shingles.name, text, lit(k)))
 
-  /** MinHash signature: for each of n seeded xxhash64 functions, the min
-    * over the shingle set. Pure codegen'd HOFs — one pass, no shuffle.
+  /** MinHash signature via the native one-hash-per-shingle expression
+    * ([[graft.functions.MinHashSig]]) — the HOF spelling re-hashed every
+    * shingle n times through interpreted lambdas, which the 100×-corpus
+    * scale smoke measured in minutes-per-500k-docs territory.
     */
   def minhashSig(shs: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      seed => array_min(transform(shs, sh => xxhash64(seed, sh))))
+    call_function(graft.functions.MinHashSig.name, shs, lit(n))
 
   /** LSH banding: split the signature into `bands` bands of `rows` values;
     * hash each band. Two docs share a band hash iff their signatures agree
@@ -51,21 +52,44 @@ object DedupOps {
   /** Signatures for every document: (doc_id, sig). */
   def signatures(docs: DataFrame, k: Int = 5, n: Int = 128): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
+    graft.functions.MinHashSig.register(docs.sparkSession)
     docs.select(col("doc_id"), minhashSig(shingles(col("text"), k), n).as("sig"))
   }
 
   /** Candidate near-dup pairs (a < b) from LSH banding, with estimated
     * Jaccard ≥ threshold. bands*rows must equal the signature length.
+    *
+    * `maxBucket` is the standard LSH skew guard: a bucket with B members
+    * emits B² candidate pairs, and a bucket that large means the band is
+    * not discriminating (boilerplate/template text) — verifying its pairs
+    * is quadratic work for near-zero precision. Buckets above the cap are
+    * dropped via a broadcast anti-join (the hot set is small by
+    * construction). The 100×-corpus smoke measured the uncapped form
+    * quadratic-stalling on template-heavy synthetic data.
+    *
+    * Shuffle discipline (the other smoke-measured lesson): the band
+    * self-join moves ONLY (band, doc_id) — ~12 bytes a row — never the
+    * 1 KB signatures; signatures are fetched by doc_id join for the
+    * deduplicated candidate pairs alone. Carrying sigs through the band
+    * shuffle was tens of GB at a 500k-doc corpus.
     */
   def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4,
-                     threshold: Double = 0.7): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("sig"),
+                     threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
+    val allBanded = sigs.select(col("doc_id"),
       explode(bandsOf(col("sig"), bands, rows)).as("bnd"))
-    val l = banded.select(col("bnd"), col("doc_id").as("a"), col("sig").as("sa"))
-    val r = banded.select(col("bnd"), col("doc_id").as("b"), col("sig").as("sb"))
-    l.join(r, l("bnd") === r("bnd") && col("a") < col("b"))
+    val hot = allBanded.groupBy("bnd").agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket).select("bnd")
+    val banded = allBanded.join(broadcast(hot), Seq("bnd"), "left_anti")
+    // distinct key names on each side: self-join column resolution must
+    // never fall back to a trivially-true `bnd == bnd`
+    val l = banded.select(col("bnd").as("bl"), col("doc_id").as("a"))
+    val r = banded.select(col("bnd").as("br"), col("doc_id").as("b"))
+    val pairs = l.join(r, col("bl") === col("br") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
       .select(col("a"), col("b"), sigSimilarity(col("sa"), col("sb")).as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -158,9 +182,10 @@ object DedupOps {
       explode(transform(sequence(lit(0), lit(3)),
         i => struct(i.as("blk"),
           call_function("shiftright", col("simhash"), i * 16).bitwiseAND(0xffffL).as("key")))).as("b"))
-    val l = blocked.select(col("b"), col("doc_id").as("a"), col("simhash").as("fa"))
-    val r = blocked.select(col("b"), col("doc_id").as("b2"), col("simhash").as("fb"))
-    l.join(r, l("b") === r("b") && col("a") < col("b2"))
+    // distinct key names per side — see candidatePairs' self-join note
+    val l = blocked.select(col("b").as("kl"), col("doc_id").as("a"), col("simhash").as("fa"))
+    val r = blocked.select(col("b").as("kr"), col("doc_id").as("b2"), col("simhash").as("fb"))
+    l.join(r, col("kl") === col("kr") && col("a") < col("b2"))
       .select(col("a"), col("b2").as("b"), hamming(col("fa"), col("fb")).as("dist"))
       .distinct()
       .where(col("dist") <= maxHamming)

@@ -87,4 +87,16 @@ class DedupSpec extends SparkSuite {
     val hits = pairs.where(col("b") - col("a") === 10000).count()
     assert(hits >= 30, s"only $hits planted pairs under Hamming 3")
   }
+
+  test("LSH band join and simhash blocking plan as equi-joins, never cross") {
+    val sigs = DedupOps.signatures(docs.limit(50))
+    val lshPlan = DedupOps.candidatePairs(sigs)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct")
+      && !lshPlan.contains("BroadcastNestedLoop"), lshPlan)
+    val simPlan = DedupOps.simhashPairs(DedupOps.simhash(docs.limit(50)))
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("CartesianProduct")
+      && !simPlan.contains("BroadcastNestedLoop"), simPlan)
+  }
 }

@@ -99,3 +99,32 @@ object MinHashProps extends Properties("MinHashAgg") {
     sketch(a).sameElements(sketch(a.reverse))
   }
 }
+
+/** Native shingle expression (functions/Shingles) vs a codepoint-window
+  * reference, over arbitrary unicode incl. multi-byte and supplementary
+  * chars — shingles are CHAR windows, never byte windows.
+  */
+object ShinglesProps extends Properties("Shingles") {
+
+  private def reference(s: String, k: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    val count = math.max(cps.length - k + 1, 1)
+    (0 until count).map(i => new String(cps, i, math.min(k, cps.length - i)))
+  }
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+    Gen.oneOf("é", "ß", "ñ"), Gen.oneOf("日", "本", "語"),
+    Gen.const(new String(Character.toChars(0x1F600)))) // supplementary plane
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString)
+
+  property("equals the codepoint-window reference on any unicode text") =
+    forAll(textGen, Gen.chooseNum(1, 9)) { (s, k) =>
+      val native = graft.functions.Shingles
+        .shingle(org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      native == reference(s, k)
+    }
+}
