@@ -97,6 +97,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case i: Int => i
         case other => other.toString.toInt
       })))
+    ext.injectFunction((FunctionIdentifier(Winnow.name),
+      new ExpressionInfo(classOf[Winnow].getName, Winnow.name),
+      (es: Seq[Expression]) => Winnow(es(0), es(1).eval() match {
+        case i: Int => i
+        case other => other.toString.toInt
+      })))
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -107,14 +107,15 @@ object TextAnalysisOps {
     */
   def fingerprints(docs: DataFrame, k: Int = 7, w: Int = 4): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
+    graft.functions.Winnow.register(docs.sparkSession)
     // native O(len·k) k-gram slicing (vs O(len²) substr-per-position),
-    // hashed in the same position order the rolling form produced
+    // hashed in position order, then the native O(n) monotonic-deque
+    // sliding minimum (the slice-per-window HOF spelling measured minutes
+    // per 500k docs at the 100× smoke)
     val grams = transform(
       call_function(graft.functions.Shingles.name, col("text"), lit(k)),
       sh => xxhash64(sh))
-    val windows = transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      i => array_min(slice(grams, i, lit(w))))
+    val windows = call_function(graft.functions.Winnow.name, grams, lit(w))
     docs.select(col("doc_id"),
       array_sort(array_distinct(windows)).as("fingerprint"))
   }

@@ -128,3 +128,25 @@ object ShinglesProps extends Properties("Shingles") {
       native == reference(s, k)
     }
 }
+
+/** Native sliding-window minimum (functions/Winnow) vs the naive
+  * per-window reference, over arbitrary long arrays and window sizes —
+  * including n < w (one window over everything).
+  */
+object WinnowProps extends Properties("Winnow") {
+
+  private def reference(xs: Seq[Long], w: Int): Seq[Long] = {
+    val count = math.max(xs.length - w + 1, 1)
+    (0 until count).map(i => xs.slice(i, i + w).min)
+  }
+
+  property("equals the naive per-window min on any non-empty array") =
+    forAll(Gen.chooseNum(1, 60).flatMap(n =>
+             Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))),
+           Gen.chooseNum(1, 10)) { (xs, w) =>
+      val native = graft.functions.Winnow
+        .winnow(new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray), w)
+        .toLongArray.toSeq
+      native == reference(xs, w)
+    }
+}
