@@ -103,6 +103,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case i: Int => i
         case other => other.toString.toInt
       })))
+    ext.injectFunction((FunctionIdentifier(LshBands.name),
+      new ExpressionInfo(classOf[LshBands].getName, LshBands.name),
+      (es: Seq[Expression]) => LshBands(es(0),
+        es(1).eval().toString.toInt, es(2).eval().toString.toInt)))
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

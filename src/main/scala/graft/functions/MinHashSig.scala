@@ -86,3 +86,58 @@ object MinHashSig {
         case other => other.toString.toInt
       }), "internal")
 }
+
+/** Native LSH band keys: `graft_lsh_bands(sig, bands, rows)` maps a
+  * MinHash signature (`array<bigint>`, length ≥ bands·rows) to one 64-bit
+  * key per band — the band index folded into the hash, so a single long
+  * IS the (band, bucket) join key. Replaces an interpreted
+  * slice-and-hash-a-struct per band (16M of them at a 500k-doc corpus)
+  * and shrinks the band-shuffle key to 8 bytes.
+  */
+case class LshBands(child: Expression, bands: Int, rows: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    LshBands.bandKeys(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBands.bandKeys($c, $bands, $rows)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+}
+
+object LshBands {
+
+  val name = "graft_lsh_bands"
+
+  private final val P2 = 0xC2B2AE3D27D4EB4FL
+  private final val P3 = 0x165667B19E3779F9L
+
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L ^ (b * P3) // distinct bands never collide by construction
+      var r = 0
+      while (r < rows) {
+        h = (h ^ sig.getLong(b * rows + r)) * P2
+        h ^= h >>> 29
+        r += 1
+      }
+      h ^= h >>> 33; h *= P3; h ^= h >>> 32
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Runtime registration on an existing session (test/driver path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      es => LshBands(es(0),
+        es(1).eval().toString.toInt, es(2).eval().toString.toInt), "internal")
+}

@@ -37,13 +37,13 @@ object DedupOps {
   def minhashSig(shs: Column, n: Int): Column =
     call_function(graft.functions.MinHashSig.name, shs, lit(n))
 
-  /** LSH banding: split the signature into `bands` bands of `rows` values;
-    * hash each band. Two docs share a band hash iff their signatures agree
-    * on that whole band.
+  /** LSH banding: one 64-bit key per band (band index folded into the
+    * hash — [[graft.functions.LshBands]], native). Two docs share a band
+    * key iff their signatures agree on that whole band (mod 2⁻⁶⁴
+    * collisions, which the est_jaccard verify stage absorbs anyway).
     */
   def bandsOf(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows))).as("bh")))
+    call_function(graft.functions.LshBands.name, sig, lit(bands), lit(rows))
 
   /** Estimated Jaccard = fraction of agreeing signature positions. */
   def sigSimilarity(a: Column, b: Column): Column =
@@ -75,6 +75,7 @@ object DedupOps {
     */
   def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4,
                      threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
+    graft.functions.LshBands.register(sigs.sparkSession)
     val allBanded = sigs.select(col("doc_id"),
       explode(bandsOf(col("sig"), bands, rows)).as("bnd"))
     val hot = allBanded.groupBy("bnd").agg(count(lit(1)).as("bn"))

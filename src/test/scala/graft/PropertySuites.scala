@@ -150,3 +150,41 @@ object WinnowProps extends Properties("Winnow") {
       native == reference(xs, w)
     }
 }
+
+/** Native LSH band keys (functions/LshBands): two signatures share a
+  * band key exactly when they agree on that band's slice (the ⟸
+  * direction is definitional; ⟹ would only fail on a 2⁻⁶⁴ collision).
+  */
+object LshBandsProps extends Properties("LshBands") {
+
+  private val bands = 8; private val rows = 4
+
+  private val sigGen: Gen[Array[Long]] =
+    Gen.listOfN(bands * rows, Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.toArray)
+
+  private def keys(s: Array[Long]) = graft.functions.LshBands
+    .bandKeys(new org.apache.spark.sql.catalyst.util.GenericArrayData(s), bands, rows)
+    .toLongArray
+
+  property("band keys agree iff the band slices agree") =
+    forAll(sigGen, Gen.chooseNum(0, bands - 1), Gen.oneOf(true, false)) {
+      (x, b, mutate) =>
+        val y = x.clone()
+        if (mutate) y(b * rows) = y(b * rows) + 1
+        val kx = keys(x); val ky = keys(y)
+        (0 until bands).forall { i =>
+          val sliceEq = x.slice(i * rows, (i + 1) * rows)
+            .sameElements(y.slice(i * rows, (i + 1) * rows))
+          (kx(i) == ky(i)) == sliceEq
+        }
+    }
+
+  property("distinct band positions get distinct keys, even on equal slices") =
+    forAll(sigGen.map(s => { // force all bands to the same slice values
+      val first = s.take(rows)
+      Array.tabulate(bands * rows)(i => first(i % rows))
+    })) { x =>
+      val kx = keys(x)
+      kx.distinct.length == kx.length
+    }
+}
