@@ -107,6 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBands].getName, LshBands.name),
       (es: Seq[Expression]) => LshBands(es(0),
         es(1).eval().toString.toInt, es(2).eval().toString.toInt)))
+    ext.injectFunction((FunctionIdentifier(JaccardSim.name),
+      new ExpressionInfo(classOf[JaccardSim].getName, JaccardSim.name),
+      (es: Seq[Expression]) => JaccardSim(es(0), es(1))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

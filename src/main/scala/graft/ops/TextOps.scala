@@ -149,25 +149,23 @@ object TextOps {
     */
   def j14_dedup_ngram: Q = (s, d) => {
     graft.functions.Shingles.register(s)
+    graft.functions.JaccardSim.register(s)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
         array_distinct(expr("graft_shingles(t, 5)")).as("sh"))
     val probes = sh.where(col("doc_id") < 10)
       .select(col("doc_id").as("pid"), col("sh").as("psh"))
-    // intersect once per pair: only (c, na, nb) ints cross the window's
-    // exchange; deriving jaccard downstream keeps CollapseProject from
-    // substituting (and re-evaluating) the hash intersection per reference
+    // one native membership-count pass per pair (bit-identical to the
+    // size(array_intersect)-based formula on distinct inputs)
     val pairs = broadcast(probes).crossJoin(sh)
       .where(col("doc_id") =!= col("pid"))
       .select(col("pid"), col("doc_id"),
-        size(array_intersect(col("psh"), col("sh"))).as("c"),
-        size(col("psh")).as("na"), size(col("sh")).as("nb"))
-    val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
-    val w = Window.partitionBy("pid").orderBy(jac.desc, col("doc_id"))
+        expr("graft_jaccard(psh, sh)").as("jaccard"))
+    val w = Window.partitionBy("pid").orderBy(col("jaccard").desc, col("doc_id"))
     pairs.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
-      .select(col("pid"), col("doc_id"), col("rn"), jac.as("jaccard"))
+      .select("pid", "doc_id", "rn", "jaccard")
       .orderBy(asc_nulls_last("pid"), asc_nulls_last("rn"))
   }
 

@@ -188,3 +188,24 @@ object LshBandsProps extends Properties("LshBands") {
       kx.distinct.length == kx.length
     }
 }
+
+/** Native Jaccard (functions/JaccardSim) vs set arithmetic on arbitrary
+  * distinct string arrays.
+  */
+object JaccardProps extends Properties("JaccardSim") {
+
+  private val setGen: Gen[Array[org.apache.spark.unsafe.types.UTF8String]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(0, 60).map(i => "tok" + i)))
+      .map(_.distinct.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+
+  property("equals |A∩B| / |A∪B| on any pair of string sets") =
+    forAll(setGen, setGen) { (a, b) =>
+      val native = graft.functions.JaccardSim.jaccard(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray[AnyRef]),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray[AnyRef]))
+      val sa = a.map(_.toString).toSet; val sb = b.map(_.toString).toSet
+      val c = sa.intersect(sb).size
+      native == c.toDouble / (sa.size + sb.size - c)
+    }
+}
