@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time" epilogue off stdout: the bench driver
+// parses the last line of `sbt runMain graft.Bench` output as JSON, and the
+// epilogue line after the metric line broke that parse in round 1.
+ThisBuild / showSuccess := false
+// Forked run stdout goes raw to stdout (no "[info] " prefix) so the Bench
+// metric line is parseable exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

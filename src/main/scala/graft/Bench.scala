@@ -39,7 +39,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing the metric line so no shutdown logging can
+    // interleave after it: the driver parses the last JSON-looking line of
+    // stdout (r1's BENCH had parsed:null because trailing build output
+    // followed the metric line).
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

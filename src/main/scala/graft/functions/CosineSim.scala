@@ -68,7 +68,8 @@ object CosineSim {
 
   val name = "graft_cosine"
   private val info = new ExpressionInfo(classOf[CosineSim].getName, name)
-  private val builder: Seq[Expression] => Expression = es => CosineSim(es(0), es(1))
+  private val builder: Seq[Expression] => Expression =
+    es => { GraftFnArgs.exact(name, es, 2); CosineSim(es(0), es(1)) }
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
@@ -84,32 +85,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSim.name),
       new ExpressionInfo(classOf[CosineSim].getName, CosineSim.name),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+      (es: Seq[Expression]) => {
+        GraftFnArgs.exact(CosineSim.name, es, 2); CosineSim(es(0), es(1))
+      }))
     ext.injectFunction((FunctionIdentifier(Shingles.name),
       new ExpressionInfo(classOf[Shingles].getName, Shingles.name),
-      (es: Seq[Expression]) => Shingles(es(0), es(1).eval() match {
-        case i: Int => i
-        case other => other.toString.toInt
-      })))
+      (es: Seq[Expression]) => Shingles(GraftFnArgs.exact(Shingles.name, es, 2).head,
+        GraftFnArgs.intLit(Shingles.name, es, 1))))
     ext.injectFunction((FunctionIdentifier(MinHashSig.name),
       new ExpressionInfo(classOf[MinHashSig].getName, MinHashSig.name),
-      (es: Seq[Expression]) => MinHashSig(es(0), es(1).eval() match {
-        case i: Int => i
-        case other => other.toString.toInt
-      })))
+      (es: Seq[Expression]) => MinHashSig(GraftFnArgs.exact(MinHashSig.name, es, 2).head,
+        GraftFnArgs.intLit(MinHashSig.name, es, 1))))
     ext.injectFunction((FunctionIdentifier(Winnow.name),
       new ExpressionInfo(classOf[Winnow].getName, Winnow.name),
-      (es: Seq[Expression]) => Winnow(es(0), es(1).eval() match {
-        case i: Int => i
-        case other => other.toString.toInt
-      })))
+      (es: Seq[Expression]) => Winnow(GraftFnArgs.exact(Winnow.name, es, 2).head,
+        GraftFnArgs.intLit(Winnow.name, es, 1))))
     ext.injectFunction((FunctionIdentifier(LshBands.name),
       new ExpressionInfo(classOf[LshBands].getName, LshBands.name),
-      (es: Seq[Expression]) => LshBands(es(0),
-        es(1).eval().toString.toInt, es(2).eval().toString.toInt)))
+      (es: Seq[Expression]) => LshBands(GraftFnArgs.exact(LshBands.name, es, 3).head,
+        GraftFnArgs.intLit(LshBands.name, es, 1),
+        GraftFnArgs.intLit(LshBands.name, es, 2))))
     ext.injectFunction((FunctionIdentifier(JaccardSim.name),
       new ExpressionInfo(classOf[JaccardSim].getName, JaccardSim.name),
-      (es: Seq[Expression]) => JaccardSim(es(0), es(1))))
+      (es: Seq[Expression]) => {
+        GraftFnArgs.exact(JaccardSim.name, es, 2); JaccardSim(es(0), es(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -81,10 +81,8 @@ object MinHashSig {
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      es => MinHashSig(es(0), es(1).eval() match {
-        case i: Int => i
-        case other => other.toString.toInt
-      }), "internal")
+      es => MinHashSig(GraftFnArgs.exact(name, es, 2).head,
+        GraftFnArgs.intLit(name, es, 1)), "internal")
 }
 
 /** Native LSH band keys: `graft_lsh_bands(sig, bands, rows)` maps a
@@ -138,6 +136,7 @@ object LshBands {
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      es => LshBands(es(0),
-        es(1).eval().toString.toInt, es(2).eval().toString.toInt), "internal")
+      es => LshBands(GraftFnArgs.exact(name, es, 3).head,
+        GraftFnArgs.intLit(name, es, 1), GraftFnArgs.intLit(name, es, 2)),
+      "internal")
 }

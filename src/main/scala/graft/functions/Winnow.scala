@@ -65,8 +65,6 @@ object Winnow {
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      es => Winnow(es(0), es(1).eval() match {
-        case i: Int => i
-        case other => other.toString.toInt
-      }), "internal")
+      es => Winnow(GraftFnArgs.exact(name, es, 2).head,
+        GraftFnArgs.intLit(name, es, 1)), "internal")
 }

@@ -109,7 +109,8 @@ object AggOps {
       .groupBy(col("user_id"))
       .agg(
         sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2)))
-          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DecimalType(38, 2)).as("spend"),
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DecimalType(38, 2))
+          .cast("double").as("spend"),
         count_if(col("event_type") === "error").as("errors"))
       .orderBy(col("user_id").asc_nulls_last)
       .limit(200)
@@ -131,7 +132,18 @@ object AggOps {
       .orderBy(col("rowkey").asc_nulls_last)
       .limit(300)
 
+  /** d16 — boolean aggregates (every/any). */
+  val d16_agg_bool: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
+
   val queries: Map[String, Q] = Map(
+    "d16_agg_bool" -> d16_agg_bool,
     "d1_agg_basic" -> d1_agg_basic,
     "d2_agg_avg" -> d2_agg_avg,
     "d3_agg_distinct" -> d3_agg_distinct,

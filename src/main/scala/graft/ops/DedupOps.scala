@@ -60,12 +60,18 @@ object DedupOps {
     * Jaccard ≥ threshold. bands*rows must equal the signature length.
     *
     * `maxBucket` is the standard LSH skew guard: a bucket with B members
-    * emits B² candidate pairs, and a bucket that large means the band is
-    * not discriminating (boilerplate/template text) — verifying its pairs
-    * is quadratic work for near-zero precision. Buckets above the cap are
-    * dropped via a broadcast anti-join (the hot set is small by
-    * construction). The 100×-corpus smoke measured the uncapped form
-    * quadratic-stalling on template-heavy synthetic data.
+    * emits B² candidate pairs, and a bucket that large usually means the
+    * band is not discriminating (boilerplate/template text) — verifying
+    * its pairs is quadratic work for near-zero precision. But a bucket can
+    * also be hot because the corpus genuinely contains a mass-duplicated
+    * document, so hot buckets are NOT dropped: each contributes a bounded
+    * star — every member paired with the bucket's min doc_id — O(B) pairs
+    * that keep a giant near-dup cluster connected through its
+    * representative while the est_jaccard verify stage still discards the
+    * false-positive stars of template buckets. The 100×-corpus smoke
+    * measured the uncapped all-pairs form quadratic-stalling on
+    * template-heavy synthetic data; the star form is linear in bucket
+    * size.
     *
     * Shuffle discipline (the other smoke-measured lesson): the band
     * self-join moves ONLY (band, doc_id) — ~12 bytes a row — never the
@@ -78,15 +84,22 @@ object DedupOps {
     graft.functions.LshBands.register(sigs.sparkSession)
     val allBanded = sigs.select(col("doc_id"),
       explode(bandsOf(col("sig"), bands, rows)).as("bnd"))
-    val hot = allBanded.groupBy("bnd").agg(count(lit(1)).as("bn"))
-      .where(col("bn") > maxBucket).select("bnd")
-    val banded = allBanded.join(broadcast(hot), Seq("bnd"), "left_anti")
+    val hot = allBanded.groupBy("bnd")
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+      .where(col("bn") > maxBucket).select("bnd", "rep")
+    val banded = allBanded.join(broadcast(hot.select("bnd")), Seq("bnd"), "left_anti")
     // distinct key names on each side: self-join column resolution must
     // never fall back to a trivially-true `bnd == bnd`
     val l = banded.select(col("bnd").as("bl"), col("doc_id").as("a"))
     val r = banded.select(col("bnd").as("br"), col("doc_id").as("b"))
-    val pairs = l.join(r, col("bl") === col("br") && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val coldPairs = l.join(r, col("bl") === col("br") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    // hot buckets: member ↔ bucket-representative star (rep = min doc_id,
+    // so rep < doc_id and (a, b) ordering holds by construction)
+    val hotPairs = allBanded.join(broadcast(hot), Seq("bnd"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val pairs = coldPairs.union(hotPairs).distinct()
     pairs
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")

@@ -185,7 +185,40 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** b18 — HBase MultiRowRangeFilter [public: o.a.h.hbase.filter
+    * .MultiRowRangeFilter]: a scan over several disjoint rowkey ranges in
+    * one pass. The OR-of-BETWEENs stays a raw parquet predicate, so each
+    * range prunes to its row groups on a rowkey-sorted layout — at scale
+    * this is k range-reads, not a full scan.
+    */
+  val b18_multi_range: Q = (s, d) => {
+    def k(u: String, e: String) = s"$u:$e"
+    val lo1 = k("000000000010", "000000000000"); val hi1 = k("000000000019", "999999999999")
+    val lo2 = k("000000000200", "000000000000"); val hi2 = k("000000000219", "999999999999")
+    val lo3 = k("000000000400", "000000000000"); val hi3 = k("000000000449", "999999999999")
+    Tables.cells(s, d)
+      .filter(col("rowkey").between(lo1, hi1)
+        || col("rowkey").between(lo2, hi2)
+        || col("rowkey").between(lo3, hi3))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** b19 — HBase FuzzyRowFilter [public: o.a.h.hbase.filter
+    * .FuzzyRowFilter]: rowkey match with fixed bytes at some positions and
+    * wildcards at others — here "user id's last digit is 7" on the
+    * zero-padded composite key, spelled as a SQL LIKE with `_` wildcards
+    * (same per-row byte test the HBase filter runs server-side).
+    */
+  val b19_fuzzy_rowkey: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("rowkey").like("0000000000_7:%"))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("qualifier").asc_nulls_last)
+
   val queries: Map[String, Q] = Map(
+    "b18_multi_range" -> b18_multi_range,
+    "b19_fuzzy_rowkey" -> b19_fuzzy_rowkey,
     "b1_project" -> b1_project,
     "b2_filter_pred" -> b2_filter_pred,
     "b3_filter_in" -> b3_filter_in,

@@ -94,7 +94,7 @@ object FnOps {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(sum(get_json_object(col("props"), "$.k").cast("int").cast(DecimalType(18, 0)))
-        .cast(DecimalType(38, 0)).as("ksum"))
+        .cast("long").as("ksum"))
       .orderBy(asc_nulls_last("event_type"))
 
   /** h10: hash family — sha256 + md5 (the rowkey-salting substrate; xxhash64
@@ -128,7 +128,22 @@ object FnOps {
         expr("try_cast(o_orderpriority AS INT)").as("bad"))
       .orderBy(asc_nulls_last("o_orderkey")).limit(100)
 
+  /** h13: bitwise family — AND/OR/XOR, shifts, popcount (rowkey salting
+    * and fingerprint substrate; DuckDB spells XOR as `xor()`, R8).
+    */
+  def h13_fn_bitwise: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("band"),
+        col("o_orderkey").bitwiseOR(4096).as("bor"),
+        col("o_orderkey").bitwiseXOR(1234).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 1).as("shr"),
+        bit_count(col("o_orderkey")).as("bits"))
+      .orderBy(asc_nulls_last("o_orderkey")).limit(100)
+
   def queries: Map[String, Q] = Map(
+    "h13_fn_bitwise" -> h13_fn_bitwise,
     "h1_fn_string" -> h1_fn_string,
     "h2_fn_regex" -> h2_fn_regex,
     "h3_fn_datetime" -> h3_fn_datetime,

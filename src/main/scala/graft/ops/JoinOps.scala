@@ -28,7 +28,7 @@ object JoinOps {
     // DuckDB round differently.
     val rev = sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
-      .cast(DecimalType(38, 4))
+      .cast(DecimalType(38, 4)).cast("double")
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("c_mktsegment"))
@@ -129,7 +129,20 @@ object JoinOps {
       .agg(count(lit(1)).as("pairs"))
   }
 
+  /** c13 — scalar subquery: orders above the global average price. The
+    * average obeys R2 (exact decimal sum, one double division); the
+    * single-row aggregate is broadcast, so the comparison is a map-side
+    * filter over the fact scan at any scale.
+    */
+  val c13_join_scalar_subq: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val thr = o.agg(davg(col("o_totalprice")).as("thr"))
+    o.join(broadcast(thr), col("o_totalprice") > col("thr"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c13_join_scalar_subq" -> c13_join_scalar_subq,
     "c1_join_inner" -> c1_join_inner,
     "c2_join_broadcast" -> c2_join_broadcast,
     "c3_join_left" -> c3_join_left,

@@ -79,9 +79,10 @@ object ScanOps {
     * range-partitioned sorted HFile v3 region files ([[graft.sources
     * .HFileOps.bulkWrite]], our from-spec codec) → distributed read-back →
     * per-(cf,qualifier) count / value-checksum / ts-checksum / tombstone
-    * count. Hash-matching the DuckDB oracle (which reads the ORIGINAL cells
-    * view) proves the round trip is lossless on every column. The write
-    * lands under java.io.tmpdir, one region file per executor partition.
+    * count. The oracle (which reads the ORIGINAL cells view) checks these
+    * aggregate checksums across every column; the cell-exact losslessness
+    * proof is HFileSpec's multiset round-trip test. The write lands under
+    * java.io.tmpdir, one region file per executor partition.
     */
   val a9_hfile_roundtrip: Q = (s, d) => {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hfile_" +
@@ -98,7 +99,7 @@ object ScanOps {
         count(lit(1)).as("n"),
         dsum(col("value")).as("vsum"),
         // µs domain: DuckDB truncates TIMESTAMP_NS to µs (FIXTURES.md §F4.2)
-        sum((expr("ts div 1000") % 1000003L).cast("decimal(18,0)")).as("tsum"),
+        sum((expr("ts div 1000") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
         count(when(col("op") === "delete", 1)).as("dels"))
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }

@@ -29,6 +29,17 @@ object SortSetOps {
       .select(col("o_orderkey"), col("o_totalprice"))
       .limit(25)
 
+  /** f5 — offset + limit pagination below a total order (R1). Spark plans
+    * the offset into GlobalLimit (skip k, take n) above the same top-(k+n)
+    * TakeOrdered path — no full materialization of the skipped prefix.
+    */
+  val f5_offset: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .offset(25)
+      .limit(25)
+
   val f4_distinct: Q = (s, d) =>
     Tables.customer(s, d)
       .select(col("c_mktsegment"))
@@ -68,6 +79,7 @@ object SortSetOps {
     "f1_sort_global" -> f1_sort_global,
     "f2_topk" -> f2_topk,
     "f4_distinct" -> f4_distinct,
+    "f5_offset" -> f5_offset,
     "g1_union_all" -> g1_union_all,
     "g2_union" -> g2_union,
     "g3_intersect" -> g3_intersect,

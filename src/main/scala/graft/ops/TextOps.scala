@@ -91,7 +91,7 @@ object TextOps {
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
-        sum(col("n_chars").cast(DecimalType(18, 0))).cast(DecimalType(38, 0)).as("chars"))
+        sum(col("n_chars").cast(DecimalType(18, 0))).cast("long").as("chars"))
       .orderBy(asc_nulls_last("lang"))
 
   /** j7: quality-filter stats per source (length-band acceptance). */
@@ -102,6 +102,29 @@ object TextOps {
         count_if(col("n_chars").between(100, 400)).as("mid"),
         min("n_chars").as("mn"), max("n_chars").as("mx"))
       .orderBy(asc_nulls_last("source"))
+
+  /** j16: corpus token statistics per language — whitespace token counting
+    * ([[TextAnalysisOps.wsTokenCount]]) under the DuckDB oracle (the
+    * spec-only text-analysis surface gains a driver-gated anchor).
+    */
+  def j16_token_stats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), TextAnalysisOps.wsTokenCount(col("text")).as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t").cast(DecimalType(18, 0))).cast("long").as("tokens"))
+      .orderBy(asc_nulls_last("lang"))
+
+  /** j17: per-document quality features (char length, alpha/punct ratios,
+    * token count) — [[TextAnalysisOps.qualityFeatures]] columns that have
+    * exact integer-ratio semantics on both engines (int/int division to
+    * double is deterministic; no float accumulation anywhere).
+    */
+  def j17_quality_features: Q = (s, d) =>
+    TextAnalysisOps.qualityFeatures(Tables.documents(s, d))
+      .where(col("doc_id") < 100)
+      .select("doc_id", "n_chars2", "alpha_ratio", "punct_ratio", "n_tokens")
+      .orderBy(asc_nulls_last("doc_id"))
 
   /** j8: brute-force cosine top-5 — the exact baseline ANN (J9) is graded
     * against. Probe set is broadcast; corpus side never shuffles.
@@ -197,6 +220,8 @@ object TextOps {
 
   def queries: Map[String, Q] = Map(
     "j1_dedup_exact" -> j1_dedup_exact,
+    "j16_token_stats" -> j16_token_stats,
+    "j17_quality_features" -> j17_quality_features,
     "j3_text_shingles" -> j3_text_shingles,
     "j4_text_tokens" -> j4_text_tokens,
     "j5_text_tfidf" -> j5_text_tfidf,

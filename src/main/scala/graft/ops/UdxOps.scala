@@ -52,7 +52,7 @@ object UdxOps {
     val dsumUdaf = udaf(new DecimalSum, Encoders.DOUBLE)
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
-      .agg(dsumUdaf(col("o_totalprice")).as("s"))
+      .agg(dsumUdaf(col("o_totalprice")).cast("double").as("s"))
       .orderBy(asc_nulls_last("o_orderstatus"))
   }
 

@@ -70,7 +70,7 @@ object WindowOps {
     ev.select((col("us") - lag("us", 1).over(w)).as("gap"))
       .where(col("gap").isNotNull)
       .agg(count(lit(1)).as("gaps"),
-        sum(expr("gap div 1000").cast(DecimalType(18, 0))).cast(DecimalType(38, 0)).as("total_ms"))
+        sum(expr("gap div 1000").cast(DecimalType(18, 0))).cast("long").as("total_ms"))
   }
 
   /** e6: first_value / last_value with an explicit unbounded frame. */
@@ -93,7 +93,8 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2)).as("run"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(38, 2))
+          .cast("double").as("run"))
       .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("o_orderkey")).limit(500)
   }
 
@@ -140,6 +141,25 @@ object WindowOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
       .orderBy(asc_nulls_last("hour_bucket"), asc_nulls_last("event_type"))
 
+  /** i3 batch twin: sliding 1h window, 15m step. With width = 4·step every
+    * event lands in exactly 4 windows, so the batch form is an explode of
+    * the 4 window starts (pure integer arithmetic on nanos — exact on both
+    * engines) followed by an ordinary partial+final aggregation. One
+    * shuffle on (win_start, event_type); the 4× row expansion happens
+    * map-side inside the scan stage, never materialized.
+    */
+  def i3_window_sliding_batch: Q = (s, d) => {
+    val step = 900000000000L // 15 min in nanos
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(3))).as("i"), col("ts"))
+      .select(col("event_type"), col("value"),
+        ((expr("ts div 900000000000") - col("i")) * step).as("win_start"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      .orderBy(asc_nulls_last("win_start"), asc_nulls_last("event_type"))
+  }
+
   /** i4 batch twin: 30-min-gap sessionization via lag + running sum —
     * the classic distributed sessionizer (per-user partitioned windows;
     * scales linearly with user count).
@@ -168,5 +188,6 @@ object WindowOps {
     "e8_win_range" -> e8_win_range,
     "e9_win_topk_group" -> e9_win_topk_group,
     "i2_window_tumbling_batch" -> i2_window_tumbling_batch,
+    "i3_window_sliding_batch" -> i3_window_sliding_batch,
     "i4_window_session_batch" -> i4_window_session_batch)
 }

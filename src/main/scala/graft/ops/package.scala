@@ -13,14 +13,27 @@ package object ops {
     * across engines; decimal sums are exact and associative, so partial/final
     * aggregation (map-side combine) stays deterministic at any parallelism —
     * the property that makes these queries reproducible on a 1000-executor
-    * cluster, not just on local[32]. Result cast to DECIMAL(38,2) so Spark's
-    * sum precision (28,2) and DuckDB's (38,2) agree.
+    * cluster, not just on local[32]. The exact decimal result is final-cast
+    * to DOUBLE: equal decimals convert to bit-equal doubles on every engine,
+    * whereas a DECIMAL output column renders scale-dependently
+    * ("383775.00" vs "383775.0") across parquet readers — the r1 hash gate
+    * failed exactly the queries whose decimal outputs had trailing zeros.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).cast("double")
 
   /** R2 average: exact decimal sum, one deterministic double division. */
-  def davg(c: Column): Column = (dsum(c).cast("double") / count(lit(1)))
+  def davg(c: Column): Column = (dsum(c) / count(lit(1)))
+
+  /** Integer-valued exact SUM: decimal accumulation, BIGINT output (exact
+    * at any magnitude the fixtures reach; no floating rendering at all).
+    */
+  def lsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 0))).cast("long")
 
   /** DuckDB spelling of [[dsum]]. */
-  def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+  def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB spelling of [[lsum]]. */
+  def lsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,0))) AS BIGINT)"
 }

@@ -19,7 +19,7 @@ object OracleSql {
       |""".stripMargin
 
   private def dsum(e: String): String =
-    s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+    s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   val scans: Map[String, String] = Map(
     "a1_scan_parquet" ->
@@ -44,22 +44,33 @@ object OracleSql {
     "a9_hfile_roundtrip" ->
       (cellsCte +
         """SELECT cf, qualifier, count(*) AS n,
-          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS vsum,
-          |  sum(CAST((ts // 1000) % 1000003 AS DECIMAL(18,0))) AS tsum,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST((ts // 1000) % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     "a8_cells_pivot" ->
       (cellsCte +
         """SELECT rowkey,
-          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='click') AS DECIMAL(38,2)), 0) AS click,
-          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='error') AS DECIMAL(38,2)), 0) AS error,
-          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='purchase') AS DECIMAL(38,2)), 0) AS purchase,
-          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='signup') AS DECIMAL(38,2)), 0) AS signup,
-          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='view') AS DECIMAL(38,2)), 0) AS view
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='click') AS DOUBLE), 0) AS click,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='error') AS DOUBLE), 0) AS error,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='purchase') AS DOUBLE), 0) AS purchase,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='signup') AS DOUBLE), 0) AS signup,
+          |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE qualifier='view') AS DOUBLE), 0) AS view
           |FROM cells GROUP BY rowkey ORDER BY rowkey NULLS LAST LIMIT 300""".stripMargin))
 
   val filters: Map[String, String] = Map(
+    "b18_multi_range" ->
+      (cellsCte +
+        """SELECT count(*) AS n FROM cells
+          |WHERE rowkey BETWEEN '000000000010:000000000000' AND '000000000019:999999999999'
+          |   OR rowkey BETWEEN '000000000200:000000000000' AND '000000000219:999999999999'
+          |   OR rowkey BETWEEN '000000000400:000000000000' AND '000000000449:999999999999'""".stripMargin),
+    "b19_fuzzy_rowkey" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n FROM cells
+          |WHERE rowkey LIKE '0000000000_7:%'
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     "b1_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price
         |FROM lineitem ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST,
@@ -145,6 +156,10 @@ object OracleSql {
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin))
 
   val aggs: Map[String, String] = Map(
+    "d16_agg_bool" ->
+      """SELECT o_orderpriority, bool_and(o_totalprice > 1000) AS all_over_1k,
+        |       bool_or(o_orderstatus = 'F') AS any_f, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS LAST""".stripMargin,
     "d1_agg_basic" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |       min(l_quantity) AS mn, max(l_quantity) AS mx,
@@ -195,7 +210,7 @@ object OracleSql {
     "d12_agg_condagg" ->
       """SELECT user_id,
         |       CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2))
-        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS spend,
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS spend,
         |       count(*) FILTER (WHERE event_type='error') AS errors
         |FROM events GROUP BY user_id ORDER BY user_id NULLS LAST LIMIT 200""".stripMargin,
     "d13_hbase_increment" ->
@@ -208,6 +223,10 @@ object OracleSql {
           |FROM cells GROUP BY rowkey ORDER BY rowkey NULLS LAST LIMIT 300""".stripMargin))
 
   val sortSets: Map[String, String] = Map(
+    "f5_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS LAST
+        |LIMIT 25 OFFSET 25""".stripMargin,
     "f1_sort_global" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey NULLS LAST,
@@ -239,10 +258,15 @@ object OracleSql {
         |   EXCEPT ALL SELECT o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)""".stripMargin)
 
   val joins: Map[String, String] = Map(
+    "c13_join_scalar_subq" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM orders)""".stripMargin,
     "c1_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n,
          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-         |                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS rev
+         |                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |              JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS LAST""".stripMargin,
@@ -288,6 +312,14 @@ object OracleSql {
         |   AND b.b_ts BETWEEN a.a_ts AND a.a_ts + 3600000000000""".stripMargin)
 
   val windows: Map[String, String] = Map(
+    "i3_window_sliding_batch" ->
+      """SELECT win_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM
+        |  (SELECT event_type, value,
+        |          (CAST(epoch_ns(ts) AS BIGINT) // 900000000000 - offs.i) * 900000000000 AS win_start
+        |   FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) offs)
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start NULLS LAST, event_type NULLS LAST""".stripMargin,
     "e1_win_rownum" ->
       """SELECT o_custkey, o_orderkey FROM
         |  (SELECT o_custkey, o_orderkey,
@@ -313,7 +345,7 @@ object OracleSql {
         |ORDER BY n_name NULLS LAST""".stripMargin,
     "e5_win_lag" ->
       """SELECT count(*) AS gaps,
-        |       CAST(sum(CAST(gap // 1000 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS total_ms FROM
+        |       CAST(sum(CAST(gap // 1000 AS DECIMAL(18,0))) AS BIGINT) AS total_ms FROM
         |  (SELECT epoch_us(ts) - lag(epoch_us(ts))
         |            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
         |   FROM events)
@@ -330,7 +362,7 @@ object OracleSql {
         |   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id))
         |WHERE rn = 1 ORDER BY user_id NULLS LAST""".stripMargin,
     "e7_win_running" ->
-      """SELECT o_custkey, o_orderkey, CAST(run AS DECIMAL(38,2)) AS run FROM
+      """SELECT o_custkey, o_orderkey, CAST(run AS DOUBLE) AS run FROM
         |  (SELECT o_custkey, o_orderkey,
         |          sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -348,19 +380,19 @@ object OracleSql {
         |  (SELECT event_type, user_id, spend,
         |          row_number() OVER (PARTITION BY event_type ORDER BY spend DESC, user_id) rn
         |   FROM (SELECT event_type, user_id,
-        |                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |         FROM events GROUP BY event_type, user_id))
         |WHERE rn <= 3 ORDER BY event_type NULLS LAST, spend DESC, user_id NULLS LAST""".stripMargin,
     "i2_window_tumbling_batch" ->
       """SELECT CAST(epoch_ns(ts) AS BIGINT) // 3600000000000 AS hour_bucket,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket NULLS LAST, event_type NULLS LAST""".stripMargin,
     "i4_window_session_batch" ->
       """SELECT user_id, session_id, count(*) AS n FROM
         |  (SELECT user_id, event_id,
-        |          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |   FROM (SELECT user_id, event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts2,
         |                CASE WHEN CAST(epoch_ns(ts) AS BIGINT)
         |                          - lag(CAST(epoch_ns(ts) AS BIGINT))
@@ -376,6 +408,11 @@ object OracleSql {
         |ORDER BY user_id NULLS LAST, session_id NULLS LAST""".stripMargin)
 
   val fns: Map[String, String] = Map(
+    "h13_fn_bitwise" ->
+      """SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 4096 AS bor,
+        |       xor(o_orderkey, 1234) AS bxor, o_orderkey << 2 AS shl,
+        |       o_orderkey >> 1 AS shr, CAST(bit_count(o_orderkey) AS INT) AS bits
+        |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin,
     "h1_fn_string" ->
       """SELECT p_partkey, upper(substr(p_name,1,5)) u, length(p_name) l,
         |       lpad(CAST(p_size AS VARCHAR), 4, '0') pad, reverse(p_brand) rev,
@@ -413,7 +450,7 @@ object OracleSql {
         |FROM embeddings ORDER BY vec_id NULLS LAST LIMIT 100""".stripMargin,
     "h9_fn_json" ->
       """SELECT event_type,
-        |       CAST(sum(CAST(CAST(props->>'$.k' AS INT) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS ksum
+        |       CAST(sum(CAST(CAST(props->>'$.k' AS INT) AS DECIMAL(18,0))) AS BIGINT) AS ksum
         |FROM events GROUP BY event_type ORDER BY event_type NULLS LAST""".stripMargin,
     "h10_fn_hash" ->
       """SELECT p_partkey, sha256(p_name) h, md5(p_name) m
@@ -429,6 +466,18 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin)
 
   val texts: Map[String, String] = Map(
+    "j16_token_stats" ->
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
+    "j17_quality_features" ->
+      """SELECT doc_id, length(text) AS n_chars2,
+        |       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1) AS alpha_ratio,
+        |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |         / greatest(length(text), 1) AS punct_ratio,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id NULLS LAST""".stripMargin,
     "j1_dedup_exact" ->
       """SELECT count(*) AS kept FROM
         |  (SELECT min(doc_id) AS keep FROM documents GROUP BY sha256(lower(trim(text))))""".stripMargin,
@@ -456,7 +505,7 @@ object OracleSql {
         |ORDER BY doc_id NULLS LAST, tfidf DESC, tok NULLS LAST LIMIT 50""".stripMargin,
     "j6_text_langstats" ->
       """SELECT lang, count(*) AS n,
-        |       CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS chars
+        |       CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
     "j7_text_quality" ->
       """SELECT source, count(*) AS n,
@@ -517,7 +566,7 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS v FROM lineitem
         |ORDER BY l_orderkey NULLS LAST, l_linenumber NULLS LAST, v NULLS LAST LIMIT 200""".stripMargin,
     "k2_udaf_sum" ->
-      """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST""".stripMargin,
     "k3_udtf_explode" ->
       """SELECT doc_id, count(*) AS n FROM

@@ -1,12 +1,13 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Distributed HFile bulk write/read over the canonical cells layout —
   * the HBase bulk-load path (`BASELINE.json`: "Bulk read/write via HBase
@@ -17,9 +18,13 @@ import org.apache.spark.sql.types._
   * [public: o.a.h.hbase.mapreduce.HFileOutputFormat2]: cells globally
   * range-partitioned by rowkey (one partition per region) and sorted by
   * (rowkey, cf, qualifier, ts DESC) within each; each executor then streams
-  * its partition into one region file. No driver-side collect anywhere —
-  * at 100 TB this is N executors each writing its own region file, the
-  * same shape as a real bulk load.
+  * its partition into one region file. No driver-side collect anywhere.
+  *
+  * All I/O goes through the Hadoop FileSystem API resolved from the
+  * session's hadoopConfiguration — `file://` in local mode, HDFS/S3A/any
+  * shared filesystem on a cluster — so "N executors each writing its own
+  * region file" holds on a real multi-node deployment, not just when
+  * driver and executors share one local disk.
   */
 object HFileOps {
 
@@ -32,13 +37,26 @@ object HFileOps {
   /** Bulk-write a cells DataFrame as `regions` HFile region files under
     * `dir`. Returns the file names written (small: one per region).
     *
-    * Files are written to a task-temp name then atomically renamed —
-    * speculative/retried tasks can't leave a torn file behind (the same
-    * commit discipline as Hadoop output committers).
+    * Any `*.hfile` already under `dir` is deleted first: a prior run with
+    * a different region count (or dataset) at the same path must never
+    * leak stale region files into a later [[read]], which globs the whole
+    * directory.
+    *
+    * Files are written to a task-temp name then renamed — speculative or
+    * retried tasks can't leave a torn file behind (the same commit
+    * discipline as Hadoop output committers; rename is atomic on HDFS and
+    * local file://).
     */
   def bulkWrite(cells: DataFrame, dir: String, regions: Int,
                 blockSize: Int = 64 * 1024): Seq[String] = {
-    Files.createDirectories(Paths.get(dir))
+    val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    dfs.mkdirs(dirPath)
+    Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
+      .getOrElse(Array.empty)
+      .foreach(st => dfs.delete(st.getPath, false))
+    val serConf = new SerializableConfiguration(hadoopConf)
     val sorted = cells
       .repartitionByRange(regions, col("rowkey"))
       .sortWithinPartitions(col("rowkey").asc, col("cf").asc,
@@ -56,14 +74,16 @@ object HFileOps {
             else HFileCodec.TypePut,
             java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
         }
+        val fs = new HPath(dir).getFileSystem(serConf.value)
         val name = f"region-$pid%05d.hfile"
-        val tmp = Paths.get(dir, s".$name.${TaskContext.get.taskAttemptId}.tmp")
-        // stream the codec straight to disk: a region file bigger than the
-        // task heap writes fine (O(blockSize) memory, see HFileCodec.write)
-        val os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16)
+        val tmp = new HPath(dir, s".$name.${TaskContext.get.taskAttemptId}.tmp")
+        // stream the codec straight to the filesystem: a region file bigger
+        // than the task heap writes fine (O(blockSize) memory — HFileCodec.write)
+        val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         try HFileCodec.write(cellsIt, os, blockSize) finally os.close()
-        Files.move(tmp, Paths.get(dir, name),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        val dst = new HPath(dir, name)
+        fs.delete(dst, false)
+        fs.rename(tmp, dst)
         Iterator.single(name)
       }
     }.collect().toSeq.sorted
@@ -85,17 +105,24 @@ object HFileOps {
     * reader has. (A whole-file `binaryFile` read held each region as one
     * byte array — 32 concurrent multi-hundred-MB humongous allocations
     * OOM'd an 8 GB heap at the 100M-row smoke scale.) The driver-side
-    * listing is one name per region — bounded, never data.
+    * listing is one name per region — bounded, never data — and resolves
+    * through the same Hadoop FileSystem as the write, so reads work
+    * against any shared filesystem.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val paths = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".hfile")).toSeq.sorted
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq.sorted
+    val serConf = new SerializableConfiguration(hadoopConf)
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
-        val in = new java.io.BufferedInputStream(
-          Files.newInputStream(Paths.get(p)), 1 << 16)
+        val path = new HPath(p)
+        val fs = path.getFileSystem(serConf.value)
+        val in = new java.io.BufferedInputStream(fs.open(path), 1 << 16)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         HFileCodec.readStreaming(in).map { c =>
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),

@@ -53,6 +53,20 @@ class DedupSpec extends SparkSuite {
     assert(together >= 45, s"only $together/50 planted pairs clustered together")
   }
 
+  test("mass-duplicate cluster larger than maxBucket stays one cluster") {
+    // 30 near-identical copies of one document (one appended token each,
+    // so every pair's Jaccard stays ≥ ~0.9) with maxBucket = 10: every
+    // band bucket the cluster lands in exceeds the cap, so without the
+    // hot-bucket star pairs the cluster would shatter into singletons.
+    val base = docs.where(col("doc_id") === 0).select("text").as[String].head()
+    val massDup = (0 until 30).map(i => (i.toLong, s"$base x$i")).toDF("doc_id", "text")
+    val sigs = DedupOps.signatures(massDup)
+    val pairs = DedupOps.candidatePairs(sigs, threshold = 0.6, maxBucket = 10)
+    val labels = DedupOps.clusters(pairs, massDup.select("doc_id"))
+    val nClusters = labels.select("cluster_id").distinct().count()
+    assert(nClusters == 1, s"mass-dup cluster shattered into $nClusters clusters")
+  }
+
   test("exact dedup idempotence: dedup(dedup(x)) = dedup(x)") {
     val once = docs.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min("doc_id").as("doc_id"))
