@@ -168,10 +168,27 @@ object DedupOps {
   }
 
   /** SimHash (64-bit): per-token hash votes ±1 per bit; the sign vector is
-    * the fingerprint. Near-dups = small Hamming distance. Pure HOF + one
-    * groupBy(doc) shuffle.
+    * the fingerprint. Near-dups = small Hamming distance. One partial/final
+    * aggregation through the typed [[graft.functions.SimHashAgg]] — fixed
+    * 64-int state per document instead of a collect_list of every token
+    * hash, so a pathologically long document can't blow a task heap and
+    * the vote loop is compiled, not an interpreted lambda chain.
     */
   def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val sim = udaf(new graft.functions.SimHashAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    toks.groupBy("doc_id").agg(sim(col("h")).as("simhash"))
+  }
+
+  /** The declarative HOF spelling of [[simhash]] — kept as the independent
+    * cross-check oracle for SimHashAgg (bit-equality pinned in DedupSpec);
+    * not on the production path (unbounded collect_list state).
+    */
+  private[graft] def simhashHof(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("tok"))
       .where(length(col("tok")) > 0)

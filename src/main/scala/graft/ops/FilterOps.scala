@@ -216,8 +216,28 @@ object FilterOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("qualifier").asc_nulls_last)
 
+  /** b20 — HBase ColumnPaginationFilter(limit=2, offset=1) [public:
+    * o.a.h.hbase.filter.ColumnPaginationFilter]: per row, after the
+    * standard latest-version read, return the 2nd and 3rd columns in
+    * qualifier order. Both windows partition on the row coordinate, so
+    * the whole op is one shuffle on rowkey at any scale.
+    */
+  val b20_column_pagination: Q = (s, d) => {
+    val latest = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("value"))
+    val page = Window.partitionBy("rowkey").orderBy(col("qualifier"))
+    Tables.cells(s, d)
+      .withColumn("rnv", row_number().over(latest)).where(col("rnv") === 1)
+      .withColumn("cpos", row_number().over(page))
+      .where(col("cpos").between(2, 3))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "b18_multi_range" -> b18_multi_range,
+    "b20_column_pagination" -> b20_column_pagination,
     "b19_fuzzy_rowkey" -> b19_fuzzy_rowkey,
     "b1_project" -> b1_project,
     "b2_filter_pred" -> b2_filter_pred,

@@ -21,6 +21,28 @@ object ScanOps {
       count(lit(1)).as("n"),
       dsum(col("l_quantity")).as("qsum"))
 
+  /** a2 — CSV sink + scan round-trip, oracle-anchored the same way a9
+    * anchors the HFile codec: write a lossless (integer/string) projection
+    * out as CSV, read it back with an explicit schema, and aggregate —
+    * the oracle computes the identical aggregate from the original
+    * parquet, so any write/read corruption breaks the hash. JSON
+    * round-trip is covered in MiscSpec (no deterministic float text).
+    */
+  val a2_csv_roundtrip: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING")
+      .option("header", "true").csv(dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("decimal(18,0)")).cast("long").as("keysum"))
+      .orderBy(col("o_orderstatus").asc_nulls_last,
+        col("o_orderpriority").asc_nulls_last)
+  }
+
   /** a4 — cells scan: per (cf, qualifier) cardinality over the KeyValue view. */
   val a4_cells_scan: Q = (s, d) =>
     Tables.cells(s, d)
@@ -106,6 +128,7 @@ object ScanOps {
 
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
+    "a2_csv_roundtrip" -> a2_csv_roundtrip,
     "a4_cells_scan" -> a4_cells_scan,
     "a5_bulkload_splits" -> a5_bulkload_splits,
     "a6_cells_asof" -> a6_cells_asof,

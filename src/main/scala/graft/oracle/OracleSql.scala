@@ -24,6 +24,11 @@ object OracleSql {
   val scans: Map[String, String] = Map(
     "a1_scan_parquet" ->
       s"SELECT count(*) AS n, ${dsum("l_quantity")} AS qsum FROM lineitem",
+    "a2_csv_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_orderkey AS DECIMAL(18,0))) AS BIGINT) AS keysum
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
     "a4_cells_scan" ->
       (cellsCte +
         """SELECT cf, qualifier, count(*) AS n FROM cells GROUP BY cf, qualifier
@@ -70,6 +75,18 @@ object OracleSql {
       (cellsCte +
         """SELECT qualifier, count(*) AS n FROM cells
           |WHERE rowkey LIKE '0000000000_7:%'
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    "b20_column_pagination" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n FROM
+          |  (SELECT rowkey, qualifier,
+          |          row_number() OVER (PARTITION BY rowkey ORDER BY qualifier) AS cpos
+          |   FROM (SELECT rowkey, cf, qualifier,
+          |                row_number() OVER (PARTITION BY rowkey, cf, qualifier
+          |                                   ORDER BY ts DESC, value) AS rnv
+          |         FROM cells)
+          |   WHERE rnv = 1)
+          |WHERE cpos BETWEEN 2 AND 3
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     "b1_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price

@@ -92,6 +92,14 @@ class DedupSpec extends SparkSuite {
     assert(self == 0)
   }
 
+  test("SimHashAgg equals the declarative HOF spelling bit-for-bit") {
+    val fast = DedupOps.simhash(docs.limit(40)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = DedupOps.simhashHof(docs.limit(40)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
   test("simhash blocking finds low-distance pairs") {
     val fp = DedupOps.simhash(planted)
     val pairs = DedupOps.simhashPairs(fp, maxHamming = 3)
