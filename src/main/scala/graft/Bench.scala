@@ -39,12 +39,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Per-query detail goes to a FILE, not stdout: the driver captures only
+    // a ~2 KB tail of stdout, and the 104-entry per-query map (~4 KB) was
+    // truncating the metric JSON mid-object in rounds 1 and 2
+    // ("parsed": null). The graded stdout line stays compact (<200 bytes).
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Stop Spark BEFORE printing the metric line so no shutdown logging can
     // interleave after it: the driver parses the last JSON-looking line of
-    // stdout (r1's BENCH had parsed:null because trailing build output
-    // followed the metric line).
+    // stdout.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalR = math.round(total * 1000.0) / 1000.0
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"sf":"$sfName","detail":"bench_detail.json"}""")
     System.out.flush()
   }
 }

@@ -55,16 +55,27 @@ object AnnOps {
 
   /** ANN top-k: probes and corpus hashed with the same tables; candidates
     * = bucket-collision pairs; exact cosine re-rank picks top-k.
+    *
+    * The multi-table union is deduped on the (pid, vec_id) ID PAIR ONLY —
+    * embeddings are re-joined by id afterwards, so the distinct's Exchange
+    * moves ~16 B/candidate instead of two full vectors (the same
+    * move-ids-not-payloads rule DedupOps applies to MinHash signatures).
+    * Probe embeddings re-attach via broadcast (probe batches are small by
+    * construction); corpus embeddings via an equi-join on vec_id, where
+    * the candidate side is the small one and AQE broadcasts it.
     */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
               nBits: Int = 12, tables: Int = 4): DataFrame = {
-    val cb = bucketed(corpus, nBits, tables)
+    val cb = bucketed(corpus, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
     val pb = bucketed(probes, nBits, tables)
-      .select(col("tbl"), col("key"), col("vec_id").as("pid"), col("embedding").as("p_emb"))
-    val cands = pb.join(cb, Seq("tbl", "key"))
+      .select(col("tbl"), col("key"), col("vec_id").as("pid"))
+    val candIds = pb.join(cb, Seq("tbl", "key"))
       .where(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id"), col("p_emb"), col("embedding"))
+      .select(col("pid"), col("vec_id"))
       .distinct()
+    val cands = candIds
+      .join(broadcast(probes.select(col("vec_id").as("pid"), col("embedding").as("p_emb"))), "pid")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
     val sims = cands.select(col("pid"), col("vec_id"),
       (TextOps.dotCol(col("p_emb"), col("embedding"))
         / (TextOps.l2Col(col("p_emb")) * TextOps.l2Col(col("embedding")))).as("sim"))
@@ -79,11 +90,18 @@ object AnnOps {
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                          nBits: Int = 10, tables: Int = 4): DataFrame = {
-    val b = bucketed(emb, nBits, tables)
-    val l = b.select(col("tbl"), col("key"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = b.select(col("tbl"), col("key"), col("vec_id").as("b"), col("embedding").as("eb"))
-    l.join(r, Seq("tbl", "key")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ea"), col("eb")).distinct()
+    // Dedup the multi-table candidate union on the (a, b) id pair only —
+    // the band self-join and the distinct's Exchange never carry vectors;
+    // embeddings re-attach by id after the pair set is small.
+    val b = bucketed(emb, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
+    val l = b.select(col("tbl"), col("key"), col("vec_id").as("a"))
+    val r = b.select(col("tbl"), col("key"), col("vec_id").as("b"))
+    val ids = l.join(r, Seq("tbl", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    ids
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"),
         (TextOps.dotCol(col("ea"), col("eb"))
           / (TextOps.l2Col(col("ea")) * TextOps.l2Col(col("eb")))).as("cos"))

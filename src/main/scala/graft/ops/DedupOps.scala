@@ -73,6 +73,14 @@ object DedupOps {
     * template-heavy synthetic data; the star form is linear in bucket
     * size.
     *
+    * Residual recall trade-off (documented, accepted): two docs that are
+    * near-dups of EACH OTHER but each below threshold against the hot
+    * bucket's representative, and that co-occur ONLY in hot buckets,
+    * produce no surviving candidate edge — that sub-cluster can shatter
+    * where the all-pairs form would have linked it. Pairs that co-occur
+    * in any cold bucket are unaffected, which is why multiple independent
+    * bands keep the expected loss small.
+    *
     * Shuffle discipline (the other smoke-measured lesson): the band
     * self-join moves ONLY (band, doc_id) — ~12 bytes a row — never the
     * 1 KB signatures; signatures are fetched by doc_id join for the

@@ -217,15 +217,20 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
 
   /** b20 — HBase ColumnPaginationFilter(limit=2, offset=1) [public:
-    * o.a.h.hbase.filter.ColumnPaginationFilter]: per row, after the
+    * o.a.h.hbase.filter.ColumnPaginationFilter]: per logical row, after the
     * standard latest-version read, return the 2nd and 3rd columns in
-    * qualifier order. Both windows partition on the row coordinate, so
-    * the whole op is one shuffle on rowkey at any scale.
+    * qualifier order. The logical row here is the user entity — the 12-char
+    * rowkey prefix — because the cells fixture keys every cell by
+    * user:event, so pagination at the full-rowkey grain would always see a
+    * single column (a vacuous page). Both windows partition on a prefix of
+    * the same rowkey, so the whole op is one shuffle on rowkey at any
+    * scale; rowkey tie-breaks the qualifier order for determinism.
     */
   val b20_column_pagination: Q = (s, d) => {
     val latest = Window.partitionBy("rowkey", "cf", "qualifier")
       .orderBy(col("ts").desc, col("value"))
-    val page = Window.partitionBy("rowkey").orderBy(col("qualifier"))
+    val page = Window.partitionBy(substring(col("rowkey"), 1, 12))
+      .orderBy(col("qualifier"), col("rowkey"))
     Tables.cells(s, d)
       .withColumn("rnv", row_number().over(latest)).where(col("rnv") === 1)
       .withColumn("cpos", row_number().over(page))

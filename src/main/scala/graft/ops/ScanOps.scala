@@ -29,8 +29,10 @@ object ScanOps {
     * round-trip is covered in MiscSpec (no deterministic float text).
     */
   val a2_csv_roundtrip: Q = (s, d) => {
+    // per-application token in the path: two concurrent runs over the same
+    // dataset must not overwrite each other's round-trip dir (ADVICE r2)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
     Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
       .write.mode("overwrite").option("header", "true").csv(dir)
     s.read
@@ -108,7 +110,7 @@ object ScanOps {
     */
   val a9_hfile_roundtrip: Q = (s, d) => {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hfile_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
     // region count sized from the data (~1M cells/region, min 4) — the
     // result is region-count-invariant, but task memory is not. cells is a
     // 1:1 projection of events, so the count comes from parquet metadata.

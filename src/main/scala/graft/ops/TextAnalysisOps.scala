@@ -24,9 +24,16 @@ object TextAnalysisOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una", "por", "con"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "pour", "que"))
 
+  /** Explicit whitespace class used for every tokenizer split: Java's \s
+    * includes vertical tab (\x0B) while DuckDB/RE2's does not, so the
+    * engine-defined class could hash-diverge on uncommon whitespace. The
+    * explicit class means the same thing in both engines (ADVICE r2).
+    */
+  val wsClass = "[ \\t\\n\\r\\f]+"
+
   /** Fraction of tokens that hit a given stopword list. */
   def stopwordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = split(lower(text), "\\s+")
+    val toks = split(lower(text), wsClass)
     size(filter(toks, t => t.isin(words: _*))).cast("double") /
       greatest(size(toks), lit(1))
   }
@@ -58,7 +65,7 @@ object TextAnalysisOps {
     * ratio) — the standard pre-training quality-filter feature set.
     */
   def qualityFeatures(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
+    val toks = split(lower(col("text")), wsClass)
     docs.select(col("doc_id"),
       length(col("text")).as("n_chars2"),
       (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
@@ -83,7 +90,7 @@ object TextAnalysisOps {
   // ---------------------------------------------------------------- tokens
 
   /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  def wsTokenCount(text: Column): Column = size(split(trim(text), wsClass))
 
   /** BPE-ish subword-regex token count: word pieces, numbers, punctuation
     * counted separately (the GPT-2 pre-tokenizer shape, simplified).

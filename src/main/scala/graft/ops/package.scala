@@ -18,6 +18,14 @@ package object ops {
     * whereas a DECIMAL output column renders scale-dependently
     * ("383775.00" vs "383775.0") across parquet readers — the r1 hash gate
     * failed exactly the queries whose decimal outputs had trailing zeros.
+    *
+    * Bound: "equal decimals convert to bit-equal doubles" is guaranteed
+    * while the unscaled sum stays within 2^53 (here: |sum| < ~9e13 at
+    * scale 2, i.e. ~9e11 in value). Beyond that, correctly-rounded
+    * BigDecimal→double (JVM) and decimal→double (DuckDB) can still differ
+    * in the last ulp after double rounding. All fixture SFs sit orders of
+    * magnitude below the bound; a driver that hashes at larger SFs should
+    * hash a rounded/decimal-string form instead.
     */
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).cast("double")

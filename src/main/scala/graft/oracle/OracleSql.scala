@@ -80,7 +80,8 @@ object OracleSql {
       (cellsCte +
         """SELECT qualifier, count(*) AS n FROM
           |  (SELECT rowkey, qualifier,
-          |          row_number() OVER (PARTITION BY rowkey ORDER BY qualifier) AS cpos
+          |          row_number() OVER (PARTITION BY substr(rowkey, 1, 12)
+          |                             ORDER BY qualifier, rowkey) AS cpos
           |   FROM (SELECT rowkey, cf, qualifier,
           |                row_number() OVER (PARTITION BY rowkey, cf, qualifier
           |                                   ORDER BY ts DESC, value) AS rnv
@@ -485,7 +486,7 @@ object OracleSql {
   val texts: Map[String, String] = Map(
     "j16_token_stats" ->
       """SELECT lang, count(*) AS n,
-        |       CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens
+        |       CAST(sum(CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens
         |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
     "j17_quality_features" ->
       """SELECT doc_id, length(text) AS n_chars2,
@@ -493,7 +494,7 @@ object OracleSql {
         |         / greatest(length(text), 1) AS alpha_ratio,
         |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
         |         / greatest(length(text), 1) AS punct_ratio,
-        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |       CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS INT) AS n_tokens
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id NULLS LAST""".stripMargin,
     "j1_dedup_exact" ->
       """SELECT count(*) AS kept FROM

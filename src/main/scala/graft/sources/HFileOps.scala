@@ -82,8 +82,18 @@ object HFileOps {
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         try HFileCodec.write(cellsIt, os, blockSize) finally os.close()
         val dst = new HPath(dir, name)
-        fs.delete(dst, false)
-        fs.rename(tmp, dst)
+        // Commit via a single atomic rename with OVERWRITE — Hadoop
+        // FileSystems report most failures by RETURNING FALSE, and a
+        // delete-then-rename pair both loses that signal and opens a window
+        // where a killed retry leaves the region file deleted but not
+        // replaced. FileContext.rename(OVERWRITE) is the atomic form.
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, serConf.value)
+        try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"bulkWrite: failed to commit $tmp -> $dst", e)
+        }
         Iterator.single(name)
       }
     }.collect().toSeq.sorted
