@@ -26,12 +26,16 @@ object MultimodalOps {
                           feature: Array[Double])
 
   /** Deterministic synthetic media table derived from documents — stands
-    * in for a real binary fixture (none ships in /root/testdata).
+    * in for a real binary fixture (none ships in /root/testdata). The
+    * payload is genuinely non-text binary: the document's UTF-8 bytes
+    * followed by the 32 raw bytes of its SHA-256 — so any byte-level
+    * corruption in a sink/scan roundtrip shifts the content hashes the
+    * j18 oracle checks.
     */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      concat(encode(col("text"), "UTF-8"), unhex(sha2(col("text"), 256))).as("payload"),
       struct(
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
@@ -70,14 +74,37 @@ object MultimodalOps {
       }
   }
 
-  /** Content-address + per-kind curation stats (all builtin, codegen'd). */
+  /** Content-address + per-kind curation stats (all builtin, codegen'd).
+    * The hash goes through `lower(hex(payload))` so both engines hash the
+    * same ASCII rendering (DuckDB's sha256 takes VARCHAR only, and the
+    * two engines disagree on hex casing).
+    */
   def mediaStats(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.kind").as("kind"),
       length(col("payload")).as("n_bytes"),
-      sha2(col("payload"), 256).as("content_hash"))
+      sha2(lower(hex(col("payload"))), 256).as("content_hash"))
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         sum("n_bytes").as("total_bytes"),
-        countDistinct("content_hash").as("distinct_payloads"))
+        countDistinct("content_hash").as("distinct_payloads"),
+        min("content_hash").as("min_hash"),
+        max("content_hash").as("max_hash"))
       .orderBy(asc_nulls_last("kind"))
+
+  /** j18 — the J12 surface under the DuckDB oracle gate: build the binary
+    * media table, round-trip it through a parquet sink/scan (binary column
+    * + metadata struct), and aggregate per-kind content-hash/size stats.
+    * The oracle recomputes the same stats from `documents` directly, so a
+    * single corrupted payload byte anywhere in the write/read path breaks
+    * the hash match. The decode stub stays out of the gate (no codec libs
+    * in this container — see [[decodeStub]]).
+    */
+  val j18_media_stats: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_media_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
+    mediaTable(graft.Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+    mediaStats(s.read.parquet(dir))
+  }
+
+  val queries: Map[String, Q] = Map("j18_media_stats" -> j18_media_stats)
 }

@@ -484,6 +484,19 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin)
 
   val texts: Map[String, String] = Map(
+    // j18 recomputes the media payload (utf8 bytes ++ raw sha256 bytes)
+    // independently from documents — hashing lower(hex(payload)) because
+    // DuckDB's sha256 is VARCHAR-only and hex casing differs per engine
+    "j18_media_stats" ->
+      """SELECT kind, count(*) AS n,
+        |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT sha256(lower(hex(payload)))) AS distinct_payloads,
+        |       min(sha256(lower(hex(payload)))) AS min_hash,
+        |       max(sha256(lower(hex(payload)))) AS max_hash
+        |FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |             encode(text) || unhex(sha256(text)) AS payload
+        |      FROM documents)
+        |GROUP BY kind ORDER BY kind NULLS LAST""".stripMargin,
     "j16_token_stats" ->
       """SELECT lang, count(*) AS n,
         |       CAST(sum(CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens

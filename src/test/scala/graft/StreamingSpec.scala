@@ -71,13 +71,20 @@ class StreamingSpec extends SparkSuite {
     // emission contract: final session state = max(n) per (user, start)
     val finalSessions = streamed.groupBy("user_id", "session_start")
       .agg(max("n").as("n"))
+    // EXACT row equality against the i4 oracle query's own output: i4
+    // numbers sessions ordinally per user in time order, so rank the
+    // streamed sessions by start the same way and the full
+    // (user_id, session_id, n) row sets must match — every session
+    // boundary and every per-session count, not just per-user aggregates.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val streamedRows = finalSessions
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select("user_id", "session_id", "n")
     val batch = ops.WindowOps.i4_window_session_batch(spark, sf)
-    val a = finalSessions.groupBy("user_id").agg(count(lit(1)).as("sessions"),
-      sum("n").as("events"))
-    val b = batch.groupBy("user_id").agg(count(lit(1)).as("sessions"),
-      sum("n").as("events"))
-    assert(a.collect().map(_.toString).sorted.sameElements(
-      b.collect().map(_.toString).sorted))
+      .select("user_id", "session_id", "n")
+    assert(streamedRows.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamedRows).isEmpty)
   }
 
   test("I8: stream-static join equals batch join") {
