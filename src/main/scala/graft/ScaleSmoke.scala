@@ -129,6 +129,12 @@ object ScaleSmoke {
         val emb = Tables.embeddings(spark, dir)
         ops.AnnOps.ivfTopK(spark, emb, emb.where(col("vec_id") < 10)).count()
       }),
+      "j9_lsh_ann_topk" -> (() => {
+        val emb = Tables.embeddings(spark, dir)
+        ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10)).count()
+      }),
+      "j9_lsh_neardup_pairs" -> (() =>
+        ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir)).count()),
       "fingerprint_winnow" -> (() =>
         // explode-count so the fingerprint arrays are actually computed
         // (count over a global agg can prune the aggregate's work)

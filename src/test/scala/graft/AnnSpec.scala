@@ -49,6 +49,31 @@ class AnnSpec extends SparkSuite {
     assert(ivf.groupBy("pid").count().where(col("count") > 5).count() == 0)
   }
 
+  test("LSH candidate shuffles move ids only, never embedding vectors") {
+    // The r2 audit found the candidate distinct dragging two 64-float
+    // arrays per pair through its Exchange; the fix dedups on the id pair
+    // and re-joins embeddings by id. Pin it: no shuffle anywhere in
+    // either ANN plan may carry an array column. (AQE hides exchanges
+    // inside leaf query stages, so assert on the static plan.)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probes = emb.where(col("vec_id") < 5)
+      for (df <- Seq(
+          AnnOps.annTopK(emb, probes, k = 5, nBits = 8, tables = 4),
+          AnnOps.cosineNearDupPairs(emb.select("vec_id", "embedding")))) {
+        val shuffled = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output
+        }
+        assert(shuffled.nonEmpty)
+        shuffled.foreach { attrs =>
+          assert(!attrs.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+            s"shuffle carries a vector column: ${attrs.map(a => a.name + ":" + a.dataType.simpleString)}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("hyperplane bucketing is deterministic") {
     val b1 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
     val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
