@@ -25,7 +25,10 @@ package object ops {
     * BigDecimal→double (JVM) and decimal→double (DuckDB) can still differ
     * in the last ulp after double rounding. All fixture SFs sit orders of
     * magnitude below the bound; a driver that hashes at larger SFs should
-    * hash a rounded/decimal-string form instead.
+    * hash a rounded/decimal-string form instead. The bound is empirically
+    * TIGHT: `tools/strictdiff.py --selftest-decimal` probes a magnitude
+    * ladder and finds DuckDB's scale-2 decimal→double cast diverging from
+    * correctly-rounded starting at unscaled 2^53+1, and never below.
     */
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).cast("double")
