@@ -30,30 +30,39 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // timed pass
+    // timed pass. A query that throws is recorded as -1 (NOT a near-zero
+    // wall-clock) so a crashed query can never read as a speedup; the
+    // compact line carries a failed count for the same reason.
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query detail goes to a FILE, not stdout: the driver captures only
     // a ~2 KB tail of stdout, and the 104-entry per-query map (~4 KB) was
     // truncating the metric JSON mid-object in rounds 1 and 2
     // ("parsed": null). The graded stdout line stays compact (<200 bytes).
-    val detailPath = java.nio.file.Paths.get("bench_detail.json")
-    java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Write-then-atomic-move so a concurrent reader never sees a torn file.
+    val detailBytes =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val detailTmp = java.nio.file.Paths.get(s"bench_detail.json.tmp")
+    java.nio.file.Files.write(detailTmp, detailBytes)
+    java.nio.file.Files.move(detailTmp, java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // Stop Spark BEFORE printing the metric line so no shutdown logging can
     // interleave after it: the driver parses the last JSON-looking line of
     // stdout.
     spark.stop()
     val totalR = math.round(total * 1000.0) / 1000.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"sf":"$sfName","detail":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfName","detail":"bench_detail.json"}""")
     System.out.flush()
   }
 }

@@ -131,10 +131,15 @@ object ScaleSmoke {
       }),
       "j9_lsh_ann_topk" -> (() => {
         val emb = Tables.embeddings(spark, dir)
-        ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10)).count()
+        // nBits scales with log2(corpus / target-bucket): fixed bucket
+        // count over a growing corpus makes every bucket join quadratic
+        val nBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
+        ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10), nBits = nBits).count()
       }),
-      "j9_lsh_neardup_pairs" -> (() =>
-        ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir)).count()),
+      "j9_lsh_neardup_pairs" -> (() => {
+        val nBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
+        ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir), nBits = nBits).count()
+      }),
       "fingerprint_winnow" -> (() =>
         // explode-count so the fingerprint arrays are actually computed
         // (count over a global agg can prune the aggregate's work)

@@ -53,6 +53,28 @@ object Tables {
     */
   def pad(c: Column): Column = lpad(c.cast("string"), 12, "0")
 
+  private val tmpCleanup = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Per-application scratch dir for sink/scan round-trip queries: the
+    * applicationId keeps concurrent runs from clobbering each other, and a
+    * once-per-dir JVM shutdown hook deletes it so repeated verify/bench
+    * runs don't accumulate table copies in java.io.tmpdir.
+    */
+  def appTmpDir(s: SparkSession, prefix: String, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
+    if (tmpCleanup.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del))
+          f.delete(); ()
+        }
+        del(new java.io.File(dir))
+      }))
+    }
+    dir
+  }
+
   /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style
     * cell per event. `op` synthesizes delete tombstones deterministically.
     * rowkey = user:event so the key space is dense and range-scannable.

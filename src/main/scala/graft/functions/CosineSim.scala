@@ -105,6 +105,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => LshBands(GraftFnArgs.exact(LshBands.name, es, 3).head,
         GraftFnArgs.intLit(LshBands.name, es, 1),
         GraftFnArgs.intLit(LshBands.name, es, 2))))
+    ext.injectFunction((FunctionIdentifier(HyperplaneKeys.name),
+      new ExpressionInfo(classOf[HyperplaneKeys].getName, HyperplaneKeys.name),
+      (es: Seq[Expression]) => HyperplaneKeys(
+        GraftFnArgs.exact(HyperplaneKeys.name, es, 3).head,
+        GraftFnArgs.intLit(HyperplaneKeys.name, es, 1),
+        GraftFnArgs.intLit(HyperplaneKeys.name, es, 2))))
     ext.injectFunction((FunctionIdentifier(JaccardSim.name),
       new ExpressionInfo(classOf[JaccardSim].getName, JaccardSim.name),
       (es: Seq[Expression]) => {

@@ -37,21 +37,31 @@ object AnnOps {
     * P(bit match) = 1 - angle/π, so close vectors collide with high
     * probability. `table` offsets the plane ids so each hash table draws
     * independent hyperplanes.
+    *
+    * This is the REFERENCE spelling (interpreted HOF lambdas — tables ×
+    * nBits × dim closure dispatches per row); the hot path is the
+    * bit-identical native [[graft.functions.HyperplaneKeys]] expression
+    * used by [[bucketed]], equality-pinned in AnnSpec.
     */
-  def hyperplaneKey(emb: Column, nBits: Int, dim: Int, table: Column): Column =
+  private[graft] def hyperplaneKeyHof(emb: Column, nBits: Int, dim: Int, table: Column): Column =
     aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
       (acc, p) => acc * 2 + planeBit(emb, p + table * 1024, dim))
 
   /** Corpus bucketed under `tables` independent hash tables (standard
     * multi-table LSH: a pair is a candidate if it collides in ANY table).
+    * Keys come from the native codegen'd `graft_hyperplane_keys` — one
+    * fused loop per row instead of tables × nBits × dim interpreted
+    * lambdas (the 1000× smoke measured the HOF bucketing dominating the
+    * whole near-dup pipeline at 200k vectors).
     */
-  def bucketed(emb: DataFrame, nBits: Int = 12, tables: Int = 4): DataFrame =
+  def bucketed(emb: DataFrame, nBits: Int = 12, tables: Int = 4): DataFrame = {
+    graft.functions.HyperplaneKeys.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding"),
-      explode(transform(sequence(lit(0), lit(tables - 1)),
-        t => struct(t.as("tbl"),
-          hyperplaneKey(col("embedding"), nBits, 64, t).as("key")))).as("bkt"))
+      posexplode(call_function(graft.functions.HyperplaneKeys.name,
+        col("embedding"), lit(nBits), lit(tables))))
       .select(col("vec_id"), col("embedding"),
-        col("bkt.tbl").as("tbl"), col("bkt.key").as("key"))
+        col("pos").as("tbl"), col("col").as("key"))
+  }
 
   /** ANN top-k: probes and corpus hashed with the same tables; candidates
     * = bucket-collision pairs; exact cosine re-rank picks top-k.
@@ -76,9 +86,13 @@ object AnnOps {
     val cands = candIds
       .join(broadcast(probes.select(col("vec_id").as("pid"), col("embedding").as("p_emb"))), "pid")
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    // native codegen'd cosine (bit-identical to the HOF spelling per
+    // CosineSimSpec) — the re-rank runs over every candidate pair, so the
+    // interpreted zip_with/aggregate form dominates at corpus scale
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val sims = cands.select(col("pid"), col("vec_id"),
-      (TextOps.dotCol(col("p_emb"), col("embedding"))
-        / (TextOps.l2Col(col("p_emb")) * TextOps.l2Col(col("embedding")))).as("sim"))
+      call_function(graft.functions.CosineSim.name,
+        col("p_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("pid", "vec_id", "rn", "sim")
@@ -89,22 +103,44 @@ object AnnOps {
     * pipeline.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
-                         nBits: Int = 10, tables: Int = 4): DataFrame = {
+                         nBits: Int = 10, tables: Int = 4,
+                         maxBucket: Int = 200): DataFrame = {
     // Dedup the multi-table candidate union on the (a, b) id pair only —
     // the band self-join and the distinct's Exchange never carry vectors;
     // embeddings re-attach by id after the pair set is small.
+    //
+    // `maxBucket` is the same LSH skew guard DedupOps.candidatePairs
+    // applies: with fixed nBits a growing corpus packs O(n/2^nBits)
+    // vectors per bucket and the self-join goes quadratic (the 1000×
+    // smoke measured 184 s at 200k uniform vectors — every bucket ~195
+    // members). Buckets above the cap contribute an O(B) star to their
+    // min-vec_id representative instead of O(B²) pairs: genuine
+    // mass-duplicate clusters stay connected through the representative
+    // while undiscriminating buckets die cheaply in the cosine filter.
+    // Same residual-recall trade-off as DedupOps (documented there).
     val b = bucketed(emb, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
-    val l = b.select(col("tbl"), col("key"), col("vec_id").as("a"))
-    val r = b.select(col("tbl"), col("key"), col("vec_id").as("b"))
-    val ids = l.join(r, Seq("tbl", "key")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val sizes = b.groupBy("tbl", "key")
+      .agg(count(lit(1)).as("bn"), min("vec_id").as("rep"))
+    val hot = sizes.where(col("bn") > maxBucket).select("tbl", "key", "rep")
+    val cold = b.join(broadcast(hot.select("tbl", "key")), Seq("tbl", "key"), "left_anti")
+    val l = cold.select(col("tbl"), col("key"), col("vec_id").as("a"))
+    val r = cold.select(col("tbl"), col("key"), col("vec_id").as("b"))
+    val coldPairs = l.join(r, Seq("tbl", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    // rep = min vec_id of the bucket, so rep < vec_id and (a, b) ordering
+    // holds by construction
+    val hotPairs = b.join(broadcast(hot), Seq("tbl", "key"))
+      .where(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("vec_id").as("b"))
+    val ids = coldPairs.union(hotPairs).distinct()
     val e = emb.select(col("vec_id"), col("embedding"))
+    graft.functions.CosineSim.register(emb.sparkSession)
     ids
       .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"),
-        (TextOps.dotCol(col("ea"), col("eb"))
-          / (TextOps.l2Col(col("ea")) * TextOps.l2Col(col("eb")))).as("cos"))
+        call_function(graft.functions.CosineSim.name,
+          col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -159,11 +195,14 @@ object AnnOps {
       .where(col("pr") <= nProbe).select("pid", "p_emb", "cell")
 
     // candidates from the probed cells only, exact cosine re-rank
+    // (native graft_cosine — the re-rank touches nProbe/nlist of the
+    // corpus per probe, far too many pairs for interpreted HOF lambdas)
+    graft.functions.CosineSim.register(spark)
     val cands = probeCells.join(assigned, "cell")
       .where(col("vec_id") =!= col("pid"))
     val sims = cands.select(col("pid"), col("vec_id"),
-      (TextOps.dotCol(col("p_emb"), col("embedding"))
-        / (TextOps.l2Col(col("p_emb")) * TextOps.l2Col(col("embedding")))).as("sim"))
+      call_function(graft.functions.CosineSim.name,
+        col("p_emb"), col("embedding")).as("sim"))
     val wr = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(wr)).where(col("rn") <= k)
       .select("pid", "vec_id", "rn", "sim")

@@ -222,8 +222,10 @@ object FilterOps {
     * qualifier order. The logical row here is the user entity — the 12-char
     * rowkey prefix — because the cells fixture keys every cell by
     * user:event, so pagination at the full-rowkey grain would always see a
-    * single column (a vacuous page). Both windows partition on a prefix of
-    * the same rowkey, so the whole op is one shuffle on rowkey at any
+    * single column (a vacuous page). Two window shuffles — the version
+    * window hashes the full cell coordinate, the pagination window the
+    * 12-char user prefix (hash-clustering on the fine key does not
+    * satisfy the coarse one) — both on bounded per-user partitions at any
     * scale; rowkey tie-breaks the qualifier order for determinism.
     */
   val b20_column_pagination: Q = (s, d) => {

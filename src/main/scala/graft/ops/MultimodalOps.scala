@@ -100,8 +100,7 @@ object MultimodalOps {
     * in this container — see [[decodeStub]]).
     */
   val j18_media_stats: Q = (s, d) => {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_media_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
+    val dir = graft.Tables.appTmpDir(s, "graft_media", d)
     mediaTable(graft.Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
     mediaStats(s.read.parquet(dir))
   }

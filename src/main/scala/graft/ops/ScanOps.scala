@@ -29,10 +29,9 @@ object ScanOps {
     * round-trip is covered in MiscSpec (no deterministic float text).
     */
   val a2_csv_roundtrip: Q = (s, d) => {
-    // per-application token in the path: two concurrent runs over the same
-    // dataset must not overwrite each other's round-trip dir (ADVICE r2)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
+    // per-application dir with shutdown cleanup: concurrent runs never
+    // collide, and repeated runs don't leak CSV copies (ADVICE r2)
+    val dir = Tables.appTmpDir(s, "graft_csv", d)
     Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
       .write.mode("overwrite").option("header", "true").csv(dir)
     s.read
@@ -109,8 +108,7 @@ object ScanOps {
     * java.io.tmpdir, one region file per executor partition.
     */
   val a9_hfile_roundtrip: Q = (s, d) => {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hfile_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
+    val dir = Tables.appTmpDir(s, "graft_hfile", d)
     // region count sized from the data (~1M cells/region, min 4) — the
     // result is region-count-invariant, but task memory is not. cells is a
     // 1:1 projection of events, so the count comes from parquet metadata.

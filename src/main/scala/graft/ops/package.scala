@@ -20,8 +20,8 @@ package object ops {
     * failed exactly the queries whose decimal outputs had trailing zeros.
     *
     * Bound: "equal decimals convert to bit-equal doubles" is guaranteed
-    * while the unscaled sum stays within 2^53 (here: |sum| < ~9e13 at
-    * scale 2, i.e. ~9e11 in value). Beyond that, correctly-rounded
+    * while the unscaled sum stays within 2^53 ≈ 9.0e15 (at scale 2 that
+    * is a summed VALUE below ~9.0e13). Beyond that, correctly-rounded
     * BigDecimal→double (JVM) and decimal→double (DuckDB) can still differ
     * in the last ulp after double rounding. All fixture SFs sit orders of
     * magnitude below the bound; a driver that hashes at larger SFs should

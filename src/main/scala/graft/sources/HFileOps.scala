@@ -82,11 +82,15 @@ object HFileOps {
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         try HFileCodec.write(cellsIt, os, blockSize) finally os.close()
         val dst = new HPath(dir, name)
-        // Commit via a single atomic rename with OVERWRITE — Hadoop
-        // FileSystems report most failures by RETURNING FALSE, and a
-        // delete-then-rename pair both loses that signal and opens a window
-        // where a killed retry leaves the region file deleted but not
-        // replaced. FileContext.rename(OVERWRITE) is the atomic form.
+        // Commit via FileContext.rename(OVERWRITE): Hadoop FileSystems
+        // report most failures by RETURNING FALSE, and the previous
+        // delete-then-rename pair lost that signal entirely. rename(OVERWRITE)
+        // raises on failure everywhere, and is a single atomic operation on
+        // filesystems that provide one (HDFS). On file:// the local
+        // AbstractFileSystem still implements overwrite as delete+rename
+        // internally, so the kill window narrows but does not vanish there —
+        // acceptable for the local smoke; the production target is a
+        // shared FS with atomic rename.
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
           dst.toUri, serConf.value)
         try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)

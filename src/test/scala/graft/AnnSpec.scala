@@ -74,6 +74,23 @@ class AnnSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("native hyperplane keys are bit-identical to the HOF reference spelling") {
+    import org.apache.spark.sql.functions.{call_function, lit, posexplode, sequence, transform, struct, explode}
+    graft.functions.HyperplaneKeys.register(spark)
+    val nBits = 12; val tables = 4
+    val sample = emb.limit(100)
+    val native = sample.select(col("vec_id"),
+      posexplode(call_function(graft.functions.HyperplaneKeys.name,
+        col("embedding"), lit(nBits), lit(tables))))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("key"))
+    val hof = sample.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(tables - 1)),
+        t => struct(t.as("tbl"),
+          ops.AnnOps.hyperplaneKeyHof(col("embedding"), nBits, 64, t).as("key")))).as("bkt"))
+      .select(col("vec_id"), col("bkt.tbl").as("tbl"), col("bkt.key").as("key"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("hyperplane bucketing is deterministic") {
     val b1 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
     val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
