@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => LshBands(GraftFnArgs.exact(LshBands.name, es, 3).head,
         GraftFnArgs.intLit(LshBands.name, es, 1),
         GraftFnArgs.intLit(LshBands.name, es, 2))))
+    ext.injectFunction((FunctionIdentifier(SigAgree.name),
+      new ExpressionInfo(classOf[SigAgree].getName, SigAgree.name),
+      (es: Seq[Expression]) => {
+        GraftFnArgs.exact(SigAgree.name, es, 2); SigAgree(es(0), es(1))
+      }))
     ext.injectFunction((FunctionIdentifier(HyperplaneKeys.name),
       new ExpressionInfo(classOf[HyperplaneKeys].getName, HyperplaneKeys.name),
       (es: Seq[Expression]) => HyperplaneKeys(

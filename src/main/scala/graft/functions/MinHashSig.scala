@@ -85,6 +85,54 @@ object MinHashSig {
         GraftFnArgs.intLit(name, es, 1)), "internal")
 }
 
+/** Native signature agreement: `graft_sig_agree(a, b)` = fraction of
+  * positions where two equal-length `array<bigint>` MinHash signatures
+  * agree — the estimated-Jaccard verify step that runs once per LSH
+  * candidate pair. The HOF spelling
+  * (`size(filter(zip_with(a,b,==), id)) / size(a)`) dispatches three
+  * interpreted lambdas per signature position per pair; this is one
+  * compiled loop, value-identical (exact integer count, one IEEE
+  * division — SigAgreeProps pins it).
+  */
+case class SigAgree(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = SigAgree.name
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgree.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigAgree.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgree {
+
+  val name = "graft_sig_agree"
+
+  def agree(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c.toDouble / n
+  }
+
+  /** Runtime registration on an existing session (test/driver path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      es => { GraftFnArgs.exact(name, es, 2); SigAgree(es(0), es(1)) },
+      "internal")
+}
+
 /** Native LSH band keys: `graft_lsh_bands(sig, bands, rows)` maps a
   * MinHash signature (`array<bigint>`, length ≥ bands·rows) to one 64-bit
   * key per band — the band index folded into the hash, so a single long

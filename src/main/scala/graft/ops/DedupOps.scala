@@ -45,14 +45,24 @@ object DedupOps {
   def bandsOf(sig: Column, bands: Int, rows: Int): Column =
     call_function(graft.functions.LshBands.name, sig, lit(bands), lit(rows))
 
-  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  /** Estimated Jaccard = fraction of agreeing signature positions —
+    * native [[graft.functions.SigAgree]] (runs once per candidate pair;
+    * the interpreted zip_with/filter spelling is kept only as
+    * [[sigSimilarityHof]], the SigAgreeProps test reference).
+    */
   def sigSimilarity(a: Column, b: Column): Column =
+    call_function(graft.functions.SigAgree.name, a, b)
+
+  /** HOF reference spelling of [[sigSimilarity]] (test oracle only). */
+  private[graft] def sigSimilarityHof(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), id => id)).cast("double") / size(a)
 
   /** Signatures for every document: (doc_id, sig). */
   def signatures(docs: DataFrame, k: Int = 5, n: Int = 128): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
     graft.functions.MinHashSig.register(docs.sparkSession)
+    // downstream est_jaccard over these sigs resolves graft_sig_agree
+    graft.functions.SigAgree.register(docs.sparkSession)
     docs.select(col("doc_id"), minhashSig(shingles(col("text"), k), n).as("sig"))
   }
 
@@ -90,6 +100,7 @@ object DedupOps {
   def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4,
                      threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
     graft.functions.LshBands.register(sigs.sparkSession)
+    graft.functions.SigAgree.register(sigs.sparkSession)
     val allBanded = sigs.select(col("doc_id"),
       explode(bandsOf(col("sig"), bands, rows)).as("bnd"))
     val hot = allBanded.groupBy("bnd")

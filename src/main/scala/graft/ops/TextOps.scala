@@ -176,8 +176,8 @@ object TextOps {
     * |A∩B| and sizes into one IEEE division, so the value is
     * bit-identical to the per-pair `graft_jaccard` spelling (A/B-checked
     * with exceptAll = 0), but the work is one broadcast hash join plus a
-    * partial-aggregated count instead of 50k hash-set builds — measured
-    * 2.2× faster at sf0.1, and the join/agg shape is the one that scales.
+    * partial-aggregated count instead of 50k hash-set builds — 2.77 s →
+    * 2.20 s at sf0.1, and the join/agg shape is the one that scales.
     * Zero-intersection pairs are restored by a left join from the full
     * (probe × doc) ID grid (narrow rows — two longs and two ints), so a
     * probe sharing shingles with fewer than 5 documents still ranks

@@ -189,6 +189,28 @@ object LshBandsProps extends Properties("LshBands") {
     }
 }
 
+/** Native signature agreement (functions/SigAgree) vs direct position
+  * count on arbitrary equal-length long arrays — the est_jaccard verify
+  * step of MinHash LSH.
+  */
+object SigAgreeProps extends Properties("SigAgree") {
+
+  private val pairGen: Gen[(Array[Long], Array[Long])] = for {
+    n <- Gen.chooseNum(1, 128)
+    a <- Gen.listOfN(n, Gen.chooseNum(0L, 7L))
+    b <- Gen.listOfN(n, Gen.chooseNum(0L, 7L))
+  } yield (a.toArray, b.toArray)
+
+  property("equals fraction of agreeing positions, and the HOF formula") =
+    forAll(pairGen) { case (a, b) =>
+      val native = graft.functions.SigAgree.agree(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      val c = a.indices.count(i => a(i) == b(i))
+      native == c.toDouble / a.length
+    }
+}
+
 /** Native Jaccard (functions/JaccardSim) vs set arithmetic on arbitrary
   * distinct string arrays.
   */
