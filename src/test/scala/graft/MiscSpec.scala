@@ -21,6 +21,33 @@ class MiscSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("j14 pads deficient probes with jaccard-0 pairs like the oracle's cross join") {
+    import spark.implicits._
+    // 7 docs: 0 and 1 are identical (jaccard 1.0); 2..6 share no shingles
+    // with anything. Every doc_id < 10 is a probe, so every probe has at
+    // most 1 intersecting partner and MUST be padded to 5 rows with the
+    // lowest-doc_id zero pairs — the sparse-corpus path no fixture SF
+    // exercises.
+    val dir = Files.createTempDirectory("graft_j14pad").toString
+    Seq(
+      (0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "kkkkkkkkkk"),
+      (3L, "llllllllll"), (4L, "mmmmmmmmmm"), (5L, "nnnnnnnnnn"),
+      (6L, "oooooooooo"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.TextOps.j14_dedup_ngram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 7 * 5, s"expected 35 rows, got ${rows.length}")
+    // probe 0: identical doc 1 first, then zero pairs in doc_id order
+    assert(rows.filter(_._1 == 0L).sortBy(_._3).toSeq == Seq(
+      (0L, 1L, 1, 1.0), (0L, 2L, 2, 0.0), (0L, 3L, 3, 0.0),
+      (0L, 4L, 4, 0.0), (0L, 5L, 5, 0.0)))
+    // probe 2 intersects nothing: pure zero padding by doc_id
+    assert(rows.filter(_._1 == 2L).sortBy(_._3).toSeq == Seq(
+      (2L, 0L, 1, 0.0), (2L, 1L, 2, 0.0), (2L, 3L, 3, 0.0),
+      (2L, 4L, 4, 0.0), (2L, 5L, 5, 0.0)))
+  }
+
   test("A2: ORC round-trip preserves data") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Tables.supplier(spark, sf)
