@@ -102,6 +102,23 @@ class HFileSpec extends SparkSuite {
     }
   }
 
+  test("bulk write surfaces a failed region-file commit instead of dropping it") {
+    // occupy the destination name with a NON-EMPTY DIRECTORY: rename
+    // (even with OVERWRITE) cannot replace it, and before round 3 the
+    // ignored boolean return silently produced a partial table
+    val dir = tmpDir("commitfail")
+    val dst = dir.resolve("region-00000.hfile")
+    Files.createDirectories(dst)
+    Files.write(dst.resolve("occupant"), Array[Byte](1, 2, 3))
+    val ex = intercept[Exception] {
+      HFileOps.bulkWrite(Tables.cells(spark, sf), dir.toString, regions = 1)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
+    assert(chain(ex).exists(m => m.contains("commit") || m.contains("rename")),
+      s"expected a commit failure in the cause chain, got: ${chain(ex).mkString(" | ")}")
+  }
+
   test("a9 oracle query: round-trip aggregate equals the same aggregate on the source") {
     val viaHfile = ops.ScanOps.a9_hfile_roundtrip(spark, sf)
     val direct = Tables.cells(spark, sf)
