@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: corpus side is hashed once and written bucket-partitioned
   * (one shuffle); each probe batch touches only matching buckets —
-  * multi-probe (flipping low-confidence bits) trades recall for bucket
-  * fan-out without rehashing the corpus.
+  * multi-probe ([[annTopK]]'s `multiProbe` knob: probing Hamming-1
+  * neighbor buckets) trades recall for bucket fan-out without rehashing
+  * the corpus.
   */
 object AnnOps {
 
@@ -73,12 +74,41 @@ object AnnOps {
     * Probe embeddings re-attach via broadcast (probe batches are small by
     * construction); corpus embeddings via an equi-join on vec_id, where
     * the candidate side is the small one and AQE broadcasts it.
+    *
+    * `multiProbe` = m > 0 additionally probes, per table, the m buckets
+    * at Hamming distance 1 from the probe's own bucket (one sign bit
+    * flipped) — the standard multi-probe LSH recall/fan-out trade: more
+    * candidate buckets per probe WITHOUT rehashing or re-shuffling the
+    * corpus, exactly the knob a 100 TB corpus wants turned instead of
+    * more hash tables. Hyperplanes are iid, so which m planes get
+    * flipped is statistically immaterial; we flip the first m (a
+    * margin-ranked variant would flip the lowest-|dot| planes, at the
+    * cost of carrying per-plane margins). Probe-side fan-out only: the
+    * corpus stays bucketed once.
     */
-  def annTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
-              nBits: Int = 12, tables: Int = 4): DataFrame = {
-    val cb = bucketed(corpus, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
-    val pb = bucketed(probes, nBits, tables)
+  /** Probe-side bucket keys: the probe's own bucket per table, plus (for
+    * multiProbe = m > 0) the m buckets at Hamming distance 1 — mask 0
+    * keeps the base bucket, mask (1 << (nBits-1-p)) flips plane p (plane
+    * 0 is the MSB of the packed key). Probe-side fan-out only; the
+    * corpus stays bucketed once.
+    */
+  private[graft] def probeBuckets(probes: DataFrame, nBits: Int, tables: Int,
+                                  multiProbe: Int): DataFrame = {
+    val pbBase = bucketed(probes, nBits, tables)
       .select(col("tbl"), col("key"), col("vec_id").as("pid"))
+    if (multiProbe <= 0) pbBase
+    else {
+      val masks = array((lit(0L) +:
+        (0 until math.min(multiProbe, nBits)).map(p => lit(1L << (nBits - 1 - p)))): _*)
+      pbBase.select(col("tbl"), col("pid"),
+        explode(transform(masks, m => col("key").bitwiseXOR(m))).as("key"))
+    }
+  }
+
+  def annTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
+              nBits: Int = 12, tables: Int = 4, multiProbe: Int = 0): DataFrame = {
+    val cb = bucketed(corpus, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
+    val pb = probeBuckets(probes, nBits, tables, multiProbe)
     val candIds = pb.join(cb, Seq("tbl", "key"))
       .where(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"))

@@ -74,6 +74,34 @@ class AnnSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("multi-probe expands the candidate set, never shrinks recall") {
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = TextOps.j8_sim_topk(spark, sf).select("pid", "vec_id")
+    val cb = AnnOps.bucketed(emb, 6, 2).select("tbl", "key", "vec_id")
+    def cands(multiProbe: Int) =
+      AnnOps.probeBuckets(probes, 6, 2, multiProbe)
+        .join(cb, Seq("tbl", "key")).where(col("vec_id") =!= col("pid"))
+        .select("pid", "vec_id").distinct()
+    val plainC = cands(0); val multiC = cands(6)
+    // strict superset: every single-probe candidate survives, new ones appear
+    assert(plainC.exceptAll(multiC).isEmpty, "multi-probe lost a candidate")
+    assert(multiC.count() > plainC.count(), "multi-probe added no candidates")
+    // recall is monotone in the candidate set (exact re-rank of a superset);
+    // the uniform fixture's neighbors sit at ~90 deg — many sign bits away —
+    // so Hamming-1 probing may not RAISE recall here (AnnSpec's standing
+    // caveat); clustered corpora are where the knob pays
+    val rPlain = AnnOps.recallAtK(
+      AnnOps.annTopK(emb, probes, k = 5, nBits = 6, tables = 2)
+        .select("pid", "vec_id"), exact)
+    val rMulti = AnnOps.recallAtK(
+      AnnOps.annTopK(emb, probes, k = 5, nBits = 6, tables = 2, multiProbe = 6)
+        .select("pid", "vec_id"), exact)
+    assert(rMulti >= rPlain, s"multi-probe recall $rMulti < single-probe $rPlain")
+    // fan-out is probe-side only and bounded: still at most k rows per probe
+    val multi = AnnOps.annTopK(emb, probes, k = 5, nBits = 6, tables = 2, multiProbe = 6)
+    assert(multi.groupBy("pid").count().where(col("count") > 5).count() == 0)
+  }
+
   test("native hyperplane keys are bit-identical to the HOF reference spelling") {
     import org.apache.spark.sql.functions.{call_function, lit, posexplode, sequence, transform, struct, explode}
     graft.functions.HyperplaneKeys.register(spark)
