@@ -140,6 +140,9 @@ object ScaleSmoke {
         val nBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
         ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir), nBits = nBits).count()
       }),
+      "curate_pipeline_e2e" -> (() =>
+        // quality gate -> exact dedup -> near-dup dedup, one composition
+        ops.CurateOps.curate(Tables.documents(spark, dir)).count()),
       "fingerprint_winnow" -> (() =>
         // explode-count so the fingerprint arrays are actually computed
         // (count over a global agg can prune the aggregate's work)
