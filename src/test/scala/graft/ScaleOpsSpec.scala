@@ -70,6 +70,45 @@ class ScaleOpsSpec extends SparkSuite {
     assert(ScaleOps.bucketedJoin(spark, "c_bkt", "o_bkt", "c_custkey").count() == expect)
   }
 
+  test("z-order layout localizes both dimensions; a user-sorted layout cannot") {
+    import java.nio.file.Files
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    // layout A: classic single-dimension sort (by user)
+    val userDir = Files.createTempDirectory("graft_zorder_user").toString
+    ev.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id", "ts")
+      .write.mode("overwrite").parquet(userDir)
+    // layout B: z-order over (user_id, ts)
+    val zDir = Files.createTempDirectory("graft_zorder_z").toString
+    ScaleOps.zorderWrite(ev, zDir, "user_id", "ts", bits = 12, partitions = 16)
+    // same data either way
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == ev.count())
+    assert(back.agg(sum("event_id")).head.getLong(0)
+      == ev.agg(sum("event_id")).head.getLong(0))
+    // a narrow TIME range: every user emits events across the whole time
+    // span, so the user-sorted layout scatters the range over ~all files;
+    // the z-curve confines it to the files whose ts-rectangle intersects
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).where(pred)
+        .select(input_file_name()).distinct().count()
+    val Array(r) = ev.agg(min("ts"), max("ts")).collect()
+    val (tLo, tHi) = (r.getLong(0), r.getLong(1))
+    val cut = tLo + (tHi - tLo) / 20 // lowest 5% of the time range
+    val tsPred = col("ts") <= cut
+    val userFiles = filesTouched(userDir, tsPred)
+    val zFiles = filesTouched(zDir, tsPred)
+    assert(userFiles >= 14, s"user-sorted layout unexpectedly pruned: $userFiles")
+    assert(zFiles * 2 <= userFiles,
+      s"z-order did not localize the time range: $zFiles vs $userFiles files")
+    // ...while a USER range still localizes on the z layout too (a
+    // rectangle, not a stripe): far fewer than all files
+    val Array(u) = ev.agg(min("user_id"), max("user_id")).collect()
+    val uCut = u.getLong(0) + (u.getLong(1) - u.getLong(0)) / 20
+    val zUserFiles = filesTouched(zDir, col("user_id") <= uCut)
+    assert(zUserFiles * 2 <= 16, s"z-order lost user locality: $zUserFiles of 16 files")
+  }
+
   test("distributed ntile equals the global-window ntile bit for bit") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, sf)
