@@ -127,7 +127,11 @@ object ScaleSmoke {
         ops.DedupOps.minhashDedup(spark, dir).count()),
       "j9_ivf_build_probe" -> (() => {
         val emb = Tables.embeddings(spark, dir)
-        ops.AnnOps.ivfTopK(spark, emb, emb.where(col("vec_id") < 10)).count()
+        // quantizer trains on a bounded ~20k-vector sample at any corpus
+        // size; assignment still covers the full corpus
+        val frac = math.min(1.0, 20000.0 / nVecs)
+        ops.AnnOps.ivfTopK(spark, emb, emb.where(col("vec_id") < 10),
+          trainFraction = frac).count()
       }),
       "j9_lsh_ann_topk" -> (() => {
         val emb = Tables.embeddings(spark, dir)

@@ -197,15 +197,22 @@ object AnnOps {
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
               k: Int = 5, nlist: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
 
     val feats = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
+    // the quantizer only needs a representative sample — at large corpus
+    // sizes training on everything is the bottleneck (and at 100 TB a
+    // non-starter); the full corpus is still ASSIGNED to cells below, so
+    // search quality degrades only as far as centroid placement does.
+    // Seeded sample keeps the whole operator deterministic.
+    val train = if (trainFraction >= 1.0) feats
+                else feats.sample(withReplacement = false, trainFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(feats)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val assigned = model.transform(feats).select(col("vec_id"), col("embedding"), col("cell"))
 
     // centroids: nlist rows, broadcastable by construction

@@ -119,6 +119,20 @@ class AnnSpec extends SparkSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("IVF with sampled quantizer training keeps recall") {
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = TextOps.j8_sim_topk(spark, sf).select("pid", "vec_id")
+    val ivf = AnnOps.ivfTopK(spark, emb, probes, k = 5, nlist = 16, nProbe = 8,
+      trainFraction = 0.3)
+    val recall = AnnOps.recallAtK(ivf.select("pid", "vec_id"), exact)
+    assert(recall >= 0.6, s"sampled-training IVF recall@5 = $recall")
+    // deterministic: the seeded sample gives the same centroids every run
+    val again = AnnOps.ivfTopK(spark, emb, probes, k = 5, nlist = 16, nProbe = 8,
+      trainFraction = 0.3)
+    assert(ivf.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+
   test("hyperplane bucketing is deterministic") {
     val b1 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
     val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
