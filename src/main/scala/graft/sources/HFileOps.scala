@@ -76,7 +76,7 @@ object HFileOps {
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
         val name = f"region-$pid%05d.hfile"
-        val tmp = new HPath(dir, s".$name.${TaskContext.get.taskAttemptId}.tmp")
+        val tmp = new HPath(dir, s".$name.${TaskContext.get().taskAttemptId()}.tmp")
         // stream the codec straight to the filesystem: a region file bigger
         // than the task heap writes fine (O(blockSize) memory — HFileCodec.write)
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
