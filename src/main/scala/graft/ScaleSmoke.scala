@@ -119,6 +119,10 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
+    // nBits scales with log2(corpus / target-bucket): fixed bucket count
+    // over a growing corpus makes every LSH bucket join quadratic
+    val lshBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
+
     // spec-only pipelines (no oracle: engine-specific hashes/seeds) whose
     // 100 TB claims should be measured, not just argued: MinHash+LSH dedup
     // end-to-end, IVF ANN build+probe, winnowing fingerprints
@@ -135,15 +139,10 @@ object ScaleSmoke {
       }),
       "j9_lsh_ann_topk" -> (() => {
         val emb = Tables.embeddings(spark, dir)
-        // nBits scales with log2(corpus / target-bucket): fixed bucket
-        // count over a growing corpus makes every bucket join quadratic
-        val nBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
-        ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10), nBits = nBits).count()
+        ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10), nBits = lshBits).count()
       }),
-      "j9_lsh_neardup_pairs" -> (() => {
-        val nBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
-        ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir), nBits = nBits).count()
-      }),
+      "j9_lsh_neardup_pairs" -> (() =>
+        ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir), nBits = lshBits).count()),
       "curate_pipeline_e2e" -> (() =>
         // quality gate -> exact dedup -> near-dup dedup, one composition
         ops.CurateOps.curate(Tables.documents(spark, dir)).count()),

@@ -31,6 +31,18 @@ case class HyperplaneKeys(child: Expression, nBits: Int, tables: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = HyperplaneKeys.name
 
+  // this is injected as public SQL surface (GraftExtensions): reject
+  // non-float arrays at analysis time — getFloat over an 8-byte-stride
+  // double array would read garbage with no error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     HyperplaneKeys.keys(input.asInstanceOf[ArrayData], nBits, tables)
 

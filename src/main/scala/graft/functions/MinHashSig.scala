@@ -100,11 +100,20 @@ case class SigAgree(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = SigAgree.name
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     SigAgree.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigAgree.agree($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SigAgree.agreeNonEmpty($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigAgree =
@@ -115,15 +124,24 @@ object SigAgree {
 
   val name = "graft_sig_agree"
 
-  def agree(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+  /** Agreements are counted over the common prefix and divided by
+    * size(a), matching the HOF reference exactly (zip_with pads the
+    * shorter side with nulls, which the equality filter drops); an empty
+    * `a` returns null like the HOF's 0/0 division does.
+    */
+  def agree(a: ArrayData, b: ArrayData): Any =
+    if (a.numElements() == 0) null else agreeNonEmpty(a, b)
+
+  def agreeNonEmpty(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val n = math.min(na, b.numElements())
     var c = 0
     var i = 0
     while (i < n) {
       if (a.getLong(i) == b.getLong(i)) c += 1
       i += 1
     }
-    c.toDouble / n
+    c.toDouble / na
   }
 
   /** Runtime registration on an existing session (test/driver path). */

@@ -64,28 +64,6 @@ object AnnOps {
         col("pos").as("tbl"), col("col").as("key"))
   }
 
-  /** ANN top-k: probes and corpus hashed with the same tables; candidates
-    * = bucket-collision pairs; exact cosine re-rank picks top-k.
-    *
-    * The multi-table union is deduped on the (pid, vec_id) ID PAIR ONLY —
-    * embeddings are re-joined by id afterwards, so the distinct's Exchange
-    * moves ~16 B/candidate instead of two full vectors (the same
-    * move-ids-not-payloads rule DedupOps applies to MinHash signatures).
-    * Probe embeddings re-attach via broadcast (probe batches are small by
-    * construction); corpus embeddings via an equi-join on vec_id, where
-    * the candidate side is the small one and AQE broadcasts it.
-    *
-    * `multiProbe` = m > 0 additionally probes, per table, the m buckets
-    * at Hamming distance 1 from the probe's own bucket (one sign bit
-    * flipped) — the standard multi-probe LSH recall/fan-out trade: more
-    * candidate buckets per probe WITHOUT rehashing or re-shuffling the
-    * corpus, exactly the knob a 100 TB corpus wants turned instead of
-    * more hash tables. Hyperplanes are iid, so which m planes get
-    * flipped is statistically immaterial; we flip the first m (a
-    * margin-ranked variant would flip the lowest-|dot| planes, at the
-    * cost of carrying per-plane margins). Probe-side fan-out only: the
-    * corpus stays bucketed once.
-    */
   /** Probe-side bucket keys: the probe's own bucket per table, plus (for
     * multiProbe = m > 0) the m buckets at Hamming distance 1 — mask 0
     * keeps the base bucket, mask (1 << (nBits-1-p)) flips plane p (plane
@@ -105,6 +83,27 @@ object AnnOps {
     }
   }
 
+  /** ANN top-k: probes and corpus hashed with the same tables; candidates
+    * = bucket-collision pairs; exact cosine re-rank picks top-k.
+    *
+    * The multi-table union is deduped on the (pid, vec_id) ID PAIR ONLY —
+    * embeddings are re-joined by id afterwards, so the distinct's Exchange
+    * moves ~16 B/candidate instead of two full vectors (the same
+    * move-ids-not-payloads rule DedupOps applies to MinHash signatures).
+    * Probe embeddings re-attach via broadcast (probe batches are small by
+    * construction); corpus embeddings via an equi-join on vec_id, where
+    * the candidate side is the small one and AQE broadcasts it.
+    *
+    * `multiProbe` = m > 0 additionally probes, per table, the m buckets
+    * at Hamming distance 1 from the probe's own bucket (one sign bit
+    * flipped — [[probeBuckets]]) — the standard multi-probe LSH
+    * recall/fan-out trade: more candidate buckets per probe WITHOUT
+    * rehashing or re-shuffling the corpus, exactly the knob a 100 TB
+    * corpus wants turned instead of more hash tables. Hyperplanes are
+    * iid, so which m planes get flipped is statistically immaterial; we
+    * flip the first m (a margin-ranked variant would flip the
+    * lowest-|dot| planes, at the cost of carrying per-plane margins).
+    */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
               nBits: Int = 12, tables: Int = 4, multiProbe: Int = 0): DataFrame = {
     val cb = bucketed(corpus, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
@@ -202,6 +201,8 @@ object AnnOps {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
 
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"ivfTopK: trainFraction must be in (0, 1], got $trainFraction")
     val feats = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     // the quantizer only needs a representative sample — at large corpus

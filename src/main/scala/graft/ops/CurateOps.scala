@@ -27,41 +27,56 @@ import org.apache.spark.sql.functions._
   */
 object CurateOps {
 
-  /** Documents surviving all three gates, original columns preserved. */
-  def curate(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame = {
-    // 1. quality gate: composite [0,1] score, keep >= 0.75
-    val kept1 = docs.join(
+  /** Stage 1 — quality gate: composite [0,1] score, keep >= 0.75. */
+  private def qualityStage(docs: DataFrame): DataFrame =
+    docs.join(
       TextAnalysisOps.qualityScore(docs).where(col("keep")).select("doc_id"),
       "doc_id")
-    // 2. exact dedup: one survivor per normalized content hash (same
-    //    normalization as j1_dedup_exact)
-    val kept2 = kept1.join(
-      kept1.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+
+  /** Stage 2 — exact dedup: one survivor per normalized content hash
+    * (same normalization as j1_dedup_exact).
+    */
+  private def exactStage(df: DataFrame): DataFrame =
+    df.join(
+      df.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id"),
       "doc_id")
-    // 3. near-dup dedup: cluster the survivors, keep each cluster's rep
-    val sigs = DedupOps.signatures(kept2).cache()
-    val pairs = DedupOps.candidatePairs(sigs, threshold = nearDupThreshold)
-    val reps = DedupOps.clusters(pairs, kept2.select("doc_id"))
-      .groupBy("cluster_id").agg(min("doc_id").as("doc_id")).select("doc_id")
-    kept2.join(reps, "doc_id")
+
+  /** Stage 3 — near-dup dedup: cluster the survivors, keep each
+    * cluster's min-doc_id representative. Signatures are cached only for
+    * the duration of the (eager) clustering loop, then released.
+    */
+  private def nearDupStage(df: DataFrame, threshold: Double): DataFrame = {
+    val sigs = DedupOps.signatures(df).cache()
+    val pairs = DedupOps.candidatePairs(sigs, threshold = threshold)
+    // clusters() runs its label-propagation loop eagerly and leaves the
+    // final labels cached, so sigs can be released as soon as it returns
+    val labels = DedupOps.clusters(pairs, df.select("doc_id"))
+    sigs.unpersist()
+    val reps = labels.groupBy("cluster_id")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    df.join(reps, "doc_id")
   }
 
-  /** Per-stage survival counts — the curation funnel report. */
+  /** Documents surviving all three gates, original columns preserved. */
+  def curate(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame =
+    nearDupStage(exactStage(qualityStage(docs)), nearDupThreshold)
+
+  /** Per-stage survival counts — the curation funnel report. One lineage,
+    * intermediate stages cached while both their count and the next stage
+    * consume them, then released.
+    */
   def curationFunnel(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val kept1 = docs.join(
-      TextAnalysisOps.qualityScore(docs).where(col("keep")).select("doc_id"), "doc_id")
-    val kept2 = kept1.join(
-      kept1.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id"), "doc_id")
-    val kept3 = curate(docs, nearDupThreshold)
-    Seq(
+    val kept1 = qualityStage(docs).cache()
+    val kept2 = exactStage(kept1).cache()
+    val rows = Seq(
       ("0_input", docs.count()),
       ("1_quality", kept1.count()),
       ("2_exact_dedup", kept2.count()),
-      ("3_near_dedup", kept3.count()))
-      .toDF("stage", "docs")
+      ("3_near_dedup", nearDupStage(kept2, nearDupThreshold).count()))
+    kept1.unpersist(); kept2.unpersist()
+    rows.toDF("stage", "docs")
   }
 }

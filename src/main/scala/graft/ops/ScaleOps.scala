@@ -99,11 +99,16 @@ object ScaleOps {
     * 2·bits codegen'd integer ops (shift/and/or builtins), no UDF, so the
     * whole computation fuses into the write stage.
     */
-  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    // beyond 32 the interleaved shift 2*i+1 exceeds 63 and the JVM wraps
+    // shift amounts mod 64, silently folding one dimension's high bits
+    // onto the other's low positions
+    require(bits >= 1 && bits <= 32, s"interleaveBits: bits must be in [1, 32], got $bits")
     (0 until bits).map(i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
       .reduce(_.bitwiseOR(_))
+  }
 
   /** Z-order (Morton-curve) layout over two numeric dimensions: quantize
     * each to `bits` bits by linear min/max scaling (min/max are 4 driver
@@ -123,6 +128,8 @@ object ScaleOps {
     val Array(row) = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()
+    require(!row.isNullAt(0) && !row.isNullAt(2),
+      s"zorderWrite: input has no non-null ($colA, $colB) rows to lay out")
     val (loA, hiA, loB, hiB) = (row.getDouble(0), row.getDouble(1),
       row.getDouble(2), row.getDouble(3))
     val maxQ = (1L << bits) - 1

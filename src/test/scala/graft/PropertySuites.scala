@@ -197,17 +197,26 @@ object SigAgreeProps extends Properties("SigAgree") {
 
   private val pairGen: Gen[(Array[Long], Array[Long])] = for {
     n <- Gen.chooseNum(1, 128)
+    m <- Gen.chooseNum(0, 128) // unequal lengths must not crash
     a <- Gen.listOfN(n, Gen.chooseNum(0L, 7L))
-    b <- Gen.listOfN(n, Gen.chooseNum(0L, 7L))
+    b <- Gen.listOfN(m, Gen.chooseNum(0L, 7L))
   } yield (a.toArray, b.toArray)
 
-  property("equals fraction of agreeing positions, and the HOF formula") =
+  property("equals the HOF formula: common-prefix agreements over size(a)") =
     forAll(pairGen) { case (a, b) =>
       val native = graft.functions.SigAgree.agree(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
-      val c = a.indices.count(i => a(i) == b(i))
+      val n = math.min(a.length, b.length)
+      val c = (0 until n).count(i => a(i) == b(i))
       native == c.toDouble / a.length
+    }
+
+  property("empty left side yields null like the HOF's 0/0 division") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 7L))) { b =>
+      graft.functions.SigAgree.agree(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long]),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)) == null
     }
 }
 
