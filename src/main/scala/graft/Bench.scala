@@ -51,7 +51,10 @@ object Bench {
     val detailBytes =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val detailTmp = java.nio.file.Paths.get(s"bench_detail.json.tmp")
+    // unique tmp per JVM: two concurrent Bench runs sharing a cwd must not
+    // interleave writes into the same tmp file before the atomic move
+    val detailTmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get("."), "bench_detail.json.", ".tmp")
     java.nio.file.Files.write(detailTmp, detailBytes)
     java.nio.file.Files.move(detailTmp, java.nio.file.Paths.get("bench_detail.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

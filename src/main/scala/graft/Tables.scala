@@ -64,13 +64,15 @@ object Tables {
     val dir = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" + s.sparkContext.applicationId
     if (tmpCleanup.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // a query first issued while the JVM is already shutting down must
+      // still run — skip cleanup registration rather than fail the query
+      try Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(del))
           f.delete(); ()
         }
         del(new java.io.File(dir))
-      }))
+      })) catch { case _: IllegalStateException => () }
     }
     dir
   }

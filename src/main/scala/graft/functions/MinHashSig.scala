@@ -102,6 +102,19 @@ case class SigAgree(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  // injected as public SQL surface (GraftExtensions): reject non-bigint
+  // arrays at analysis time — getLong over a 4/8-byte-stride mismatch
+  // (array<int> / array<double>) would silently return garbage fractions
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> signatures, got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     SigAgree.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

@@ -211,7 +211,14 @@ object AnnOps {
     // search quality degrades only as far as centroid placement does.
     // Seeded sample keeps the whole operator deterministic.
     val train = if (trainFraction >= 1.0) feats
-                else feats.sample(withReplacement = false, trainFraction, seed)
+                else {
+                  // floor guard: an aggressive fraction on a small corpus can
+                  // sample fewer rows than nlist, which makes KMeans.fit throw
+                  // (or yield degenerate centroids). KMeans scans the training
+                  // set ~maxIter times anyway, so one count() here is noise.
+                  val sampled = feats.sample(withReplacement = false, trainFraction, seed)
+                  if (sampled.count() < nlist) feats else sampled
+                }
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val assigned = model.transform(feats).select(col("vec_id"), col("embedding"), col("cell"))

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2.11 J12 — multimodal columns: image/audio/video treated as
   * opaque `BinaryType` payloads plus a typed metadata struct.
   *
-  * The codec itself (JPEG decode, audio resample, frame sampling) is NOT
-  * in scope for this container — `decodeStub` below is a clearly-marked
-  * deterministic fake. What IS real and tested: the schema, the
-  * partition-friendly per-row processing (typed `mapPartitions`, the
-  * Scala analogue of the Python `mapInPandas` batch-UDF shape), content
-  * addressing, and the per-kind stats a curation pipeline needs.
+  * The decoder is REAL for PNG, JPEG, and WAV: pure-JVM header parsers
+  * ([[graft.functions.MediaCodec]]) over the public container formats,
+  * gate-checked by `j19_media_dims` against bytes the JDK's own ImageIO
+  * codecs produced. Full pixel/sample decode (DCT, resampling, frame
+  * sampling) stays out of scope — no codec libs resolve in this container
+  * — so payloads the codec doesn't recognize fall back to byte-moment
+  * features. Also real and tested: the schema, the partition-friendly
+  * per-row processing (typed `mapPartitions`, the Scala analogue of the
+  * Python `mapInPandas` batch-UDF shape), content addressing, and the
+  * per-kind stats a curation pipeline needs.
   *
   * Scale posture: payloads stay columnar in parquet (binary column,
   * metadata struct prunable independently of payload bytes); feature
@@ -43,12 +47,12 @@ object MultimodalOps {
         (col("doc_id") % 480 + 16).cast("int").as("height"),
         (col("doc_id") * 40 % 60000).as("durationMs")).as("meta"))
 
-  /** STUB — stands in for the real image/audio decoder (libs not in this
-    * container). Deterministic: 8-dim "feature" = byte histogram moments.
-    * The real implementation swaps ONLY this function; the Spark plumbing
-    * around it (typed partition map, schema, batch shape) is unchanged.
+  /** Fallback featureizer for payloads [[graft.functions.MediaCodec]]
+    * doesn't recognize (e.g. the j18 synthetic binary blobs): 8-dim byte
+    * histogram moments. Real formats (PNG/JPEG/WAV) never reach this —
+    * they decode through the header parsers below.
     */
-  def decodeStub(payload: Array[Byte]): Array[Double] = {
+  def byteMomentFeatures(payload: Array[Byte]): Array[Double] = {
     val n = math.max(payload.length, 1)
     Array.tabulate(8) { i =>
       var s = 0L
@@ -60,7 +64,10 @@ object MultimodalOps {
 
   /** Per-partition feature extraction — the mapInPandas-shaped stage:
     * one iterator pass per partition, no driver involvement, schema fixed
-    * by the case-class encoder.
+    * by the case-class encoder. PNG/JPEG/WAV payloads are decoded for real
+    * (pure-JVM header parse, [[graft.functions.MediaCodec]]): the feature
+    * vector leads with (width, height, channels, sampleRate, durationMs);
+    * unrecognized payloads fall back to byte-moment features.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
@@ -69,7 +76,12 @@ object MultimodalOps {
         it.map { r =>
           var crc = 0L
           r.payload.foreach(b => crc = crc * 31 + (b & 0xff))
-          MediaFeature(r.media_id, r.meta.kind, r.payload.length, crc, decodeStub(r.payload))
+          val feature = graft.functions.MediaCodec.decode(r.payload) match {
+            case Some(d) => Array[Double](d.width, d.height, d.channels,
+              d.sampleRate, d.durationMs, r.payload.length, 0, 0)
+            case None => byteMomentFeatures(r.payload)
+          }
+          MediaFeature(r.media_id, r.meta.kind, r.payload.length, crc, feature)
         }
       }
   }
@@ -96,8 +108,8 @@ object MultimodalOps {
     * + metadata struct), and aggregate per-kind content-hash/size stats.
     * The oracle recomputes the same stats from `documents` directly, so a
     * single corrupted payload byte anywhere in the write/read path breaks
-    * the hash match. The decode stub stays out of the gate (no codec libs
-    * in this container — see [[decodeStub]]).
+    * the hash match. (The real header decoders are gated separately by
+    * `j19_media_dims` below.)
     */
   val j18_media_stats: Q = (s, d) => {
     val dir = graft.Tables.appTmpDir(s, "graft_media", d)
@@ -105,5 +117,77 @@ object MultimodalOps {
     mediaStats(s.read.parquet(dir))
   }
 
-  val queries: Map[String, Q] = Map("j18_media_stats" -> j18_media_stats)
+  case class MediaFile(media_id: Long, payload: Array[Byte])
+  case class DecodedMedia(media_id: Long, format: String, width: Int, height: Int,
+                          channels: Int, sample_rate: Int, duration_ms: Long)
+
+  /** Real media fixture: PNG and JPEG files encoded by the JDK's own
+    * ImageIO codecs, WAV by direct RIFF layout — dimensions are pure
+    * doc_id arithmetic so the DuckDB oracle can recompute the expected
+    * stats without ever seeing the bytes. Bounded to 300 rows (100 per
+    * format) at every SF — this gates the DECODER, not scan throughput.
+    */
+  def mediaFilesTable(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") < 300).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 640 + 16).toInt
+          val h = (id % 480 + 16).toInt
+          val payload = (id % 3) match {
+            case 0 => graft.functions.MediaGen.png(w, h)
+            case 1 => graft.functions.MediaGen.jpeg(w, h)
+            // 8 kHz PCM16: nSamples = 8·durMs makes the decoded duration exact
+            case _ => graft.functions.MediaGen.wav(
+              channels = (1 + id % 2).toInt, sampleRate = 8000,
+              nSamples = (8 * (id % 100 + 1)).toInt)
+          }
+          MediaFile(id, payload)
+        }
+      }
+  }
+
+  /** Decode dims from BYTES ONLY — no metadata column in sight, so the
+    * j19 oracle match proves the header parse itself.
+    */
+  def decodeDims(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[MediaFile]
+      .mapPartitions { it =>
+        it.map { f =>
+          val d = graft.functions.MediaCodec.decode(f.payload).getOrElse(
+            graft.functions.MediaCodec.MediaDims("unknown", -1, -1, -1, -1, -1L))
+          DecodedMedia(f.media_id, d.format, d.width, d.height, d.channels,
+            d.sampleRate, d.durationMs)
+        }
+      }
+  }
+
+  /** j19 — the de-stubbed J12 gate: generate real PNG/JPEG/WAV files,
+    * round-trip them through parquet, re-derive width/height/channels/
+    * duration from the payload bytes alone (pure-JVM header parsers in
+    * [[graft.functions.MediaCodec]]), and aggregate per format. The DuckDB
+    * oracle recomputes the same aggregates from doc_id arithmetic — one
+    * wrong byte offset anywhere in the parse and the sums diverge.
+    */
+  val j19_media_dims: Q = (s, d) => {
+    val dir = graft.Tables.appTmpDir(s, "graft_media_files", d)
+    mediaFilesTable(s, graft.Tables.documents(s, d))
+      .write.mode("overwrite").parquet(dir)
+    val absent = (c: String) => when(col(c) >= 0, col(c)) // -1 = fact absent
+    decodeDims(s, s.read.parquet(dir)).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum(absent("width")).as("sum_w"),
+        min(absent("width")).as("min_w"),
+        max(absent("width")).as("max_w"),
+        sum(absent("height")).as("sum_h"),
+        sum(absent("channels")).as("sum_ch"),
+        sum(absent("duration_ms")).as("sum_dur_ms"))
+      .orderBy(asc_nulls_last("format"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j18_media_stats" -> j18_media_stats,
+    "j19_media_dims" -> j19_media_dims)
 }

@@ -264,8 +264,9 @@ object OracleSql {
       """SELECT k FROM (SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
         |ORDER BY k NULLS LAST""".stripMargin,
     "g4_except" ->
-      """SELECT k FROM (SELECT n_nationkey k FROM nation EXCEPT SELECT c_nationkey FROM customer)
-        |ORDER BY k NULLS LAST""".stripMargin,
+      """SELECT k FROM (SELECT p_partkey k FROM part
+        |               EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity <= 1)
+        |ORDER BY k NULLS LAST LIMIT 100""".stripMargin,
     "g5_intersect_all" ->
       """SELECT count(*) AS n FROM
         |  (SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
@@ -497,6 +498,22 @@ object OracleSql {
         |             encode(text) || unhex(sha256(text)) AS payload
         |      FROM documents)
         |GROUP BY kind ORDER BY kind NULLS LAST""".stripMargin,
+    // j19 dims are pure doc_id arithmetic (mediaFilesTable encodes exactly
+    // these into real PNG/JPEG/WAV bytes; the Spark side re-derives them
+    // from the bytes alone) — the oracle recomputes them symbolically
+    "j19_media_dims" ->
+      """SELECT format, count(*) AS n,
+        |       CAST(sum(w) AS BIGINT) AS sum_w, min(w) AS min_w, max(w) AS max_w,
+        |       CAST(sum(h) AS BIGINT) AS sum_h,
+        |       CAST(sum(ch) AS BIGINT) AS sum_ch,
+        |       CAST(sum(dur) AS BIGINT) AS sum_dur_ms
+        |FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |             CASE WHEN doc_id % 3 <= 1 THEN CAST(doc_id % 640 + 16 AS INT) END AS w,
+        |             CASE WHEN doc_id % 3 <= 1 THEN CAST(doc_id % 480 + 16 AS INT) END AS h,
+        |             CASE WHEN doc_id % 3 <= 1 THEN 3 ELSE CAST(1 + doc_id % 2 AS INT) END AS ch,
+        |             CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 END AS dur
+        |      FROM documents WHERE doc_id < 300)
+        |GROUP BY format ORDER BY format NULLS LAST""".stripMargin,
     "j16_token_stats" ->
       """SELECT lang, count(*) AS n,
         |       CAST(sum(CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{MediaCodec, MediaGen}
 import graft.ops.MultimodalOps
 import org.apache.spark.sql.functions._
 
@@ -22,9 +23,9 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.values.forall(_._2.length == 8))
   }
 
-  test("decode stub matches a hand-computed value") {
+  test("byte-moment fallback matches a hand-computed value") {
     val payload = "abcdefgh".getBytes("UTF-8")
-    val feat = MultimodalOps.decodeStub(payload)
+    val feat = MultimodalOps.byteMomentFeatures(payload)
     assert(feat(0) == 'a'.toDouble / 8)
     assert(feat(7) == 'h'.toDouble / 8)
   }
@@ -34,5 +35,82 @@ class MultimodalSpec extends SparkSuite {
     assert(stats.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     val total = stats.map(_.getAs[Long]("n")).sum
     assert(total == media.count())
+  }
+
+  // ------------------------------------------------ real codec (J12)
+
+  test("PNG parser: dims/channels from ImageIO-encoded bytes, cross-checked vs ImageIO.read") {
+    for ((w, h) <- Seq((16, 16), (641, 17), (640 + 15, 480 + 15))) {
+      val bytes = MediaGen.png(w, h)
+      val d = MediaCodec.decode(bytes).get
+      assert(d.format == "png" && d.width == w && d.height == h && d.channels == 3)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("JPEG parser: marker walk finds SOF dims, cross-checked vs ImageIO.read") {
+    for ((w, h) <- Seq((16, 16), (655, 495), (100, 1))) {
+      val bytes = MediaGen.jpeg(w, h)
+      val d = MediaCodec.decode(bytes).get
+      assert(d.format == "jpeg" && d.width == w && d.height == h && d.channels == 3)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+  }
+
+  test("WAV parser: channels/rate/duration from RIFF chunks") {
+    val d = MediaCodec.decode(MediaGen.wav(channels = 2, sampleRate = 8000,
+      nSamples = 8 * 250)).get
+    assert(d.format == "wav" && d.channels == 2 && d.sampleRate == 8000)
+    assert(d.durationMs == 250L)
+  }
+
+  test("malformed and truncated payloads decode to None, never throw") {
+    assert(MediaCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decode("not media at all".getBytes).isEmpty)
+    val png = MediaGen.png(32, 32)
+    assert(MediaCodec.decode(png.take(20)).isEmpty)   // cut inside IHDR
+    val jpg = MediaGen.jpeg(32, 32)
+    assert(MediaCodec.decode(jpg.take(4)).isEmpty)    // SOI + marker only
+    val wav = MediaGen.wav(1, 8000, 80)
+    assert(MediaCodec.decode(wav.take(12)).isEmpty)   // RIFF/WAVE, no chunks
+    // declared-size-wins: truncated data chunk still reports header duration
+    assert(MediaCodec.decode(wav.take(44)).get.durationMs == 10L)
+  }
+
+  test("extractFeatures routes real formats through the codec") {
+    import spark.implicits._
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, MediaGen.png(20, 30),
+        MultimodalOps.MediaMeta("image", 20, 30, 0L)),
+      MultimodalOps.MediaRow(2L, MediaGen.wav(1, 8000, 800),
+        MultimodalOps.MediaMeta("audio", 0, 0, 100L)))
+    val feats = MultimodalOps.extractFeatures(spark, rows.toDF())
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats(1L)(0) == 20.0 && feats(1L)(1) == 30.0 && feats(1L)(2) == 3.0)
+    assert(feats(2L)(4) == 100.0 && feats(2L)(3) == 8000.0)
+  }
+
+  test("j19 fixture decodes to exactly the planted dims at every row") {
+    val dir = Tables.appTmpDir(spark, "graft_media_spec", sf)
+    MultimodalOps.mediaFilesTable(spark, Tables.documents(spark, sf))
+      .write.mode("overwrite").parquet(dir)
+    val decoded = MultimodalOps.decodeDims(spark, spark.read.parquet(dir)).collect()
+    assert(decoded.length == 300)
+    decoded.foreach { r =>
+      val id = r.media_id
+      (id % 3) match {
+        case 0 =>
+          assert(r.format == "png" && r.width == (id % 640 + 16) &&
+            r.height == (id % 480 + 16) && r.channels == 3)
+        case 1 =>
+          assert(r.format == "jpeg" && r.width == (id % 640 + 16) &&
+            r.height == (id % 480 + 16) && r.channels == 3)
+        case _ =>
+          assert(r.format == "wav" && r.channels == (1 + id % 2) &&
+            r.sample_rate == 8000 && r.duration_ms == (id % 100 + 1))
+      }
+    }
   }
 }

@@ -14,10 +14,14 @@ class QueriesSpec extends SparkSuite {
     assert((o -- q).isEmpty, s"oracles missing query: ${o -- q}")
   }
 
-  test("all queries execute on sf0.001 and are deterministic across runs") {
+  test("all queries execute on sf0.001, return rows, and are deterministic across runs") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val r1 = fn(spark, sf).collect()
       val r2 = fn(spark, sf).collect()
+      // non-empty guard: a 0-row result hash-matching a 0-row oracle proves
+      // nothing (the r2 b20 / r3 g4 vacuous-pass class) — every declared
+      // query must produce rows at even the smallest SF
+      assert(r1.nonEmpty, s"$name returned 0 rows at sf0.001 — vacuous oracle entry")
       assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
         s"$name not deterministic")
     }
