@@ -95,3 +95,104 @@ object HyperplaneKeys {
         GraftFnArgs.intLit(name, es, 1), GraftFnArgs.intLit(name, es, 2)),
       "internal")
 }
+
+/** Margin-ranked multi-probe keys: `graft_hyperplane_probes(emb, nBits,
+  * tables, m)` returns, per table, the base bucket key followed by the m
+  * keys obtained by flipping the LOWEST-|dot| planes — the planes the
+  * vector sits closest to, i.e. exactly the sign bits a true near
+  * neighbor is most likely to disagree on (the multi-probe LSH insight:
+  * probe order should follow the margin, not the bit position). Output is
+  * `array<bigint>` of length tables·(m+1), laid out table-major, so
+  * `pos / (m+1)` recovers the table id after `posexplode`.
+  *
+  * Same per-plane dot products as [[HyperplaneKeys]] (bit-identical base
+  * keys, AnnSpec-pinned); the only addition is keeping the nBits margins
+  * and an O(nBits·m) selection — still one fused codegen'd loop per row.
+  */
+case class HyperplaneProbes(child: Expression, nBits: Int, tables: Int, m: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = HyperplaneProbes.name
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneProbes.probes(input.asInstanceOf[ArrayData], nBits, tables, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneProbes.probes($c, $nBits, $tables, $m)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbes =
+    copy(child = newChild)
+}
+
+object HyperplaneProbes {
+
+  val name = "graft_hyperplane_probes"
+
+  def probes(emb: ArrayData, nBits: Int, tables: Int, m: Int): ArrayData = {
+    val mm = math.min(m, nBits)
+    val dim = emb.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = emb.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](tables * (mm + 1))
+    val dots = new Array[Double](nBits)
+    val used = new Array[Boolean](nBits)
+    var t = 0
+    while (t < tables) {
+      var acc = 0L
+      var p = 0
+      while (p < nBits) {
+        val planeSeed = XXH64.hashInt(p + t * 1024, 42L)
+        var dot = 0.0
+        var j = 1
+        while (j <= dim) {
+          dot += v(j - 1) * XXH64.hashInt(j, planeSeed).toDouble
+          j += 1
+        }
+        dots(p) = dot
+        acc = acc * 2 + (if (dot >= 0) 1L else 0L)
+        p += 1
+      }
+      out(t * (mm + 1)) = acc
+      // mm smallest |dot| planes by repeated scan — nBits ≤ 64, so the
+      // O(nBits·mm) selection is cheaper than sorting
+      java.util.Arrays.fill(used, false)
+      var r = 0
+      while (r < mm) {
+        var best = -1
+        var bestAbs = Double.MaxValue
+        var q = 0
+        while (q < nBits) {
+          if (!used(q) && math.abs(dots(q)) < bestAbs) {
+            bestAbs = math.abs(dots(q)); best = q
+          }
+          q += 1
+        }
+        used(best) = true
+        out(t * (mm + 1) + r + 1) = acc ^ (1L << (nBits - 1 - best))
+        r += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Runtime registration on an existing session (test/driver path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      es => HyperplaneProbes(GraftFnArgs.exact(name, es, 4).head,
+        GraftFnArgs.intLit(name, es, 1), GraftFnArgs.intLit(name, es, 2),
+        GraftFnArgs.intLit(name, es, 3)),
+      "internal")
+}

@@ -83,13 +83,17 @@ object DedupOps {
     * template-heavy synthetic data; the star form is linear in bucket
     * size.
     *
-    * Residual recall trade-off (documented, accepted): two docs that are
-    * near-dups of EACH OTHER but each below threshold against the hot
-    * bucket's representative, and that co-occur ONLY in hot buckets,
-    * produce no surviving candidate edge — that sub-cluster can shatter
-    * where the all-pairs form would have linked it. Pairs that co-occur
-    * in any cold bucket are unaffected, which is why multiple independent
-    * bands keep the expected loss small.
+    * Residual recall trade-off, now bounded by `hotExtraReps`: two docs
+    * that are near-dups of EACH OTHER but each below threshold against the
+    * hot bucket's min-id representative, and that co-occur ONLY in hot
+    * buckets, get no edge through that single star. In addition to the
+    * min-id star, each hot bucket therefore elects `hotExtraReps` further
+    * hubs by seeded id-hash order (`xxhash64(bnd, doc_id)` — deterministic,
+    * uniform over members, different per bucket) and stars every member to
+    * those too: still O((1+m)·B) pairs per bucket, never O(B²), but a
+    * sub-cluster now shatters only if ALL 1+m hubs miss it. Pairs that
+    * co-occur in any cold bucket are unaffected, which is why multiple
+    * independent bands keep the expected loss small in the first place.
     *
     * Shuffle discipline (the other smoke-measured lesson): the band
     * self-join moves ONLY (band, doc_id) — ~12 bytes a row — never the
@@ -98,7 +102,8 @@ object DedupOps {
     * shuffle was tens of GB at a 500k-doc corpus.
     */
   def candidatePairs(sigs: DataFrame, bands: Int = 32, rows: Int = 4,
-                     threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
+                     threshold: Double = 0.7, maxBucket: Int = 200,
+                     hotExtraReps: Int = 2): DataFrame = {
     graft.functions.LshBands.register(sigs.sparkSession)
     graft.functions.SigAgree.register(sigs.sparkSession)
     val allBanded = sigs.select(col("doc_id"),
@@ -115,10 +120,24 @@ object DedupOps {
       .select(col("a"), col("b"))
     // hot buckets: member ↔ bucket-representative star (rep = min doc_id,
     // so rep < doc_id and (a, b) ordering holds by construction)
-    val hotPairs = allBanded.join(broadcast(hot), Seq("bnd"))
+    val hotMembers = allBanded.join(broadcast(hot), Seq("bnd"))
+    val hotPairs = hotMembers
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
-    val pairs = coldPairs.union(hotPairs).distinct()
+    // seeded extra hubs: the window runs over hot-bucket members only
+    // (bounded by the hot-bucket count × bucket size, never the corpus)
+    val extraPairs = if (hotExtraReps <= 0) None else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bnd").orderBy(xxhash64(col("bnd"), col("doc_id")), col("doc_id"))
+      val hubs = hotMembers.withColumn("hr", row_number().over(w))
+        .where(col("hr") <= hotExtraReps)
+        .select(col("bnd"), col("doc_id").as("hub"))
+      Some(hotMembers.join(hubs, Seq("bnd"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(least(col("hub"), col("doc_id")).as("a"),
+          greatest(col("hub"), col("doc_id")).as("b")))
+    }
+    val pairs = extraPairs.foldLeft(coldPairs.union(hotPairs))(_ union _).distinct()
     pairs
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")

@@ -27,16 +27,29 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Documented deviations (a faithful subset, not a drop-in): the trailer
   * body is fixed-layout big-endian rather than protobuf (no protobuf
-  * dependency resolvable offline), compression is always NONE, and no Bloom
-  * or intermediate-level index blocks are written (root index only — fine up
-  * to ~128k blocks per region file; real HBase splits regions long before).
+  * dependency resolvable offline), compression is always NONE, and no
+  * Bloom blocks are written. The data-block index is two-level: a root
+  * `IDXROOT2` block whose entries point either directly at data blocks
+  * (small files) or at `IDXINTE2` intermediate index blocks once the
+  * block count passes `indexChunkEntries` — the same escalation real
+  * HBase performs when the root chunk outgrows
+  * `hfile.index.block.max.size`. Two levels cover 16k² ≈ 268M blocks
+  * (≈ 17 TB of 64 KB blocks) per region file; the writer raises loudly
+  * past that rather than silently corrupting the index.
   */
 object HFileCodec {
 
   val DataMagic: Array[Byte] = "DATABLK*".getBytes(UTF_8)
   val RootIndexMagic: Array[Byte] = "IDXROOT2".getBytes(UTF_8)
+  val IntermediateIndexMagic: Array[Byte] = "IDXINTE2".getBytes(UTF_8)
   val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(UTF_8)
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(UTF_8)
+
+  /** Root/intermediate index entries per chunk before escalating to the
+    * next index level (HBase's equivalent knob is size-based:
+    * hfile.index.block.max.size, 128 KB ≈ this many short-key entries).
+    */
+  val DefaultIndexChunkEntries: Int = 16 * 1024
 
   val HeaderSize = 33
   val MajorVersion = 3
@@ -123,12 +136,33 @@ object HFileCodec {
     buf.array()
   }
 
+  /** Index entry serialization, shared by the root and intermediate
+    * levels (the on-disk layout is identical: `offset:8 | onDiskSize:4 |
+    * vint keyLen | firstKey`).
+    */
+  private def serializeIndexEntries(
+      entries: Iterable[(Long, Int, Array[Byte])]): Array[Byte] = {
+    val idx = new ByteArrayOutputStream()
+    entries.foreach { case (off, size, key) =>
+      val e = ByteBuffer.allocate(12).putLong(off).putInt(size).array()
+      idx.write(e, 0, 12)
+      writeVInt(idx, key.length)
+      idx.write(key, 0, key.length)
+    }
+    idx.toByteArray
+  }
+
   /** Serialize sorted cells as a full HFile onto `sink`, streaming: one
-    * pass, O(blockSize) heap beyond the root-index entries — a region file
+    * pass, O(blockSize) heap beyond the block-index entries — a region file
     * larger than the heap writes fine. Returns bytes written.
     */
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
-            blockSize: Int): Long = {
+            blockSize: Int): Long =
+    write(cells, sink, blockSize, DefaultIndexChunkEntries)
+
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int, indexChunkEntries: Int): Long = {
+    require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     var written = 0L
     def emit(b: Array[Byte]): Unit = { sink.write(b); written += b.length }
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
@@ -160,16 +194,28 @@ object HFileCodec {
     val fi = ByteBuffer.allocate(8).putLong(entryCount).array()
     emit(blockHeader(FileInfoMagic, fi.length)); emit(fi)
 
+    // index section. Small files: root entries point straight at data
+    // blocks. Past indexChunkEntries data blocks, escalate to two levels —
+    // intermediate IDXINTE2 chunks of up to indexChunkEntries entries each,
+    // with the root pointing at the chunks. A third level is never needed
+    // below ~268M blocks per file; raise loudly instead of corrupting.
+    require(index.size.toLong <= indexChunkEntries.toLong * indexChunkEntries,
+      s"HFile data-block count ${index.size} exceeds the two-level index " +
+        s"capacity ($indexChunkEntries² entries); split the region or " +
+        "raise blockSize/indexChunkEntries")
+    val rootEntries: Seq[(Long, Int, Array[Byte])] =
+      if (index.size <= indexChunkEntries) index.toSeq
+      else index.grouped(indexChunkEntries).map { chunk =>
+        val off = written
+        val payload = serializeIndexEntries(chunk)
+        emit(blockHeader(IntermediateIndexMagic, payload.length)); emit(payload)
+        // an index level keys each child by its subtree's first key
+        (off, HeaderSize + payload.length, chunk.head._3)
+      }.toSeq
+
     // root index block
     val rootIndexOffset = written
-    val idx = new ByteArrayOutputStream()
-    index.foreach { case (off, size, key) =>
-      val e = ByteBuffer.allocate(12).putLong(off).putInt(size).array()
-      idx.write(e, 0, 12)
-      writeVInt(idx, key.length)
-      idx.write(key, 0, key.length)
-    }
-    val idxPayload = idx.toByteArray
+    val idxPayload = serializeIndexEntries(rootEntries)
     emit(blockHeader(RootIndexMagic, idxPayload.length)); emit(idxPayload)
 
     // trailer: magic + fixed-layout fields (deviation: protobuf in real HBase)
@@ -177,7 +223,7 @@ object HFileCodec {
     val tr = ByteBuffer.allocate(8 + 8 + 4 + 8 + 8 + 4)
     tr.putLong(fileInfoOffset)
       .putLong(rootIndexOffset)   // loadOnOpenDataOffset
-      .putInt(index.size)         // dataIndexCount
+      .putInt(rootEntries.size)   // dataIndexCount = ROOT chunk entries, as in HBase
       .putLong(totalUncompressed)
       .putLong(entryCount)
       .putInt(2)                  // compression codec NONE [public: o.a.h.hbase.io.compress.Compression.Algorithm]
@@ -246,31 +292,46 @@ object HFileCodec {
     def next(): HCell = { advance(); blockIter.next() }
   }
 
-  /** Decode every cell by walking the root index → data blocks. */
-  def read(file: Array[Byte]): Iterator[HCell] = {
-    val trailer = readTrailer(file)
-    // parse root index entries
-    val idxHdr = trailer.rootIndexOffset.toInt
-    require(java.util.Arrays.equals(
-      java.util.Arrays.copyOfRange(file, idxHdr, idxHdr + 8), RootIndexMagic),
-      "bad root index magic")
-    val idxLen = ByteBuffer.wrap(file, idxHdr + 8, 4).getInt
-    var p = idxHdr + HeaderSize
-    val end = idxHdr + HeaderSize + idxLen
-    val blocks = ArrayBuffer.empty[(Long, Int)]
+  private def hasMagic(file: Array[Byte], off: Int, magic: Array[Byte]): Boolean =
+    java.util.Arrays.equals(java.util.Arrays.copyOfRange(file, off, off + 8), magic)
+
+  /** Parse one index block's (offset, onDiskSize) child entries. */
+  private def parseIndexEntries(file: Array[Byte], hdrOff: Int,
+                                magic: Array[Byte]): Seq[(Long, Int)] = {
+    require(hasMagic(file, hdrOff, magic),
+      s"bad index block magic at $hdrOff (want ${new String(magic, UTF_8)})")
+    val idxLen = ByteBuffer.wrap(file, hdrOff + 8, 4).getInt
+    var p = hdrOff + HeaderSize
+    val end = hdrOff + HeaderSize + idxLen
+    val entries = ArrayBuffer.empty[(Long, Int)]
     while (p < end) {
       val bb = ByteBuffer.wrap(file, p, 12)
       val off = bb.getLong; val size = bb.getInt
       val (keyLen, p2) = readVInt(file, p + 12)
       p = p2 + keyLen
-      blocks += ((off, size))
+      entries += ((off, size))
     }
-    require(blocks.size == trailer.dataIndexCount, "index count mismatch")
+    entries.toSeq
+  }
+
+  /** Decode every cell by walking the index: root entries point at data
+    * blocks directly (single-level files) or at IDXINTE2 intermediate
+    * chunks (large files) — dispatch is by the target block's own magic,
+    * exactly how HBase's reader resolves non-leaf index entries.
+    */
+  def read(file: Array[Byte]): Iterator[HCell] = {
+    val trailer = readTrailer(file)
+    val rootEntries = parseIndexEntries(
+      file, trailer.rootIndexOffset.toInt, RootIndexMagic)
+    require(rootEntries.size == trailer.dataIndexCount, "index count mismatch")
+    val blocks = rootEntries.flatMap { case (off, size) =>
+      if (hasMagic(file, off.toInt, IntermediateIndexMagic))
+        parseIndexEntries(file, off.toInt, IntermediateIndexMagic)
+      else Seq((off, size))
+    }
     blocks.iterator.flatMap { case (off, size) =>
       val hdr = off.toInt
-      require(java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(file, hdr, hdr + 8), DataMagic),
-        "bad data block magic")
+      require(hasMagic(file, hdr, DataMagic), "bad data block magic")
       val payloadLen = ByteBuffer.wrap(file, hdr + 8, 4).getInt
       require(HeaderSize + payloadLen == size, "block size mismatch")
       new Iterator[HCell] {

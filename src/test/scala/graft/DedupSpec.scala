@@ -67,6 +67,34 @@ class DedupSpec extends SparkSuite {
     assert(nClusters == 1, s"mass-dup cluster shattered into $nClusters clusters")
   }
 
+  test("hot-bucket extra hubs raise direct-pair recall over the single star") {
+    // 30 near-identical docs, maxBucket = 10: nearly every bucket is hot,
+    // so min-id stars recover mostly (0, j) edges directly (measured pair
+    // recall ~0.33 vs the exact-Jaccard ground truth). Two seeded extra
+    // hubs per bucket must materially raise that at O(B) extra cost
+    // (measured ~0.94).
+    val base = docs.where(col("doc_id") === 0).select("text").as[String].head()
+    val massDup = (0 until 30).map(i => (i.toLong, s"$base x$i")).toDF("doc_id", "text")
+    val truth = DedupOps.exactJaccard(massDup,
+        (for (a <- 0L until 30L; b <- a + 1 to 29L) yield (a, b)).toDF("a", "b"))
+      .where(col("jaccard") >= 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size > 100, s"ground truth too small to measure recall: ${truth.size}")
+    val sigs = DedupOps.signatures(massDup)
+    def recall(extraReps: Int): Double = {
+      val got = DedupOps.candidatePairs(sigs, threshold = 0.6, maxBucket = 10,
+          hotExtraReps = extraReps)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val starOnly = recall(0)
+    val withHubs = recall(2)
+    info(f"hot-bucket direct-pair recall: star-only $starOnly%.3f, +2 hubs $withHubs%.3f")
+    assert(withHubs > starOnly,
+      f"extra hubs did not improve recall ($starOnly%.3f -> $withHubs%.3f)")
+    assert(withHubs >= starOnly + 0.05, "expected a material recall gain on an all-hot corpus")
+  }
+
   test("exact dedup idempotence: dedup(dedup(x)) = dedup(x)") {
     val once = docs.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min("doc_id").as("doc_id"))

@@ -58,6 +58,41 @@ class HFileSpec extends SparkSuite {
     assert(back.map(c => new String(c.row, UTF_8)) == cells.map(c => new String(c.row, UTF_8)))
   }
 
+  test("two-level index: past the chunk cap the root points at IDXINTE2 blocks") {
+    // tiny blocks (1 cell each) + a tiny chunk cap force the escalation a
+    // 100 TB region file would hit at the real 16k default
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val out = new java.io.ByteArrayOutputStream(1 << 20)
+    HFileCodec.write(cells.iterator, out, blockSize = 1, indexChunkEntries = 128)
+    val bytes = out.toByteArray
+    val tr = HFileCodec.readTrailer(bytes)
+    // 5000 single-cell blocks / 128 per chunk = 40 root entries, not 5000
+    assert(tr.dataIndexCount == math.ceil(5000.0 / 128).toInt,
+      s"root should hold chunk entries, got ${tr.dataIndexCount}")
+    // the root's first child really is an intermediate index block
+    val rootOff = tr.rootIndexOffset.toInt
+    val firstChildOff = java.nio.ByteBuffer.wrap(bytes, rootOff + HFileCodec.HeaderSize, 8).getLong.toInt
+    assert(bytes.slice(firstChildOff, firstChildOff + 8)
+      .sameElements(HFileCodec.IntermediateIndexMagic))
+    // full round-trip through the two-level walk, and the streaming read
+    // (which ignores the index entirely) agrees
+    val back = HFileCodec.read(bytes).toSeq
+    assert(back.size == 5000)
+    assert(back.map(c => new String(c.row, UTF_8)) == cells.map(c => new String(c.row, UTF_8)))
+    val streamed = HFileCodec.readStreaming(new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(streamed.size == 5000)
+  }
+
+  test("index capacity overflow raises loudly instead of corrupting") {
+    val cells = (0 until 20).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val ex = intercept[IllegalArgumentException] {
+      // 20 single-cell blocks > 4² two-level capacity
+      HFileCodec.write(cells.iterator, new java.io.ByteArrayOutputStream(),
+        blockSize = 1, indexChunkEntries = 4)
+    }
+    assert(ex.getMessage.contains("two-level index capacity"))
+  }
+
   test("streaming read equals index-walk read on the same bytes") {
     val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
       if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
