@@ -45,17 +45,28 @@ case class CosineSim(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // Every local goes through ctx.freshName: a fixed name ("i", "dot", …)
+  // collides as soon as two cosines share a codegen scope (one projection
+  // with two graft_cosine calls), and Janino's redefinition error silently
+  // drops the whole operator to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("cosN")
+      val dot = ctx.freshName("cosDot")
+      val na = ctx.freshName("cosNa")
+      val nb = ctx.freshName("cosNb")
+      val i = ctx.freshName("cosI")
+      val xi = ctx.freshName("cosXi")
+      val yi = ctx.freshName("cosYi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

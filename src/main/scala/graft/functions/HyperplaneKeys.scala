@@ -179,6 +179,14 @@ object HyperplaneProbes {
           }
           q += 1
         }
+        if (best < 0) {
+          // all remaining margins NaN (non-finite embedding): degrade to
+          // first-unused-plane order instead of crashing — same buckets a
+          // first-m prober would emit, and the cosine re-rank discards
+          // non-finite vectors anyway
+          var q = 0
+          while (best < 0 && q < nBits) { if (!used(q)) best = q; q += 1 }
+        }
         used(best) = true
         out(t * (mm + 1) + r + 1) = acc ^ (1L << (nBits - 1 - best))
         r += 1

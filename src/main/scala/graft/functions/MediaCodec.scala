@@ -136,7 +136,12 @@ object MediaCodec {
         // streaming writers fix it up last, readers trust the header
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // size is an unsigned u32: keep the advance in Long so a garbage
+      // size can neither wrap negative (index exception) nor advance by 0
+      // (infinite loop) — any non-strictly-increasing or out-of-buffer
+      // step ends the walk with whatever facts were already gathered
+      val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= i || next > b.length) i = b.length else i = next.toInt
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
     else {

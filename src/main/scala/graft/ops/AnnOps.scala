@@ -65,22 +65,44 @@ object AnnOps {
   }
 
   /** Probe-side bucket keys: the probe's own bucket per table, plus (for
-    * multiProbe = m > 0) the m buckets at Hamming distance 1 — mask 0
-    * keeps the base bucket, mask (1 << (nBits-1-p)) flips plane p (plane
-    * 0 is the MSB of the packed key). Probe-side fan-out only; the
-    * corpus stays bucketed once.
+    * multiProbe = m > 0) the m buckets at Hamming distance 1 chosen by
+    * MARGIN — the native [[graft.functions.HyperplaneProbes]] expression
+    * flips the m lowest-|dot| planes, the sign bits a true near neighbor
+    * is most likely to disagree on (multi-probe LSH: probe order follows
+    * the margin, not the bit position). Probe-side fan-out only; the
+    * corpus stays bucketed once. AnnSpec gates recall@5 ≥ the positional
+    * first-m variant at equal fan-out.
     */
   private[graft] def probeBuckets(probes: DataFrame, nBits: Int, tables: Int,
-                                  multiProbe: Int): DataFrame = {
+                                  multiProbe: Int): DataFrame =
+    if (multiProbe <= 0)
+      bucketed(probes, nBits, tables)
+        .select(col("tbl"), col("key"), col("vec_id").as("pid"))
+    else {
+      graft.functions.HyperplaneProbes.register(probes.sparkSession)
+      val mm = math.min(multiProbe, nBits)
+      // layout is table-major, (mm+1) keys per table → pos div (mm+1)
+      // recovers the table id
+      probes.select(col("vec_id").as("pid"),
+          posexplode(call_function(graft.functions.HyperplaneProbes.name,
+            col("embedding"), lit(nBits), lit(tables), lit(multiProbe))))
+        .select((col("pos") / (mm + 1)).cast("int").as("tbl"),
+          col("col").as("key"), col("pid"))
+    }
+
+  /** Positional first-m multi-probe (flip planes 0..m-1 regardless of
+    * margin) — kept as the REFERENCE spelling the margin-ranked
+    * [[probeBuckets]] must beat-or-match on recall at equal fan-out
+    * (AnnSpec pins the gate). Not on any query path.
+    */
+  private[graft] def probeBucketsFirstM(probes: DataFrame, nBits: Int, tables: Int,
+                                        multiProbe: Int): DataFrame = {
     val pbBase = bucketed(probes, nBits, tables)
       .select(col("tbl"), col("key"), col("vec_id").as("pid"))
-    if (multiProbe <= 0) pbBase
-    else {
-      val masks = array((lit(0L) +:
-        (0 until math.min(multiProbe, nBits)).map(p => lit(1L << (nBits - 1 - p)))): _*)
-      pbBase.select(col("tbl"), col("pid"),
-        explode(transform(masks, m => col("key").bitwiseXOR(m))).as("key"))
-    }
+    val masks = array((lit(0L) +:
+      (0 until math.min(multiProbe, nBits)).map(p => lit(1L << (nBits - 1 - p)))): _*)
+    pbBase.select(col("tbl"), col("pid"),
+      explode(transform(masks, m => col("key").bitwiseXOR(m))).as("key"))
   }
 
   /** ANN top-k: probes and corpus hashed with the same tables; candidates
@@ -99,10 +121,11 @@ object AnnOps {
     * flipped — [[probeBuckets]]) — the standard multi-probe LSH
     * recall/fan-out trade: more candidate buckets per probe WITHOUT
     * rehashing or re-shuffling the corpus, exactly the knob a 100 TB
-    * corpus wants turned instead of more hash tables. Hyperplanes are
-    * iid, so which m planes get flipped is statistically immaterial; we
-    * flip the first m (a margin-ranked variant would flip the
-    * lowest-|dot| planes, at the cost of carrying per-plane margins).
+    * corpus wants turned instead of more hash tables. Flipped planes are
+    * MARGIN-RANKED (lowest |dot| first — [[probeBuckets]]): per probe,
+    * the planes the vector sits closest to are exactly where a true
+    * neighbor most likely landed on the other side, so each extra probe
+    * buys more recall than a positional flip would.
     */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
               nBits: Int = 12, tables: Int = 4, multiProbe: Int = 0): DataFrame = {

@@ -102,6 +102,58 @@ class AnnSpec extends SparkSuite {
     assert(multi.groupBy("pid").count().where(col("count") > 5).count() == 0)
   }
 
+  test("margin-ranked multi-probe beats positional first-m at equal fan-out") {
+    // r3 item #5 done-criterion. Setup where the margin knob has a
+    // structural (not luck-of-the-fixture) effect: probes are small
+    // deterministic perturbations of corpus vectors, so the true neighbor
+    // sits at a small angle and a sign bit disagrees between probe and
+    // source exactly on planes where the probe's |dot| is small. Flipping
+    // the lowest-margin planes (HyperplaneProbes) should therefore recover
+    // the source bucket; flipping planes 0..m-1 only wins when the
+    // disagreeing plane happens to sit in the first m positions (p = m/nBits).
+    // (The near-uniform fixture's OWN neighbors sit at ~90° — many bits
+    // apart — where no Hamming-1 scheme has an edge; hence the planting.)
+    val corpus = emb.select("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") < 100).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      // fixture embeddings are unit-norm (per-coord rms ≈ 1/8), so ±0.03
+      // per-coord noise ≈ 10° angle ≈ 0.8 expected sign flips over 14
+      // planes — mostly 0- or 1-flip cases, exactly multi-probe's regime
+      transform(col("embedding"), (x, i) =>
+        (x + (pmod(xxhash64(col("vec_id"), i), lit(5)).cast("double") - lit(2.0))
+          * lit(0.015)).cast("float")).as("embedding"))
+    // ground truth: probe 100000x should find source vector x
+    val truth = probes.select(col("vec_id").as("pid"),
+      (col("vec_id") - 1000000).as("vec_id"))
+    val nBits = 14; val tables = 1; val m = 4
+    val cb = AnnOps.bucketed(corpus, nBits, tables).select("tbl", "key", "vec_id")
+    def hits(pb: org.apache.spark.sql.DataFrame): Long =
+      pb.join(cb, Seq("tbl", "key"))
+        .select("pid", "vec_id").distinct()
+        .join(truth, Seq("pid", "vec_id"), "left_semi").count()
+    val margin = AnnOps.probeBuckets(probes, nBits, tables, m)
+    val firstM = AnnOps.probeBucketsFirstM(probes, nBits, tables, m)
+    assert(margin.count() == firstM.count(), "fan-out differs — gate is unfair")
+    val hMargin = hits(margin); val hFirst = hits(firstM)
+    info(s"planted-neighbor recovery: margin-ranked $hMargin/100, first-m $hFirst/100")
+    assert(hMargin > hFirst,
+      s"margin-ranked probing ($hMargin) did not beat first-m ($hFirst) at equal fan-out")
+  }
+
+  test("probes expression degrades gracefully on non-finite embeddings") {
+    // ADVICE r4: all-NaN margins used to leave best = -1 → AIOOBE. Now the
+    // selection falls back to first-unused-plane order.
+    import spark.implicits._
+    graft.functions.HyperplaneProbes.register(spark)
+    val nan = Seq((1L, Array.fill(8)(Float.NaN)), (2L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val keys = nan.select(col("vec_id"),
+      call_function(graft.functions.HyperplaneProbes.name,
+        col("embedding"), lit(6), lit(2), lit(3)).as("ks"))
+      .select(col("vec_id"), size(col("ks")).as("n")).collect()
+    assert(keys.forall(_.getInt(1) == 2 * 4), s"expected 8 keys per row: ${keys.mkString}")
+  }
+
   test("native hyperplane keys are bit-identical to the HOF reference spelling") {
     import org.apache.spark.sql.functions.{call_function, lit, posexplode, sequence, transform, struct, explode}
     graft.functions.HyperplaneKeys.register(spark)

@@ -35,6 +35,28 @@ class CosineSimSpec extends SparkSuite {
     assert(plan.contains("*(1) Project [graft_cosine"), s"no codegen span in:\n$plan")
   }
 
+  test("two cosines in one projection+predicate stay in codegen (fresh names)") {
+    // Regression for the fixed-local-name bug: with literals `n/dot/na/nb/i`
+    // in doGenCode, two graft_cosine calls in one codegen scope hit Janino's
+    // "Redefinition of local variable" and silently fell back to interpreted
+    // mode. fallback=false + CODEGEN_ONLY make any such failure throw.
+    CosineSim.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val emb = Tables.embeddings(spark, sf).limit(20)
+      val two = emb.select(
+          expr("graft_cosine(embedding, embedding)").as("c1"),
+          expr("graft_cosine(reverse(embedding), embedding)").as("c2"))
+        .where(expr("graft_cosine(embedding, embedding) > 0.5")
+          && expr("graft_cosine(reverse(embedding), embedding) >= -1.0"))
+      assert(two.count() == 20)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("interpreted eval path (nullSafeEval) matches codegen path") {
     CosineSim.register(spark)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -79,6 +79,31 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.decode(wav.take(44)).get.durationMs == 10L)
   }
 
+  test("WAV chunk walk survives hostile u32 chunk sizes (ADVICE r4)") {
+    // Chunk sizes are unsigned u32: 0xFFFFFFF8 once made the Int-truncated
+    // advance exactly 0 (infinite loop); 0x80000000 made it negative
+    // (StringIndexOutOfBounds). The walk must now terminate with None.
+    def riffWith(chunkId: String, size: Long): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); buf.putInt(16); buf.put("WAVE".getBytes)
+      buf.put(chunkId.getBytes); buf.putInt(size.toInt) // bit pattern of the u32
+      buf.putInt(0)
+      buf.array()
+    }
+    for (evil <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0x80000000L, 0xFFFFFFFFL)) {
+      assert(MediaCodec.decode(riffWith("junk", evil)).isEmpty,
+        s"size 0x${evil.toHexString} must end the walk with None")
+    }
+    // a hostile chunk BEFORE fmt/data must not mask facts already gathered:
+    // garbage after a complete fmt+data still yields the decoded header
+    val good = MediaGen.wav(1, 8000, 80)
+    val tail = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tail.put("junk".getBytes); tail.putInt(0xFFFFFFF8L.toInt)
+    val hostileTail = good ++ tail.array()
+    assert(MediaCodec.decode(hostileTail).get.durationMs == 10L)
+  }
+
   test("extractFeatures routes real formats through the codec") {
     import spark.implicits._
     val rows = Seq(
