@@ -123,6 +123,29 @@ object ScaleSmoke {
     // over a growing corpus makes every LSH bucket join quadratic
     val lshBits = math.max(8, math.ceil(math.log(nVecs / 32.0) / math.log(2)).toInt)
 
+    // streaming state at scale (r3 item #7): replay the scaled events
+    // through the I7 sessionizer under BOTH state-store providers —
+    // heap-backed default vs RocksDB — recording wall time (the generic
+    // timing wrapper below) plus the state operator's own footprint
+    // counters. The returned Long is the emitted session-row count, so a
+    // provider that silently drops state would also fail the count.
+    def sessionReplay(provider: String, label: String): Long = {
+      graft.streaming.StreamOps.withStateStore(spark, provider)
+      val q = graft.streaming.StreamOps.sessionize(spark,
+          graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8)).toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$dir/ckpt_$label")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+      val rows = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max
+      val mem = if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).max
+      System.err.println(f"[state:$label] stateRows=$rows stateBytes=$mem")
+      rows
+    }
+
     // spec-only pipelines (no oracle: engine-specific hashes/seeds) whose
     // 100 TB claims should be measured, not just argued: MinHash+LSH dedup
     // end-to-end, IVF ANN build+probe, winnowing fingerprints
@@ -150,7 +173,11 @@ object ScaleSmoke {
         // explode-count so the fingerprint arrays are actually computed
         // (count over a global agg can prune the aggregate's work)
         ops.TextAnalysisOps.fingerprints(Tables.documents(spark, dir))
-          .select(explode(col("fingerprint"))).count()))
+          .select(explode(col("fingerprint"))).count()),
+      "i7_state_default" -> (() =>
+        sessionReplay(graft.streaming.StreamOps.DefaultProvider, "default")),
+      "i7_state_rocksdb" -> (() =>
+        sessionReplay(graft.streaming.StreamOps.RocksDbProvider, "rocksdb")))
 
     val runs: Seq[(String, () => Long)] =
       heavies.map(n => n -> (() => SparkEntry.queries(n)(spark, dir).count())) ++ pipelines

@@ -3,8 +3,10 @@ package graft.functions
 /** Pure-JVM media header codec — the real J12 decoder (SURVEY.md §2.11),
   * replacing round 3's histogram stub for the formats it understands.
   *
-  * Read path (the deliverable): hand-written parsers over the three public
-  * container formats whose headers are fixed-layout and dependency-free —
+  * Read path (the deliverable): hand-written parsers over five public
+  * container formats whose headers are fixed-layout and dependency-free
+  * (GIF's logical screen descriptor and the MP3 frame-header walk are in
+  * their Scaladoc below) —
   *   - PNG: 8-byte signature then the IHDR chunk (width/height as
   *     big-endian u32 at offsets 16/20, bit depth at 24, color type at 25);
   *     the ISO/W3C PNG spec fixes IHDR as the first chunk.
@@ -52,19 +54,28 @@ object MediaCodec {
   private val PngSig: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Cheap format sniff from magic bytes alone. */
+  /** Cheap format sniff from magic bytes alone. MP3 goes last: its sync
+    * pattern (0xFF + 3 set bits) is the least specific magic, though JPEG's
+    * FF D8 can't collide (0xD8 & 0xE0 = 0xC0 ≠ 0xE0).
+    */
   def sniff(b: Array[Byte]): String =
     if (b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i))) "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
       (b(2) & 0xff) == 0xff) "jpeg"
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
+    else if (b.length >= 4 && (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
+      (b(0) == 'I' && b(1) == 'D' && b(2) == '3'))) "mp3"
     else "unknown"
 
   def decode(b: Array[Byte]): Option[MediaDims] = sniff(b) match {
     case "png"  => decodePng(b)
     case "jpeg" => decodeJpeg(b)
     case "wav"  => decodeWav(b)
+    case "gif"  => decodeGif(b)
+    case "mp3"  => decodeMp3(b)
     case _      => None
   }
 
@@ -150,6 +161,77 @@ object MediaCodec {
       Some(MediaDims("wav", -1, -1, channels, rate, durMs))
     }
   }
+
+  /** GIF logical screen descriptor: "GIF87a"/"GIF89a" then width/height as
+    * LE u16 at offsets 6/8. GIF pixels are always palette indices, so
+    * channels = 1 (same convention as palette PNG, color type 3).
+    */
+  def decodeGif(b: Array[Byte]): Option[MediaDims] = {
+    if (b.length < 13) return None
+    val w = leU16(b, 6)
+    val h = leU16(b, 8)
+    if (w <= 0 || h <= 0) return None
+    Some(MediaDims("gif", w, h, 1, -1, -1L))
+  }
+
+  // MPEG audio tables, Layer III columns only (the layer every curation
+  // corpus actually contains): bitrate kbps by (version, index), sample
+  // rate Hz by (version, index), samples per frame by version.
+  private val V1L3Bitrate =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val V2L3Bitrate =
+    Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+  private val SampleRates = Map( // version bits -> rates by 2-bit index
+    3 -> Array(44100, 48000, 32000), // MPEG-1
+    2 -> Array(22050, 24000, 16000), // MPEG-2
+    0 -> Array(11025, 12000, 8000))  // MPEG-2.5
+
+  /** MP3: skip an optional ID3v2 tag, then walk Layer III frame headers —
+    * each is FF Ex/Fx, version/layer/bitrate/samplerate/padding bits, and a
+    * computable frame length — accumulating samples for the duration. Walk
+    * ends at the first non-frame byte; at least one valid frame is
+    * required. Same loud-failure posture as the other parsers: malformed
+    * bytes end the walk, never throw.
+    */
+  def decodeMp3(b: Array[Byte]): Option[MediaDims] = {
+    var i = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: 28-bit syncsafe size at offsets 6..9, after the 10-byte header
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10L + sz
+    }
+    var frames = 0L
+    var samples = 0L
+    var channels = -1
+    var rate = -1
+    while (i + 4 <= b.length) {
+      val p = i.toInt
+      if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) {
+        i = b.length // not a frame header: end of audio stream
+      } else {
+        val ver = (b(p + 1) >> 3) & 0x3
+        val layer = (b(p + 1) >> 1) & 0x3
+        val brIdx = (b(p + 2) >> 4) & 0xf
+        val srIdx = (b(p + 2) >> 2) & 0x3
+        val pad = (b(p + 2) >> 1) & 0x1
+        if (layer != 1 || ver == 1 || srIdx == 3) return None // Layer III only
+        val br = (if (ver == 3) V1L3Bitrate else V2L3Bitrate)(brIdx)
+        if (br <= 0) return None // free-format/bad index: length unknowable
+        val sr = SampleRates(ver)(srIdx)
+        val spf = if (ver == 3) 1152 else 576 // samples per L3 frame
+        val frameLen = spf / 8 * br * 1000L / sr + pad
+        if (frameLen <= 4) return None
+        channels = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
+        rate = sr
+        frames += 1
+        samples += spf
+        i += frameLen
+      }
+    }
+    if (frames == 0 || rate <= 0) None
+    else Some(MediaDims("mp3", -1, -1, channels, rate, samples * 1000L / rate))
+  }
 }
 
 /** Fixture-side encoders: REAL bytes from independent codecs, so
@@ -186,6 +268,36 @@ object MediaGen {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(image(w, h), "jpeg", out)
     out.toByteArray
+  }
+
+  /** Real GIF via the JDK's ImageIO GIF encoder (palette quantization and
+    * all — only the logical screen descriptor is parsed back).
+    */
+  def gif(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(image(w, h), "gif", out)
+    out.toByteArray
+  }
+
+  /** MPEG-1 Layer III, 48 kHz / 96 kbps / mono, silent frames by direct
+    * layout (no JDK MP3 encoder exists). These parameters make every frame
+    * exactly 144·96000/48000 = 288 bytes and 1152/48000 = 24 ms, so the
+    * decoded duration is exact integer arithmetic an oracle can recompute:
+    * durationMs = 24 · nFrames.
+    */
+  def mp3(nFrames: Int): Array[Byte] = {
+    val frame = new Array[Byte](288)
+    frame(0) = 0xff.toByte // sync
+    frame(1) = 0xfb.toByte // sync | MPEG-1 | Layer III | no CRC
+    frame(2) = 0x74.toByte // bitrate idx 7 (96k) | samplerate idx 1 (48k)
+    frame(3) = 0xc0.toByte // mono
+    val out = new Array[Byte](288 * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(frame, 0, out, f * 288, 288)
+      f += 1
+    }
+    out
   }
 
   /** PCM16 WAV, zero samples, direct RIFF layout. */

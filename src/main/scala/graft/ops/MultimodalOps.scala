@@ -121,11 +121,12 @@ object MultimodalOps {
   case class DecodedMedia(media_id: Long, format: String, width: Int, height: Int,
                           channels: Int, sample_rate: Int, duration_ms: Long)
 
-  /** Real media fixture: PNG and JPEG files encoded by the JDK's own
-    * ImageIO codecs, WAV by direct RIFF layout — dimensions are pure
-    * doc_id arithmetic so the DuckDB oracle can recompute the expected
-    * stats without ever seeing the bytes. Bounded to 300 rows (100 per
-    * format) at every SF — this gates the DECODER, not scan throughput.
+  /** Real media fixture: PNG/JPEG/GIF files encoded by the JDK's own
+    * ImageIO codecs, WAV by direct RIFF layout, MP3 by direct frame
+    * layout — dimensions are pure doc_id arithmetic so the DuckDB oracle
+    * can recompute the expected stats without ever seeing the bytes.
+    * Bounded to 300 rows (60 per format) at every SF — this gates the
+    * DECODER, not scan throughput.
     */
   def mediaFilesTable(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -134,13 +135,16 @@ object MultimodalOps {
         it.map { id =>
           val w = (id % 640 + 16).toInt
           val h = (id % 480 + 16).toInt
-          val payload = (id % 3) match {
+          val payload = (id % 5) match {
             case 0 => graft.functions.MediaGen.png(w, h)
             case 1 => graft.functions.MediaGen.jpeg(w, h)
             // 8 kHz PCM16: nSamples = 8·durMs makes the decoded duration exact
-            case _ => graft.functions.MediaGen.wav(
+            case 2 => graft.functions.MediaGen.wav(
               channels = (1 + id % 2).toInt, sampleRate = 8000,
               nSamples = (8 * (id % 100 + 1)).toInt)
+            case 3 => graft.functions.MediaGen.gif(w, h)
+            // 24 ms/frame by construction: durationMs = 24·(id%50+1)
+            case _ => graft.functions.MediaGen.mp3((id % 50 + 1).toInt)
           }
           MediaFile(id, payload)
         }

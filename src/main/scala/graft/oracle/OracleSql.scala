@@ -499,19 +499,26 @@ object OracleSql {
         |      FROM documents)
         |GROUP BY kind ORDER BY kind NULLS LAST""".stripMargin,
     // j19 dims are pure doc_id arithmetic (mediaFilesTable encodes exactly
-    // these into real PNG/JPEG/WAV bytes; the Spark side re-derives them
-    // from the bytes alone) — the oracle recomputes them symbolically
+    // these into real PNG/JPEG/WAV/GIF/MP3 bytes; the Spark side re-derives
+    // them from the bytes alone) — the oracle recomputes them symbolically.
+    // Channels: 3 for truecolor PNG/JPEG, 1 for palette GIF, 1+id%2 for
+    // WAV, 1 for mono MP3. Durations: WAV id%100+1 ms, MP3 24·(id%50+1) ms
+    // (48 kHz Layer III = exactly 24 ms/frame).
     "j19_media_dims" ->
       """SELECT format, count(*) AS n,
         |       CAST(sum(w) AS BIGINT) AS sum_w, min(w) AS min_w, max(w) AS max_w,
         |       CAST(sum(h) AS BIGINT) AS sum_h,
         |       CAST(sum(ch) AS BIGINT) AS sum_ch,
         |       CAST(sum(dur) AS BIGINT) AS sum_dur_ms
-        |FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-        |             CASE WHEN doc_id % 3 <= 1 THEN CAST(doc_id % 640 + 16 AS INT) END AS w,
-        |             CASE WHEN doc_id % 3 <= 1 THEN CAST(doc_id % 480 + 16 AS INT) END AS h,
-        |             CASE WHEN doc_id % 3 <= 1 THEN 3 ELSE CAST(1 + doc_id % 2 AS INT) END AS ch,
-        |             CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 1 END AS dur
+        |FROM (SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                             WHEN 2 THEN 'wav' WHEN 3 THEN 'gif' ELSE 'mp3' END AS format,
+        |             CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST(doc_id % 640 + 16 AS INT) END AS w,
+        |             CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST(doc_id % 480 + 16 AS INT) END AS h,
+        |             CASE WHEN doc_id % 5 IN (0, 1) THEN 3
+        |                  WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS INT)
+        |                  ELSE 1 END AS ch,
+        |             CASE WHEN doc_id % 5 = 2 THEN doc_id % 100 + 1
+        |                  WHEN doc_id % 5 = 4 THEN 24 * (doc_id % 50 + 1) END AS dur
         |      FROM documents WHERE doc_id < 300)
         |GROUP BY format ORDER BY format NULLS LAST""".stripMargin,
     "j16_token_stats" ->

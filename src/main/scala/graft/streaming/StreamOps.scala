@@ -23,6 +23,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamOps {
 
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val DefaultProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** State-store provider toggle — the 100 TB knob for the I-series. The
+    * default HDFSBackedStateStoreProvider keeps every maintained version of
+    * every partition's state map in executor HEAP; fine for bounded session
+    * state, a memory wall once keyed state outgrows the JVM (large-key
+    * dedup horizons, wide session cardinality). RocksDB (bundled with
+    * Spark; rocksdbjni is on the cluster classpath) keeps state off-heap
+    * in local SST files with incremental checkpointing. Config, not code:
+    * every StreamOps operator runs unchanged under either provider —
+    * StreamingSpec pins I7 batch-equivalence under RocksDB, and
+    * ScaleSmoke's streaming entry measures both providers' replay.
+    */
+  def withStateStore(spark: SparkSession, provider: String): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+
   /** I1: replay an events parquet fixture as a micro-batch file stream.
     * maxFilesPerTrigger=1 gives deterministic micro-batch boundaries in
     * tests; schema comes from the batch reader (streams can't infer).

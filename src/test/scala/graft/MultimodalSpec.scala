@@ -125,17 +125,43 @@ class MultimodalSpec extends SparkSuite {
     assert(decoded.length == 300)
     decoded.foreach { r =>
       val id = r.media_id
-      (id % 3) match {
+      (id % 5) match {
         case 0 =>
           assert(r.format == "png" && r.width == (id % 640 + 16) &&
             r.height == (id % 480 + 16) && r.channels == 3)
         case 1 =>
           assert(r.format == "jpeg" && r.width == (id % 640 + 16) &&
             r.height == (id % 480 + 16) && r.channels == 3)
-        case _ =>
+        case 2 =>
           assert(r.format == "wav" && r.channels == (1 + id % 2) &&
             r.sample_rate == 8000 && r.duration_ms == (id % 100 + 1))
+        case 3 =>
+          assert(r.format == "gif" && r.width == (id % 640 + 16) &&
+            r.height == (id % 480 + 16) && r.channels == 1)
+        case _ =>
+          assert(r.format == "mp3" && r.channels == 1 &&
+            r.sample_rate == 48000 && r.duration_ms == 24 * (id % 50 + 1))
       }
     }
+  }
+
+  test("GIF parser: logical screen dims from ImageIO-encoded bytes") {
+    val d = MediaCodec.decode(MediaGen.gif(321, 97)).get
+    assert(d.format == "gif" && d.width == 321 && d.height == 97 && d.channels == 1)
+    assert(MediaCodec.decode(MediaGen.gif(16, 16).take(10)).isEmpty) // cut in LSD
+  }
+
+  test("MP3 parser: frame walk counts frames, exact 24ms/frame duration") {
+    val d = MediaCodec.decode(MediaGen.mp3(41)).get
+    assert(d.format == "mp3" && d.channels == 1 && d.sampleRate == 48000)
+    assert(d.durationMs == 24L * 41)
+    // ID3v2 tag in front is skipped (syncsafe size), frames still counted
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12) ++ new Array[Byte](12)
+    val tagged = tag ++ MediaGen.mp3(5)
+    assert(MediaCodec.decode(tagged).get.durationMs == 24L * 5)
+    // truncated mid-header: the complete frames still count
+    assert(MediaCodec.decode(MediaGen.mp3(3).take(288 * 2 + 2)).get.durationMs == 48L)
+    // garbage after sync byte yields None, not a crash
+    assert(MediaCodec.decode(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x00)).isEmpty)
   }
 }

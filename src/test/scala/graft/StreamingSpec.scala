@@ -87,6 +87,30 @@ class StreamingSpec extends SparkSuite {
       && batch.exceptAll(streamedRows).isEmpty)
   }
 
+  test("I7 under RocksDB state store: sessionizer equivalence is provider-independent") {
+    // The 100 TB state path (StreamOps.withStateStore): same sessionizer,
+    // same replay, state held in RocksDB instead of executor heap. The
+    // final session set must be bit-identical to the default provider's
+    // (which the previous test already pinned against the i4 batch twin).
+    StreamOps.withStateStore(spark, StreamOps.RocksDbProvider)
+    try {
+      val streamed = runStream(
+        StreamOps.sessionize(spark, StreamOps.eventsStream(spark, sf)).toDF(),
+        "append", "t_fmgws_rocks")
+      val finalSessions = streamed.groupBy("user_id", "session_start")
+        .agg(max("n").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      val streamedRows = finalSessions
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select("user_id", "session_id", "n")
+      val batch = ops.WindowOps.i4_window_session_batch(spark, sf)
+        .select("user_id", "session_id", "n")
+      assert(streamedRows.exceptAll(batch).isEmpty
+        && batch.exceptAll(streamedRows).isEmpty)
+    } finally StreamOps.withStateStore(spark, StreamOps.DefaultProvider)
+  }
+
   test("I8: stream-static join equals batch join") {
     val streamed = runStream(
       StreamOps.streamStaticJoin(StreamOps.eventsStream(spark, sf),
