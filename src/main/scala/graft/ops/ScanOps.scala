@@ -126,6 +126,30 @@ object ScanOps {
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
+  /** a10 — point get (the HBase client `Get`): bulk-write the cells as
+    * region files, then fetch ONE rowkey through the bloom-pruned seek
+    * path ([[graft.sources.HFileOps.pointGet]]) — trailer, bloom meta +
+    * chunk, index, one data block; never a region scan. The target key is
+    * computed (the rowkey of event_id = 0), not frozen, so it exists at
+    * every SF; the single-key driver lookup is the Get's client-supplied
+    * argument, not data materialization.
+    */
+  val a10_hfile_get: Q = (s, d) => {
+    val dir = Tables.appTmpDir(s, "graft_hfile_get", d)
+    val nCells = Tables.events(s, d).count()
+    graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
+      regions = graft.sources.HFileOps.regionCountFor(nCells))
+    val uid = Tables.events(s, d).where(col("event_id") === 0)
+      .select("user_id").head().getLong(0)
+    val rowkey = f"$uid%012d:${0L}%012d"
+    graft.sources.HFileOps.pointGet(s, dir, rowkey)
+      // µs domain for the output ts: DuckDB truncates TIMESTAMP_NS to µs
+      // at scan (FIXTURES.md §F4.2), so raw nanos can never hash-match
+      .select(col("rowkey"), col("cf"), col("qualifier"),
+        expr("ts div 1000").as("ts_us"), col("value"), col("op"))
+      .orderBy(col("qualifier").asc_nulls_last, col("ts_us").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
     "a2_csv_roundtrip" -> a2_csv_roundtrip,
@@ -133,5 +157,6 @@ object ScanOps {
     "a5_bulkload_splits" -> a5_bulkload_splits,
     "a6_cells_asof" -> a6_cells_asof,
     "a8_cells_pivot" -> a8_cells_pivot,
-    "a9_hfile_roundtrip" -> a9_hfile_roundtrip)
+    "a9_hfile_roundtrip" -> a9_hfile_roundtrip,
+    "a10_hfile_get" -> a10_hfile_get)
 }

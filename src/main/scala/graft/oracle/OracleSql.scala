@@ -54,6 +54,16 @@ object OracleSql {
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a10: the DuckDB twin of the point get — same single rowkey, computed
+    // the same way (the rowkey of event_id = 0, which exists at every SF)
+    "a10_hfile_get" ->
+      (cellsCte +
+        """SELECT rowkey, cf, qualifier, CAST(ts // 1000 AS BIGINT) AS ts_us, value, op
+          |FROM cells
+          |WHERE rowkey = (SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'),
+          |                              ':', lpad('0', 12, '0'))
+          |                FROM events WHERE event_id = 0)
+          |ORDER BY qualifier NULLS LAST, ts_us NULLS LAST""".stripMargin),
     "a8_cells_pivot" ->
       (cellsCte +
         """SELECT rowkey,

@@ -43,7 +43,19 @@ object HFileCodec {
   val RootIndexMagic: Array[Byte] = "IDXROOT2".getBytes(UTF_8)
   val IntermediateIndexMagic: Array[Byte] = "IDXINTE2".getBytes(UTF_8)
   val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(UTF_8)
+  val BloomChunkMagic: Array[Byte] = "BLMFBLK2".getBytes(UTF_8)
+  val BloomMetaMagic: Array[Byte] = "BLMFMET2".getBytes(UTF_8)
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(UTF_8)
+
+  /** Row-bloom parameters, HBase's defaults: ~10 bits/key ≈ 1% FPR with
+    * k = 7 ≈ ln2·10 probes [public: o.a.h.hbase.util.BloomFilterUtil].
+    * Chunked like HBase's CompoundBloomFilter: one bloom per
+    * `DefaultBloomChunkKeys` distinct rows, located by a first-row meta
+    * index — so neither writer nor reader ever holds one giant filter.
+    */
+  val BloomBitsPerKey = 10
+  val BloomHashCount = 7
+  val DefaultBloomChunkKeys: Int = 16 * 1024
 
   /** Root/intermediate index entries per chunk before escalating to the
     * next index level (HBase's equivalent knob is size-based:
@@ -152,17 +164,71 @@ object HFileCodec {
     idx.toByteArray
   }
 
+  /** Double hash of a row key for the bloom's k probe positions
+    * (g_i = h1 + i·h2, the standard Kirsch–Mitzenmacher composition).
+    */
+  private[sources] def bloomHashes(row: Array[Byte]): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    (XXH64.hashUnsafeBytes(row, Platform.BYTE_ARRAY_OFFSET, row.length, 0x9747b28cL),
+      XXH64.hashUnsafeBytes(row, Platform.BYTE_ARRAY_OFFSET, row.length, 0x41c64e6dL))
+  }
+
+  private def bloomBitFor(h1: Long, h2: Long, i: Int, mBits: Long): Int =
+    (((h1 + i * h2) & Long.MaxValue) % mBits).toInt
+
+  /** One serialized bloom chunk: `k:4 | mBits:8 | bits` (longs, BE). */
+  private def bloomChunkPayload(hashes: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    val mBits = math.max(64L, hashes.size.toLong * BloomBitsPerKey)
+    val words = new Array[Long](((mBits + 63) / 64).toInt)
+    hashes.foreach { case (h1, h2) =>
+      var i = 0
+      while (i < BloomHashCount) {
+        val bit = bloomBitFor(h1, h2, i, mBits)
+        words(bit >> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    val buf = ByteBuffer.allocate(4 + 8 + words.length * 8)
+    buf.putInt(BloomHashCount).putLong(mBits)
+    words.foreach(buf.putLong)
+    buf.array()
+  }
+
+  /** Test one serialized chunk (payload at `off`, after the header). */
+  private[sources] def bloomChunkContains(chunk: Array[Byte], off: Int,
+                                          row: Array[Byte]): Boolean = {
+    val buf = ByteBuffer.wrap(chunk, off, chunk.length - off)
+    val k = buf.getInt
+    val mBits = buf.getLong
+    val (h1, h2) = bloomHashes(row)
+    var i = 0
+    while (i < k) {
+      val bit = bloomBitFor(h1, h2, i, mBits)
+      if ((buf.getLong(off + 12 + (bit >> 6) * 8) & (1L << (bit & 63))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
   /** Serialize sorted cells as a full HFile onto `sink`, streaming: one
-    * pass, O(blockSize) heap beyond the block-index entries — a region file
-    * larger than the heap writes fine. Returns bytes written.
+    * pass, O(blockSize) heap beyond the block-index entries and the row
+    * bloom (10 bits per distinct row, chunked) — a region file larger
+    * than the heap writes fine. Returns bytes written.
     */
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
             blockSize: Int): Long =
     write(cells, sink, blockSize, DefaultIndexChunkEntries)
 
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
-            blockSize: Int, indexChunkEntries: Int): Long = {
+            blockSize: Int, indexChunkEntries: Int): Long =
+    write(cells, sink, blockSize, indexChunkEntries, DefaultBloomChunkKeys)
+
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
+    require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
     var written = 0L
     def emit(b: Array[Byte]): Unit = { sink.write(b); written += b.length }
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
@@ -170,6 +236,26 @@ object HFileCodec {
     var firstKey: Array[Byte] = null
     var entryCount = 0L
     var totalUncompressed = 0L
+
+    // row bloom, chunked: rows arrive sorted, so consecutive duplicates
+    // collapse to one bloom key and each chunk covers a contiguous row
+    // range keyed by its first row. Closed chunks are buffered until the
+    // data section ends (they live in the load-on-open section) — ~1.25 MB
+    // per 10^6 distinct rows, bounded by regionCountFor's region sizing.
+    val bloomChunks = ArrayBuffer.empty[(Array[Byte], Array[Byte])] // firstRow, payload
+    var chunkHashes = ArrayBuffer.empty[(Long, Long)]
+    var chunkFirstRow: Array[Byte] = null
+    var lastRow: Array[Byte] = null
+
+    def closeBloomChunk(): Unit = if (chunkHashes.nonEmpty) {
+      // meta keys carry the same `rowLen:2 | row` prefix as block-index
+      // keys, so rowOfKey/candidateEntries work unchanged on both
+      val prefixed = ByteBuffer.allocate(2 + chunkFirstRow.length)
+        .putShort(chunkFirstRow.length.toShort).put(chunkFirstRow).array()
+      bloomChunks += ((prefixed, bloomChunkPayload(chunkHashes)))
+      chunkHashes = ArrayBuffer.empty
+      chunkFirstRow = null
+    }
 
     def flushBlock(): Unit = if (block.size() > 0) {
       val payload = block.toByteArray
@@ -185,14 +271,35 @@ object HFileCodec {
       if (firstKey == null) firstKey = c.keyBytes
       block.write(encodeKeyValue(c))
       entryCount += 1
+      if (lastRow == null || !java.util.Arrays.equals(lastRow, c.row)) {
+        if (chunkFirstRow == null) chunkFirstRow = c.row
+        chunkHashes += bloomHashes(c.row)
+        lastRow = c.row
+        if (chunkHashes.size >= bloomChunkKeys) closeBloomChunk()
+      }
       if (block.size() >= blockSize) flushBlock()
     }
     flushBlock()
+    closeBloomChunk()
 
     // file-info block (entry kept minimal: count as 8 bytes)
     val fileInfoOffset = written
     val fi = ByteBuffer.allocate(8).putLong(entryCount).array()
     emit(blockHeader(FileInfoMagic, fi.length)); emit(fi)
+
+    // bloom section: chunks, then a meta block indexing them by first row
+    // (same entry layout as the block index, so the reader shares a parser)
+    val bloomMetaEntries = bloomChunks.map { case (firstRow, payload) =>
+      val off = written
+      emit(blockHeader(BloomChunkMagic, payload.length)); emit(payload)
+      (off, HeaderSize + payload.length, firstRow)
+    }
+    val bloomMetaOffset = if (bloomMetaEntries.isEmpty) -1L else {
+      val off = written
+      val payload = serializeIndexEntries(bloomMetaEntries)
+      emit(blockHeader(BloomMetaMagic, payload.length)); emit(payload)
+      off
+    }
 
     // index section. Small files: root entries point straight at data
     // blocks. Past indexChunkEntries data blocks, escalate to two levels —
@@ -220,12 +327,13 @@ object HFileCodec {
 
     // trailer: magic + fixed-layout fields (deviation: protobuf in real HBase)
     emit(TrailerMagic)
-    val tr = ByteBuffer.allocate(8 + 8 + 4 + 8 + 8 + 4)
+    val tr = ByteBuffer.allocate(8 + 8 + 4 + 8 + 8 + 8 + 4)
     tr.putLong(fileInfoOffset)
       .putLong(rootIndexOffset)   // loadOnOpenDataOffset
       .putInt(rootEntries.size)   // dataIndexCount = ROOT chunk entries, as in HBase
       .putLong(totalUncompressed)
       .putLong(entryCount)
+      .putLong(bloomMetaOffset)   // -1 = no bloom (empty file)
       .putInt(2)                  // compression codec NONE [public: o.a.h.hbase.io.compress.Compression.Algorithm]
     emit(tr.array())
     // version word, minor in the high byte [public: o.a.h.hbase.io.hfile.FixedFileTrailer]
@@ -242,15 +350,20 @@ object HFileCodec {
 
   final case class Trailer(fileInfoOffset: Long, rootIndexOffset: Long,
                            dataIndexCount: Int, totalUncompressed: Long,
-                           entryCount: Long, majorVersion: Int)
+                           entryCount: Long, bloomMetaOffset: Long,
+                           majorVersion: Int)
+
+  /** Serialized trailer length (magic + fields + version word) — the
+    * fixed byte count a random-access reader fetches from the file tail.
+    */
+  val TrailerLen: Int = 8 + (8 + 8 + 4 + 8 + 8 + 8 + 4) + 4
 
   def readTrailer(file: Array[Byte]): Trailer = {
-    val trailerLen = 8 + (8 + 8 + 4 + 8 + 8 + 4) + 4
-    val buf = ByteBuffer.wrap(file, file.length - trailerLen, trailerLen)
+    val buf = ByteBuffer.wrap(file, file.length - TrailerLen, TrailerLen)
     val magic = new Array[Byte](8); buf.get(magic)
     require(java.util.Arrays.equals(magic, TrailerMagic), "bad trailer magic")
     val t = Trailer(buf.getLong, buf.getLong, buf.getInt, buf.getLong,
-      buf.getLong, 0)
+      buf.getLong, buf.getLong, 0)
     t.copy(majorVersion = ByteBuffer.wrap(file, file.length - 4, 4).getInt & 0x00ffffff)
   }
 
@@ -312,6 +425,72 @@ object HFileCodec {
       entries += ((off, size))
     }
     entries.toSeq
+  }
+
+  /** Parse one index block's (offset, onDiskSize, firstKey) entries —
+    * the key-aware form the point-get path needs to binary-search blocks.
+    */
+  private[sources] def parseIndexEntriesWithKeys(block: Array[Byte], hdrOff: Int,
+      magic: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    require(hasMagic(block, hdrOff, magic),
+      s"bad index block magic at $hdrOff (want ${new String(magic, UTF_8)})")
+    val idxLen = ByteBuffer.wrap(block, hdrOff + 8, 4).getInt
+    var p = hdrOff + HeaderSize
+    val end = hdrOff + HeaderSize + idxLen
+    val entries = ArrayBuffer.empty[(Long, Int, Array[Byte])]
+    while (p < end) {
+      val bb = ByteBuffer.wrap(block, p, 12)
+      val off = bb.getLong; val size = bb.getInt
+      val (keyLen, p2) = readVInt(block, p + 12)
+      entries += ((off, size, java.util.Arrays.copyOfRange(block, p2, p2 + keyLen)))
+      p = p2 + keyLen
+    }
+    entries.toSeq
+  }
+
+  /** Row portion of a serialized key (`rowLen:2 | row | …`). */
+  private[sources] def rowOfKey(key: Array[Byte]): Array[Byte] = {
+    val rowLen = ((key(0) & 0xff) << 8) | (key(1) & 0xff)
+    java.util.Arrays.copyOfRange(key, 2, 2 + rowLen)
+  }
+
+  /** The sub-range of sorted index entries whose blocks can contain
+    * `row`: the last entry whose first row sorts ≤ `row`, plus every
+    * following entry whose first row EQUALS `row` (a row can span block
+    * boundaries). Works identically at the root (chunk entries), the
+    * intermediate level, and the bloom meta.
+    */
+  private[sources] def candidateEntries(entries: Seq[(Long, Int, Array[Byte])],
+      row: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    val rows = entries.map { case (_, _, k) => rowOfKey(k) }
+    var last = -1
+    var i = 0
+    while (i < rows.size && java.util.Arrays.compareUnsigned(rows(i), row) <= 0) {
+      last = i; i += 1
+    }
+    if (last < 0) Seq.empty
+    else {
+      var from = last
+      while (from > 0 && java.util.Arrays.compareUnsigned(rows(from), row) == 0)
+        from -= 1
+      entries.slice(from, last + 1)
+    }
+  }
+
+  /** Row-bloom membership test over a whole in-memory file: false means
+    * the row is DEFINITELY absent (the point-get prune); true means
+    * "read the data block". Files without a bloom answer true.
+    */
+  def mayContainRow(file: Array[Byte], row: Array[Byte]): Boolean = {
+    val trailer = readTrailer(file)
+    if (trailer.bloomMetaOffset < 0) return true
+    val meta = parseIndexEntriesWithKeys(file, trailer.bloomMetaOffset.toInt,
+      BloomMetaMagic)
+    val cands = candidateEntries(meta, row)
+    cands.exists { case (off, _, _) =>
+      require(hasMagic(file, off.toInt, BloomChunkMagic), "bad bloom chunk magic")
+      bloomChunkContains(file, off.toInt + HeaderSize, row)
+    }
   }
 
   /** Decode every cell by walking the index: root entries point at data

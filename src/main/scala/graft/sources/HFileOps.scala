@@ -112,6 +112,101 @@ object HFileOps {
   def regionCountFor(cellCount: Long): Int =
     math.min(4096L, math.max(4L, (cellCount + (1L << 20) - 1) / (1L << 20))).toInt
 
+  /** One Hadoop positioned-read of a whole block (header first for the
+    * length, then header+payload) — the random-access primitive of the
+    * point-get path.
+    */
+  private def readBlockAt(in: org.apache.hadoop.fs.FSDataInputStream,
+                          off: Long): Array[Byte] = {
+    val hdr = new Array[Byte](HFileCodec.HeaderSize)
+    in.readFully(off, hdr)
+    val payloadLen = java.nio.ByteBuffer.wrap(hdr, 8, 4).getInt
+    val block = new Array[Byte](HFileCodec.HeaderSize + payloadLen)
+    in.readFully(off, block)
+    block
+  }
+
+  private def magicAt(b: Array[Byte], magic: Array[Byte]): Boolean =
+    java.util.Arrays.equals(java.util.Arrays.copyOfRange(b, 0, 8), magic)
+
+  /** The HBase `Get` read shape against a bulk-written table: per region
+    * file, a handful of positioned reads — trailer (1), bloom meta +
+    * chunk (2, after which most regions are REJECTED without touching
+    * data), root/intermediate index (1-2), then only the candidate data
+    * block(s). Never a region scan: cost per region is O(blockSize), not
+    * O(region). One Spark task per region file, so a get against a
+    * 4096-region table is 4096 tiny tasks — or, with the usual rowkey →
+    * region routing an online serving layer adds, exactly one.
+    */
+  def pointGet(spark: SparkSession, dir: String, rowkey: String): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
+      .getOrElse(Array.empty).map(_.getPath.toString).toSeq.sorted
+    val serConf = new SerializableConfiguration(hadoopConf)
+    val rowBytes = rowkey.getBytes(UTF_8)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new HPath(p)
+        val fs = path.getFileSystem(serConf.value)
+        val len = fs.getFileStatus(path).getLen
+        val in = fs.open(path)
+        try {
+          val tail = new Array[Byte](HFileCodec.TrailerLen)
+          in.readFully(len - HFileCodec.TrailerLen, tail)
+          val trailer = HFileCodec.readTrailer(tail)
+          val bloomPass = trailer.bloomMetaOffset < 0 || {
+            val meta = readBlockAt(in, trailer.bloomMetaOffset)
+            HFileCodec.candidateEntries(
+              HFileCodec.parseIndexEntriesWithKeys(meta, 0, HFileCodec.BloomMetaMagic),
+              rowBytes)
+              .exists { case (off, _, _) =>
+                val chunk = readBlockAt(in, off)
+                require(magicAt(chunk, HFileCodec.BloomChunkMagic), "bad bloom chunk magic")
+                HFileCodec.bloomChunkContains(chunk, HFileCodec.HeaderSize, rowBytes)
+              }
+          }
+          // eager evaluation throughout: the stream closes in `finally`,
+          // so nothing here may return a lazy iterator over `in`
+          if (!bloomPass) Seq.empty[Row]
+          else {
+            val root = readBlockAt(in, trailer.rootIndexOffset)
+            val rootCands = HFileCodec.candidateEntries(
+              HFileCodec.parseIndexEntriesWithKeys(root, 0, HFileCodec.RootIndexMagic),
+              rowBytes)
+            val dataOffsets = rootCands.flatMap { case (off, _, _) =>
+              val blk = readBlockAt(in, off)
+              if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+                HFileCodec.candidateEntries(
+                  HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+                    HFileCodec.IntermediateIndexMagic), rowBytes)
+                  .map(_._1)
+              else Seq(off)
+            }
+            dataOffsets.flatMap { off =>
+              val blk = readBlockAt(in, off)
+              require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
+              var q = HFileCodec.HeaderSize
+              val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
+              while (q < blk.length) {
+                val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
+                q = nq
+                if (java.util.Arrays.equals(c.row, rowBytes))
+                  cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+                    new String(c.qualifier, UTF_8), c.ts,
+                    java.nio.ByteBuffer.wrap(c.value).getDouble,
+                    if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
+              }
+              cells.toSeq
+            }
+          }
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, cellsSchema)
+  }
+
   /** Read every region file under `dir` back into the cells schema —
     * one task per region file, each STREAMING its file block-by-block
     * ([[HFileCodec.readStreaming]]): per-task heap is O(blockSize)

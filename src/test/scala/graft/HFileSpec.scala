@@ -93,6 +93,53 @@ class HFileSpec extends SparkSuite {
     assert(ex.getMessage.contains("two-level index capacity"))
   }
 
+  test("row bloom: no false negatives, measured FPR near the 1% design point") {
+    val cells = (0 until 20000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val bytes = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    // every written row answers true — bloom filters never false-negative
+    (0 until 20000 by 97).foreach { i =>
+      assert(HFileCodec.mayContainRow(bytes, f"r$i%06d".getBytes(UTF_8)),
+        s"false negative for present row r$i%06d")
+    }
+    // absent rows: ~1% of probes may pass (10 bits/key, k=7); gate at 3%
+    val falsePos = (0 until 10000).count { i =>
+      HFileCodec.mayContainRow(bytes, f"absent-$i%06d".getBytes(UTF_8))
+    }
+    assert(falsePos < 300, s"bloom FPR too high: $falsePos/10000")
+    // rows below the file's first row short-circuit to false
+    assert(!HFileCodec.mayContainRow(bytes, "a".getBytes(UTF_8)))
+  }
+
+  test("row bloom: chunked filters honor chunk boundaries") {
+    // tiny chunks force many bloom chunks; membership must still resolve
+    // through the meta index (first-row ranges), not just chunk 0
+    val cells = (0 until 3000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val out = new java.io.ByteArrayOutputStream(1 << 20)
+    HFileCodec.write(cells.iterator, out, 8 * 1024,
+      HFileCodec.DefaultIndexChunkEntries, 128) // 3000 rows / 128 → 24 chunks
+    val bytes = out.toByteArray
+    (0 until 3000 by 53).foreach { i =>
+      assert(HFileCodec.mayContainRow(bytes, f"r$i%06d".getBytes(UTF_8)))
+    }
+    val falsePos = (0 until 3000).count { i =>
+      HFileCodec.mayContainRow(bytes, f"x$i%06d".getBytes(UTF_8))
+    }
+    assert(falsePos < 150, s"chunked bloom FPR too high: $falsePos/3000")
+  }
+
+  test("point get returns exactly one rowkey's cells via the seek path") {
+    val dir = tmpDir("get")
+    val cells = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(cells, dir.toString, regions = 4)
+    // a rowkey with multiple cells would be ideal; every rowkey here has
+    // exactly one cell (event_id is unique), so also check a miss
+    val want = cells.orderBy("rowkey").limit(1).collect()(0)
+    val got = HFileOps.pointGet(spark, dir.toString, want.getString(0)).collect()
+    assert(got.length == 1 && got(0) == want, s"got ${got.toSeq} want $want")
+    // absent key: bloom-pruned to zero rows, no error
+    assert(HFileOps.pointGet(spark, dir.toString, "999999999999:none").isEmpty)
+  }
+
   test("streaming read equals index-walk read on the same bytes") {
     val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
       if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
