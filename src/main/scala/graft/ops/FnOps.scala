@@ -89,6 +89,32 @@ object FnOps {
           lit(0.0), (acc, x) => acc + x).as("s"))
       .orderBy(asc_nulls_last("vec_id")).limit(100)
 
+  /** h8: map functions under the oracle gate. The map lives entirely on
+    * the Spark side — built per user with `map_from_entries` (sorted
+    * entries, so key order is deterministic), then interrogated with
+    * `size` / `element_at` / `map_filter` / `map_values` / `map_keys` —
+    * while the DuckDB twin recomputes the same relational result with
+    * plain grouped aggregation (DuckDB MAP parquet round-trips are
+    * fragile, so the map type itself never crosses the engine boundary;
+    * this closes SURVEY §2.9's "no map fixture" n/a with a genuine gate).
+    */
+  def h8_fn_map: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        aggregate(
+          map_values(map_filter(col("m"), (k, _) => k =!= "error")),
+          lit(0L), (acc, x) => acc + x).as("non_error_events"),
+        array_join(map_keys(col("m")), ",").as("types"))
+      .orderBy(asc_nulls_last("user_id")).limit(200)
+
   /** h9: JSON extraction over events.props (`{"k": <int>}` shape). */
   def h9_fn_json: Q = (s, d) =>
     Tables.events(s, d)
@@ -151,6 +177,7 @@ object FnOps {
     "h5_fn_cond" -> h5_fn_cond,
     "h6_fn_array" -> h6_fn_array,
     "h7_fn_lambda" -> h7_fn_lambda,
+    "h8_fn_map" -> h8_fn_map,
     "h9_fn_json" -> h9_fn_json,
     "h10_fn_hash" -> h10_fn_hash,
     "h11_fn_struct" -> h11_fn_struct,

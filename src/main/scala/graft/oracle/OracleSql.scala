@@ -477,6 +477,18 @@ object OracleSql {
         |       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*2),
         |                   (a,x) -> a+x) AS s
         |FROM embeddings ORDER BY vec_id NULLS LAST LIMIT 100""".stripMargin,
+    // h8: the map lives only on the Spark side (map_from_entries /
+    // element_at / map_filter / map_values); the oracle recomputes the
+    // same facts relationally — DuckDB MAP parquet round-trips are fragile
+    "h8_fn_map" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(count(*) AS INT) AS n_types,
+        |       coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS clicks,
+        |       coalesce(sum(n) FILTER (WHERE event_type <> 'error'), 0) AS non_error_events,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM per GROUP BY user_id ORDER BY user_id NULLS LAST LIMIT 200""".stripMargin,
     "h9_fn_json" ->
       """SELECT event_type,
         |       CAST(sum(CAST(CAST(props->>'$.k' AS INT) AS DECIMAL(18,0))) AS BIGINT) AS ksum
