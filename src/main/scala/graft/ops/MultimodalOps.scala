@@ -142,7 +142,10 @@ object MultimodalOps {
             case 2 => graft.functions.MediaGen.wav(
               channels = (1 + id % 2).toInt, sampleRate = 8000,
               nSamples = (8 * (id % 100 + 1)).toInt)
-            case 3 => graft.functions.MediaGen.gif(w, h)
+            // smaller GIF dims: ImageIO's GIF writer quantizes to a palette
+            // (cost ∝ pixels); the decoder gate needs header variety, not
+            // megapixels — 1/16 the pixels keeps j19's bench cost flat
+            case 3 => graft.functions.MediaGen.gif((id % 160 + 16).toInt, (id % 120 + 16).toInt)
             // 24 ms/frame by construction: durationMs = 24·(id%50+1)
             case _ => graft.functions.MediaGen.mp3((id % 50 + 1).toInt)
           }

@@ -534,8 +534,10 @@ object OracleSql {
         |       CAST(sum(dur) AS BIGINT) AS sum_dur_ms
         |FROM (SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |                             WHEN 2 THEN 'wav' WHEN 3 THEN 'gif' ELSE 'mp3' END AS format,
-        |             CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST(doc_id % 640 + 16 AS INT) END AS w,
-        |             CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST(doc_id % 480 + 16 AS INT) END AS h,
+        |             CASE WHEN doc_id % 5 IN (0, 1) THEN CAST(doc_id % 640 + 16 AS INT)
+        |                  WHEN doc_id % 5 = 3 THEN CAST(doc_id % 160 + 16 AS INT) END AS w,
+        |             CASE WHEN doc_id % 5 IN (0, 1) THEN CAST(doc_id % 480 + 16 AS INT)
+        |                  WHEN doc_id % 5 = 3 THEN CAST(doc_id % 120 + 16 AS INT) END AS h,
         |             CASE WHEN doc_id % 5 IN (0, 1) THEN 3
         |                  WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS INT)
         |                  ELSE 1 END AS ch,

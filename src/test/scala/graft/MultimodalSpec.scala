@@ -136,8 +136,8 @@ class MultimodalSpec extends SparkSuite {
           assert(r.format == "wav" && r.channels == (1 + id % 2) &&
             r.sample_rate == 8000 && r.duration_ms == (id % 100 + 1))
         case 3 =>
-          assert(r.format == "gif" && r.width == (id % 640 + 16) &&
-            r.height == (id % 480 + 16) && r.channels == 1)
+          assert(r.format == "gif" && r.width == (id % 160 + 16) &&
+            r.height == (id % 120 + 16) && r.channels == 1)
         case _ =>
           assert(r.format == "mp3" && r.channels == 1 &&
             r.sample_rate == 48000 && r.duration_ms == 24 * (id % 50 + 1))
