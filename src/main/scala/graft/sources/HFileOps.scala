@@ -138,14 +138,23 @@ object HFileOps {
     * 4096-region table is 4096 tiny tasks — or, with the usual rowkey →
     * region routing an online serving layer adds, exactly one.
     */
-  def pointGet(spark: SparkSession, dir: String, rowkey: String): DataFrame = {
+  def pointGet(spark: SparkSession, dir: String, rowkey: String): DataFrame =
+    multiGet(spark, dir, Seq(rowkey))
+
+  /** Batched form (the HBase client's `get(List[Get])`): one pass over the
+    * region files serves every key — the per-region trailer/bloom-meta/
+    * index reads are shared across keys, and only the union of candidate
+    * data blocks is fetched (each block once, even when several keys land
+    * in it). Keys are a client-supplied argument (bounded), never data.
+    */
+  def multiGet(spark: SparkSession, dir: String, rowkeys: Seq[String]): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
     val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
       .getOrElse(Array.empty).map(_.getPath.toString).toSeq.sorted
     val serConf = new SerializableConfiguration(hadoopConf)
-    val rowBytes = rowkey.getBytes(UTF_8)
+    val keyBytes = rowkeys.distinct.map(_.getBytes(UTF_8))
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
@@ -157,43 +166,52 @@ object HFileOps {
           val tail = new Array[Byte](HFileCodec.TrailerLen)
           in.readFully(len - HFileCodec.TrailerLen, tail)
           val trailer = HFileCodec.readTrailer(tail)
-          val bloomPass = trailer.bloomMetaOffset < 0 || {
-            val meta = readBlockAt(in, trailer.bloomMetaOffset)
-            HFileCodec.candidateEntries(
-              HFileCodec.parseIndexEntriesWithKeys(meta, 0, HFileCodec.BloomMetaMagic),
-              rowBytes)
-              .exists { case (off, _, _) =>
-                val chunk = readBlockAt(in, off)
-                require(magicAt(chunk, HFileCodec.BloomChunkMagic), "bad bloom chunk magic")
-                HFileCodec.bloomChunkContains(chunk, HFileCodec.HeaderSize, rowBytes)
+          // raw blocks cached by offset: k keys sharing a bloom chunk,
+          // intermediate index chunk, or data block cost ONE positioned
+          // read of it (bounded: candidates per key are O(1))
+          val blockCache = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+          def blockAt(off: Long): Array[Byte] =
+            blockCache.getOrElseUpdate(off, readBlockAt(in, off))
+          val surviving: Seq[Array[Byte]] =
+            if (trailer.bloomMetaOffset < 0) keyBytes
+            else {
+              val meta = HFileCodec.parseIndexEntriesWithKeys(
+                blockAt(trailer.bloomMetaOffset), 0, HFileCodec.BloomMetaMagic)
+              keyBytes.filter { kb =>
+                HFileCodec.candidateEntries(meta, kb).exists { case (off, _, _) =>
+                  val chunk = blockAt(off)
+                  require(magicAt(chunk, HFileCodec.BloomChunkMagic), "bad bloom chunk magic")
+                  HFileCodec.bloomChunkContains(chunk, HFileCodec.HeaderSize, kb)
+                }
               }
-          }
+            }
           // eager evaluation throughout: the stream closes in `finally`,
           // so nothing here may return a lazy iterator over `in`
-          if (!bloomPass) Seq.empty[Row]
+          if (surviving.isEmpty) Seq.empty[Row]
           else {
-            val root = readBlockAt(in, trailer.rootIndexOffset)
-            val rootCands = HFileCodec.candidateEntries(
-              HFileCodec.parseIndexEntriesWithKeys(root, 0, HFileCodec.RootIndexMagic),
-              rowBytes)
-            val dataOffsets = rootCands.flatMap { case (off, _, _) =>
-              val blk = readBlockAt(in, off)
-              if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
-                HFileCodec.candidateEntries(
-                  HFileCodec.parseIndexEntriesWithKeys(blk, 0,
-                    HFileCodec.IntermediateIndexMagic), rowBytes)
-                  .map(_._1)
-              else Seq(off)
-            }
+            val root = HFileCodec.parseIndexEntriesWithKeys(
+              blockAt(trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+            val dataOffsets = surviving.flatMap { kb =>
+              HFileCodec.candidateEntries(root, kb).flatMap { case (off, _, _) =>
+                val blk = blockAt(off)
+                if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+                  HFileCodec.candidateEntries(
+                    HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+                      HFileCodec.IntermediateIndexMagic), kb)
+                    .map(_._1)
+                else Seq(off)
+              }
+            }.distinct.sorted
+            val wanted = surviving.map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_)).toSet
             dataOffsets.flatMap { off =>
-              val blk = readBlockAt(in, off)
+              val blk = blockAt(off)
               require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
               var q = HFileCodec.HeaderSize
               val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
               while (q < blk.length) {
                 val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
                 q = nq
-                if (java.util.Arrays.equals(c.row, rowBytes))
+                if (wanted.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.row)))
                   cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
                     new String(c.qualifier, UTF_8), c.ts,
                     java.nio.ByteBuffer.wrap(c.value).getDouble,

@@ -140,6 +140,22 @@ class HFileSpec extends SparkSuite {
     assert(HFileOps.pointGet(spark, dir.toString, "999999999999:none").isEmpty)
   }
 
+  test("multi get: one region pass serves a key batch, equals per-key gets") {
+    val dir = tmpDir("mget")
+    val cells = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(cells, dir.toString, regions = 4)
+    // 10 present keys spread across regions + 2 absent ones
+    val present = cells.orderBy("rowkey").limit(500).collect()
+      .map(_.getString(0)).grouped(50).map(_.head).toSeq
+    val keys = present ++ Seq("999999999999:absent", "000000000000:absent")
+    val batched = HFileOps.multiGet(spark, dir.toString, keys)
+      .collect().map(_.toString).sorted
+    val single = present.flatMap(k =>
+      HFileOps.pointGet(spark, dir.toString, k).collect().map(_.toString)).sorted
+    assert(batched.length == present.length, s"got ${batched.length} rows")
+    assert(batched.sameElements(single), "batched get diverges from per-key gets")
+  }
+
   test("streaming read equals index-walk read on the same bytes") {
     val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
       if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
