@@ -127,23 +127,30 @@ object ScaleSmoke {
     // through the I7 sessionizer under BOTH state-store providers —
     // heap-backed default vs RocksDB — recording wall time (the generic
     // timing wrapper below) plus the state operator's own footprint
-    // counters. The returned Long is the emitted session-row count, so a
-    // provider that silently drops state would also fail the count.
+    // counters. Stage the file-stream splits ONCE up front so the one-time
+    // fixture rewrite isn't charged to whichever provider runs first, and
+    // checkpoint per-application so a rerun against the cached fixture
+    // can't resume a caught-up checkpoint and measure nothing (both were
+    // code-review findings). The returned Long is the sink's emitted row
+    // count across all micro-batches; result-correctness under each
+    // provider is StreamingSpec's job, not the smoke's.
+    graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8)
     def sessionReplay(provider: String, label: String): Long = {
       graft.streaming.StreamOps.withStateStore(spark, provider)
       val q = graft.streaming.StreamOps.sessionize(spark,
           graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8)).toDF()
         .writeStream.format("noop")
-        .option("checkpointLocation", s"$dir/ckpt_$label")
+        .option("checkpointLocation",
+          s"$dir/ckpt_${label}_${spark.sparkContext.applicationId}")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       val ops = q.recentProgress.flatMap(_.stateOperators)
-      val rows = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max
+      val stateRows = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max
       val mem = if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).max
-      System.err.println(f"[state:$label] stateRows=$rows stateBytes=$mem")
-      rows
+      System.err.println(f"[state:$label] stateRows=$stateRows stateBytes=$mem")
+      q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
     }
 
     // spec-only pipelines (no oracle: engine-specific hashes/seeds) whose

@@ -215,18 +215,23 @@ object MediaCodec {
         val brIdx = (b(p + 2) >> 4) & 0xf
         val srIdx = (b(p + 2) >> 2) & 0x3
         val pad = (b(p + 2) >> 1) & 0x1
-        if (layer != 1 || ver == 1 || srIdx == 3) return None // Layer III only
-        val br = (if (ver == 3) V1L3Bitrate else V2L3Bitrate)(brIdx)
-        if (br <= 0) return None // free-format/bad index: length unknowable
-        val sr = SampleRates(ver)(srIdx)
-        val spf = if (ver == 3) 1152 else 576 // samples per L3 frame
-        val frameLen = spf / 8 * br * 1000L / sr + pad
-        if (frameLen <= 4) return None
-        channels = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
-        rate = sr
-        frames += 1
-        samples += spf
-        i += frameLen
+        // Layer III with a computable length only; anything else is
+        // sync-looking garbage — it ends the walk (frames already counted
+        // stand, matching the WAV walk's keep-gathered-facts posture), and
+        // only a file with NO valid frames decodes to None
+        val br = if (layer != 1 || ver == 1 || srIdx == 3) -1
+                 else (if (ver == 3) V1L3Bitrate else V2L3Bitrate)(brIdx)
+        if (br <= 0) i = b.length // reserved/free-format: length unknowable
+        else {
+          val sr = SampleRates(ver)(srIdx)
+          val spf = if (ver == 3) 1152 else 576 // samples per L3 frame
+          val frameLen = spf / 8 * br * 1000L / sr + pad
+          channels = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
+          rate = sr
+          frames += 1
+          samples += spf
+          i += frameLen
+        }
       }
     }
     if (frames == 0 || rate <= 0) None

@@ -135,6 +135,10 @@ object ScanOps {
     * argument, not data materialization.
     */
   val a10_hfile_get: Q = (s, d) => {
+    // deliberately does NOT share a9's output dir: every declared query is
+    // self-contained (the driver may run any subset in any order), so the
+    // second bulk write is the price of independence — ~1 s at sf0.1,
+    // ~3 s at sf1, bounded by the same region sizing as a9
     val dir = Tables.appTmpDir(s, "graft_hfile_get", d)
     val nCells = Tables.events(s, d).count()
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,

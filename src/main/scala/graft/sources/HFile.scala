@@ -408,24 +408,13 @@ object HFileCodec {
   private def hasMagic(file: Array[Byte], off: Int, magic: Array[Byte]): Boolean =
     java.util.Arrays.equals(java.util.Arrays.copyOfRange(file, off, off + 8), magic)
 
-  /** Parse one index block's (offset, onDiskSize) child entries. */
+  /** Parse one index block's (offset, onDiskSize) child entries — the
+    * keyless view of [[parseIndexEntriesWithKeys]] (one wire-format
+    * parser; a layout change lands in exactly one place).
+    */
   private def parseIndexEntries(file: Array[Byte], hdrOff: Int,
-                                magic: Array[Byte]): Seq[(Long, Int)] = {
-    require(hasMagic(file, hdrOff, magic),
-      s"bad index block magic at $hdrOff (want ${new String(magic, UTF_8)})")
-    val idxLen = ByteBuffer.wrap(file, hdrOff + 8, 4).getInt
-    var p = hdrOff + HeaderSize
-    val end = hdrOff + HeaderSize + idxLen
-    val entries = ArrayBuffer.empty[(Long, Int)]
-    while (p < end) {
-      val bb = ByteBuffer.wrap(file, p, 12)
-      val off = bb.getLong; val size = bb.getInt
-      val (keyLen, p2) = readVInt(file, p + 12)
-      p = p2 + keyLen
-      entries += ((off, size))
-    }
-    entries.toSeq
-  }
+                                magic: Array[Byte]): Seq[(Long, Int)] =
+    parseIndexEntriesWithKeys(file, hdrOff, magic).map { case (o, s, _) => (o, s) }
 
   /** Parse one index block's (offset, onDiskSize, firstKey) entries —
     * the key-aware form the point-get path needs to binary-search blocks.

@@ -163,5 +163,10 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.decode(MediaGen.mp3(3).take(288 * 2 + 2)).get.durationMs == 48L)
     // garbage after sync byte yields None, not a crash
     assert(MediaCodec.decode(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x00)).isEmpty)
+    // sync-looking junk AFTER valid frames ends the walk but keeps the
+    // gathered facts (code-review finding: used to discard the whole file)
+    val junkTail = MediaGen.mp3(2) ++
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0xf4.toByte, 0x00) // bitrate idx 15
+    assert(MediaCodec.decode(junkTail).get.durationMs == 48L)
   }
 }

@@ -86,10 +86,17 @@ gen("documents",
     "CASE WHEN {c} = 0 THEN text ELSE text || ' c{c}' END AS text, lang, source, "
     "CAST(length(CASE WHEN {c} = 0 THEN text ELSE text || ' c{c}' END) AS BIGINT) "
     "AS n_chars FROM {src}")
+# Copies get FRESH deterministic vectors, not perturbed clones: a tiny
+# nudge on one coordinate leaves cosine ≈ 1-4e-5 between all 10 copies,
+# i.e. a planted 10-way near-dup cluster per source vector — ~100x the
+# candidate-pair work in every LSH bucket (code-review finding). Hash-
+# derived uniform coords scaled by 1/4.62 ≈ E[norm]=1 match the source
+# fixture's unit-norm scale.
 gen("embeddings",
     "SELECT vec_id + {c}*{B} AS vec_id, "
     "CASE WHEN {c} = 0 THEN embedding ELSE "
-    "list_prepend(CAST(embedding[1] + {c}*0.001 AS FLOAT), embedding[2:]) END "
+    "[CAST((CAST(hash(vec_id, i, {c}) % 2001 AS BIGINT) - 1000) / 4620.0 AS FLOAT) "
+    " for i in range(1, 65)] END "
     "AS embedding, label FROM {src}")
 
 # events via pyarrow: preserves the timestamp[ns] physical type the Scala
