@@ -32,8 +32,13 @@ object Bench {
     }
     // timed pass. A query that throws is recorded as -1 (NOT a near-zero
     // wall-clock) so a crashed query can never read as a speedup; the
-    // compact line carries a failed count for the same reason.
+    // compact line carries a failed count for the same reason. A GC +
+    // short settle precedes each timed query so one query's garbage isn't
+    // billed to its successor — measured, not hypothetical: a 0.24 s
+    // filtered count read 0.53 s mid-battery right after the HFile write
+    // queries, purely from inherited heap pressure.
     val results = ordered.map { case (name, fn) =>
+      System.gc(); Thread.sleep(50)
       val t0 = System.nanoTime()
       val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
