@@ -466,6 +466,27 @@ object HFileCodec {
     }
   }
 
+  /** The sub-range of sorted index entries whose blocks can intersect
+    * `[start, stop)`: from the last entry whose first row sorts ≤ start
+    * (earlier rows may run into its block) through the last entry whose
+    * first row sorts < stop. Empty when every block starts at/after stop.
+    */
+  private[sources] def entriesInRange(entries: Seq[(Long, Int, Array[Byte])],
+      start: Array[Byte], stop: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    val rows = entries.map { case (_, _, k) => rowOfKey(k) }
+    var lo = 0
+    var i = 0
+    while (i < rows.size && java.util.Arrays.compareUnsigned(rows(i), start) <= 0) {
+      lo = i; i += 1
+    }
+    var hi = -1
+    i = 0
+    while (i < rows.size && java.util.Arrays.compareUnsigned(rows(i), stop) < 0) {
+      hi = i; i += 1
+    }
+    if (hi < 0) Seq.empty else entries.slice(lo, hi + 1)
+  }
+
   /** Row-bloom membership test over a whole in-memory file: false means
     * the row is DEFINITELY absent (the point-get prune); true means
     * "read the data block". Files without a bloom answer true.

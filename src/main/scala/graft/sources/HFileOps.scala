@@ -225,6 +225,67 @@ object HFileOps {
     spark.createDataFrame(rows, cellsSchema)
   }
 
+  /** Index-directed range scan — HBase `Scan#withStartRow/withStopRow`
+    * at the file level: per region, the block index selects only the data
+    * blocks whose key range intersects `[startRow, stopRow)`; bytes read
+    * scale with the RANGE, not the region. One task per region file (a
+    * region whose index excludes the whole range reads index blocks only).
+    */
+  def rangeScan(spark: SparkSession, dir: String,
+                startRow: String, stopRow: String): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
+      .getOrElse(Array.empty).map(_.getPath.toString).toSeq.sorted
+    val serConf = new SerializableConfiguration(hadoopConf)
+    val start = startRow.getBytes(UTF_8)
+    val stop = stopRow.getBytes(UTF_8)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new HPath(p)
+        val fs = path.getFileSystem(serConf.value)
+        val len = fs.getFileStatus(path).getLen
+        val in = fs.open(path)
+        try {
+          val tail = new Array[Byte](HFileCodec.TrailerLen)
+          in.readFully(len - HFileCodec.TrailerLen, tail)
+          val trailer = HFileCodec.readTrailer(tail)
+          val root = HFileCodec.parseIndexEntriesWithKeys(
+            readBlockAt(in, trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+          val dataOffsets = HFileCodec.entriesInRange(root, start, stop)
+            .flatMap { case (off, _, _) =>
+              val blk = readBlockAt(in, off)
+              if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+                HFileCodec.entriesInRange(
+                  HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+                    HFileCodec.IntermediateIndexMagic), start, stop).map(_._1)
+              else Seq(off)
+            }
+          // eager: the stream closes in `finally`
+          dataOffsets.flatMap { off =>
+            val blk = readBlockAt(in, off)
+            require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
+            var q = HFileCodec.HeaderSize
+            val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (q < blk.length) {
+              val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
+              q = nq
+              if (java.util.Arrays.compareUnsigned(c.row, start) >= 0 &&
+                  java.util.Arrays.compareUnsigned(c.row, stop) < 0)
+                cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+                  new String(c.qualifier, UTF_8), c.ts,
+                  java.nio.ByteBuffer.wrap(c.value).getDouble,
+                  if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
+            }
+            cells.toSeq
+          }
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, cellsSchema)
+  }
+
   /** Read every region file under `dir` back into the cells schema —
     * one task per region file, each STREAMING its file block-by-block
     * ([[HFileCodec.readStreaming]]): per-task heap is O(blockSize)

@@ -156,6 +156,23 @@ class HFileSpec extends SparkSuite {
     assert(batched.sameElements(single), "batched get diverges from per-key gets")
   }
 
+  test("range scan: index-directed block selection equals full-scan filter") {
+    val dir = tmpDir("rscan")
+    val cells = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(cells, dir.toString, regions = 4)
+    val keys = cells.orderBy("rowkey").limit(400).collect().map(_.getString(0))
+    val (start, stop) = (keys(37), keys(311))
+    val scanned = HFileOps.rangeScan(spark, dir.toString, start, stop)
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir.toString)
+      .where(col("rowkey") >= start && col("rowkey") < stop)
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
+    // empty range and past-the-end range both come back empty, no error
+    assert(HFileOps.rangeScan(spark, dir.toString, start, start).isEmpty)
+    assert(HFileOps.rangeScan(spark, dir.toString, "zzzz", "zzzz~").isEmpty)
+  }
+
   test("streaming read equals index-walk read on the same bytes") {
     val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
       if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
