@@ -137,11 +137,12 @@ object ScaleSmoke {
     graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8)
     def sessionReplay(provider: String, label: String): Long = {
       graft.streaming.StreamOps.withStateStore(spark, provider)
+      val ckpt = java.nio.file.Paths.get(dir,
+        s"ckpt_${label}_${spark.sparkContext.applicationId}")
       val q = graft.streaming.StreamOps.sessionize(spark,
           graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8)).toDF()
         .writeStream.format("noop")
-        .option("checkpointLocation",
-          s"$dir/ckpt_${label}_${spark.sparkContext.applicationId}")
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -150,6 +151,12 @@ object ScaleSmoke {
       val stateRows = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max
       val mem = if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).max
       System.err.println(f"[state:$label] stateRows=$stateRows stateBytes=$mem")
+      // the fixture dir persists across runs by design; dead checkpoint
+      // state must not accumulate in it (one sessionization replay's state
+      // is GBs at the 1000x smoke)
+      if (java.nio.file.Files.exists(ckpt))
+        java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
       q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
     }
 

@@ -140,7 +140,10 @@ object HyperplaneProbes {
   val name = "graft_hyperplane_probes"
 
   def probes(emb: ArrayData, nBits: Int, tables: Int, m: Int): ArrayData = {
-    val mm = math.min(m, nBits)
+    // m clamps into [0, nBits]: this is registered SQL surface, and a
+    // negative literal used to allocate an empty output then index it
+    // (AIOOBE); m = 0 degrades to the base keys, same as no multi-probe
+    val mm = math.max(0, math.min(m, nBits))
     val dim = emb.numElements()
     val v = new Array[Double](dim)
     var i = 0

@@ -143,9 +143,13 @@ object ScanOps {
     val nCells = Tables.events(s, d).count()
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
       regions = graft.sources.HFileOps.regionCountFor(nCells))
-    val uid = Tables.events(s, d).where(col("event_id") === 0)
-      .select("user_id").head().getLong(0)
-    val rowkey = f"$uid%012d:${0L}%012d"
+    // single-row client-key lookup, built with the SAME Tables.pad spelling
+    // the cells view uses (a hand-rolled format string here would be a third
+    // independent copy of the rowkey layout — code-review finding)
+    val rowkey = Tables.events(s, d).where(col("event_id") === 0)
+      .select(concat(Tables.pad(col("user_id")), lit(":"),
+        Tables.pad(col("event_id"))))
+      .head().getString(0)
     graft.sources.HFileOps.pointGet(s, dir, rowkey)
       // µs domain for the output ts: DuckDB truncates TIMESTAMP_NS to µs
       // at scan (FIXTURES.md §F4.2), so raw nanos can never hash-match

@@ -443,20 +443,43 @@ object HFileCodec {
     java.util.Arrays.copyOfRange(key, 2, 2 + rowLen)
   }
 
+  /** First-row projection of an index block's entries — compute ONCE per
+    * parsed index and share across a key batch (multiGet was re-copying
+    * every entry's row per key).
+    */
+  private[sources] def indexRows(
+      entries: Seq[(Long, Int, Array[Byte])]): Array[Array[Byte]] =
+    entries.iterator.map { case (_, _, k) => rowOfKey(k) }.toArray
+
+  /** Greatest index with rows(i) ≤ row under `strict = false`, or
+    * rows(i) < row under `strict = true`; -1 if none. Entries are sorted,
+    * so this is a real binary search, not a scan.
+    */
+  private def lastBefore(rows: Array[Array[Byte]], row: Array[Byte],
+                         strict: Boolean): Int = {
+    var lo = 0; var hi = rows.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.util.Arrays.compareUnsigned(rows(mid), row)
+      if (if (strict) c < 0 else c <= 0) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    res
+  }
+
   /** The sub-range of sorted index entries whose blocks can contain
-    * `row`: the last entry whose first row sorts ≤ `row`, plus every
-    * following entry whose first row EQUALS `row` (a row can span block
-    * boundaries). Works identically at the root (chunk entries), the
-    * intermediate level, and the bloom meta.
+    * `row`: the last entry whose first row sorts ≤ `row`, plus the
+    * walk-back over every preceding entry whose first row EQUALS `row`
+    * (a row can span block boundaries). Works identically at the root
+    * (chunk entries), the intermediate level, and the bloom meta.
     */
   private[sources] def candidateEntries(entries: Seq[(Long, Int, Array[Byte])],
-      row: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
-    val rows = entries.map { case (_, _, k) => rowOfKey(k) }
-    var last = -1
-    var i = 0
-    while (i < rows.size && java.util.Arrays.compareUnsigned(rows(i), row) <= 0) {
-      last = i; i += 1
-    }
+      row: Array[Byte]): Seq[(Long, Int, Array[Byte])] =
+    candidateEntries(entries, indexRows(entries), row)
+
+  private[sources] def candidateEntries(entries: Seq[(Long, Int, Array[Byte])],
+      rows: Array[Array[Byte]], row: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    val last = lastBefore(rows, row, strict = false)
     if (last < 0) Seq.empty
     else {
       var from = last
@@ -467,24 +490,24 @@ object HFileCodec {
   }
 
   /** The sub-range of sorted index entries whose blocks can intersect
-    * `[start, stop)`: from the last entry whose first row sorts ≤ start
-    * (earlier rows may run into its block) through the last entry whose
-    * first row sorts < stop. Empty when every block starts at/after stop.
+    * `[start, stop)`: from the last entry whose first row sorts ≤ start —
+    * walked back over equal-firstRow predecessors, since the start row's
+    * earlier cells can sit in the previous block when a row spans a block
+    * boundary (same rule as [[candidateEntries]]) — through the last
+    * entry whose first row sorts < stop. Empty when every block starts
+    * at/after stop.
     */
   private[sources] def entriesInRange(entries: Seq[(Long, Int, Array[Byte])],
       start: Array[Byte], stop: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
-    val rows = entries.map { case (_, _, k) => rowOfKey(k) }
-    var lo = 0
-    var i = 0
-    while (i < rows.size && java.util.Arrays.compareUnsigned(rows(i), start) <= 0) {
-      lo = i; i += 1
+    val rows = indexRows(entries)
+    val hi = lastBefore(rows, stop, strict = true)
+    if (hi < 0) Seq.empty
+    else {
+      var lo = math.max(0, lastBefore(rows, start, strict = false))
+      while (lo > 0 && java.util.Arrays.compareUnsigned(rows(lo), start) == 0)
+        lo -= 1
+      entries.slice(lo, hi + 1)
     }
-    var hi = -1
-    i = 0
-    while (i < rows.size && java.util.Arrays.compareUnsigned(rows(i), stop) < 0) {
-      hi = i; i += 1
-    }
-    if (hi < 0) Seq.empty else entries.slice(lo, hi + 1)
   }
 
   /** Row-bloom membership test over a whole in-memory file: false means

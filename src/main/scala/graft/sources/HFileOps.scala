@@ -129,6 +129,62 @@ object HFileOps {
   private def magicAt(b: Array[Byte], magic: Array[Byte]): Boolean =
     java.util.Arrays.equals(java.util.Arrays.copyOfRange(b, 0, 8), magic)
 
+  /** Region-file listing under `dir` + a serializable conf for executor-side
+    * opens — one name per region, bounded metadata, shared by every reader.
+    */
+  private def regionFiles(spark: SparkSession,
+                          dir: String): (Seq[String], SerializableConfiguration) = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
+      .getOrElse(Array.empty).map(_.getPath.toString).toSeq.sorted
+    (paths, new SerializableConfiguration(hadoopConf))
+  }
+
+  /** One task per region file for the positioned-read paths: opens the
+    * stream, hands `f` the stream + parsed trailer, closes on return.
+    * `f` MUST evaluate eagerly — nothing it returns may read `in` lazily.
+    */
+  private def seekScan(spark: SparkSession, dir: String)(
+      f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.Trailer) => Seq[Row]): DataFrame = {
+    val (paths, serConf) = regionFiles(spark, dir)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new HPath(p)
+        val fs = path.getFileSystem(serConf.value)
+        val len = fs.getFileStatus(path).getLen
+        val in = fs.open(path)
+        try {
+          val tail = new Array[Byte](HFileCodec.TrailerLen)
+          in.readFully(len - HFileCodec.TrailerLen, tail)
+          f(in, HFileCodec.readTrailer(tail))
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** Decode one data block into cells-schema Rows, keeping rows whose key
+    * passes `keep` — the shared tail of every positioned reader.
+    */
+  private def decodeBlockRows(blk: Array[Byte],
+                              keep: Array[Byte] => Boolean): Seq[Row] = {
+    require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
+    var q = HFileCodec.HeaderSize
+    val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (q < blk.length) {
+      val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
+      q = nq
+      if (keep(c.row))
+        cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+          new String(c.qualifier, UTF_8), c.ts,
+          java.nio.ByteBuffer.wrap(c.value).getDouble,
+          if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
+    }
+    cells.toSeq
+  }
+
   /** The HBase `Get` read shape against a bulk-written table: per region
     * file, a handful of positioned reads — trailer (1), bloom meta +
     * chunk (2, after which most regions are REJECTED without touching
@@ -148,81 +204,52 @@ object HFileOps {
     * in it). Keys are a client-supplied argument (bounded), never data.
     */
   def multiGet(spark: SparkSession, dir: String, rowkeys: Seq[String]): DataFrame = {
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val dirPath = new HPath(dir)
-    val dfs = dirPath.getFileSystem(hadoopConf)
-    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
-      .getOrElse(Array.empty).map(_.getPath.toString).toSeq.sorted
-    val serConf = new SerializableConfiguration(hadoopConf)
     val keyBytes = rowkeys.distinct.map(_.getBytes(UTF_8))
-    val rows = spark.sparkContext
-      .parallelize(paths, math.max(1, paths.size))
-      .flatMap { p =>
-        val path = new HPath(p)
-        val fs = path.getFileSystem(serConf.value)
-        val len = fs.getFileStatus(path).getLen
-        val in = fs.open(path)
-        try {
-          val tail = new Array[Byte](HFileCodec.TrailerLen)
-          in.readFully(len - HFileCodec.TrailerLen, tail)
-          val trailer = HFileCodec.readTrailer(tail)
-          // raw blocks cached by offset: k keys sharing a bloom chunk,
-          // intermediate index chunk, or data block cost ONE positioned
-          // read of it (bounded: candidates per key are O(1))
-          val blockCache = scala.collection.mutable.Map.empty[Long, Array[Byte]]
-          def blockAt(off: Long): Array[Byte] =
-            blockCache.getOrElseUpdate(off, readBlockAt(in, off))
-          val surviving: Seq[Array[Byte]] =
-            if (trailer.bloomMetaOffset < 0) keyBytes
-            else {
-              val meta = HFileCodec.parseIndexEntriesWithKeys(
-                blockAt(trailer.bloomMetaOffset), 0, HFileCodec.BloomMetaMagic)
-              keyBytes.filter { kb =>
-                HFileCodec.candidateEntries(meta, kb).exists { case (off, _, _) =>
-                  val chunk = blockAt(off)
-                  require(magicAt(chunk, HFileCodec.BloomChunkMagic), "bad bloom chunk magic")
-                  HFileCodec.bloomChunkContains(chunk, HFileCodec.HeaderSize, kb)
-                }
-              }
-            }
-          // eager evaluation throughout: the stream closes in `finally`,
-          // so nothing here may return a lazy iterator over `in`
-          if (surviving.isEmpty) Seq.empty[Row]
-          else {
-            val root = HFileCodec.parseIndexEntriesWithKeys(
-              blockAt(trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
-            val dataOffsets = surviving.flatMap { kb =>
-              HFileCodec.candidateEntries(root, kb).flatMap { case (off, _, _) =>
-                val blk = blockAt(off)
-                if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
-                  HFileCodec.candidateEntries(
-                    HFileCodec.parseIndexEntriesWithKeys(blk, 0,
-                      HFileCodec.IntermediateIndexMagic), kb)
-                    .map(_._1)
-                else Seq(off)
-              }
-            }.distinct.sorted
-            val wanted = surviving.map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_)).toSet
-            dataOffsets.flatMap { off =>
-              val blk = blockAt(off)
-              require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
-              var q = HFileCodec.HeaderSize
-              val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
-              while (q < blk.length) {
-                val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
-                q = nq
-                if (wanted.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.row)))
-                  cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
-                    new String(c.qualifier, UTF_8), c.ts,
-                    java.nio.ByteBuffer.wrap(c.value).getDouble,
-                    if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
-              }
-              cells.toSeq
+    seekScan(spark, dir) { (in, trailer) =>
+      // raw blocks cached by offset: k keys sharing a bloom chunk,
+      // intermediate index chunk, or data block cost ONE positioned
+      // read of it (bounded: candidates per key are O(1))
+      val blockCache = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      def blockAt(off: Long): Array[Byte] =
+        blockCache.getOrElseUpdate(off, readBlockAt(in, off))
+      val surviving: Seq[Array[Byte]] =
+        if (trailer.bloomMetaOffset < 0) keyBytes
+        else {
+          val meta = HFileCodec.parseIndexEntriesWithKeys(
+            blockAt(trailer.bloomMetaOffset), 0, HFileCodec.BloomMetaMagic)
+          val metaRows = HFileCodec.indexRows(meta) // once per batch, not per key
+          keyBytes.filter { kb =>
+            HFileCodec.candidateEntries(meta, metaRows, kb).exists { case (off, _, _) =>
+              val chunk = blockAt(off)
+              require(magicAt(chunk, HFileCodec.BloomChunkMagic), "bad bloom chunk magic")
+              HFileCodec.bloomChunkContains(chunk, HFileCodec.HeaderSize, kb)
             }
           }
-        } finally in.close()
+        }
+      if (surviving.isEmpty) Seq.empty[Row]
+      else {
+        val root = HFileCodec.parseIndexEntriesWithKeys(
+          blockAt(trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+        val rootRows = HFileCodec.indexRows(root)
+        val dataOffsets = surviving.flatMap { kb =>
+          HFileCodec.candidateEntries(root, rootRows, kb).flatMap { case (off, _, _) =>
+            val blk = blockAt(off)
+            if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+              HFileCodec.candidateEntries(
+                HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+                  HFileCodec.IntermediateIndexMagic), kb)
+                .map(_._1)
+            else Seq(off)
+          }
+        }.distinct.sorted
+        val wanted = surviving
+          .map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_)).toSet
+        dataOffsets.flatMap { off =>
+          decodeBlockRows(blockAt(off), row =>
+            wanted.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
+        }
       }
-    spark.createDataFrame(rows, cellsSchema)
+    }
   }
 
   /** Index-directed range scan — HBase `Scan#withStartRow/withStopRow`
@@ -233,57 +260,26 @@ object HFileOps {
     */
   def rangeScan(spark: SparkSession, dir: String,
                 startRow: String, stopRow: String): DataFrame = {
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val dirPath = new HPath(dir)
-    val dfs = dirPath.getFileSystem(hadoopConf)
-    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
-      .getOrElse(Array.empty).map(_.getPath.toString).toSeq.sorted
-    val serConf = new SerializableConfiguration(hadoopConf)
     val start = startRow.getBytes(UTF_8)
     val stop = stopRow.getBytes(UTF_8)
-    val rows = spark.sparkContext
-      .parallelize(paths, math.max(1, paths.size))
-      .flatMap { p =>
-        val path = new HPath(p)
-        val fs = path.getFileSystem(serConf.value)
-        val len = fs.getFileStatus(path).getLen
-        val in = fs.open(path)
-        try {
-          val tail = new Array[Byte](HFileCodec.TrailerLen)
-          in.readFully(len - HFileCodec.TrailerLen, tail)
-          val trailer = HFileCodec.readTrailer(tail)
-          val root = HFileCodec.parseIndexEntriesWithKeys(
-            readBlockAt(in, trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
-          val dataOffsets = HFileCodec.entriesInRange(root, start, stop)
-            .flatMap { case (off, _, _) =>
-              val blk = readBlockAt(in, off)
-              if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
-                HFileCodec.entriesInRange(
-                  HFileCodec.parseIndexEntriesWithKeys(blk, 0,
-                    HFileCodec.IntermediateIndexMagic), start, stop).map(_._1)
-              else Seq(off)
-            }
-          // eager: the stream closes in `finally`
-          dataOffsets.flatMap { off =>
-            val blk = readBlockAt(in, off)
-            require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
-            var q = HFileCodec.HeaderSize
-            val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
-            while (q < blk.length) {
-              val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
-              q = nq
-              if (java.util.Arrays.compareUnsigned(c.row, start) >= 0 &&
-                  java.util.Arrays.compareUnsigned(c.row, stop) < 0)
-                cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
-                  new String(c.qualifier, UTF_8), c.ts,
-                  java.nio.ByteBuffer.wrap(c.value).getDouble,
-                  if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
-            }
-            cells.toSeq
-          }
-        } finally in.close()
+    seekScan(spark, dir) { (in, trailer) =>
+      val root = HFileCodec.parseIndexEntriesWithKeys(
+        readBlockAt(in, trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+      val dataOffsets = HFileCodec.entriesInRange(root, start, stop)
+        .flatMap { case (off, _, _) =>
+          val blk = readBlockAt(in, off)
+          if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+            HFileCodec.entriesInRange(
+              HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+                HFileCodec.IntermediateIndexMagic), start, stop).map(_._1)
+          else Seq(off)
+        }
+      dataOffsets.flatMap { off =>
+        decodeBlockRows(readBlockAt(in, off), row =>
+          java.util.Arrays.compareUnsigned(row, start) >= 0 &&
+            java.util.Arrays.compareUnsigned(row, stop) < 0)
       }
-    spark.createDataFrame(rows, cellsSchema)
+    }
   }
 
   /** Read every region file under `dir` back into the cells schema —
@@ -298,13 +294,7 @@ object HFileOps {
     * against any shared filesystem.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val dirPath = new HPath(dir)
-    val dfs = dirPath.getFileSystem(hadoopConf)
-    val paths = Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.toString).toSeq.sorted
-    val serConf = new SerializableConfiguration(hadoopConf)
+    val (paths, serConf) = regionFiles(spark, dir)
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>

@@ -173,6 +173,30 @@ class HFileSpec extends SparkSuite {
     assert(HFileOps.rangeScan(spark, dir.toString, "zzzz", "zzzz~").isEmpty)
   }
 
+  test("range scan and get keep a row's leading cells when the row spans blocks") {
+    // 3 cells per rowkey, 1-cell blocks: every row spans 3 blocks and
+    // block firstRows REPEAT. A naive last-entry-with-firstRow<=start pick
+    // starts at the row's LAST block and silently drops its earlier cells
+    // (code-review finding) — the walk-back over equal firstRows fixes it.
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("rspan")
+    val rows = (0 until 40).flatMap { i =>
+      (0 until 3).map { v =>
+        org.apache.spark.sql.Row(f"r$i%04d", "e", s"q$v", 1000L + v, v.toDouble, "put")
+      }
+    }
+    val df = spark.createDataFrame(rows.asJava, HFileOps.cellsSchema)
+    HFileOps.bulkWrite(df, dir.toString, regions = 2, blockSize = 1)
+    val got = HFileOps.rangeScan(spark, dir.toString, "r0010", "r0020")
+      .collect().map(_.toString).sorted
+    val want = df.where(col("rowkey") >= "r0010" && col("rowkey") < "r0020")
+      .collect().map(_.toString).sorted
+    assert(got.length == 30 && got.sameElements(want),
+      s"range scan over spanning rows lost cells: got ${got.length}/30")
+    val g = HFileOps.pointGet(spark, dir.toString, "r0015").collect()
+    assert(g.length == 3, s"point get on a spanning row returned ${g.length}/3 cells")
+  }
+
   test("streaming read equals index-walk read on the same bytes") {
     val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
       if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
