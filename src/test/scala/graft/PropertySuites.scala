@@ -240,3 +240,59 @@ object JaccardProps extends Properties("JaccardSim") {
       native == c.toDouble / (sa.size + sb.size - c)
     }
 }
+
+/** Fuzz properties for the five media header parsers: a curation pipeline
+  * feeds them ARBITRARY bytes, so the decode contract is "Some or None,
+  * never an exception, and the walk always terminates" — the exact class
+  * of bug ADVICE r4 found in the WAV walk (u32-overflow infinite loop) and
+  * a round-5 review found in the MP3 walk. Three generator regimes: pure
+  * random bytes, random bytes behind each format's real magic (forces the
+  * deep parse paths), and valid encoder output with one mutated byte.
+  */
+object MediaCodecProps extends Properties("MediaCodec") {
+  import graft.functions.{MediaCodec, MediaGen}
+
+  private val rawGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 600).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  private val magics: Seq[Array[Byte]] = Seq(
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), // PNG
+    Array(0xff, 0xd8, 0xff).map(_.toByte),                               // JPEG
+    "RIFF    WAVE".getBytes(UTF_8),                                      // WAV
+    "GIF89a".getBytes(UTF_8),                                            // GIF
+    Array(0xff, 0xfb).map(_.toByte),                                     // MP3 frame
+    "ID3".getBytes(UTF_8))                                               // MP3 tag
+
+  private val validGen: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.zip(Gen.chooseNum(16, 64), Gen.chooseNum(16, 64))
+      .map { case (w, h) => MediaGen.png(w, h) },
+    Gen.zip(Gen.chooseNum(16, 64), Gen.chooseNum(16, 64))
+      .map { case (w, h) => MediaGen.jpeg(w, h) },
+    Gen.zip(Gen.chooseNum(16, 64), Gen.chooseNum(16, 64))
+      .map { case (w, h) => MediaGen.gif(w, h) },
+    Gen.chooseNum(1, 20).map(MediaGen.mp3),
+    Gen.zip(Gen.chooseNum(1, 2), Gen.chooseNum(1, 500))
+      .map { case (ch, n) => MediaGen.wav(ch, 8000, 8 * n) })
+
+  property("random bytes never throw") = forAll(rawGen) { b =>
+    MediaCodec.decode(b); true
+  }
+
+  property("magic-prefixed garbage never throws") =
+    forAll(Gen.oneOf(magics), rawGen) { (m, tail) =>
+      MediaCodec.decode(m ++ tail); true
+    }
+
+  property("one-byte-mutated valid files never throw") =
+    forAll(validGen, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (file, posSeed, v) =>
+        val b = file.clone()
+        b(posSeed % b.length) = v.toByte
+        MediaCodec.decode(b); true
+    }
+
+  property("unmutated encoder output always decodes") = forAll(validGen) { b =>
+    MediaCodec.decode(b).isDefined
+  }
+}
