@@ -485,8 +485,8 @@ object OracleSql {
         |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
         |SELECT user_id,
         |       CAST(count(*) AS INT) AS n_types,
-        |       coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS clicks,
-        |       coalesce(sum(n) FILTER (WHERE event_type <> 'error'), 0) AS non_error_events,
+        |       CAST(coalesce(sum(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS clicks,
+        |       CAST(coalesce(sum(n) FILTER (WHERE event_type <> 'error'), 0) AS BIGINT) AS non_error_events,
         |       string_agg(event_type, ',' ORDER BY event_type) AS types
         |FROM per GROUP BY user_id ORDER BY user_id NULLS LAST LIMIT 200""".stripMargin,
     "h9_fn_json" ->

@@ -8,6 +8,12 @@ after the parquet tables in <sfDir>, reads the Spark result parquet from
 <outDir>/<name>/, sorts columns by name on both sides, and compares
 row-by-row with exact value equality (Decimal vs float compared
 numerically; floats must be bit-identical per SURVEY §2.1 R2/R7).
+
+Additionally compares the DECLARED column types of both sides by render
+class (int / decimal / float / ...): the driver's gate hashes string
+renderings, so DuckDB HUGEINT (sum over BIGINT widens) vs Spark BIGINT
+fails there even when every value is numerically equal — the R9 class that
+numeric-equality comparison is blind to (h8_fn_map, round 5).
 """
 import sys, json, glob, math
 from decimal import Decimal
@@ -35,6 +41,38 @@ def canon(v):
 def normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in rows]
+
+
+def render_class(t):
+    """Map a DuckDB type name to the string-rendering class the driver's
+    hash is sensitive to. HUGEINT gets its own class: Spark cannot emit an
+    int128, so its presence in an oracle result is always a declared-type
+    divergence (SURVEY rule R9)."""
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    return t.split("(")[0]
+
+
+def type_mismatches(con, oracle_sql, spark_files):
+    """Return [(col, duck_type, spark_type)] for declared-type render-class
+    divergence between the oracle query and the Spark output parquet."""
+    dtypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()}
+    stypes = {r[0]: r[1]
+              for r in con.execute(
+                  f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").fetchall()}
+    bad = []
+    for c in sorted(set(dtypes) & set(stypes)):
+        if render_class(dtypes[c]) != render_class(stypes[c]):
+            bad.append((c, dtypes[c], stypes[c]))
+    return bad
 
 
 def main():
@@ -74,6 +112,13 @@ def main():
         bad = next((i for i, (a, b) in enumerate(zip(sr, dr)) if a != b), None)
         if bad is not None:
             print(f"FAIL {name}: row {bad} spark={sr[bad]} duck={dr[bad]}")
+            nfail += 1
+            continue
+        tmis = type_mismatches(con, oracle[name], files)
+        if tmis:
+            print(f"FAIL {name}: declared-type render-class mismatch "
+                  f"(col, duck, spark): {tmis} — values equal but the "
+                  f"driver's rendering hash will diverge (R9)")
             nfail += 1
             continue
         print(f"PASS {name} ({len(sr)} rows)")

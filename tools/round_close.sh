@@ -7,8 +7,14 @@
 #   1. `sbt test` is green (the full ScalaTest suite, including GoldenSpec —
 #      which is exactly the net that catches a changed query whose sf0.001
 #      golden was not regenerated).
-#   2. Working tree has no uncommitted src/ or golden changes (so what was
+#   2. Oracle texts pass the DuckDB type lint (no HUGEINT output columns —
+#      the R9 engine-widened class that the driver's rendering hash rejects
+#      but numeric comparison is blind to; shipped as h8's red in round 5).
+#   3. Working tree has no uncommitted src/ or golden changes (so what was
 #      tested is what ships).
+#   4. If a fresh bench_detail.json exists, snapshot it as
+#      BENCH_DETAIL_r<N>.json so per-query regression attribution survives
+#      the round (r4's detail was overwritten, blinding the r5 audit).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -23,10 +29,32 @@ fi
 # green close under set -e/pipefail
 grep -E "Tests: succeeded|All tests passed" /tmp/round_close_test.log | tail -2 || true
 
+echo "== round_close: oracle type lint (R9 HUGEINT class) =="
+sbt -batch "runMain graft.OracleDump /tmp/round_close_oracle.json" > /tmp/round_close_dump.log 2>&1 \
+  || { tail -20 /tmp/round_close_dump.log; echo "ROUND CLOSE BLOCKED: OracleDump failed." >&2; exit 1; }
+if ! python3 tools/oracle_typelint.py /root/testdata/sf0.001 /tmp/round_close_oracle.json; then
+  echo "ROUND CLOSE BLOCKED: an oracle text has a HUGEINT output column —" \
+       "wrap it in CAST(... AS BIGINT) (SURVEY rule R9)." >&2
+  exit 1
+fi
+
 echo "== round_close: clean tree for src/ and goldens =="
 if ! git diff --quiet -- src/ || ! git diff --cached --quiet -- src/; then
   git status --short -- src/
   echo "ROUND CLOSE BLOCKED: uncommitted src/ or golden changes." >&2
   exit 1
 fi
+echo "== round_close: snapshot per-query bench detail =="
+# Next round number = highest existing CORRECTNESS_r<N> + 1 (the round
+# being closed is the one the driver will stamp next).
+last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+n=$(( ${last:-0} + 1 ))
+if [ -f bench_detail.json ]; then
+  snap=$(printf 'BENCH_DETAIL_r%02d.json' "$n")
+  cp bench_detail.json "$snap"
+  echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
+else
+  echo "round_close: no bench_detail.json in cwd — run graft.Bench first if you want the r$n detail snapshot"
+fi
+
 echo "round_close: OK — safe to snapshot."
