@@ -154,9 +154,12 @@ object ScaleSmoke {
       // the fixture dir persists across runs by design; dead checkpoint
       // state must not accumulate in it (one sessionization replay's state
       // is GBs at the 1000x smoke)
-      if (java.nio.file.Files.exists(ckpt))
-        java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+      if (java.nio.file.Files.exists(ckpt)) {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
       q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
     }
 

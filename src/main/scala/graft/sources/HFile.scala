@@ -174,8 +174,13 @@ object HFileCodec {
       XXH64.hashUnsafeBytes(row, Platform.BYTE_ARRAY_OFFSET, row.length, 0x41c64e6dL))
   }
 
-  private def bloomBitFor(h1: Long, h2: Long, i: Int, mBits: Long): Int =
-    (((h1 + i * h2) & Long.MaxValue) % mBits).toInt
+  /** Kept as Long end-to-end: mBits exceeds Int.MaxValue once a chunk
+    * holds > ~214M keys, and an Int truncation there yields negative /
+    * aliased bit indices (AIOOBE on write, silent false negatives on
+    * read).
+    */
+  private def bloomBitFor(h1: Long, h2: Long, i: Int, mBits: Long): Long =
+    ((h1 + i * h2) & Long.MaxValue) % mBits
 
   /** One serialized bloom chunk: `k:4 | mBits:8 | bits` (longs, BE). */
   private def bloomChunkPayload(hashes: ArrayBuffer[(Long, Long)]): Array[Byte] = {
@@ -185,7 +190,7 @@ object HFileCodec {
       var i = 0
       while (i < BloomHashCount) {
         val bit = bloomBitFor(h1, h2, i, mBits)
-        words(bit >> 6) |= 1L << (bit & 63)
+        words((bit >>> 6).toInt) |= 1L << (bit & 63)
         i += 1
       }
     }
@@ -201,11 +206,16 @@ object HFileCodec {
     val buf = ByteBuffer.wrap(chunk, off, chunk.length - off)
     val k = buf.getInt
     val mBits = buf.getLong
+    // Damaged header sanity: a bloom may only ever PRUNE. If k/mBits are
+    // implausible or the declared bit array doesn't fit in the chunk,
+    // fail open (claim containment) rather than throw or false-negative.
+    if (k <= 0 || k > 64 || mBits <= 0 ||
+        off.toLong + 12 + ((mBits + 63) >>> 6) * 8 > chunk.length) return true
     val (h1, h2) = bloomHashes(row)
     var i = 0
     while (i < k) {
       val bit = bloomBitFor(h1, h2, i, mBits)
-      if ((buf.getLong(off + 12 + (bit >> 6) * 8) & (1L << (bit & 63))) == 0L)
+      if ((buf.getLong(off + 12 + ((bit >>> 6) * 8).toInt) & (1L << (bit & 63))) == 0L)
         return false
       i += 1
     }

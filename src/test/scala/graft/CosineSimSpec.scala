@@ -41,6 +41,9 @@ class CosineSimSpec extends SparkSuite {
     // "Redefinition of local variable" and silently fell back to interpreted
     // mode. fallback=false + CODEGEN_ONLY make any such failure throw.
     CosineSim.register(spark)
+    // restore whatever the harness had set, not hardcoded defaults
+    val saved = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
@@ -51,14 +54,16 @@ class CosineSimSpec extends SparkSuite {
         .where(expr("graft_cosine(embedding, embedding) > 0.5")
           && expr("graft_cosine(reverse(embedding), embedding) >= -1.0"))
       assert(two.count() == 20)
-    } finally {
-      spark.conf.set("spark.sql.codegen.fallback", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
   test("interpreted eval path (nullSafeEval) matches codegen path") {
     CosineSim.register(spark)
+    val saved = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
@@ -67,9 +72,9 @@ class CosineSimSpec extends SparkSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       val gen = UdxOps.k5_expr_cosine(spark, sf).collect().map(_.toString)
       assert(interp.sameElements(gen))
-    } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 }
