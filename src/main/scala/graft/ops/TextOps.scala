@@ -178,10 +178,17 @@ object TextOps {
     * with exceptAll = 0), but the work is one broadcast hash join plus a
     * partial-aggregated count instead of 50k hash-set builds — 2.77 s →
     * 2.20 s at sf0.1, and the join/agg shape is the one that scales.
-    * Zero-intersection pairs are restored by a left join from the full
-    * (probe × doc) ID grid (narrow rows — two longs and two ints), so a
-    * probe sharing shingles with fewer than 5 documents still ranks
-    * jaccard-0 pairs exactly like the oracle's cross-join form does.
+    * Zero-intersection pairs are restored ONLY for probes that need them:
+    * an intersecting pair has jaccard > 0, which strictly outranks any
+    * zero pair under (jaccard DESC, doc_id ASC), so a probe with ≥ 5
+    * intersecting documents can never admit a zero pair into its top 5.
+    * Probes below that count get their zero pairs from a (deficient-probe
+    * × doc-id) grid, anti-joined against the intersecting set. On a
+    * realistic corpus no probe is deficient and the grid is empty — the
+    * r5 sf1 bench showed the unconditional 10-probe × 500k-doc grid
+    * left-join dominating j14 at 20.8 s for work whose result was all
+    * discarded by the window. Value-identical to the unconditional-grid
+    * spelling (MiscSpec A/B + sparse-corpus pad test + sf0.001 golden).
     */
   def j14_dedup_ngram: Q = (s, d) => {
     graft.functions.Shingles.register(s)
@@ -191,19 +198,37 @@ object TextOps {
         array_distinct(expr("graft_shingles(t, 5)")).as("sh"))
     val probes = sh.where(col("doc_id") < 10)
       .select(col("doc_id").as("pid"), col("sh").as("psh"))
-    val probeSh = probes.select(col("pid"), explode(col("psh")).as("g"))
-    val corpusSh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // carry the set sizes through the explode: pn/dn are functionally
+    // dependent on pid/doc_id, so first() under the groupBy recovers them
+    // without a second join against the corpus
+    val probeSh = probes.select(col("pid"), size(col("psh")).as("pn"),
+      explode(col("psh")).as("g"))
+    val corpusSh = sh.select(col("doc_id"), size(col("sh")).as("dn"),
+      explode(col("sh")).as("g"))
+    // localCheckpoint: `inter` is tiny (only pairs sharing ≥1 shingle) but
+    // feeds THREE consumers (pos, okPids, zero's anti-join); without
+    // materialization each consumer re-runs the corpus-sized explode+join
+    // — the sf1 plan showed the subtree three times. Eager + per-invocation,
+    // so Bench still times the real one-pass cost (no cross-run cache).
     val inter = corpusSh.join(broadcast(probeSh), "g")
       .where(col("doc_id") =!= col("pid"))
       .groupBy("pid", "doc_id")
-      .agg(count(lit(1)).as("c"))
-    val allPairs = broadcast(probes.select(col("pid"), size(col("psh")).as("pn")))
-      .crossJoin(sh.select(col("doc_id"), size(col("sh")).as("dn")))
+      .agg(count(lit(1)).as("c"), first(col("pn")).as("pn"),
+        first(col("dn")).as("dn"))
+      .localCheckpoint()
+    // same IEEE division as the grid spelling (c ≥ 1 here, so > 0)
+    val pos = inter.select(col("pid"), col("doc_id"),
+      (col("c").cast("double")
+        / (col("pn") + col("dn") - col("c"))).as("jaccard"))
+    val okPids = inter.groupBy("pid").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 5).select("pid")
+    val deficient = probes.select("pid").join(okPids, Seq("pid"), "left_anti")
+    val zero = broadcast(deficient)
+      .crossJoin(sh.select(col("doc_id")))
       .where(col("doc_id") =!= col("pid"))
-    val pairs = allPairs.join(inter, Seq("pid", "doc_id"), "left")
-      .select(col("pid"), col("doc_id"),
-        (coalesce(col("c"), lit(0L)).cast("double")
-          / (col("pn") + col("dn") - coalesce(col("c"), lit(0L)))).as("jaccard"))
+      .join(inter.select("pid", "doc_id"), Seq("pid", "doc_id"), "left_anti")
+      .select(col("pid"), col("doc_id"), lit(0.0).as("jaccard"))
+    val pairs = pos.unionAll(zero)
     val w = Window.partitionBy("pid").orderBy(col("jaccard").desc, col("doc_id"))
     pairs.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)

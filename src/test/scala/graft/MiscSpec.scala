@@ -48,6 +48,39 @@ class MiscSpec extends SparkSuite {
       (2L, 4L, 4, 0.0), (2L, 5L, 5, 0.0)))
   }
 
+  test("j14 deficient-only padding is bit-identical to the unconditional grid") {
+    // Reference spelling: the r5 form that left-joins the FULL
+    // (probe × doc) id grid so every zero-intersection pair exists before
+    // the window. The shipped form pads only deficient probes; this pins
+    // exceptAll = 0 in both directions on the fixture.
+    graft.functions.Shingles.register(spark)
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        array_distinct(expr("graft_shingles(t, 5)")).as("sh"))
+    val probes = sh.where(col("doc_id") < 10)
+      .select(col("doc_id").as("pid"), col("sh").as("psh"))
+    val probeSh = probes.select(col("pid"), explode(col("psh")).as("g"))
+    val corpusSh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = corpusSh.join(broadcast(probeSh), "g")
+      .where(col("doc_id") =!= col("pid"))
+      .groupBy("pid", "doc_id").agg(count(lit(1)).as("c"))
+    val allPairs = broadcast(probes.select(col("pid"), size(col("psh")).as("pn")))
+      .crossJoin(sh.select(col("doc_id"), size(col("sh")).as("dn")))
+      .where(col("doc_id") =!= col("pid"))
+    val pairsRef = allPairs.join(inter, Seq("pid", "doc_id"), "left")
+      .select(col("pid"), col("doc_id"),
+        (coalesce(col("c"), lit(0L)).cast("double")
+          / (col("pn") + col("dn") - coalesce(col("c"), lit(0L)))).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("jaccard").desc, col("doc_id"))
+    val ref = pairsRef.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).select("pid", "doc_id", "rn", "jaccard")
+    val got = graft.ops.TextOps.j14_dedup_ngram(spark, sf)
+      .select("pid", "doc_id", "rn", "jaccard")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("A2: ORC round-trip preserves data") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Tables.supplier(spark, sf)
