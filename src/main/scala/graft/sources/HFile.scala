@@ -64,6 +64,14 @@ object HFileCodec {
   val DefaultIndexChunkEntries: Int = 16 * 1024
 
   val HeaderSize = 33
+
+  /** Upper bound accepted for a block's declared on-disk payload length.
+    * Far above anything the write path produces (blocks flush at
+    * ~blockSize + one cell), but small enough that a damaged/hostile
+    * length field costs at most one bounded allocation instead of a 2 GB
+    * one before any magic/length check can reject the block.
+    */
+  val MaxBlockBytes: Int = 1 << 28
   val MajorVersion = 3
 
   /** KeyValue type codes [public: o.a.h.hbase.KeyValue.Type]. */
@@ -91,15 +99,29 @@ object HFileCodec {
     buf.array()
   }
 
-  /** Decode one KeyValue at `off`; returns (cell, offsetAfter). */
+  /** Decode one KeyValue at `off`; returns (cell, offsetAfter).
+    *
+    * Every length is validated against the remaining bytes BEFORE any
+    * allocation: a damaged/hostile buffer may only ever throw, never
+    * allocate beyond the buffer it came from (OOM) or return a
+    * non-advancing offset (`keyLen >= 12` forces `offsetAfter > off`,
+    * so the block-decode loops cannot spin forever on e.g. keyLen = -8).
+    */
   def decodeKeyValue(b: Array[Byte], off: Int): (HCell, Int) = {
     val buf = ByteBuffer.wrap(b, off, b.length - off)
     val keyLen = buf.getInt; val valLen = buf.getInt
+    // minimum key: rowLen:2 + famLen:1 + ts:8 + type:1 with empty row/fam/qual
+    require(keyLen >= 12 && valLen >= 0 &&
+      keyLen.toLong + valLen <= b.length - off - 8L,
+      s"bad KeyValue lengths keyLen=$keyLen valLen=$valLen at $off")
     val rowLen = buf.getShort
+    require(rowLen >= 0, s"negative rowLen $rowLen at $off")
     val row = new Array[Byte](rowLen); buf.get(row)
     val famLen = buf.get
+    require(famLen >= 0, s"negative famLen $famLen at $off")
     val fam = new Array[Byte](famLen); buf.get(fam)
     val qualLen = keyLen - 2 - rowLen - 1 - famLen - 8 - 1
+    require(qualLen >= 0, s"row/family lengths exceed keyLen at $off")
     val qual = new Array[Byte](qualLen); buf.get(qual)
     val ts = buf.getLong; val typ = buf.get
     val value = new Array[Byte](valLen); buf.get(value)
@@ -401,6 +423,8 @@ object HFileCodec {
       while (!done && !blockIter.hasNext) {
         val hdr = readFully(HeaderSize)
         val payloadLen = ByteBuffer.wrap(hdr, 8, 4).getInt
+        require(payloadLen >= 0 && payloadLen <= MaxBlockBytes,
+          s"implausible block payload length $payloadLen")
         if (java.util.Arrays.equals(java.util.Arrays.copyOfRange(hdr, 0, 8), DataMagic)) {
           val payload = readFully(payloadLen)
           blockIter = new Iterator[HCell] {
@@ -441,6 +465,10 @@ object HFileCodec {
       val bb = ByteBuffer.wrap(block, p, 12)
       val off = bb.getLong; val size = bb.getInt
       val (keyLen, p2) = readVInt(block, p + 12)
+      // a negative length would walk p backwards (infinite loop) and an
+      // oversized one would make copyOfRange allocate past the block (OOM)
+      require(keyLen >= 0 && keyLen <= block.length - p2,
+        s"bad index entry key length $keyLen at $p")
       entries += ((off, size, java.util.Arrays.copyOfRange(block, p2, p2 + keyLen)))
       p = p2 + keyLen
     }

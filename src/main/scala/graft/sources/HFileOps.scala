@@ -121,6 +121,8 @@ object HFileOps {
     val hdr = new Array[Byte](HFileCodec.HeaderSize)
     in.readFully(off, hdr)
     val payloadLen = java.nio.ByteBuffer.wrap(hdr, 8, 4).getInt
+    require(payloadLen >= 0 && payloadLen <= HFileCodec.MaxBlockBytes,
+      s"implausible block payload length $payloadLen at $off")
     val block = new Array[Byte](HFileCodec.HeaderSize + payloadLen)
     in.readFully(off, block)
     block

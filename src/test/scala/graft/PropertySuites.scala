@@ -296,3 +296,95 @@ object MediaCodecProps extends Properties("MediaCodec") {
     MediaCodec.decode(b).isDefined
   }
 }
+
+/** Hostile-input fuzz for the HFile READ paths (VERDICT r5 item #6, same
+  * regime as MediaCodecProps): the codec is the OLTP read path, so a
+  * damaged region file may throw a clean exception but must never hang,
+  * spin the decode loop, or allocate past the buffer it came from (OOM).
+  * The hang case is asserted structurally: each decoded cell consumes
+  * ≥ 20 payload bytes, so any consumption exceeding len/20 + slack means
+  * a non-advancing offset — exactly the keyLen = -8 loop the guards in
+  * decodeKeyValue/parseIndexEntriesWithKeys exist to prevent.
+  */
+object HFileFuzzProps extends Properties("HFileFuzz") {
+
+  import HFileCodec.MaxBlockBytes
+
+  private val cellGen: Gen[HCell] = for {
+    row <- Gen.chooseNum(1, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString.getBytes(UTF_8))
+    qual <- Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString.getBytes(UTF_8))
+    ts <- Gen.chooseNum(0L, 1L << 40)
+    value <- Gen.chooseNum(0, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString.getBytes(UTF_8))
+  } yield HCell(row, "f".getBytes(UTF_8), qual, ts, HFileCodec.TypePut, value)
+
+  private val fileGen: Gen[Array[Byte]] =
+    Gen.zip(Gen.chooseNum(1, 60).flatMap(Gen.listOfN(_, cellGen)), Gen.oneOf(64, 256, 4096))
+      .map { case (cells, bs) =>
+        HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator, bs)
+      }
+
+  private val rawGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 800).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  /** Consume the streaming reader with the structural hang bound. */
+  private def boundedConsume(bytes: Array[Byte]): Boolean = {
+    val limit = bytes.length / 20 + 64
+    var n = 0
+    val it = HFileCodec.readStreaming(new java.io.ByteArrayInputStream(bytes))
+    while (it.hasNext && n <= limit) { it.next(); n += 1 }
+    n <= limit
+  }
+
+  property("readStreaming: pure random bytes throw cleanly or yield nothing") =
+    forAll(rawGen) { b =>
+      try boundedConsume(b) catch { case _: Exception => true }
+    }
+
+  property("readStreaming: data-magic-prefixed garbage never hangs") =
+    forAll(rawGen) { tail =>
+      try boundedConsume(HFileCodec.DataMagic ++ tail)
+      catch { case _: Exception => true }
+    }
+
+  property("readStreaming: one-byte-mutated valid file never hangs or over-allocates") =
+    forAll(fileGen, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (file, posSeed, v) =>
+        val b = file.clone(); b(posSeed % b.length) = v.toByte
+        try boundedConsume(b) catch { case _: Exception => true }
+    }
+
+  property("readStreaming: truncation at any point throws cleanly or yields a prefix") =
+    forAll(fileGen, Gen.chooseNum(0, Int.MaxValue)) { (file, cutSeed) =>
+      val b = java.util.Arrays.copyOfRange(file, 0, cutSeed % file.length)
+      try boundedConsume(b) catch { case _: Exception => true }
+    }
+
+  property("index-walking read + pointGet prune survive one-byte mutation") =
+    forAll(fileGen, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127),
+           Gen.chooseNum(1, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString)) {
+      (file, posSeed, v, probe) =>
+        val b = file.clone(); b(posSeed % b.length) = v.toByte
+        val limit = b.length / 20 + 64
+        val scanOk =
+          try {
+            val it = HFileCodec.read(b)
+            var n = 0
+            while (it.hasNext && n <= limit) { it.next(); n += 1 }
+            n <= limit
+          } catch { case _: Exception => true }
+        val getOk =
+          try { HFileCodec.mayContainRow(b, probe.getBytes(UTF_8)); true }
+          catch { case _: Exception => true }
+        scanOk && getOk
+    }
+
+  property("declared block lengths above MaxBlockBytes are rejected before allocation") =
+    forAll(Gen.chooseNum(MaxBlockBytes.toLong + 1, Int.MaxValue.toLong)) { len =>
+      val hdr = java.nio.ByteBuffer.allocate(HFileCodec.HeaderSize)
+      hdr.put(HFileCodec.DataMagic).putInt(len.toInt)
+      val bytes = hdr.array() ++ Array.fill[Byte](32)(0)
+      try { boundedConsume(bytes); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("implausible") }
+    }
+}
