@@ -18,8 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.ScanOps.queries ++ ops.FilterOps.queries ++ ops.JoinOps.queries ++
       ops.AggOps.queries ++ ops.SortSetOps.queries ++ ops.WindowOps.queries ++
-      ops.FnOps.queries ++ ops.TextOps.queries ++ ops.UdxOps.queries ++
-      ops.MultimodalOps.queries
+      ops.FnOps.queries ++ ops.TextOps.queries ++ ops.SampleOps.queries ++
+      ops.UdxOps.queries ++ ops.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data sampling, sharding, and mixing — the selection layer of a
+  * large-scale LLM-data pipeline, sitting between curation (CurateOps) and
+  * the trainer. Everything here is DETERMINISTIC: sampling decisions derive
+  * from a multiplicative hash of the stable doc id, never from an RNG, so a
+  * 100 TB run is reproducible, resumable after partial failure, and
+  * auditable (the same doc is always in or out for a given config) — the
+  * standard trick for reproducible corpus sampling. The hash is plain
+  * 64-bit arithmetic (Knuth's 2654435761 multiplier), chosen over engine
+  * hash builtins so the DuckDB oracle computes the identical value.
+  *
+  * Scale shapes: j20/j22 are stateless narrow filters (scan-parallel, the
+  * only shuffle is the final per-lang agg); j23 is a per-stratum top-k —
+  * the row_number ≤ k form the TopKPerGroup strategy rewrites to bounded
+  * heaps; j21 rides [[ScaleOps.distributedCumsum]] (no single-partition
+  * window at any size).
+  */
+object SampleOps {
+
+  /** Knuth multiplicative hash of a non-negative id, in [0, 2^32).
+    * Products stay far below 2^63 for any realistic id space (safe under
+    * ANSI overflow checking); the same expression is valid DuckDB SQL.
+    */
+  private def knuthBucket(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** j20: deterministic 20% corpus sample — keep docs whose hash bucket
+    * mod 100 lands below the rate, report per-lang volume. The survivor
+    * set is a pure function of doc_id: growing the corpus never flips a
+    * previous decision (unlike TABLESAMPLE / rand(seed), which reshuffle
+    * with partition layout).
+    */
+  def j20_sample_hash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(knuthBucket(col("doc_id")) % 100 < 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy(asc_nulls_last("lang"))
+
+  /** j21: token-budget sharding — assign docs (in stable doc_id order) to
+    * contiguous ~4096-token shards by exclusive prefix sum, the layout
+    * step that turns a curated corpus into fixed-budget training shards.
+    * Token count uses the portable whitespace tokenizer (j16's spelling);
+    * the prefix sum is the distributed two-job cumsum, never a global
+    * window.
+    */
+  def j21_pack_shards: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
+    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
+      .withColumn("shard", expr("(cum - tok) DIV 4096"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("toks"))
+      .orderBy(asc_nulls_last("shard"))
+  }
+
+  /** j22: domain mixing — per-language sampling weights (en 0.5, zh 0.3,
+    * rest 1.0) applied through the same deterministic hash, reporting the
+    * post-mix per-lang volume. This is the reweighting step of corpus
+    * recipes (downsample the over-represented web languages); the salt
+    * keeps the j22 coin independent of j20's.
+    */
+  def j22_mix_domains: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(knuthBucket(col("doc_id") + 9176) % 1000 <
+        when(col("lang") === "en", 500)
+          .when(col("lang") === "zh", 300)
+          .otherwise(1000))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy(asc_nulls_last("lang"))
+
+  /** j23: stratified exact-k sample — exactly 10 docs per language, chosen
+    * by hash order (deterministic reservoir equivalent: the "reservoir" is
+    * the k smallest hash values per stratum, so membership is stable under
+    * corpus growth except at the k-th boundary). The row_number ≤ k form
+    * is what RewriteWindowTopK turns into the bounded-heap TopKPerGroup
+    * operator — per-stratum state is O(k), not O(stratum).
+    */
+  def j23_sample_stratified: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(knuthBucket(col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .withColumn("rn", col("rn").cast("long")) // DuckDB row_number is BIGINT
+      .orderBy(asc_nulls_last("lang"), asc_nulls_last("rn"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j20_sample_hash" -> j20_sample_hash,
+    "j21_pack_shards" -> j21_pack_shards,
+    "j22_mix_domains" -> j22_mix_domains,
+    "j23_sample_stratified" -> j23_sample_stratified)
+}

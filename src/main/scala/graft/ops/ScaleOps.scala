@@ -192,4 +192,43 @@ object ScaleOps {
           + ((col("_grank") - 1 - cut) / math.max(base, 1)).cast("int") + 1))
       .drop("_pid", "_offset", "_lrank", "_grank")
   }
+
+  /** Exact global running sum of `valueCol` (as LONG) in `sortCols` order,
+    * appended as column `cum` (inclusive) — WITHOUT a single-partition
+    * window: the scale path for the E7/J21 class of inherently-sequential
+    * prefix computations (token-budget sharding, byte-offset assignment).
+    *
+    * Same two-job shape as [[distributedNtile]]: range-partition on the
+    * sort key (parallel), per-partition TOTALS to the driver (`partitions`
+    * longs — bounded), then each partition computes its local prefix sum
+    * under a per-partition window and adds its broadcast global offset.
+    * Bit-identical to `sum(v) OVER (ORDER BY sortCols ROWS UNBOUNDED
+    * PRECEDING)` for a total order (caller supplies the unique tiebreak
+    * per determinism rule R1); pinned in ScaleOpsSpec.
+    */
+  def distributedCumsum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                        partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cache: the totals job and the prefix job must see the SAME
+    // range-partition assignment (boundary sampling is rerun per job
+    // otherwise)
+    val parted = df.withColumn("_v", valueCol.cast("long"))
+      .repartitionByRange(partitions, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .cache()
+    val sums = parted.groupBy("_pid").agg(sum("_v").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions).scanLeft(0L) {
+      case (acc, pid) => acc + sums.getOrElse(pid, 0L)
+    }
+    val offsetDf = parted.sparkSession.createDataFrame(
+      (0 until partitions).map(pid => (pid, offsets(pid))))
+      .toDF("_pid", "_offset")
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.withColumn("_lcum", sum(col("_v")).over(w))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn("cum", col("_offset") + col("_lcum"))
+      .drop("_pid", "_offset", "_lcum", "_v")
+  }
 }

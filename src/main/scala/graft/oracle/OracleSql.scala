@@ -640,6 +640,47 @@ object OracleSql {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, va NULLS LAST, vb NULLS LAST LIMIT 50""".stripMargin)
 
+  /** j20–j23 sampling/sharding/mixing (graft.ops.SampleOps): the hash is
+    * plain 64-bit arithmetic (Knuth multiplicative), so both engines
+    * compute the identical sampling decision — no engine hash builtins.
+    */
+  val samples: Map[String, String] = Map(
+    "j20_sample_hash" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+        |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
+    "j21_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |         CAST(sum(tok) OVER (ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - tok) // 4096 AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS toks
+        |FROM c GROUP BY shard ORDER BY shard NULLS LAST""".stripMargin,
+    "j22_mix_domains" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE ((doc_id + 9176) * 2654435761) % 4294967296 % 1000 <
+        |      CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300 ELSE 1000 END
+        |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
+    "j23_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM
+        |  (SELECT lang, doc_id,
+        |          row_number() OVER (PARTITION BY lang
+        |                             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |   FROM documents)
+        |WHERE rn <= 10 ORDER BY lang NULLS LAST, rn NULLS LAST""".stripMargin)
+
   val udx: Map[String, String] = Map(
     "k1_udf_scalar" ->
       """SELECT l_orderkey, l_linenumber, l_quantity * 2 + 1 AS v FROM lineitem
@@ -658,5 +699,6 @@ object OracleSql {
   def k5: Map[String, String] = Map("k5_expr_cosine" -> texts("j8_sim_topk"))
 
   def all: Map[String, String] =
-    scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++ udx ++ k5
+    scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
+      samples ++ udx ++ k5
 }

@@ -128,6 +128,26 @@ class ScaleOpsSpec extends SparkSuite {
       s"global window leaked into:\n$plan")
   }
 
+  test("distributed cumsum equals the global running-sum window bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), (col("o_orderkey") % 97).as("v"))
+    val stock = orders.select(col("o_orderkey"),
+      sum("v").over(Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val dist = ScaleOps.distributedCumsum(orders, Seq(col("o_orderkey")),
+        col("v"), partitions = 4)
+      .select("o_orderkey", "cum")
+    val a = stock.collect().map(_.toString).sorted
+    val b = dist.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // same invariant as the ntile shape: only per-range-partition windows
+    val plan = dist.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("[_pid")),
+      s"global window leaked into:\n$plan")
+  }
+
   test("partitioned layout: static pruning hits PartitionFilters, DPP fires on dim join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     ScaleOps.writePartitioned(
