@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
 object SampleOps {
 
   /** Knuth multiplicative hash of a non-negative id, in [0, 2^32).
-    * Products stay far below 2^63 for any realistic id space (safe under
-    * ANSI overflow checking); the same expression is valid DuckDB SQL.
+    * The id is first reduced mod the Mersenne prime 2^31-1 so the product
+    * stays below 2^63 for EVERY possible long id — without the reduction,
+    * ids above ~3.4e9 overflow (an ANSI-mode error, and a 100 TB corpus
+    * has more documents than that). Ids exactly 2^31-1 apart share a
+    * decision; at any sampling rate that periodicity is statistically
+    * irrelevant, and for fixture-sized ids the reduction is the identity.
+    * The same expression is valid DuckDB SQL (both operators left-assoc
+    * at equal precedence; the oracle texts parenthesize anyway).
     */
   private def knuthBucket(id: Column): Column =
-    (id * lit(2654435761L)) % lit(4294967296L)
+    ((id % lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
 
   /** j20: deterministic 20% corpus sample — keep docs whose hash bucket
     * mod 100 lands below the rate, report per-lang volume. The survivor
