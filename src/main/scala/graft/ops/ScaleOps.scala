@@ -145,42 +145,57 @@ object ScaleOps {
       .write.mode("overwrite").parquet(dir)
   }
 
-  // ------------------------------------------------- distributed ntile
+  // ------------------- distributed global prefix shapes (ntile, cumsum)
+
+  /** Shared scaffold of the two-job exact-global-prefix operators:
+    * range-partition `df` on the sort key (shuffle 1, parallel), compute
+    * one LONG total per partition with `perPartition` (driver-side —
+    * `partitions` longs, bounded), and return the partitioned frame
+    * joined with each partition's exclusive prefix as `_offset`, plus the
+    * grand total. Callers finish with a per-`_pid` window (shuffle 2,
+    * still parallel) and must drop `_pid`/`_offset`.
+    *
+    * localCheckpoint — NOT cache — pins the range-partition assignment
+    * across the totals job and the caller's window job (boundary sampling
+    * would otherwise rerun per job): a cache() entry is plan-matched by
+    * the CacheManager, so Bench's timed pass would silently read the
+    * warmup pass's cache and under-report the operator's real cost.
+    * localCheckpoint is per-invocation and leaves nothing registered.
+    */
+  private def withRangeOffsets(df: DataFrame, sortCols: Seq[Column],
+      partitions: Int, perPartition: Column): (DataFrame, Long) = {
+    val parted = df.repartitionByRange(partitions, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // isNullAt guard: an all-null sum() partition must contribute 0 to the
+    // offsets (matching window-sum semantics), not NPE on getLong
+    val totals = parted.groupBy("_pid").agg(perPartition.as("_t")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    val offsets = (0 until partitions).scanLeft(0L) {
+      case (acc, pid) => acc + totals.getOrElse(pid, 0L)
+    }
+    val offsetDf = parted.sparkSession.createDataFrame(
+      (0 until partitions).map(pid => (pid, offsets(pid))))
+      .toDF("_pid", "_offset")
+    (parted.join(broadcast(offsetDf), "_pid"), offsets.last)
+  }
 
   /** Exact global ntile without a single-partition window — the scale
     * path for the E3/E4 class of inherently-global rankings.
     *
-    * Shape: range-partition on the sort key (shuffle 1, parallel), rank
-    * locally per range partition (shuffle 2, keyed by partition id, still
-    * parallel), then add driver-computed per-partition offsets (tiny —
-    * `partitions` longs) to get the exact global rank; the ntile formula
-    * is then a scalar expression. Bit-identical to
-    * `ntile(n) OVER (ORDER BY sortCols)` for a total order (caller
-    * supplies the unique tiebreak per determinism rule R1).
+    * Rank locally per range partition, add the broadcast global offset
+    * for the exact global rank; the ntile formula is then a scalar
+    * expression. Bit-identical to `ntile(n) OVER (ORDER BY sortCols)`
+    * for a total order (caller supplies the unique tiebreak per
+    * determinism rule R1).
     */
   def distributedNtile(df: DataFrame, sortCols: Seq[Column], n: Int,
                        partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache: the partition-count job and the ranking job must see the
-    // SAME range-partition assignment (boundary sampling would otherwise
-    // be re-run per job)
-    val parted = df.repartitionByRange(partitions, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .cache()
-    // per-partition row counts → global offsets (driver-side, `partitions` rows)
-    val counts = parted.groupBy("_pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until partitions).scanLeft(0L) {
-      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
-    }
-    val total = offsets.last
-    val offsetDf = parted.sparkSession.createDataFrame(
-      (0 until partitions).map(pid => (pid, offsets(pid))))
-      .toDF("_pid", "_offset")
+    val (parted, total) = withRangeOffsets(df, sortCols, partitions, count(lit(1)))
     val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
     val ranked = parted
       .withColumn("_lrank", row_number().over(w))
-      .join(broadcast(offsetDf), "_pid")
       .withColumn("_grank", col("_offset") + col("_lrank"))
     // ntile semantics: first (total % n) tiles hold ceil(total/n) rows
     val base = total / n
@@ -197,37 +212,19 @@ object ScaleOps {
     * appended as column `cum` (inclusive) — WITHOUT a single-partition
     * window: the scale path for the E7/J21 class of inherently-sequential
     * prefix computations (token-budget sharding, byte-offset assignment).
-    *
-    * Same two-job shape as [[distributedNtile]]: range-partition on the
-    * sort key (parallel), per-partition TOTALS to the driver (`partitions`
-    * longs — bounded), then each partition computes its local prefix sum
-    * under a per-partition window and adds its broadcast global offset.
-    * Bit-identical to `sum(v) OVER (ORDER BY sortCols ROWS UNBOUNDED
-    * PRECEDING)` for a total order (caller supplies the unique tiebreak
-    * per determinism rule R1); pinned in ScaleOpsSpec.
+    * Each partition computes its local prefix sum and adds its broadcast
+    * global offset. Bit-identical to `sum(v) OVER (ORDER BY sortCols ROWS
+    * UNBOUNDED PRECEDING)` for a total order (caller supplies the unique
+    * tiebreak per determinism rule R1); pinned in ScaleOpsSpec.
     */
   def distributedCumsum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                         partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache: the totals job and the prefix job must see the SAME
-    // range-partition assignment (boundary sampling is rerun per job
-    // otherwise)
-    val parted = df.withColumn("_v", valueCol.cast("long"))
-      .repartitionByRange(partitions, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .cache()
-    val sums = parted.groupBy("_pid").agg(sum("_v").as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until partitions).scanLeft(0L) {
-      case (acc, pid) => acc + sums.getOrElse(pid, 0L)
-    }
-    val offsetDf = parted.sparkSession.createDataFrame(
-      (0 until partitions).map(pid => (pid, offsets(pid))))
-      .toDF("_pid", "_offset")
+    val withV = df.withColumn("_v", valueCol.cast("long"))
+    val (parted, _) = withRangeOffsets(withV, sortCols, partitions, sum("_v"))
     val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted.withColumn("_lcum", sum(col("_v")).over(w))
-      .join(broadcast(offsetDf), "_pid")
       .withColumn("cum", col("_offset") + col("_lcum"))
       .drop("_pid", "_offset", "_lcum", "_v")
   }

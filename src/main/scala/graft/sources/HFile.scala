@@ -261,6 +261,11 @@ object HFileCodec {
             blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
+    // read/write symmetry: the readers reject payloads above MaxBlockBytes,
+    // so the writer must never produce one (a block holds ~blockSize bytes
+    // plus the one cell that overflowed it — bound both)
+    require(blockSize > 0 && blockSize <= MaxBlockBytes / 2,
+      s"blockSize must be in (0, ${MaxBlockBytes / 2}]")
     var written = 0L
     def emit(b: Array[Byte]): Unit = { sink.write(b); written += b.length }
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
@@ -291,6 +296,9 @@ object HFileCodec {
 
     def flushBlock(): Unit = if (block.size() > 0) {
       val payload = block.toByteArray
+      require(payload.length <= MaxBlockBytes,
+        s"data block ${payload.length} B exceeds MaxBlockBytes — a single " +
+          "cell larger than the reader's cap would make the file unreadable")
       val offset = written
       emit(blockHeader(DataMagic, payload.length))
       emit(payload)

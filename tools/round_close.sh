@@ -46,13 +46,23 @@ if ! git diff --quiet -- src/ || ! git diff --cached --quiet -- src/; then
 fi
 echo "== round_close: snapshot per-query bench detail =="
 # Next round number = highest existing CORRECTNESS_r<N> + 1 (the round
-# being closed is the one the driver will stamp next).
-last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)
+# being closed is the one the driver will stamp next). `|| true` keeps the
+# no-artifacts case (fresh clone) from aborting under set -e — ls exits 2
+# and pipefail would otherwise kill the assignment before ${last:-0} runs.
+last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1 || true)
 n=$(( ${last:-0} + 1 ))
 if [ -f bench_detail.json ]; then
   snap=$(printf 'BENCH_DETAIL_r%02d.json' "$n")
-  cp bench_detail.json "$snap"
-  echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
+  # freshness: only stamp a detail file newer than the last commit —
+  # snapshotting a stale one would attribute a previous round's timings
+  # to this round's code (the exact misattribution this step prevents)
+  if [ -n "$(git log -1 --format=%ct 2>/dev/null)" ] \
+     && [ "$(stat -c %Y bench_detail.json)" -lt "$(git log -1 --format=%ct)" ]; then
+    echo "round_close: bench_detail.json predates the last commit — re-run graft.Bench before snapshotting (skipped $snap)"
+  else
+    cp bench_detail.json "$snap"
+    echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
+  fi
 else
   echo "round_close: no bench_detail.json in cwd — run graft.Bench first if you want the r$n detail snapshot"
 fi
