@@ -36,6 +36,15 @@ object SampleOps {
   private def knuthBucket(id: Column): Column =
     ((id % lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
 
+  /** Doc-level deterministic sample: keep rows whose hash bucket mod 100
+    * lands below `pct`. Stateless, so it applies unchanged to a STREAMING
+    * DataFrame — membership is replay- and micro-batch-invariant
+    * (StreamingSpec I11), which is what makes incremental corpus
+    * ingestion produce the same sample as a batch backfill.
+    */
+  def sampleHash(docs: org.apache.spark.sql.DataFrame, pct: Int = 20): org.apache.spark.sql.DataFrame =
+    docs.where(knuthBucket(col("doc_id")) % 100 < pct)
+
   /** j20: deterministic 20% corpus sample — keep docs whose hash bucket
     * mod 100 lands below the rate, report per-lang volume. The survivor
     * set is a pure function of doc_id: growing the corpus never flips a
@@ -43,8 +52,7 @@ object SampleOps {
     * with partition layout).
     */
   def j20_sample_hash: Q = (s, d) =>
-    Tables.documents(s, d)
-      .where(knuthBucket(col("doc_id")) % 100 < 20)
+    sampleHash(Tables.documents(s, d))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy(asc_nulls_last("lang"))

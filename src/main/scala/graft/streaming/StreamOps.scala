@@ -91,6 +91,51 @@ object StreamOps {
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Replay a documents parquet fixture as a micro-batch file stream
+    * (doc_id-range splits; the sampling ops are stateless so replay order
+    * is irrelevant — splits exist to prove multi-micro-batch behavior).
+    */
+  def documentsStream(spark: SparkSession, sfDir: String,
+                      splits: Int = 4): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.documents(spark, sfDir)
+    val schema = docs.schema
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_docs_${sfDir.hashCode.toHexString}_$splits")
+    if (!Files.exists(dir.resolve("_STAGED"))) {
+      Files.createDirectories(dir)
+      val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
+        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+      val span = hi - lo + 1
+      (0 until splits).foreach { k =>
+        val from = lo + span * k / splits
+        val until = lo + span * (k + 1) / splits
+        val tmp = dir.resolve(s"_tmp_$k")
+        docs.where(col("doc_id") >= from && col("doc_id") < until)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, dir.resolve(f"docs_$k%03d.parquet"))
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
+      Files.createFile(dir.resolve("_STAGED"))
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
+  /** I11: the deterministic hash sample applied to a document stream.
+    * Stateless (no watermark, no state store): each micro-batch makes the
+    * identical keep/drop decision a batch backfill would, so streaming
+    * ingestion and batch sampling agree row-for-row (StreamingSpec I11).
+    */
+  def hashSampleStream(docs: DataFrame): DataFrame =
+    graft.ops.SampleOps.sampleHash(docs)
+
   /** I2: tumbling 1h window aggregate with a 1h watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events.withWatermark("ets", "1 hour")

@@ -36,6 +36,21 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I11: deterministic hash sample is micro-batch invariant (stream equals batch)") {
+    // stateless filter, append mode, no watermark: every micro-batch must
+    // make the identical keep/drop decision the batch backfill makes, so
+    // incremental ingestion and a full recompute produce the same sample
+    val streamed = runStream(
+      StreamOps.hashSampleStream(StreamOps.documentsStream(spark, sf))
+        .select("doc_id", "lang"),
+      "append", "t_sample")
+    val batch = graft.ops.SampleOps.sampleHash(Tables.documents(spark, sf))
+      .select("doc_id", "lang")
+    assert(streamed.count() > 0, "sample must be non-vacuous")
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
   test("I3: sliding window stream equals batch twin") {
     val streamed = runStream(StreamOps.slidingCounts(StreamOps.eventsStream(spark, sf)),
       "complete", "t_sliding")
