@@ -41,6 +41,21 @@ class TopKStrategySpec extends SparkSuite {
     }
   }
 
+  test("j23 stratified sample runs the bounded-heap rewrite (expression sort key)") {
+    // pins that an EXPRESSION in the window ORDER BY (the sampling hash)
+    // still rewrites — j23's per-stratum state must stay O(k), and the
+    // scan must stay pruned to the two referenced columns
+    withTopK {
+      val df = graft.ops.SampleOps.j23_sample_stratified(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKFinal") && plan.contains("TopKPartial"), plan)
+      assert(!plan.contains("Window ["), s"stock window still present:\n$plan")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+        s"scan not pruned to doc_id+lang:\n$plan")
+    }
+  }
+
   test("custom top-k equals stock window top-k (k=3, desc order)") {
     val stock = topkQuery().collect().map(_.toString)
     val custom = withTopK { topkQuery().collect().map(_.toString) }
