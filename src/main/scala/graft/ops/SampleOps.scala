@@ -75,6 +75,28 @@ object SampleOps {
       .orderBy(asc_nulls_last("shard"))
   }
 
+  /** j24: shard payload construction — the step after j21's assignment:
+    * concatenate each shard's documents in doc_id order into the training
+    * payload. The declared result carries an md5 fingerprint of each
+    * payload rather than the payload itself (small deterministic output;
+    * both engines render md5 as lowercase hex). Spark has no ordered
+    * string_agg, so the ordered concat is array_sort(collect_list(struct))
+    * — the struct sorts by its first field, the unique doc_id.
+    */
+  def j24_pack_payload: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
+    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
+      .withColumn("shard", expr("(cum - tok) DIV 4096"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("<DOC>",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")))).as("payload_md5"))
+      .orderBy(asc_nulls_last("shard"))
+  }
+
   /** j22: domain mixing — per-language sampling weights (en 0.5, zh 0.3,
     * rest 1.0) applied through the same deterministic hash, reporting the
     * post-mix per-lang volume. This is the reweighting step of corpus
@@ -113,5 +135,6 @@ object SampleOps {
     "j20_sample_hash" -> j20_sample_hash,
     "j21_pack_shards" -> j21_pack_shards,
     "j22_mix_domains" -> j22_mix_domains,
-    "j23_sample_stratified" -> j23_sample_stratified)
+    "j23_sample_stratified" -> j23_sample_stratified,
+    "j24_pack_payload" -> j24_pack_payload)
 }

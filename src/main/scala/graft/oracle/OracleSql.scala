@@ -666,6 +666,21 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(tok) AS BIGINT) AS toks
         |FROM c GROUP BY shard ORDER BY shard NULLS LAST""".stripMargin,
+    "j24_pack_payload" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, tok,
+        |         CAST(sum(tok) OVER (ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - tok) // 4096 AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       md5(string_agg(text, '<DOC>' ORDER BY doc_id)) AS payload_md5
+        |FROM c GROUP BY shard ORDER BY shard NULLS LAST""".stripMargin,
     "j22_mix_domains" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS chars
