@@ -23,18 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
-  /** Knuth multiplicative hash of a non-negative id, in [0, 2^32).
-    * The id is first reduced mod the Mersenne prime 2^31-1 so the product
-    * stays below 2^63 for EVERY possible long id — without the reduction,
-    * ids above ~3.4e9 overflow (an ANSI-mode error, and a 100 TB corpus
-    * has more documents than that). Ids exactly 2^31-1 apart share a
-    * decision; at any sampling rate that periodicity is statistically
-    * irrelevant, and for fixture-sized ids the reduction is the identity.
-    * The same expression is valid DuckDB SQL (both operators left-assoc
-    * at equal precedence; the oracle texts parenthesize anyway).
+  /** Knuth multiplicative hash of an id, in [0, 2^32).
+    * The id is first reduced to [0, 2^31-1) via pmod by the Mersenne prime
+    * 2^31-1, which does two jobs: the product stays below 2^63 for EVERY
+    * possible long id (without it, ids above ~3.4e9 overflow — an
+    * ANSI-mode error, and a 100 TB corpus has more documents than that),
+    * and a NEGATIVE id still lands in a non-negative bucket (Scala/SQL `%`
+    * preserve the dividend's sign, so a plain `%` chain made every
+    * negative id unconditionally pass any `< pct` filter). Ids exactly
+    * 2^31-1 apart share a decision; at any sampling rate that periodicity
+    * is statistically irrelevant, and for fixture-sized non-negative ids
+    * the reduction is the identity. The oracle texts spell pmod as
+    * `((x % m) + m) % m`.
     */
   private def knuthBucket(id: Column): Column =
-    ((id % lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
+    (pmod(id, lit(2147483647L)) * lit(2654435761L)) % lit(4294967296L)
 
   /** Doc-level deterministic sample: keep rows whose hash bucket mod 100
     * lands below `pct`. Stateless, so it applies unchanged to a STREAMING
@@ -57,23 +60,36 @@ object SampleOps {
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy(asc_nulls_last("lang"))
 
+  /** Tokens per shard — the one budget constant j21/j24 and both oracle
+    * texts must agree on.
+    */
+  val ShardTokens = 4096
+
+  /** Shared j21/j24 prelude: documents with their shard assignment —
+    * portable whitespace token count (j16's spelling), distributed
+    * exclusive prefix sum in doc_id order, contiguous ~[[ShardTokens]]
+    * shards. `keep` carries extra columns through (j24 needs text).
+    */
+  private def withShard(s: org.apache.spark.sql.SparkSession, d: String,
+                        keep: Column*): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id") +: keep :+
+        TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"): _*)
+    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
+      .withColumn("shard", expr(s"(cum - tok) DIV $ShardTokens"))
+  }
+
   /** j21: token-budget sharding — assign docs (in stable doc_id order) to
     * contiguous ~4096-token shards by exclusive prefix sum, the layout
     * step that turns a curated corpus into fixed-budget training shards.
-    * Token count uses the portable whitespace tokenizer (j16's spelling);
-    * the prefix sum is the distributed two-job cumsum, never a global
+    * The prefix sum is the distributed two-job cumsum, never a global
     * window.
     */
-  def j21_pack_shards: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
-    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
-      .withColumn("shard", expr("(cum - tok) DIV 4096"))
+  def j21_pack_shards: Q = (s, d) =>
+    withShard(s, d)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("toks"))
       .orderBy(asc_nulls_last("shard"))
-  }
 
   /** j24: shard payload construction — the step after j21's assignment:
     * concatenate each shard's documents in doc_id order into the training
@@ -83,19 +99,18 @@ object SampleOps {
     * string_agg, so the ordered concat is array_sort(collect_list(struct))
     * — the struct sorts by its first field, the unique doc_id.
     */
-  def j24_pack_payload: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
-    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
-      .withColumn("shard", expr("(cum - tok) DIV 4096"))
+  def j24_pack_payload: Q = (s, d) =>
+    withShard(s, d, col("text"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
-        md5(concat_ws("<DOC>",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
-            x => x.getField("text")))).as("payload_md5"))
+        // all-NULL guard: SQL string_agg over zero non-null inputs is
+        // NULL, but concat_ws is "" — md5("") would diverge from the
+        // oracle (and from SQL semantics) on a shard of null-text docs
+        when(count(col("text")) === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws("<DOC>",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text"))))).as("payload_md5"))
       .orderBy(asc_nulls_last("shard"))
-  }
 
   /** j22: domain mixing — per-language sampling weights (en 0.5, zh 0.3,
     * rest 1.0) applied through the same deterministic hash, reporting the

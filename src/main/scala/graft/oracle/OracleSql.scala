@@ -649,7 +649,7 @@ object OracleSql {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
-        |WHERE (((doc_id % 2147483647) * 2654435761) % 4294967296) % 100 < 20
+        |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296 % 100 < 20
         |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
     "j21_pack_shards" ->
       """WITH t AS (
@@ -685,14 +685,14 @@ object OracleSql {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
-        |WHERE ((((doc_id + 9176) % 2147483647) * 2654435761) % 4294967296) % 1000 <
+        |WHERE ((((doc_id + 9176) % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296 % 1000 <
         |      CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300 ELSE 1000 END
         |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
     "j23_sample_stratified" ->
       """SELECT lang, doc_id, rn FROM
         |  (SELECT lang, doc_id,
         |          row_number() OVER (PARTITION BY lang
-        |                             ORDER BY ((doc_id % 2147483647) * 2654435761) % 4294967296, doc_id) AS rn
+        |                             ORDER BY (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296, doc_id) AS rn
         |   FROM documents)
         |WHERE rn <= 10 ORDER BY lang NULLS LAST, rn NULLS LAST""".stripMargin)
 

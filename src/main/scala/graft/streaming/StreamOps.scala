@@ -42,52 +42,70 @@ object StreamOps {
   def withStateStore(spark: SparkSession, provider: String): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
 
-  /** I1: replay an events parquet fixture as a micro-batch file stream.
-    * maxFilesPerTrigger=1 gives deterministic micro-batch boundaries in
-    * tests; schema comes from the batch reader (streams can't infer).
+  /** Stage a fixture table (once) as `splits` id-range parquet files under
+    * java.io.tmpdir and open it as a micro-batch file stream — the file
+    * source requires a directory, and maxFilesPerTrigger=1 over multiple
+    * files yields a genuine multi-micro-batch replay (each batch must
+    * update state, not just recompute — the §5.4 equivalence property).
+    *
+    * FileStreamSource orders batches by file MODIFICATION TIME, so when
+    * `stampMtime` is set the splits get strictly increasing mtimes and
+    * replay in id order (a parallel multi-part write finishes parts in
+    * arbitrary order, which replays history out of order and makes the
+    * watermark drop whole batches as late — observed, not hypothetical).
+    *
+    * Crash-safe and idempotent: moves REPLACE any half-staged leftovers
+    * from a killed run (the `_STAGED` sentinel is only written after all
+    * splits land), so a retry always converges.
     */
-  def eventsStream(spark: SparkSession, sfDir: String,
-                   splits: Int = 4): DataFrame = {
-    Tables.withNanos(spark)
-    val schema = Tables.events(spark, sfDir).schema
-    // The file source requires a directory; stage the fixture (once) as
-    // `splits` files so maxFilesPerTrigger=1 yields a genuine
-    // multi-micro-batch replay — each batch must update state, not just
-    // recompute (the property the §5.4 equivalence tests exercise).
-    //
-    // FileStreamSource orders batches by file MODIFICATION TIME, so the
-    // splits are written sequentially in event-time order (a parallel
-    // multi-part write finishes parts in arbitrary order, which replays
-    // history out of order and makes the watermark drop whole batches as
-    // late — observed, not hypothetical).
-    import java.nio.file.{Files, Paths}
+  private def stagedStream(df: DataFrame, idCol: String, prefix: String,
+                           splits: Int, stampMtime: Boolean): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = df.sparkSession
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_events_${sfDir.hashCode.toHexString}_$splits")
+      s"graft_${prefix}_${df.inputFiles.toSeq.hashCode.toHexString}_$splits")
     if (!Files.exists(dir.resolve("_STAGED"))) {
       Files.createDirectories(dir)
-      val ev = Tables.events(spark, sfDir)
-      val Array(lo, hi) = ev.agg(min("event_id"), max("event_id"))
+      val Array(lo, hi) = df.agg(min(idCol), max(idCol))
         .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
       val span = hi - lo + 1
       (0 until splits).foreach { k =>
         val from = lo + span * k / splits
         val until = lo + span * (k + 1) / splits
         val tmp = dir.resolve(s"_tmp_$k")
-        ev.where(col("event_id") >= from && col("event_id") < until)
+        df.where(col(idCol) >= from && col(idCol) < until)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        val list = Files.list(tmp)
+        val part = try list.filter(_.toString.endsWith(".parquet"))
           .findFirst().get()
-        Files.move(part, dir.resolve(f"events_$k%03d.parquet"))
-        Files.setLastModifiedTime(dir.resolve(f"events_$k%03d.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        finally list.close()
+        val dst = dir.resolve(f"$prefix%s_$k%03d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        if (stampMtime)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally walk.close()
       }
       Files.createFile(dir.resolve("_STAGED"))
     }
-    spark.readStream.schema(schema)
+    spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
+  }
+
+  /** I1: replay an events parquet fixture as a micro-batch file stream.
+    * maxFilesPerTrigger=1 gives deterministic micro-batch boundaries in
+    * tests; schema comes from the batch reader (streams can't infer).
+    * Splits get event-time-ordered mtimes (see [[stagedStream]]).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String,
+                   splits: Int = 4): DataFrame = {
+    Tables.withNanos(spark)
+    stagedStream(Tables.events(spark, sfDir), "event_id", "events",
+        splits, stampMtime = true)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -96,37 +114,9 @@ object StreamOps {
     * is irrelevant — splits exist to prove multi-micro-batch behavior).
     */
   def documentsStream(spark: SparkSession, sfDir: String,
-                      splits: Int = 4): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val docs = Tables.documents(spark, sfDir)
-    val schema = docs.schema
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_docs_${sfDir.hashCode.toHexString}_$splits")
-    if (!Files.exists(dir.resolve("_STAGED"))) {
-      Files.createDirectories(dir)
-      val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
-        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
-      val span = hi - lo + 1
-      (0 until splits).foreach { k =>
-        val from = lo + span * k / splits
-        val until = lo + span * (k + 1) / splits
-        val tmp = dir.resolve(s"_tmp_$k")
-        docs.where(col("doc_id") >= from && col("doc_id") < until)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        Files.move(part, dir.resolve(f"docs_$k%03d.parquet"))
-        val walk = Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally walk.close()
-      }
-      Files.createFile(dir.resolve("_STAGED"))
-    }
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-  }
+                      splits: Int = 4): DataFrame =
+    stagedStream(Tables.documents(spark, sfDir), "doc_id", "docs",
+      splits, stampMtime = false)
 
   /** I11: the deterministic hash sample applied to a document stream.
     * Stateless (no watermark, no state store): each micro-batch makes the
