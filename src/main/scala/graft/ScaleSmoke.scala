@@ -35,7 +35,13 @@ object ScaleSmoke {
     "j5_text_tfidf",          // two-level aggregation over all tokens
     "j8_sim_topk",            // probe-broadcast cosine over the corpus
     "j14_dedup_ngram",        // exact shingle-Jaccard vs the whole corpus
-    "j15_dedup_cosine")       // bounded-window pair ranking (constant work)
+    "j15_dedup_cosine",       // bounded-window pair ranking (constant work)
+    // sampling/sharding/mixing (round 6): narrow filters, distributed
+    // cumsum, bounded-heap stratified k, ordered per-shard payload concat
+    "j20_sample_hash",
+    "j21_pack_shards",
+    "j23_sample_stratified",
+    "j24_pack_payload")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -196,8 +202,11 @@ object ScaleSmoke {
       "i7_state_rocksdb" -> (() =>
         sessionReplay(graft.streaming.StreamOps.RocksDbProvider, "rocksdb")))
 
+    // SPARK_GRAFT_SMOKE_ONLY=a,b restricts the run for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(',').toSet)
     val runs: Seq[(String, () => Long)] =
-      heavies.map(n => n -> (() => SparkEntry.queries(n)(spark, dir).count())) ++ pipelines
+      (heavies.map(n => n -> (() => SparkEntry.queries(n)(spark, dir).count())) ++ pipelines)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val results = runs.map { case (name, fn) =>
       val t0 = System.nanoTime()
