@@ -48,6 +48,29 @@ class MiscSpec extends SparkSuite {
       (2L, 4L, 4, 0.0), (2L, 5L, 5, 0.0)))
   }
 
+  test("sampleHash: decisions match the reference hash for negative and huge ids") {
+    import spark.implicits._
+    // regression net for two fixed bugs: ids > ~3.4e9 overflowed the
+    // multiply under ANSI mode, and negative ids hashed to negative
+    // buckets that passed any `< pct` filter unconditionally
+    val ids = Seq(-Long.MaxValue, -4294967296L, -3L, -1L, 0L, 1L, 42L,
+      2147483646L, 2147483647L, 4294967296L, Long.MaxValue - 1, Long.MaxValue) ++
+      (-500L to 500L by 7)
+    val df = ids.toDF("doc_id")
+    val kept = graft.ops.SampleOps.sampleHash(df, pct = 20)
+      .collect().map(_.getLong(0)).toSet
+    def refKeep(id: Long): Boolean =
+      Math.floorMod(id, 2147483647L) * 2654435761L % 4294967296L % 100 < 20
+    ids.foreach { id =>
+      assert(kept.contains(id) == refKeep(id), s"decision mismatch for id=$id")
+    }
+    // the negative-id bug made this 100%; the true rate on this range is ~pct
+    val neg = ids.filter(_ < 0)
+    val negKept = neg.count(kept.contains)
+    assert(negKept < neg.size,
+      s"all $negKept/${neg.size} negative ids sampled — sign bug is back")
+  }
+
   test("j14 deficient-only padding is bit-identical to the unconditional grid") {
     // Reference spelling: the r5 form that left-joins the FULL
     // (probe × doc) id grid so every zero-intersection pair exists before
