@@ -40,6 +40,7 @@ object ScaleSmoke {
     // cumsum, bounded-heap stratified k, ordered per-shard payload concat
     "j20_sample_hash",
     "j21_pack_shards",
+    "j22_mix_domains",        // shape-identical to j20 (salted stateless filter)
     "j23_sample_stratified",
     "j24_pack_payload")
 

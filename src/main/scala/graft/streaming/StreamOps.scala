@@ -62,8 +62,18 @@ object StreamOps {
                            splits: Int, stampMtime: Boolean): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = df.sparkSession
+    // Staging key = md5 of the SORTED input-file list: a full-strength
+    // digest makes a collision between two fixtures negligible (a 32-bit
+    // hashCode collision would silently replay the wrong staged data
+    // forever via the _STAGED sentinel), and sorting makes the key stable
+    // under the nondeterministic ordering FileIndex can return.
+    val fileKey = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(df.inputFiles.sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_${prefix}_${df.inputFiles.toSeq.hashCode.toHexString}_$splits")
+      s"graft_${prefix}_${fileKey}_$splits")
     if (!Files.exists(dir.resolve("_STAGED"))) {
       Files.createDirectories(dir)
       val Array(lo, hi) = df.agg(min(idCol), max(idCol))

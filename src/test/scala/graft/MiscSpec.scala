@@ -59,8 +59,7 @@ class MiscSpec extends SparkSuite {
     val df = ids.toDF("doc_id")
     val kept = graft.ops.SampleOps.sampleHash(df, pct = 20)
       .collect().map(_.getLong(0)).toSet
-    def refKeep(id: Long): Boolean =
-      Math.floorMod(id, 2147483647L) * 2654435761L % 4294967296L % 100 < 20
+    def refKeep(id: Long): Boolean = SampleHashProps.refMix(id) % 100 < 20
     ids.foreach { id =>
       assert(kept.contains(id) == refKeep(id), s"decision mismatch for id=$id")
     }
@@ -69,6 +68,36 @@ class MiscSpec extends SparkSuite {
     val negKept = neg.count(kept.contains)
     assert(negKept < neg.size,
       s"all $negKept/${neg.size} negative ids sampled — sign bug is back")
+  }
+
+  test("j21/j24: a null-text doc gets a NULL token count, not -1 (oracle semantics)") {
+    import spark.implicits._
+    // Spark's legacy sizeOfNull would count a null text as -1 while the
+    // DuckDB oracle yields NULL — shifting every later cum by -1 and
+    // landing the doc in shard -1 vs NULL. No fixture SF has a null text,
+    // so this pins the constructed case: the null doc must land in the
+    // NULL shard and must NOT perturb any later doc's shard.
+    val dir = Files.createTempDirectory("graft_nulltok").toString
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (0L, Option(words(3000))), // cum 3000 -> shard 0
+      (1L, None),                // null text -> tok NULL -> shard NULL
+      (2L, Option(words(2000))), // cum 5000 -> shard 0 (3000/4096)
+      (3L, Option(words(2000))), // cum 7000 -> shard 1 (5000/4096)
+      (4L, Option("")))          // 1 token  -> cum 7001 -> shard 1
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shards = graft.ops.SampleOps.j21_pack_shards(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(shards.toSeq == Seq((0L, 2L, 5000L), (1L, 2L, 2001L), (null, 1L, null)),
+      s"got ${shards.toSeq}")
+    val payloads = graft.ops.SampleOps.j24_pack_payload(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.isNullAt(2)))
+    // the NULL shard holds only the null text: string_agg of zero non-null
+    // inputs is NULL (not md5("")); real shards have real fingerprints
+    assert(payloads.toSeq == Seq((0L, false), (1L, false), (null, true)),
+      s"got ${payloads.toSeq}")
   }
 
   test("j14 deficient-only padding is bit-identical to the unconditional grid") {

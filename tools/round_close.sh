@@ -32,7 +32,7 @@ grep -E "Tests: succeeded|All tests passed" /tmp/round_close_test.log | tail -2 
 echo "== round_close: oracle type lint (R9 HUGEINT class) =="
 sbt -batch "runMain graft.OracleDump /tmp/round_close_oracle.json" > /tmp/round_close_dump.log 2>&1 \
   || { tail -20 /tmp/round_close_dump.log; echo "ROUND CLOSE BLOCKED: OracleDump failed." >&2; exit 1; }
-if ! python3 tools/oracle_typelint.py /root/testdata/sf0.001 /tmp/round_close_oracle.json; then
+if ! python3 tools/oracle_typelint.py "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.001}" /tmp/round_close_oracle.json; then
   echo "ROUND CLOSE BLOCKED: an oracle text has a HUGEINT output column —" \
        "wrap it in CAST(... AS BIGINT) (SURVEY rule R9)." >&2
   exit 1
