@@ -641,15 +641,22 @@ object OracleSql {
         |ORDER BY sim DESC, va NULLS LAST, vb NULLS LAST LIMIT 50""".stripMargin)
 
   /** j20–j23 sampling/sharding/mixing (graft.ops.SampleOps): the hash is
-    * plain 64-bit arithmetic (Knuth multiplicative), so both engines
-    * compute the identical sampling decision — no engine hash builtins.
+    * plain 64-bit arithmetic (SampleOps.mixBucket — three congruential
+    * terms summed mod 2^32; every intermediate below 2^63), so both
+    * engines compute the identical sampling decision — no engine hash
+    * builtins.
     */
+  private def mixSql(x: String): String =
+    s"(((($x % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296" +
+      s" + ((($x % 2147483629 + 2147483629) % 2147483629) * 2246822519) % 4294967296" +
+      s" + ((($x % 2147483587 + 2147483587) % 2147483587) * 3266489917) % 4294967296) % 4294967296"
+
   val samples: Map[String, String] = Map(
     "j20_sample_hash" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
-        |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296 % 100 < 20
+        |WHERE ${mixSql("doc_id")} % 100 < 20
         |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
     "j21_pack_shards" ->
       """WITH t AS (
@@ -682,17 +689,17 @@ object OracleSql {
         |       md5(string_agg(text, '<DOC>' ORDER BY doc_id)) AS payload_md5
         |FROM c GROUP BY shard ORDER BY shard NULLS LAST""".stripMargin,
     "j22_mix_domains" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
-        |WHERE ((((doc_id + 9176) % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296 % 1000 <
+        |WHERE ${mixSql("(doc_id + 9176)")} % 1000 <
         |      CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300 ELSE 1000 END
         |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
     "j23_sample_stratified" ->
-      """SELECT lang, doc_id, rn FROM
+      s"""SELECT lang, doc_id, rn FROM
         |  (SELECT lang, doc_id,
         |          row_number() OVER (PARTITION BY lang
-        |                             ORDER BY (((doc_id % 2147483647 + 2147483647) % 2147483647) * 2654435761) % 4294967296, doc_id) AS rn
+        |                             ORDER BY ${mixSql("doc_id")}, doc_id) AS rn
         |   FROM documents)
         |WHERE rn <= 10 ORDER BY lang NULLS LAST, rn NULLS LAST""".stripMargin)
 

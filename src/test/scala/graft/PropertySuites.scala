@@ -388,3 +388,48 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
       catch { case e: IllegalArgumentException => e.getMessage.contains("implausible") }
     }
 }
+
+/** The deterministic sampling hash (SampleOps.mixBucket), as pure JVM
+  * arithmetic — `refMix` is the law the Spark column expression and the
+  * DuckDB oracle text must both equal (MiscSpec pins the Spark side
+  * against it on a fixture id set; the oracle side is driver-gated by
+  * j20/j22/j23).
+  */
+object SampleHashProps extends Properties("SampleHash") {
+
+  private val M = Array(2147483647L, 2147483629L, 2147483587L)
+  private val K = Array(2654435761L, 2246822519L, 3266489917L)
+
+  /** Reference spelling of SampleOps.mixBucket over plain longs. */
+  def refMix(id: Long): Long =
+    (0 until 3).map(i => Math.floorMod(id, M(i)) * K(i) % 4294967296L)
+      .sum % 4294967296L
+
+  private val anyId = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+
+  property("bucket in [0, 2^32) for every long") = forAll(anyId) { id =>
+    val h = refMix(id)
+    h >= 0L && h < 4294967296L
+  }
+
+  property("no intermediate exceeds 2^63 (both engines reject overflow)") =
+    forAll(anyId) { id =>
+      (0 until 3).forall { i =>
+        val r = Math.floorMod(id, M(i))
+        r >= 0L && r.toDouble * K(i) < Long.MaxValue.toDouble
+      }
+    }
+
+  property("ids 2^31-1 apart never share a hash (r6 periodicity fix)") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue - 2147483647L)) { id =>
+      refMix(id) != refMix(id + 2147483647L)
+    }
+
+  property("shift by any single modulus always changes the hash") =
+    forAll(Gen.chooseNum(Long.MinValue + 2147483647L,
+                         Long.MaxValue - 2147483647L),
+           Gen.oneOf(0, 1, 2), Gen.oneOf(true, false)) { (id, i, up) =>
+      val shifted = if (up) id + M(i) else id - M(i)
+      refMix(id) != refMix(shifted)
+    }
+}
