@@ -25,10 +25,27 @@ import scala.collection.mutable.ArrayBuffer
   *     Hadoop-vint length prefix), and the trailing 4-byte version word
   *     (major=3, minor=0, minor in the high byte).
   *
-  * Documented deviations (a faithful subset, not a drop-in): the trailer
-  * body is fixed-layout big-endian rather than protobuf (no protobuf
-  * dependency resolvable offline), compression is always NONE, and no
-  * Bloom blocks are written. The data-block index is two-level: a root
+  * Block compression: NONE or GZ (`java.util.zip` — GZ is a legal HBase
+  * block codec and the JDK ships the codec; Snappy/LZ4/ZSTD would need
+  * native libs that don't resolve offline). Compressed blocks carry
+  * `onDiskSizeWithoutHeader` = deflated length and
+  * `uncompressedSizeWithoutHeader` = raw length in the 33-byte header,
+  * exactly like HBase. The readers detect compression per block from
+  * those two fields (writer invariant: a GZ block whose deflated payload
+  * happens to land on the raw length — possible in principle, never seen
+  * in practice — is stored raw, so sizes-differ ⟺ inflate), which keeps
+  * every read path codec-agnostic; the trailer still records the codec
+  * for format fidelity.
+  *
+  * Trailer: the fixed 212-byte v3 envelope (`magic | FileTrailerProto |
+  * zero padding | version word`) with the protobuf body hand-encoded per
+  * the public wire format — no protobuf jar needed; see the trailer
+  * section below. Our one extension field (bloom meta offset) uses a high
+  * field number that generated parsers skip as unknown.
+  *
+  * Documented deviations (a faithful subset, not a drop-in): blooms are
+  * reached through the trailer extension field rather than HBase's
+  * load-on-open meta-index section. The data-block index is two-level: a root
   * `IDXROOT2` block whose entries point either directly at data blocks
   * (small files) or at `IDXINTE2` intermediate index blocks once the
   * block count passes `indexChunkEntries` — the same escalation real
@@ -46,6 +63,73 @@ object HFileCodec {
   val BloomChunkMagic: Array[Byte] = "BLMFBLK2".getBytes(UTF_8)
   val BloomMetaMagic: Array[Byte] = "BLMFMET2".getBytes(UTF_8)
   val TrailerMagic: Array[Byte] = "TRABLK\"$".getBytes(UTF_8)
+
+  // ------------------------------------------------------------- trailer
+  // Fixed 212-byte v2/v3 trailer [public: o.a.h.hbase.io.hfile
+  // .FixedFileTrailer — getTrailerSize()], laid out as
+  // `magic:8 | FileTrailerProto (length-delimited protobuf) | zero padding
+  //  | version:4` (NOT_PB_SIZE = 12 = magic + version). The protobuf WIRE
+  // format (tag varint = fieldNum<<3 | wireType; varint values;
+  // length-delimited strings) is a public spec and needs no protobuf jar —
+  // the fields below mirror HFile.proto's FileTrailerProto field numbers.
+  // Our one extension, the bloom meta offset (real HBase reaches blooms
+  // through the load-on-open section instead), rides in field 100: a
+  // standard protobuf parser skips unknown fields, so the trailer stays
+  // parseable by a stock FileTrailerProto reader.
+
+  /** Total on-disk trailer size, every v2/v3 file (padding absorbs the
+    * variable protobuf length).
+    */
+  val TrailerLen: Int = 212
+  private val TrailerNotPbSize = 12 // magic:8 + version:4
+
+  private val PbFileInfoOffset = 1
+  private val PbLoadOnOpenOffset = 2
+  private val PbUncompressedDataIndexSize = 3
+  private val PbTotalUncompressedBytes = 4
+  private val PbDataIndexCount = 5
+  private val PbMetaIndexCount = 6
+  private val PbEntryCount = 7
+  private val PbNumDataIndexLevels = 8
+  private val PbFirstDataBlockOffset = 9
+  private val PbLastDataBlockOffset = 10
+  private val PbComparatorClassName = 11
+  private val PbCompressionCodec = 12
+  private val PbBloomMetaOffsetExt = 100 // graft extension, unknown-field-safe
+
+  /** The comparator every file declares [public: o.a.h.hbase
+    * .CellComparatorImpl — the v3 default].
+    */
+  val ComparatorClassName = "org.apache.hadoop.hbase.CellComparatorImpl"
+
+  private def pbWriteVarint(out: ByteArrayOutputStream, v: Long): Unit = {
+    var x = v
+    while ((x & ~0x7fL) != 0L) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    out.write(x.toInt)
+  }
+
+  private def pbWriteField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    pbWriteVarint(out, (field << 3).toLong) // wire type 0: varint
+    pbWriteVarint(out, v)
+  }
+
+  private def pbWriteBytes(out: ByteArrayOutputStream, field: Int,
+                           b: Array[Byte]): Unit = {
+    pbWriteVarint(out, ((field << 3) | 2).toLong) // wire type 2: len-delimited
+    pbWriteVarint(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  private[sources] def pbReadVarint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var p = off
+    while ({
+      require(p < b.length && shift < 64, s"bad protobuf varint at $off")
+      val byte = b(p); p += 1
+      v |= (byte & 0x7fL) << shift; shift += 7
+      (byte & 0x80) != 0
+    }) ()
+    (v, p)
+  }
 
   /** Row-bloom parameters, HBase's defaults: ~10 bits/key ≈ 1% FPR with
     * k = 7 ≈ ln2·10 probes [public: o.a.h.hbase.util.BloomFilterUtil].
@@ -73,6 +157,47 @@ object HFileCodec {
     */
   val MaxBlockBytes: Int = 1 << 28
   val MajorVersion = 3
+
+  /** Compression codec ordinals [public: o.a.h.hbase.io.compress
+    * .Compression.Algorithm — LZO=0, GZ=1, NONE=2, SNAPPY=3, …]. Only
+    * NONE and GZ are writable here (GZ is JDK-native; the rest need
+    * native codec libs that don't resolve offline).
+    */
+  val CompressionGz = 1
+  val CompressionNone = 2
+
+  /** Gzip-deflate `b` (java.util.zip, the same stream format HBase's
+    * GzipCodec emits).
+    */
+  private[sources] def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out, 1 << 13)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  /** Inflate a gzip payload whose uncompressed length is DECLARED by the
+    * block header. The declared length both sizes the output exactly (no
+    * unbounded zip-bomb allocation — callers bound it by MaxBlockBytes
+    * first) and is verified against the actual stream end: short data,
+    * trailing garbage, or a lying header all throw rather than return a
+    * silently-truncated block.
+    */
+  private[sources] def gunzip(b: Array[Byte], off: Int, len: Int,
+                              uncompressedLen: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b, off, len), 1 << 13)
+    val out = new Array[Byte](uncompressedLen)
+    var p = 0
+    while (p < uncompressedLen) {
+      val r = in.read(out, p, uncompressedLen - p)
+      require(r >= 0, s"gzip stream ended at $p of declared $uncompressedLen")
+      p += r
+    }
+    require(in.read() < 0,
+      s"gzip stream continues past declared length $uncompressedLen")
+    out
+  }
 
   /** KeyValue type codes [public: o.a.h.hbase.KeyValue.Type]. */
   val TypePut: Byte = 4
@@ -158,16 +283,39 @@ object HFileCodec {
     }
   }
 
-  private def blockHeader(magic: Array[Byte], payloadLen: Int): Array[Byte] = {
+  private def blockHeader(magic: Array[Byte], onDiskLen: Int,
+                          uncompressedLen: Int): Array[Byte] = {
     val buf = ByteBuffer.allocate(HeaderSize)
     buf.put(magic)
-      .putInt(payloadLen)                     // onDiskSizeWithoutHeader (no compression)
-      .putInt(payloadLen)                     // uncompressedSizeWithoutHeader
+      .putInt(onDiskLen)                      // onDiskSizeWithoutHeader
+      .putInt(uncompressedLen)                // uncompressedSizeWithoutHeader
       .putLong(-1L)                           // prevBlockOffset (unused by our reader)
       .put(0: Byte)                           // checksumType NULL
       .putInt(16384)                          // bytesPerChecksum
-      .putInt(HeaderSize + payloadLen)        // onDiskDataSizeWithHeader
+      .putInt(HeaderSize + onDiskLen)         // onDiskDataSizeWithHeader
     buf.array()
+  }
+
+  /** The UNCOMPRESSED payload of the block whose header starts at
+    * `hdrOff` — the one read-side seam every block consumer goes through.
+    * Compression is detected from the header itself (sizes differ ⟺
+    * payload is gzip — the writer's equal-size fallback makes this exact),
+    * so index / bloom / data readers need no codec parameter. Both
+    * declared lengths are bounds-checked BEFORE any allocation; damaged
+    * input may only throw, never over-allocate.
+    */
+  private[sources] def blockPayload(block: Array[Byte], hdrOff: Int): Array[Byte] = {
+    val onDiskLen = ByteBuffer.wrap(block, hdrOff + 8, 4).getInt
+    val uncompressedLen = ByteBuffer.wrap(block, hdrOff + 12, 4).getInt
+    require(onDiskLen >= 0 && onDiskLen <= MaxBlockBytes &&
+      uncompressedLen >= 0 && uncompressedLen <= MaxBlockBytes,
+      s"implausible block lengths onDisk=$onDiskLen uncompressed=$uncompressedLen at $hdrOff")
+    require(hdrOff.toLong + HeaderSize + onDiskLen <= block.length,
+      s"block payload $onDiskLen B at $hdrOff runs past the buffer")
+    if (onDiskLen == uncompressedLen)
+      java.util.Arrays.copyOfRange(block, hdrOff + HeaderSize,
+        hdrOff + HeaderSize + onDiskLen)
+    else gunzip(block, hdrOff + HeaderSize, onDiskLen, uncompressedLen)
   }
 
   /** Index entry serialization, shared by the root and intermediate
@@ -258,9 +406,17 @@ object HFileCodec {
     write(cells, sink, blockSize, indexChunkEntries, DefaultBloomChunkKeys)
 
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
-            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int): Long = {
+            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int): Long =
+    write(cells, sink, blockSize, indexChunkEntries, bloomChunkKeys,
+      CompressionNone)
+
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
+            compression: Int): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
+    require(compression == CompressionNone || compression == CompressionGz,
+      s"unsupported compression codec $compression (NONE=2, GZ=1)")
     // read/write symmetry: the readers reject payloads above MaxBlockBytes,
     // so the writer must never produce one (a block holds ~blockSize bytes
     // plus the one cell that overflowed it — bound both)
@@ -268,6 +424,24 @@ object HFileCodec {
       s"blockSize must be in (0, ${MaxBlockBytes / 2}]")
     var written = 0L
     def emit(b: Array[Byte]): Unit = { sink.write(b); written += b.length }
+    // Every block goes through here: compress per the codec (falling back
+    // to raw storage in the theoretical deflated-length == raw-length case
+    // so the readers' sizes-differ ⟺ inflate rule stays exact), write
+    // header + payload, return (offset, onDiskSizeWithHeader) for index
+    // entries.
+    def emitBlock(magic: Array[Byte], payload: Array[Byte]): (Long, Int) = {
+      val offset = written
+      val onDisk =
+        if (compression == CompressionGz) {
+          val z = gzip(payload)
+          if (z.length == payload.length) payload else z
+        } else payload
+      require(onDisk.length <= MaxBlockBytes,
+        s"block ${onDisk.length} B exceeds MaxBlockBytes")
+      emit(blockHeader(magic, onDisk.length, payload.length))
+      emit(onDisk)
+      (offset, HeaderSize + onDisk.length)
+    }
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
     val block = new ByteArrayOutputStream(blockSize + 1024)
     var firstKey: Array[Byte] = null
@@ -299,10 +473,8 @@ object HFileCodec {
       require(payload.length <= MaxBlockBytes,
         s"data block ${payload.length} B exceeds MaxBlockBytes — a single " +
           "cell larger than the reader's cap would make the file unreadable")
-      val offset = written
-      emit(blockHeader(DataMagic, payload.length))
-      emit(payload)
-      index += ((offset, HeaderSize + payload.length, firstKey))
+      val (offset, onDiskSize) = emitBlock(DataMagic, payload)
+      index += ((offset, onDiskSize, firstKey))
       totalUncompressed += HeaderSize + payload.length
       block.reset(); firstKey = null
     }
@@ -324,22 +496,16 @@ object HFileCodec {
 
     // file-info block (entry kept minimal: count as 8 bytes)
     val fileInfoOffset = written
-    val fi = ByteBuffer.allocate(8).putLong(entryCount).array()
-    emit(blockHeader(FileInfoMagic, fi.length)); emit(fi)
+    emitBlock(FileInfoMagic, ByteBuffer.allocate(8).putLong(entryCount).array())
 
     // bloom section: chunks, then a meta block indexing them by first row
     // (same entry layout as the block index, so the reader shares a parser)
     val bloomMetaEntries = bloomChunks.map { case (firstRow, payload) =>
-      val off = written
-      emit(blockHeader(BloomChunkMagic, payload.length)); emit(payload)
-      (off, HeaderSize + payload.length, firstRow)
+      val (off, onDiskSize) = emitBlock(BloomChunkMagic, payload)
+      (off, onDiskSize, firstRow)
     }
-    val bloomMetaOffset = if (bloomMetaEntries.isEmpty) -1L else {
-      val off = written
-      val payload = serializeIndexEntries(bloomMetaEntries)
-      emit(blockHeader(BloomMetaMagic, payload.length)); emit(payload)
-      off
-    }
+    val bloomMetaOffset = if (bloomMetaEntries.isEmpty) -1L
+      else emitBlock(BloomMetaMagic, serializeIndexEntries(bloomMetaEntries))._1
 
     // index section. Small files: root entries point straight at data
     // blocks. Past indexChunkEntries data blocks, escalate to two levels —
@@ -350,33 +516,53 @@ object HFileCodec {
       s"HFile data-block count ${index.size} exceeds the two-level index " +
         s"capacity ($indexChunkEntries² entries); split the region or " +
         "raise blockSize/indexChunkEntries")
+    var idxUncompressed = 0L
     val rootEntries: Seq[(Long, Int, Array[Byte])] =
       if (index.size <= indexChunkEntries) index.toSeq
       else index.grouped(indexChunkEntries).map { chunk =>
-        val off = written
-        val payload = serializeIndexEntries(chunk)
-        emit(blockHeader(IntermediateIndexMagic, payload.length)); emit(payload)
         // an index level keys each child by its subtree's first key
-        (off, HeaderSize + payload.length, chunk.head._3)
+        val payload = serializeIndexEntries(chunk)
+        idxUncompressed += payload.length
+        val (off, onDiskSize) = emitBlock(IntermediateIndexMagic, payload)
+        (off, onDiskSize, chunk.head._3)
       }.toSeq
 
     // root index block
-    val rootIndexOffset = written
-    val idxPayload = serializeIndexEntries(rootEntries)
-    emit(blockHeader(RootIndexMagic, idxPayload.length)); emit(idxPayload)
+    val rootPayload = serializeIndexEntries(rootEntries)
+    idxUncompressed += rootPayload.length
+    val rootIndexOffset = emitBlock(RootIndexMagic, rootPayload)._1
 
-    // trailer: magic + fixed-layout fields (deviation: protobuf in real HBase)
+    // 212-byte trailer: magic | FileTrailerProto (delimited) | padding |
+    // version word with minor in the high byte [public: o.a.h.hbase.io
+    // .hfile.FixedFileTrailer.serializeAsPB]
     emit(TrailerMagic)
-    val tr = ByteBuffer.allocate(8 + 8 + 4 + 8 + 8 + 8 + 4)
-    tr.putLong(fileInfoOffset)
-      .putLong(rootIndexOffset)   // loadOnOpenDataOffset
-      .putInt(rootEntries.size)   // dataIndexCount = ROOT chunk entries, as in HBase
-      .putLong(totalUncompressed)
-      .putLong(entryCount)
-      .putLong(bloomMetaOffset)   // -1 = no bloom (empty file)
-      .putInt(2)                  // compression codec NONE [public: o.a.h.hbase.io.compress.Compression.Algorithm]
-    emit(tr.array())
-    // version word, minor in the high byte [public: o.a.h.hbase.io.hfile.FixedFileTrailer]
+    val pb = new ByteArrayOutputStream(128)
+    pbWriteField(pb, PbFileInfoOffset, fileInfoOffset)
+    pbWriteField(pb, PbLoadOnOpenOffset, rootIndexOffset)
+    pbWriteField(pb, PbUncompressedDataIndexSize, idxUncompressed)
+    pbWriteField(pb, PbTotalUncompressedBytes, totalUncompressed)
+    pbWriteField(pb, PbDataIndexCount, rootEntries.size.toLong) // ROOT chunk entries, as in HBase
+    pbWriteField(pb, PbMetaIndexCount, 0L)
+    pbWriteField(pb, PbEntryCount, entryCount)
+    pbWriteField(pb, PbNumDataIndexLevels,
+      if (index.size <= indexChunkEntries) 1L else 2L)
+    if (index.nonEmpty) {
+      pbWriteField(pb, PbFirstDataBlockOffset, index.head._1)
+      pbWriteField(pb, PbLastDataBlockOffset, index.last._1)
+    }
+    pbWriteBytes(pb, PbComparatorClassName, ComparatorClassName.getBytes(UTF_8))
+    pbWriteField(pb, PbCompressionCodec, compression.toLong)
+    if (bloomMetaOffset >= 0) // absent field = no bloom, like any optional
+      pbWriteField(pb, PbBloomMetaOffsetExt, bloomMetaOffset)
+    val msg = pb.toByteArray
+    val delimited = new ByteArrayOutputStream(msg.length + 4)
+    pbWriteVarint(delimited, msg.length.toLong) // writeDelimitedTo prefix
+    delimited.write(msg, 0, msg.length)
+    val padding = TrailerLen - TrailerNotPbSize - delimited.size()
+    require(padding >= 0, s"trailer protobuf ${delimited.size()} B overflows " +
+      s"the fixed ${TrailerLen - TrailerNotPbSize} B budget")
+    emit(delimited.toByteArray)
+    emit(new Array[Byte](padding))
     emit(ByteBuffer.allocate(4).putInt(MajorVersion & 0x00ffffff).array())
     written
   }
@@ -388,23 +574,70 @@ object HFileCodec {
     out.toByteArray
   }
 
+  /** In-memory convenience form with an explicit codec. */
+  def write(cells: Iterator[HCell], blockSize: Int,
+            compression: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    write(cells, out, blockSize, DefaultIndexChunkEntries,
+      DefaultBloomChunkKeys, compression)
+    out.toByteArray
+  }
+
   final case class Trailer(fileInfoOffset: Long, rootIndexOffset: Long,
                            dataIndexCount: Int, totalUncompressed: Long,
                            entryCount: Long, bloomMetaOffset: Long,
-                           majorVersion: Int)
+                           compression: Int, majorVersion: Int)
 
-  /** Serialized trailer length (magic + fields + version word) — the
-    * fixed byte count a random-access reader fetches from the file tail.
+  /** Parse the 212-byte tail per the protobuf wire rules: skip the magic,
+    * read the delimiter varint, then walk tag|value pairs — unknown
+    * fields are skipped by wire type, exactly like a generated parser, so
+    * the format can grow fields without breaking old readers.
     */
-  val TrailerLen: Int = 8 + (8 + 8 + 4 + 8 + 8 + 8 + 4) + 4
-
   def readTrailer(file: Array[Byte]): Trailer = {
-    val buf = ByteBuffer.wrap(file, file.length - TrailerLen, TrailerLen)
-    val magic = new Array[Byte](8); buf.get(magic)
-    require(java.util.Arrays.equals(magic, TrailerMagic), "bad trailer magic")
-    val t = Trailer(buf.getLong, buf.getLong, buf.getInt, buf.getLong,
-      buf.getLong, buf.getLong, 0)
-    t.copy(majorVersion = ByteBuffer.wrap(file, file.length - 4, 4).getInt & 0x00ffffff)
+    require(file.length >= TrailerLen, s"file shorter than a trailer")
+    val base = file.length - TrailerLen
+    require(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(file, base, base + 8), TrailerMagic),
+      "bad trailer magic")
+    val (msgLen, msgStart) = pbReadVarint(file, base + 8)
+    require(msgLen >= 0 && msgStart + msgLen <= file.length - 4,
+      s"trailer protobuf length $msgLen overflows the trailer")
+    val end = msgStart + msgLen.toInt
+    var p = msgStart
+    var fileInfoOffset = -1L; var rootIndexOffset = -1L
+    var dataIndexCount = 0; var totalUncompressed = 0L; var entryCount = 0L
+    var bloomMetaOffset = -1L; var compression = CompressionNone
+    while (p < end) {
+      val (tag, p1) = pbReadVarint(file, p)
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      wire match {
+        case 0 =>
+          val (v, p2) = pbReadVarint(file, p1)
+          field match {
+            case PbFileInfoOffset => fileInfoOffset = v
+            case PbLoadOnOpenOffset => rootIndexOffset = v
+            case PbTotalUncompressedBytes => totalUncompressed = v
+            case PbDataIndexCount => dataIndexCount = v.toInt
+            case PbEntryCount => entryCount = v
+            case PbCompressionCodec => compression = v.toInt
+            case PbBloomMetaOffsetExt => bloomMetaOffset = v
+            case _ => // unknown varint field: skipped
+          }
+          p = p2
+        case 2 => // length-delimited (comparator name et al.): skip body
+          val (len, p2) = pbReadVarint(file, p1)
+          require(len >= 0 && p2 + len <= end, s"bad delimited field at $p")
+          p = p2 + len.toInt
+        case 1 => p = p1 + 8 // fixed64
+        case 5 => p = p1 + 4 // fixed32
+        case w => throw new IllegalArgumentException(
+          s"unsupported protobuf wire type $w in trailer at $p")
+      }
+    }
+    Trailer(fileInfoOffset, rootIndexOffset, dataIndexCount,
+      totalUncompressed, entryCount, bloomMetaOffset, compression,
+      ByteBuffer.wrap(file, file.length - 4, 4).getInt & 0x00ffffff)
   }
 
   /** Stream-decode cells block-by-block from `in` — O(blockSize) heap,
@@ -430,11 +663,18 @@ object HFileCodec {
     private def advance(): Unit =
       while (!done && !blockIter.hasNext) {
         val hdr = readFully(HeaderSize)
-        val payloadLen = ByteBuffer.wrap(hdr, 8, 4).getInt
-        require(payloadLen >= 0 && payloadLen <= MaxBlockBytes,
-          s"implausible block payload length $payloadLen")
+        val onDiskLen = ByteBuffer.wrap(hdr, 8, 4).getInt
+        val uncompressedLen = ByteBuffer.wrap(hdr, 12, 4).getInt
+        require(onDiskLen >= 0 && onDiskLen <= MaxBlockBytes &&
+          uncompressedLen >= 0 && uncompressedLen <= MaxBlockBytes,
+          s"implausible block lengths onDisk=$onDiskLen uncompressed=$uncompressedLen")
         if (java.util.Arrays.equals(java.util.Arrays.copyOfRange(hdr, 0, 8), DataMagic)) {
-          val payload = readFully(payloadLen)
+          val onDisk = readFully(onDiskLen)
+          // sizes differ ⟺ gzip payload (see blockPayload) — still
+          // O(blockSize) heap: one raw + one inflated block at a time
+          val payload =
+            if (onDiskLen == uncompressedLen) onDisk
+            else gunzip(onDisk, 0, onDiskLen, uncompressedLen)
           blockIter = new Iterator[HCell] {
             private var q = 0
             def hasNext: Boolean = q < payload.length
@@ -465,19 +705,18 @@ object HFileCodec {
       magic: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
     require(hasMagic(block, hdrOff, magic),
       s"bad index block magic at $hdrOff (want ${new String(magic, UTF_8)})")
-    val idxLen = ByteBuffer.wrap(block, hdrOff + 8, 4).getInt
-    var p = hdrOff + HeaderSize
-    val end = hdrOff + HeaderSize + idxLen
+    val idx = blockPayload(block, hdrOff) // inflates if the block is compressed
+    var p = 0
     val entries = ArrayBuffer.empty[(Long, Int, Array[Byte])]
-    while (p < end) {
-      val bb = ByteBuffer.wrap(block, p, 12)
+    while (p < idx.length) {
+      val bb = ByteBuffer.wrap(idx, p, 12)
       val off = bb.getLong; val size = bb.getInt
-      val (keyLen, p2) = readVInt(block, p + 12)
+      val (keyLen, p2) = readVInt(idx, p + 12)
       // a negative length would walk p backwards (infinite loop) and an
       // oversized one would make copyOfRange allocate past the block (OOM)
-      require(keyLen >= 0 && keyLen <= block.length - p2,
+      require(keyLen >= 0 && keyLen <= idx.length - p2,
         s"bad index entry key length $keyLen at $p")
-      entries += ((off, size, java.util.Arrays.copyOfRange(block, p2, p2 + keyLen)))
+      entries += ((off, size, java.util.Arrays.copyOfRange(idx, p2, p2 + keyLen)))
       p = p2 + keyLen
     }
     entries.toSeq
@@ -568,7 +807,11 @@ object HFileCodec {
     val cands = candidateEntries(meta, row)
     cands.exists { case (off, _, _) =>
       require(hasMagic(file, off.toInt, BloomChunkMagic), "bad bloom chunk magic")
-      bloomChunkContains(file, off.toInt + HeaderSize, row)
+      // a bloom may only ever PRUNE: a chunk that fails to inflate
+      // (damaged compressed payload) claims containment rather than
+      // throwing a false negative out of the get path
+      try bloomChunkContains(blockPayload(file, off.toInt), 0, row)
+      catch { case _: Exception => true }
     }
   }
 
@@ -590,14 +833,14 @@ object HFileCodec {
     blocks.iterator.flatMap { case (off, size) =>
       val hdr = off.toInt
       require(hasMagic(file, hdr, DataMagic), "bad data block magic")
-      val payloadLen = ByteBuffer.wrap(file, hdr + 8, 4).getInt
-      require(HeaderSize + payloadLen == size, "block size mismatch")
+      val onDiskLen = ByteBuffer.wrap(file, hdr + 8, 4).getInt
+      require(HeaderSize + onDiskLen == size, "block size mismatch")
+      val payload = blockPayload(file, hdr)
       new Iterator[HCell] {
-        private var q = hdr + HeaderSize
-        private val stop = hdr + HeaderSize + payloadLen
-        def hasNext: Boolean = q < stop
+        private var q = 0
+        def hasNext: Boolean = q < payload.length
         def next(): HCell = {
-          val (c, nq) = decodeKeyValue(file, q); q = nq; c
+          val (c, nq) = decodeKeyValue(payload, q); q = nq; c
         }
       }
     }

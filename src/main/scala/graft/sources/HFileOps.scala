@@ -48,7 +48,8 @@ object HFileOps {
     * local file://).
     */
   def bulkWrite(cells: DataFrame, dir: String, regions: Int,
-                blockSize: Int = 64 * 1024): Seq[String] = {
+                blockSize: Int = 64 * 1024,
+                compression: Int = HFileCodec.CompressionNone): Seq[String] = {
     val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
@@ -80,7 +81,10 @@ object HFileOps {
         // stream the codec straight to the filesystem: a region file bigger
         // than the task heap writes fine (O(blockSize) memory — HFileCodec.write)
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
-        try HFileCodec.write(cellsIt, os, blockSize) finally os.close()
+        try HFileCodec.write(cellsIt, os, blockSize,
+          HFileCodec.DefaultIndexChunkEntries, HFileCodec.DefaultBloomChunkKeys,
+          compression)
+        finally os.close()
         val dst = new HPath(dir, name)
         // Commit via FileContext.rename(OVERWRITE): Hadoop FileSystems
         // report most failures by RETURNING FALSE, and the previous
@@ -173,10 +177,11 @@ object HFileOps {
   private def decodeBlockRows(blk: Array[Byte],
                               keep: Array[Byte] => Boolean): Seq[Row] = {
     require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
-    var q = HFileCodec.HeaderSize
+    val payload = HFileCodec.blockPayload(blk, 0) // inflates GZ blocks
+    var q = 0
     val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
-    while (q < blk.length) {
-      val (c, nq) = HFileCodec.decodeKeyValue(blk, q)
+    while (q < payload.length) {
+      val (c, nq) = HFileCodec.decodeKeyValue(payload, q)
       q = nq
       if (keep(c.row))
         cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
@@ -224,7 +229,10 @@ object HFileOps {
             HFileCodec.candidateEntries(meta, metaRows, kb).exists { case (off, _, _) =>
               val chunk = blockAt(off)
               require(magicAt(chunk, HFileCodec.BloomChunkMagic), "bad bloom chunk magic")
-              HFileCodec.bloomChunkContains(chunk, HFileCodec.HeaderSize, kb)
+              // bloom may only PRUNE: an uninflatable chunk claims containment
+              try HFileCodec.bloomChunkContains(
+                HFileCodec.blockPayload(chunk, 0), 0, kb)
+              catch { case _: Exception => true }
             }
           }
         }

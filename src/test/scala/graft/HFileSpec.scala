@@ -58,6 +58,56 @@ class HFileSpec extends SparkSuite {
     assert(back.map(c => new String(c.row, UTF_8)) == cells.map(c => new String(c.row, UTF_8)))
   }
 
+  test("trailer is a fixed 212-byte protobuf envelope, decodable by wire rules alone") {
+    // Independent golden decode: this parser shares NOTHING with
+    // HFileCodec.readTrailer — it applies the published protobuf wire
+    // format (delimiter varint; tag = fieldNum<<3 | wireType; varint
+    // values; length-delimited strings) to the raw tail bytes, the way a
+    // generated FileTrailerProto parser would.
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val bytes = HFileCodec.write(cells.iterator, 8 * 1024, HFileCodec.CompressionGz)
+    val tail = bytes.takeRight(212)
+    assert(tail.slice(0, 8).sameElements(HFileCodec.TrailerMagic))
+    def varint(b: Array[Byte], off: Int): (Long, Int) = {
+      var v = 0L; var s = 0; var p = off
+      while ({ v |= (b(p) & 0x7fL) << s; s += 7; p += 1; (b(p - 1) & 0x80) != 0 }) ()
+      (v, p)
+    }
+    val (msgLen, msgStart) = varint(tail, 8)
+    val end = msgStart + msgLen.toInt
+    var p = msgStart
+    val fields = scala.collection.mutable.Map.empty[Int, Any]
+    while (p < end) {
+      val (tag, p1) = varint(tail, p)
+      (tag & 7) match {
+        case 0 => val (v, p2) = varint(tail, p1); fields((tag >>> 3).toInt) = v; p = p2
+        case 2 =>
+          val (len, p2) = varint(tail, p1)
+          fields((tag >>> 3).toInt) =
+            new String(tail, p2, len.toInt, UTF_8)
+          p = p2 + len.toInt
+        case w => fail(s"unexpected wire type $w")
+      }
+    }
+    val tr = HFileCodec.readTrailer(bytes)
+    // FileTrailerProto field numbers [public: hbase-protocol HFile.proto]
+    assert(fields(1) == tr.fileInfoOffset)        // file_info_offset
+    assert(fields(2) == tr.rootIndexOffset)       // load_on_open_data_offset
+    assert(fields(4) == tr.totalUncompressed)     // total_uncompressed_bytes
+    assert(fields(5) == tr.dataIndexCount.toLong) // data_index_count
+    assert(fields(6) == 0L)                       // meta_index_count
+    assert(fields(7) == 5000L)                    // entry_count
+    assert(fields(8) == 1L)                       // num_data_index_levels
+    assert(fields(9) == 0L)                       // first_data_block_offset
+    assert(fields(11) == HFileCodec.ComparatorClassName) // comparator
+    assert(fields(12) == HFileCodec.CompressionGz.toLong) // compression_codec
+    assert(fields(100) == tr.bloomMetaOffset)     // graft extension field
+    // padding between the message and the version word is all zeros
+    assert(tail.slice(end, 208).forall(_ == 0), "trailer padding not zeroed")
+    // version word: major=3 in the low bytes, minor=0 in the high byte
+    assert(java.nio.ByteBuffer.wrap(tail, 208, 4).getInt == 3)
+  }
+
   test("two-level index: past the chunk cap the root points at IDXINTE2 blocks") {
     // tiny blocks (1 cell each) + a tiny chunk cap force the escalation a
     // 100 TB region file would hit at the real 16k default
@@ -125,6 +175,67 @@ class HFileSpec extends SparkSuite {
       HFileCodec.mayContainRow(bytes, f"x$i%06d".getBytes(UTF_8))
     }
     assert(falsePos < 150, s"chunked bloom FPR too high: $falsePos/3000")
+  }
+
+  test("GZ: compressed file round-trips via both read paths and shrinks on disk") {
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
+      if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
+    val plain = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    val gz = HFileCodec.write(cells.iterator, 8 * 1024, HFileCodec.CompressionGz)
+    // trailer records the codec; repetitive fixture data must compress
+    assert(HFileCodec.readTrailer(gz).compression == HFileCodec.CompressionGz)
+    assert(HFileCodec.readTrailer(plain).compression == HFileCodec.CompressionNone)
+    assert(gz.length < plain.length / 2,
+      s"GZ file ${gz.length} B not smaller than NONE ${plain.length} B")
+    // first data block header: onDiskSize < uncompressedSize
+    val onDisk = java.nio.ByteBuffer.wrap(gz, 8, 4).getInt
+    val uncomp = java.nio.ByteBuffer.wrap(gz, 12, 4).getInt
+    assert(onDisk < uncomp, s"expected compressed block, got $onDisk/$uncomp")
+    // exact cell sequence back through the index walk AND the stream
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts, c.typ,
+        java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(gz).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(gz)).toSeq) == canon(cells))
+    // uncompressed totals in the trailer are codec-independent
+    assert(HFileCodec.readTrailer(gz).totalUncompressed ==
+      HFileCodec.readTrailer(plain).totalUncompressed)
+  }
+
+  test("GZ: bloom membership works against compressed bloom chunks") {
+    val cells = (0 until 20000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val gz = HFileCodec.write(cells.iterator, 8 * 1024, HFileCodec.CompressionGz)
+    (0 until 20000 by 97).foreach { i =>
+      assert(HFileCodec.mayContainRow(gz, f"r$i%06d".getBytes(UTF_8)),
+        s"false negative for present row r$i%06d in GZ file")
+    }
+    val falsePos = (0 until 10000).count { i =>
+      HFileCodec.mayContainRow(gz, f"absent-$i%06d".getBytes(UTF_8))
+    }
+    assert(falsePos < 300, s"GZ bloom FPR too high: $falsePos/10000")
+  }
+
+  test("GZ: spark bulk write + read + seek paths round-trip compressed regions") {
+    val dir = tmpDir("gz").toString
+    val src = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      compression = HFileCodec.CompressionGz)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(HFileOps.read(spark, dir)) == canon(src))
+    // bloom-pruned point get and index-directed range scan inflate the
+    // bloom chunk / index blocks / candidate data blocks transparently
+    val keys = src.orderBy("rowkey").limit(100).collect().map(_.getString(0))
+    val got = HFileOps.pointGet(spark, dir, keys(42)).collect()
+    assert(got.length == 1 && got(0).getString(0) == keys(42))
+    assert(HFileOps.pointGet(spark, dir, "999999999999:none").isEmpty)
+    val scanned = HFileOps.rangeScan(spark, dir, keys(10), keys(90))
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir)
+      .where(col("rowkey") >= keys(10) && col("rowkey") < keys(90))
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
   }
 
   test("point get returns exactly one rowkey's cells via the seek path") {

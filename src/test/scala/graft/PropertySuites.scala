@@ -317,10 +317,16 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
     value <- Gen.chooseNum(0, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString.getBytes(UTF_8))
   } yield HCell(row, "f".getBytes(UTF_8), qual, ts, HFileCodec.TypePut, value)
 
+  // both codecs: every mutation/truncation property below must hold over
+  // GZ files too (r6 punch list — corrupting a compressed payload must
+  // throw out of gunzip, never hang or over-allocate)
   private val fileGen: Gen[Array[Byte]] =
-    Gen.zip(Gen.chooseNum(1, 60).flatMap(Gen.listOfN(_, cellGen)), Gen.oneOf(64, 256, 4096))
-      .map { case (cells, bs) =>
-        HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator, bs)
+    Gen.zip(Gen.chooseNum(1, 60).flatMap(Gen.listOfN(_, cellGen)),
+        Gen.oneOf(64, 256, 4096),
+        Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz))
+      .map { case (cells, bs, codec) =>
+        HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator,
+          bs, codec)
       }
 
   private val rawGen: Gen[Array[Byte]] =
@@ -377,6 +383,25 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
           try { HFileCodec.mayContainRow(b, probe.getBytes(UTF_8)); true }
           catch { case _: Exception => true }
         scanOk && getOk
+    }
+
+  property("GZ: corrupted compressed payload throws cleanly from every read path") =
+    forAll(Gen.chooseNum(2, 60).flatMap(Gen.listOfN(_, cellGen)),
+           Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (cells, posSeed, v) =>
+        val file = HFileCodec.write(
+          cells.sortBy(c => new String(c.row, UTF_8)).iterator,
+          64, HFileCodec.CompressionGz)
+        // target a byte INSIDE the first data block's compressed payload
+        // (offset 33..33+onDiskLen): deflate stream damage, not header damage
+        val onDiskLen = java.nio.ByteBuffer.wrap(file, 8, 4).getInt
+        val b = file.clone()
+        b(HFileCodec.HeaderSize + posSeed % onDiskLen) = v.toByte
+        val streamOk = try boundedConsume(b) catch { case _: Exception => true }
+        val walkOk =
+          try { HFileCodec.read(b).foreach(_ => ()); true }
+          catch { case _: Exception => true }
+        streamOk && walkOk
     }
 
   property("declared block lengths above MaxBlockBytes are rejected before allocation") =
