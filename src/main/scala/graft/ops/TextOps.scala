@@ -170,14 +170,18 @@ object TextOps {
     * per document (see that class's doc) while the native walk is
     * O(len·k) and value-identical.
     *
-    * The intersection is computed by INVERTED INDEX, not per-pair set
-    * probing: explode both sides' distinct shingles, equi-join on the
-    * shingle, count matches per (probe, doc). Same exact integer
-    * |A∩B| and sizes into one IEEE division, so the value is
-    * bit-identical to the per-pair `graft_jaccard` spelling (A/B-checked
-    * with exceptAll = 0), but the work is one broadcast hash join plus a
-    * partial-aggregated count instead of 50k hash-set builds — 2.77 s →
-    * 2.20 s at sf0.1, and the join/agg shape is the one that scales.
+    * The intersection is computed by the fused native
+    * [[graft.functions.ProbeShingleHits]] expression (r6 VERDICT task 4):
+    * one pass per document computes dn and the exact per-probe
+    * intersection counts in-expression, emitting one row per INTERSECTING
+    * probe instead of one per shingle — the r6 inverted-index spelling
+    * (explode every corpus shingle through a broadcast join + partial
+    * agg) moved ~125M rows at sf1 for counts this computes in place
+    * (11.2 s → ~6 s at sf1; the remaining cost is the text scan + shingle
+    * walk itself). Same exact integer |A∩B| and sizes into one IEEE
+    * division, so the value is bit-identical to both earlier spellings
+    * (A/B-checked with exceptAll = 0 in MiscSpec, which keeps the
+    * inverted-index form as the reference).
     * Zero-intersection pairs are restored ONLY for probes that need them:
     * an intersecting pair has jaccard > 0, which strictly outranks any
     * zero pair under (jaccard DESC, doc_id ASC), so a probe with ≥ 5
@@ -198,23 +202,22 @@ object TextOps {
         array_distinct(expr("graft_shingles(t, 5)")).as("sh"))
     val probes = sh.where(col("doc_id") < 10)
       .select(col("doc_id").as("pid"), col("sh").as("psh"))
-    // carry the set sizes through the explode: pn/dn are functionally
-    // dependent on pid/doc_id, so first() under the groupBy recovers them
-    // without a second join against the corpus
-    val probeSh = probes.select(col("pid"), size(col("psh")).as("pn"),
-      explode(col("psh")).as("g"))
-    val corpusSh = sh.select(col("doc_id"), size(col("sh")).as("dn"),
-      explode(col("sh")).as("g"))
+    // probe table: ≤10 query docs, a bounded client argument (the same
+    // shingle pipeline as the corpus side, so strings match exactly)
+    val probeTable: Seq[(Long, Seq[String])] = probes.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    graft.functions.ProbeShingleHits.register(s, 5, probeTable)
     // localCheckpoint: `inter` is tiny (only pairs sharing ≥1 shingle) but
     // feeds THREE consumers (pos, okPids, zero's anti-join); without
-    // materialization each consumer re-runs the corpus-sized explode+join
-    // — the sf1 plan showed the subtree three times. Eager + per-invocation,
-    // so Bench still times the real one-pass cost (no cross-run cache).
-    val inter = corpusSh.join(broadcast(probeSh), "g")
+    // materialization each consumer re-runs the corpus-sized fused pass.
+    // Eager + per-invocation, so Bench still times the real one-pass cost
+    // (no cross-run cache).
+    val inter = Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr("graft_probe_hits(t)")).as("h"))
+      .select(col("h.pid").as("pid"), col("doc_id"), col("h.c").as("c"),
+        col("h.pn").as("pn"), col("h.dn").as("dn"))
       .where(col("doc_id") =!= col("pid"))
-      .groupBy("pid", "doc_id")
-      .agg(count(lit(1)).as("c"), first(col("pn")).as("pn"),
-        first(col("dn")).as("dn"))
       .localCheckpoint()
     // same IEEE division as the grid spelling (c ≥ 1 here, so > 0)
     val pos = inter.select(col("pid"), col("doc_id"),
