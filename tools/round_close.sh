@@ -44,13 +44,47 @@ if ! git diff --quiet -- src/ || ! git diff --cached --quiet -- src/; then
   echo "ROUND CLOSE BLOCKED: uncommitted src/ or golden changes." >&2
   exit 1
 fi
-echo "== round_close: snapshot per-query bench detail =="
 # Next round number = highest existing CORRECTNESS_r<N> + 1 (the round
 # being closed is the one the driver will stamp next). `|| true` keeps the
 # no-artifacts case (fresh clone) from aborting under set -e — ls exits 2
 # and pipefail would otherwise kill the assignment before ${last:-0} runs.
 last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1 || true)
 n=$(( ${last:-0} + 1 ))
+
+echo "== round_close: sf1 scale gate =="
+# VERDICT r6 task 8: run the full declared-query surface + DuckDB compare
+# at sf1 every round close, so a scale regression surfaces the round it
+# happens instead of in an ad-hoc SCALE.md run. Skippable only explicitly
+# (SPARK_GRAFT_SKIP_SF1=1) — e.g. on a machine without the fixture space.
+SF1_DIR="${SPARK_GRAFT_SF1_DIR:-/tmp/graft_sf1}"
+if [ "${SPARK_GRAFT_SKIP_SF1:-0}" = "1" ]; then
+  echo "round_close: sf1 gate SKIPPED by SPARK_GRAFT_SKIP_SF1=1"
+else
+  if [ ! -d "$SF1_DIR" ]; then
+    echo "round_close: generating sf1 fixture at $SF1_DIR (10x key-shifted sf0.1)"
+    python3 tools/gen_sf1.py "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" "$SF1_DIR" 10
+  fi
+  sbt -batch "runMain graft.Verify $SF1_DIR /tmp/round_close_sf1" \
+      > /tmp/round_close_sf1.log 2>&1 \
+    || { tail -20 /tmp/round_close_sf1.log
+         echo "ROUND CLOSE BLOCKED: Verify failed at sf1." >&2; exit 1; }
+  if python3 tools/compare.py "$SF1_DIR" /tmp/round_close_sf1 \
+      > /tmp/round_close_sf1_cmp.log 2>&1; then
+    sf1_line=$(tail -1 /tmp/round_close_sf1_cmp.log)
+  else
+    grep -v PASS /tmp/round_close_sf1_cmp.log | tail -20
+    echo "ROUND CLOSE BLOCKED: sf1 DuckDB compare has failures." >&2
+    exit 1
+  fi
+  echo "round_close: sf1 gate $sf1_line"
+  # rN-stamped line in SCALE.md (idempotent: one line per round)
+  if ! grep -q "^- r$n sf1 gate:" docs/SCALE.md; then
+    echo "- r$n sf1 gate: $sf1_line ($(date -u +%Y-%m-%d), round_close)" >> docs/SCALE.md
+    echo "round_close: appended r$n sf1 line to docs/SCALE.md — commit it with the round"
+  fi
+fi
+
+echo "== round_close: snapshot per-query bench detail =="
 if [ -f bench_detail.json ]; then
   snap=$(printf 'BENCH_DETAIL_r%02d.json' "$n")
   # freshness: only stamp a detail file newer than the last commit —
@@ -62,6 +96,38 @@ if [ -f bench_detail.json ]; then
   else
     cp bench_detail.json "$snap"
     echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
+    # VERDICT r6 task 6: per-query attribution against the previous
+    # round's snapshot — top deltas printed every close, fail-SOFT
+    # (warn, don't block) on >1.5x single-query regressions, since noise
+    # on sub-100ms queries would otherwise block green closes.
+    prev=$(ls BENCH_DETAIL_r*.json 2>/dev/null | grep -v "$snap" | sort | tail -1 || true)
+    if [ -n "$prev" ]; then
+      python3 - "$prev" "$snap" <<'PYEOF'
+import json, sys
+prev_f, cur_f = sys.argv[1], sys.argv[2]
+qp = json.load(open(prev_f))["queries"]
+qc = json.load(open(cur_f))["queries"]
+common = sorted(set(qp) & set(qc), key=lambda k: qc[k] - qp[k], reverse=True)
+print(f"round_close: bench delta vs {prev_f} "
+      f"(total {sum(qp.values()):.2f}s -> {sum(qc.values()):.2f}s, "
+      f"{len(qc)} queries)")
+print("  top-5 per-query deltas:")
+for k in common[:5]:
+    print(f"    {k:30s} {qp[k]:7.3f}s -> {qc[k]:7.3f}s ({qc[k]-qp[k]:+.3f}s)")
+bad = [k for k in common if qp[k] > 0.2 and qc[k] > 1.5 * qp[k]]
+if bad:
+    print("  WARNING: >1.5x single-query regressions (investigate before "
+          "closing):")
+    for k in bad:
+        print(f"    {k:30s} {qp[k]:7.3f}s -> {qc[k]:7.3f}s "
+              f"({qc[k]/qp[k]:.2f}x)")
+new = sorted(set(qc) - set(qp))
+if new:
+    print(f"  new queries this round: {', '.join(new)}")
+PYEOF
+    else
+      echo "round_close: no previous BENCH_DETAIL snapshot — delta table skipped"
+    fi
   fi
 else
   echo "round_close: no bench_detail.json in cwd — run graft.Bench first if you want the r$n detail snapshot"
