@@ -49,7 +49,9 @@ object SampleOps {
   private def mixTerm(id: Column, m: Long, k: Long): Column =
     (pmod(id, lit(m)) * lit(k)) % lit(4294967296L)
 
-  private def mixBucket(id: Column): Column =
+  // private[graft]: the streaming twins (StreamOps I12/I13) apply the
+  // identical hash to prove batch ≡ stream, and the specs order by it
+  private[graft] def mixBucket(id: Column): Column =
     (mixTerm(id, 2147483647L, 2654435761L)
       + mixTerm(id, 2147483629L, 2246822519L)
       + mixTerm(id, 2147483587L, 3266489917L)) % lit(4294967296L)
@@ -140,12 +142,18 @@ object SampleOps {
     * recipes (downsample the over-represented web languages); the salt
     * keeps the j22 coin independent of j20's.
     */
+  /** The j22 domain-mix filter alone (no aggregation) — stateless, so it
+    * applies unchanged to a STREAMING frame (StreamingSpec I12, the j20
+    * pattern): replay- and micro-batch-invariant membership.
+    */
+  def mixDomains(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.where(mixBucket(col("doc_id") + 9176) % 1000 <
+      when(col("lang") === "en", 500)
+        .when(col("lang") === "zh", 300)
+        .otherwise(1000))
+
   def j22_mix_domains: Q = (s, d) =>
-    Tables.documents(s, d)
-      .where(mixBucket(col("doc_id") + 9176) % 1000 <
-        when(col("lang") === "en", 500)
-          .when(col("lang") === "zh", 300)
-          .otherwise(1000))
+    mixDomains(Tables.documents(s, d))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy(asc_nulls_last("lang"))

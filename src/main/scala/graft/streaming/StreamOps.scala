@@ -136,6 +136,48 @@ object StreamOps {
   def hashSampleStream(docs: DataFrame): DataFrame =
     graft.ops.SampleOps.sampleHash(docs)
 
+  /** I12: the j22 domain-mix filter applied to a document stream — like
+    * I11, stateless: per-language coin flips are pure functions of the
+    * doc id, so membership is replay- and micro-batch-invariant
+    * (StreamingSpec I12).
+    */
+  def mixDomainsStream(docs: DataFrame): DataFrame =
+    graft.ops.SampleOps.mixDomains(docs)
+
+  case class StratDoc(lang: String, doc_id: Long, h: Long)
+  case class StratSample(lang: String, doc_id: Long, rn: Long)
+
+  /** I13: streaming stratified exact-k (the j23 twin) — per-language
+    * BOUNDED top-k state under micro-batch replay: each language keeps
+    * only its k smallest (hash, doc_id) pairs (O(k) state per stratum,
+    * the same bound the batch TopKPerGroup operator holds per group), and
+    * re-emits its current sample whenever a batch touches it (Update
+    * mode — the upsert-sink shape). After the last batch the state IS the
+    * batch j23 answer: the k smallest hashes of the full corpus per
+    * stratum, however the corpus was split across batches
+    * (StreamingSpec I13 pins final equality AND the per-epoch
+    * only-improves invariant, under heap and RocksDB providers).
+    */
+  def stratifiedTopKStream(spark: SparkSession, docs: DataFrame,
+                           k: Int = 10): Dataset[StratSample] = {
+    import spark.implicits._
+    val typed = docs.select(col("lang"), col("doc_id"),
+      graft.ops.SampleOps.mixBucket(col("doc_id")).cast("long").as("h"))
+      .as[StratDoc]
+    typed.groupByKey(_.lang)
+      .flatMapGroupsWithState[List[(Long, Long)], StratSample](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (lang, rows, state: GroupState[List[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil)
+            ++ rows.map(r => (r.h, r.doc_id)))
+            .sorted.take(k) // (hash, doc_id) — the batch j23 tie-break
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            StratSample(lang, id, i + 1L)
+          }
+      }
+  }
+
   /** I2: tumbling 1h window aggregate with a 1h watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events.withWatermark("ets", "1 hour")

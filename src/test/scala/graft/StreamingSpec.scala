@@ -51,6 +51,78 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
+    // j22's twin of I11: the per-language mix coins are stateless hash
+    // decisions, so streaming ingestion and a batch recompute keep the
+    // same docs at the same weights
+    val streamed = runStream(
+      StreamOps.mixDomainsStream(StreamOps.documentsStream(spark, sf))
+        .select("doc_id", "lang"),
+      "append", "t_mix")
+    val batch = graft.ops.SampleOps.mixDomains(Tables.documents(spark, sf))
+      .select("doc_id", "lang")
+    assert(streamed.count() > 0, "mix must be non-vacuous")
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
+  test("I13: stratified exact-k stream equals batch j23; bounded state only improves per epoch") {
+    // j23's stateful twin: per-language bounded top-k heaps maintained
+    // across a genuine multi-micro-batch replay must converge to the
+    // batch answer (the k smallest hashes per stratum are split-
+    // invariant), under BOTH state store providers. foreachBatch captures
+    // each epoch's upsert so the per-epoch invariant is assertable: a
+    // stratum's sample can only improve (rank-r hash keys never move up).
+    for (provider <- Seq(StreamOps.DefaultProvider, StreamOps.RocksDbProvider)) {
+      StreamOps.withStateStore(spark, provider)
+      try {
+        val history = scala.collection.mutable.ArrayBuffer
+          .empty[Map[String, Seq[(Long, Long)]]] // lang -> (doc_id, rn) by rank
+        var state = Map.empty[String, Seq[(Long, Long)]]
+        val q = StreamOps.stratifiedTopKStream(spark,
+            StreamOps.documentsStream(spark, sf)).toDF()
+          .writeStream.outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val upd = df.collect().groupBy(_.getString(0)).map {
+              case (lang, rs) =>
+                lang -> rs.map(r => (r.getLong(1), r.getLong(2)))
+                  .sortBy(_._2).toSeq
+            }
+            if (upd.nonEmpty) { state = state ++ upd; history += state }
+            ()
+          }.start()
+        q.awaitTermination()
+        assert(history.size >= 2,
+          s"replay must be multi-micro-batch, got ${history.size} epochs")
+        // final state = batch j23, row-exact
+        val got = state.toSeq.flatMap { case (lang, docs) =>
+          docs.map { case (id, rn) => (lang, id, rn) }
+        }.sortBy(t => (t._1, t._3))
+        val want = graft.ops.SampleOps.j23_sample_stratified(spark, sf)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sortBy(t => (t._1, t._3))
+        assert(got == want, s"provider $provider: final state diverges from batch j23")
+        // per-epoch: at each rank the (hash, doc_id) key never worsens,
+        // and a stratum's sample never shrinks — the bounded-heap law
+        history.toList.sliding(2).foreach {
+          case List(prev, cur) =>
+            prev.foreach { case (lang, pdocs) =>
+              val cdocs = cur.getOrElse(lang, Seq.empty)
+              assert(cdocs.size >= pdocs.size, s"stratum $lang shrank")
+              pdocs.zip(cdocs).foreach { case ((pid, _), (cid, _)) =>
+                val pk = (SampleHashProps.refMix(pid), pid)
+                val ck = (SampleHashProps.refMix(cid), cid)
+                assert(Ordering[(Long, Long)].lteq(ck, pk),
+                  s"stratum $lang rank worsened: $pk -> $ck")
+              }
+            }
+          case _ =>
+        }
+      } finally StreamOps.withStateStore(spark, StreamOps.DefaultProvider)
+    }
+  }
+
   test("I3: sliding window stream equals batch twin") {
     val streamed = runStream(StreamOps.slidingCounts(StreamOps.eventsStream(spark, sf)),
       "complete", "t_sliding")
