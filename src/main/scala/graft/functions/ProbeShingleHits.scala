@@ -58,15 +58,24 @@ case class ProbeShingleHits(child: Expression, k: Int,
 
   override def prettyName: String = ProbeShingleHits.name
 
+  /** The documented semantics are per-DISTINCT-shingle; dedupe here so the
+    * contract is self-enforcing rather than caller-enforced — a probe list
+    * with repeats would otherwise over-increment c and inflate pn
+    * (ADVICE r7). TextOps already passes array_distinct output, so this is
+    * a no-op on the current caller.
+    */
+  private def dedupProbes: Seq[(Long, Seq[String])] =
+    probes.map { case (id, sh) => (id, sh.distinct) }
+
   private val pids: Array[Long] = probes.map(_._1).toArray
-  private val pns: Array[Int] = probes.map(_._2.size).toArray
+  private val pns: Array[Int] = dedupProbes.map(_._2.size).toArray
 
   /** shingle → indices of probes containing it; built once per
     * deserialized instance (i.e. once per executor), shared across rows.
     */
   @transient private lazy val probeMap: java.util.HashMap[UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]()
-    probes.zipWithIndex.foreach { case ((_, sh), idx) =>
+    dedupProbes.zipWithIndex.foreach { case ((_, sh), idx) =>
       sh.foreach { g =>
         m.computeIfAbsent(UTF8String.fromString(g),
           _ => new java.util.ArrayList[Integer]()).add(idx)

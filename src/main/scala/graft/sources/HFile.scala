@@ -600,7 +600,11 @@ object HFileCodec {
       java.util.Arrays.copyOfRange(file, base, base + 8), TrailerMagic),
       "bad trailer magic")
     val (msgLen, msgStart) = pbReadVarint(file, base + 8)
-    require(msgLen >= 0 && msgStart + msgLen <= file.length - 4,
+    // bound the varint itself BEFORE any arithmetic with it — a ~2^63
+    // length would wrap msgStart + msgLen negative and slip past a sum
+    // check (ADVICE r7)
+    require(msgLen >= 0 && msgLen <= TrailerLen &&
+      msgStart + msgLen <= file.length - 4,
       s"trailer protobuf length $msgLen overflows the trailer")
     val end = msgStart + msgLen.toInt
     var p = msgStart
@@ -627,7 +631,8 @@ object HFileCodec {
           p = p2
         case 2 => // length-delimited (comparator name et al.): skip body
           val (len, p2) = pbReadVarint(file, p1)
-          require(len >= 0 && p2 + len <= end, s"bad delimited field at $p")
+          // len <= end - p2, not p2 + len <= end: the sum can overflow
+          require(len >= 0 && len <= end - p2, s"bad delimited field at $p")
           p = p2 + len.toInt
         case 1 => p = p1 + 8 // fixed64
         case 5 => p = p1 + 4 // fixed32

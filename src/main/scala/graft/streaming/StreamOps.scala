@@ -170,7 +170,11 @@ object StreamOps {
         case (lang, rows, state: GroupState[List[(Long, Long)]]) =>
           val merged = (state.getOption.getOrElse(Nil)
             ++ rows.map(r => (r.h, r.doc_id)))
-            .sorted.take(k) // (hash, doc_id) — the batch j23 tie-break
+            // distinct first: under an at-least-once source a redelivered
+            // doc must not occupy two top-k slots and displace a genuine
+            // member (ADVICE r7) — makes the replay-invariance claim hold
+            // beyond the exactly-once file source the spec uses
+            .distinct.sorted.take(k) // (hash, doc_id) — the batch j23 tie-break
           state.update(merged)
           merged.iterator.zipWithIndex.map { case ((_, id), i) =>
             StratSample(lang, id, i + 1L)

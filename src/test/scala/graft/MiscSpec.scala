@@ -226,4 +226,28 @@ class MiscSpec extends SparkSuite {
     }.collect().sum
     assert(violations == 0)
   }
+
+  test("ProbeShingleHits dedupes repeated probe shingles (self-enforcing contract)") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.ProbeShingleHits
+    // probe 7's list repeats "abcde" three times; semantics are per
+    // DISTINCT shingle, so c and pn must match the deduped probe exactly
+    val dup = ProbeShingleHits(Literal.create("xabcdex", StringType), 5,
+      Seq((7L, Seq("abcde", "abcde", "abcde", "bcdex"))))
+    val ded = ProbeShingleHits(Literal.create("xabcdex", StringType), 5,
+      Seq((7L, Seq("abcde", "bcdex"))))
+    val a = dup.eval(null)
+    val b = ded.eval(null)
+    assert(a.toString == b.toString, s"dup=$a ded=$b")
+    // and the counted intersection is the true one: text "xabcdex" has
+    // distinct 5-shingles {xabcd, abcde, bcdex}, both probe shingles hit
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() == 1)
+    val row = arr.getStruct(0, 4)
+    assert(row.getLong(0) == 7L && row.getInt(1) == 2 &&
+      row.getInt(2) == 2 && row.getInt(3) == 3,
+      s"got pid=${row.getLong(0)} pn=${row.getInt(1)} c=${row.getInt(2)} dn=${row.getInt(3)}")
+  }
 }

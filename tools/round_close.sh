@@ -100,7 +100,8 @@ if [ -f bench_detail.json ]; then
     # round's snapshot — top deltas printed every close, fail-SOFT
     # (warn, don't block) on >1.5x single-query regressions, since noise
     # on sub-100ms queries would otherwise block green closes.
-    prev=$(ls BENCH_DETAIL_r*.json 2>/dev/null | grep -v "$snap" | sort | tail -1 || true)
+    # sort -V so r100 doesn't sort before r99 once the %02d padding runs out
+    prev=$(ls BENCH_DETAIL_r*.json 2>/dev/null | grep -v "$snap" | sort -V | tail -1 || true)
     if [ -n "$prev" ]; then
       python3 - "$prev" "$snap" <<'PYEOF'
 import json, sys
