@@ -107,9 +107,11 @@ object ScanOps {
     * proof is HFileSpec's multiset round-trip test. The write lands under
     * java.io.tmpdir, one region file per executor partition.
     *
-    * Regions are written GZ-compressed (HBase's usual production setting)
-    * so the driver gate exercises the deflate/inflate path end to end;
-    * the NONE path keeps its own round-trip coverage in HFileSpec.
+    * Regions are written FAST_DIFF-encoded and GZ-compressed (HBase's
+    * usual production setting, `DATA_BLOCK_ENCODING => 'FAST_DIFF',
+    * COMPRESSION => 'GZ'`) so the driver gate exercises the delta-decode
+    * AND deflate/inflate paths end to end, composed; the NONE paths keep
+    * their own round-trip coverage in HFileSpec.
     */
   val a9_hfile_roundtrip: Q = (s, d) => {
     val dir = Tables.appTmpDir(s, "graft_hfile", d)
@@ -119,7 +121,8 @@ object ScanOps {
     val nCells = Tables.events(s, d).count()
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
       regions = graft.sources.HFileOps.regionCountFor(nCells),
-      compression = graft.sources.HFileCodec.CompressionGz)
+      compression = graft.sources.HFileCodec.CompressionGz,
+      encoding = graft.sources.HFileCodec.EncodingFastDiff)
     graft.sources.HFileOps.read(s, dir)
       .groupBy(col("cf"), col("qualifier"))
       .agg(
@@ -146,11 +149,13 @@ object ScanOps {
     // ~3 s at sf1, bounded by the same region sizing as a9
     val dir = Tables.appTmpDir(s, "graft_hfile_get", d)
     val nCells = Tables.events(s, d).count()
-    // GZ regions: the bloom-pruned positioned-read path must inflate the
-    // bloom chunk, index blocks, and the one data block it touches
+    // FAST_DIFF+GZ regions: the bloom-pruned positioned-read path must
+    // inflate the bloom chunk and index blocks, then delta-decode the one
+    // data block it touches
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
       regions = graft.sources.HFileOps.regionCountFor(nCells),
-      compression = graft.sources.HFileCodec.CompressionGz)
+      compression = graft.sources.HFileCodec.CompressionGz,
+      encoding = graft.sources.HFileCodec.EncodingFastDiff)
     // single-row client-key lookup, built with the SAME Tables.pad spelling
     // the cells view uses (a hand-rolled format string here would be a third
     // independent copy of the rowkey layout — code-review finding)

@@ -57,6 +57,7 @@ import scala.collection.mutable.ArrayBuffer
 object HFileCodec {
 
   val DataMagic: Array[Byte] = "DATABLK*".getBytes(UTF_8)
+  val EncodedDataMagic: Array[Byte] = "DATABLKE".getBytes(UTF_8)
   val RootIndexMagic: Array[Byte] = "IDXROOT2".getBytes(UTF_8)
   val IntermediateIndexMagic: Array[Byte] = "IDXINTE2".getBytes(UTF_8)
   val FileInfoMagic: Array[Byte] = "FILEINF2".getBytes(UTF_8)
@@ -165,6 +166,20 @@ object HFileCodec {
     */
   val CompressionGz = 1
   val CompressionNone = 2
+
+  /** Data-block-encoding ids [public: o.a.h.hbase.io.encoding
+    * .DataBlockEncoding — NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4]. An
+    * encoded data block carries the `DATABLKE` magic and leads its
+    * (pre-compression) payload with the 2-byte big-endian id, exactly as
+    * HBase serializes it — so every read path detects the encoding per
+    * block from bytes it already has, composing freely with the
+    * sizes-differ ⟺ GZ rule one layer down. Deviation: real HBase also
+    * records DATA_BLOCK_ENCODING in the FileInfo map; our minimal
+    * file-info block does not (readers never need it — the block
+    * self-describes).
+    */
+  val EncodingNone = 0
+  val EncodingFastDiff = 4
 
   /** Gzip-deflate `b` (java.util.zip, the same stream format HBase's
     * GzipCodec emits).
@@ -282,6 +297,205 @@ object HFileCodec {
       (v.toInt, off + 1 + n)
     }
   }
+
+  // ---------------------------------------------- FAST_DIFF encoding
+  // Per-entry wire layout [public: o.a.h.hbase.io.encoding
+  // .FastDiffDeltaEncoder]:
+  //   flag:1 | keyLen vint (absent if FLAG_SAME_KEY_LENGTH)
+  //          | valLen vint (absent if FLAG_SAME_VALUE_LENGTH)
+  //          | commonPrefix vint | key suffix | ts (1-8 bytes, LE)
+  //          | type:1 (absent if FLAG_SAME_TYPE)
+  //          | value (absent if FLAG_SAME_VALUE)
+  // where commonPrefix is the byte-wise common prefix of the flat key
+  // (`rowLen:2 | row | famLen:1 | family | qualifier`, EXCLUDING the
+  // trailing ts:8|type:1) against the previous entry's, and the key
+  // suffix is the remaining keyPartLen - commonPrefix bytes. Both of the
+  // reference encoder's write branches (row-differs: rest-of-row + full
+  // family + full qualifier; row-common: qualifier tail only, family
+  // elided because a fully-common row pushes the common prefix through
+  // the — per-file-constant — family) emit exactly those bytes, so
+  // decode is uniformly prefix-copy + suffix-read. Flag bits 0-2 hold
+  // longFitsIn(ts) - 1; the timestamp is written little-endian in that
+  // many bytes (ByteBufferUtils.putLong's order). Deviation: our region
+  // files can mix column families in one block (real HBase never does —
+  // one file per family); the raw-common-prefix rule stays correct for
+  // our reader there, but a stock FastDiffDeltaEncoder seeker would
+  // assume the family common once the row is, so multi-family blocks are
+  // ours-only. Encoder state resets at every block boundary — each block
+  // decodes standalone, as the seek paths require.
+
+  private val MaskTimestampLen = 0x07 // bits 0-2: longFitsIn(ts) - 1
+  private val FlagSameKeyLen = 1 << 3
+  private val FlagSameValueLen = 1 << 4
+  private val FlagSameType = 1 << 5
+  private val FlagSameValue = 1 << 6
+
+  /** Minimal byte count representing a non-negative long (negative → 8)
+    * [public: o.a.h.hbase.util.ByteBufferUtils.longFitsIn].
+    */
+  private[sources] def longFitsIn(v: Long): Int =
+    if (v < 0) 8
+    else {
+      var n = 1
+      var x = v >>> 8
+      while (x != 0L) { n += 1; x >>>= 8 }
+      n
+    }
+
+  private def putLongLE(out: ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var x = v
+    var i = 0
+    while (i < n) { out.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+  }
+
+  private def readLongLE(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Incremental FAST_DIFF block encoder. One instance per data block —
+    * the per-block reset is what lets the index-directed seek paths
+    * decode any block without its predecessors.
+    */
+  private final class FastDiffEncoder(out: ByteArrayOutputStream) {
+    private var prevKeyPart: Array[Byte] = _ // flat key minus ts:8|type:1
+    private var prevKeyLen = -1
+    private var prevType: Byte = 0
+    private var prevValue: Array[Byte] = _
+
+    def append(c: HCell): Unit = {
+      val key = c.keyBytes
+      val keyLen = key.length
+      val keyPart = java.util.Arrays.copyOfRange(key, 0, keyLen - 9)
+      val tsBytes = longFitsIn(c.ts)
+      var flag = tsBytes - 1
+      var commonPrefix = 0
+      var sameValue = false
+      if (prevKeyPart == null) {
+        // first entry of the block: full key/val lengths, no sharing
+        out.write(flag)
+        writeVInt(out, keyLen)
+        writeVInt(out, c.value.length)
+        writeVInt(out, 0)
+      } else {
+        if (keyLen == prevKeyLen) flag |= FlagSameKeyLen
+        if (c.value.length == prevValue.length) flag |= FlagSameValueLen
+        if (c.typ == prevType) flag |= FlagSameType
+        sameValue = java.util.Arrays.equals(c.value, prevValue)
+        if (sameValue) flag |= FlagSameValue
+        val lim = math.min(keyPart.length, prevKeyPart.length)
+        while (commonPrefix < lim && keyPart(commonPrefix) == prevKeyPart(commonPrefix))
+          commonPrefix += 1
+        out.write(flag)
+        if ((flag & FlagSameKeyLen) == 0) writeVInt(out, keyLen)
+        if ((flag & FlagSameValueLen) == 0) writeVInt(out, c.value.length)
+        writeVInt(out, commonPrefix)
+      }
+      out.write(keyPart, commonPrefix, keyPart.length - commonPrefix)
+      putLongLE(out, c.ts, tsBytes)
+      if ((flag & FlagSameType) == 0) out.write(c.typ.toInt)
+      if (!sameValue) out.write(c.value, 0, c.value.length)
+      prevKeyPart = keyPart; prevKeyLen = keyLen
+      prevType = c.typ; prevValue = c.value
+    }
+  }
+
+  /** Decode one FAST_DIFF block payload (entries start at `start`, after
+    * the 2-byte encoding id). Every declared length is validated against
+    * the remaining bytes BEFORE any allocation or copy, the same hostile-
+    * input regime as [[decodeKeyValue]]: damaged input may only throw,
+    * never over-allocate or fail to advance (each entry consumes ≥ 3
+    * bytes — flag, commonPrefix vint, ≥1 timestamp byte).
+    */
+  private[sources] def fastDiffIterator(payload: Array[Byte],
+                                        start: Int): Iterator[HCell] =
+    new Iterator[HCell] {
+      private var p = start
+      private var keyPart: Array[Byte] = _
+      private var keyLen = 0
+      private var valLen = 0
+      private var typ: Byte = 0
+      private var value: Array[Byte] = _
+
+      def hasNext: Boolean = p < payload.length
+
+      def next(): HCell = {
+        val flag = payload(p) & 0xff; p += 1
+        if (keyPart == null)
+          require((flag & (FlagSameKeyLen | FlagSameValueLen | FlagSameType |
+            FlagSameValue)) == 0,
+            s"first FAST_DIFF entry references a predecessor (flag $flag)")
+        if ((flag & FlagSameKeyLen) == 0) {
+          val (v, np) = readVInt(payload, p); keyLen = v; p = np
+        }
+        if ((flag & FlagSameValueLen) == 0) {
+          val (v, np) = readVInt(payload, p); valLen = v; p = np
+        }
+        val (commonPrefix, np2) = readVInt(payload, p); p = np2
+        val partLen = keyLen - 9
+        // same minimum as decodeKeyValue: rowLen:2 + famLen:1 + ts + type
+        require(keyLen >= 12 && valLen >= 0 && commonPrefix >= 0 &&
+          commonPrefix <= partLen &&
+          (commonPrefix == 0 || (keyPart != null && commonPrefix <= keyPart.length)),
+          s"bad FAST_DIFF lengths keyLen=$keyLen valLen=$valLen " +
+            s"commonPrefix=$commonPrefix at $p")
+        require(partLen - commonPrefix <= payload.length - p,
+          s"FAST_DIFF key suffix runs past the block at $p")
+        val nk = new Array[Byte](partLen)
+        if (commonPrefix > 0) System.arraycopy(keyPart, 0, nk, 0, commonPrefix)
+        System.arraycopy(payload, p, nk, commonPrefix, partLen - commonPrefix)
+        p += partLen - commonPrefix
+        val tsLen = (flag & MaskTimestampLen) + 1
+        require(tsLen <= payload.length - p,
+          s"FAST_DIFF timestamp runs past the block at $p")
+        val ts = readLongLE(payload, p, tsLen); p += tsLen
+        if ((flag & FlagSameType) == 0) {
+          require(p < payload.length, s"FAST_DIFF type runs past the block")
+          typ = payload(p); p += 1
+        }
+        if ((flag & FlagSameValue) == 0) {
+          require(valLen <= payload.length - p,
+            s"FAST_DIFF value $valLen B runs past the block at $p")
+          value = java.util.Arrays.copyOfRange(payload, p, p + valLen)
+          p += valLen
+        } else require(value.length == valLen,
+          s"FLAG_SAME_VALUE with mismatched length $valLen vs ${value.length}")
+        keyPart = nk
+        val rowLen = ((nk(0) & 0xff) << 8) | (nk(1) & 0xff)
+        require(2 + rowLen + 1 <= partLen, s"row length $rowLen exceeds key")
+        val famLen = nk(2 + rowLen) & 0xff
+        require(2 + rowLen + 1 + famLen <= partLen,
+          s"family length $famLen exceeds key")
+        HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
+          java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1, 2 + rowLen + 1 + famLen),
+          java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1 + famLen, partLen),
+          ts, typ, value)
+      }
+    }
+
+  /** Cell iterator over one data block's UNCOMPRESSED payload, NONE or
+    * FAST_DIFF — the one decode seam every read path (full read,
+    * streaming, point get, range scan) goes through. `encoded` comes
+    * from the block's own magic (`DATABLKE`), and the payload's leading
+    * 2-byte id is verified against the one encoding we write.
+    */
+  private[sources] def dataBlockCells(payload: Array[Byte],
+                                      encoded: Boolean): Iterator[HCell] =
+    if (!encoded)
+      new Iterator[HCell] {
+        private var q = 0
+        def hasNext: Boolean = q < payload.length
+        def next(): HCell = { val (c, nq) = decodeKeyValue(payload, q); q = nq; c }
+      }
+    else {
+      require(payload.length >= 2, "encoded data block shorter than its id")
+      val id = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      require(id == EncodingFastDiff,
+        s"unsupported data block encoding id $id (only FAST_DIFF=4)")
+      fastDiffIterator(payload, 2)
+    }
 
   private def blockHeader(magic: Array[Byte], onDiskLen: Int,
                           uncompressedLen: Int): Array[Byte] = {
@@ -412,11 +626,19 @@ object HFileCodec {
 
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
             blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
-            compression: Int): Long = {
+            compression: Int): Long =
+    write(cells, sink, blockSize, indexChunkEntries, bloomChunkKeys,
+      compression, EncodingNone)
+
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
+            compression: Int, encoding: Int): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
     require(compression == CompressionNone || compression == CompressionGz,
       s"unsupported compression codec $compression (NONE=2, GZ=1)")
+    require(encoding == EncodingNone || encoding == EncodingFastDiff,
+      s"unsupported data block encoding $encoding (NONE=0, FAST_DIFF=4)")
     // read/write symmetry: the readers reject payloads above MaxBlockBytes,
     // so the writer must never produce one (a block holds ~blockSize bytes
     // plus the one cell that overflowed it — bound both)
@@ -447,6 +669,22 @@ object HFileCodec {
     var firstKey: Array[Byte] = null
     var entryCount = 0L
     var totalUncompressed = 0L
+    // With FAST_DIFF, `block` holds [id:2 | encoded entries] and the
+    // encoder resets per block so every block decodes standalone;
+    // `unencodedSize` tracks the raw KeyValue bytes for the block
+    // boundary (HBase's checkBlockBoundary closes on EITHER size).
+    val fastDiff = encoding == EncodingFastDiff
+    var enc: FastDiffEncoder = null
+    var unencodedSize = 0
+    def resetBlock(): Unit = {
+      block.reset(); firstKey = null; unencodedSize = 0
+      if (fastDiff) {
+        block.write((EncodingFastDiff >>> 8) & 0xff) // 2-byte BE id prefix
+        block.write(EncodingFastDiff & 0xff)
+        enc = new FastDiffEncoder(block)
+      }
+    }
+    resetBlock()
 
     // row bloom, chunked: rows arrive sorted, so consecutive duplicates
     // collapse to one bloom key and each chunk covers a contiguous row
@@ -468,20 +706,25 @@ object HFileCodec {
       chunkFirstRow = null
     }
 
-    def flushBlock(): Unit = if (block.size() > 0) {
+    def flushBlock(): Unit = if (unencodedSize > 0) {
       val payload = block.toByteArray
       require(payload.length <= MaxBlockBytes,
         s"data block ${payload.length} B exceeds MaxBlockBytes — a single " +
           "cell larger than the reader's cap would make the file unreadable")
-      val (offset, onDiskSize) = emitBlock(DataMagic, payload)
+      val (offset, onDiskSize) =
+        emitBlock(if (fastDiff) EncodedDataMagic else DataMagic, payload)
       index += ((offset, onDiskSize, firstKey))
       totalUncompressed += HeaderSize + payload.length
-      block.reset(); firstKey = null
+      resetBlock()
     }
 
     cells.foreach { c =>
       if (firstKey == null) firstKey = c.keyBytes
-      block.write(encodeKeyValue(c))
+      if (fastDiff) enc.append(c) else block.write(encodeKeyValue(c))
+      // raw KeyValue footprint, computed without re-serializing:
+      // kvLen:8 + key (rowLen:2|row|famLen:1|fam|qual|ts:8|type:1) + value
+      unencodedSize += 8 + 2 + c.row.length + 1 + c.family.length +
+        c.qualifier.length + 8 + 1 + c.value.length
       entryCount += 1
       if (lastRow == null || !java.util.Arrays.equals(lastRow, c.row)) {
         if (chunkFirstRow == null) chunkFirstRow = c.row
@@ -489,7 +732,7 @@ object HFileCodec {
         lastRow = c.row
         if (chunkHashes.size >= bloomChunkKeys) closeBloomChunk()
       }
-      if (block.size() >= blockSize) flushBlock()
+      if (block.size() >= blockSize || unencodedSize >= blockSize) flushBlock()
     }
     flushBlock()
     closeBloomChunk()
@@ -576,10 +819,15 @@ object HFileCodec {
 
   /** In-memory convenience form with an explicit codec. */
   def write(cells: Iterator[HCell], blockSize: Int,
-            compression: Int): Array[Byte] = {
+            compression: Int): Array[Byte] =
+    write(cells, blockSize, compression, EncodingNone)
+
+  /** In-memory convenience form with an explicit codec and encoding. */
+  def write(cells: Iterator[HCell], blockSize: Int,
+            compression: Int, encoding: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 20)
     write(cells, out, blockSize, DefaultIndexChunkEntries,
-      DefaultBloomChunkKeys, compression)
+      DefaultBloomChunkKeys, compression, encoding)
     out.toByteArray
   }
 
@@ -673,18 +921,17 @@ object HFileCodec {
         require(onDiskLen >= 0 && onDiskLen <= MaxBlockBytes &&
           uncompressedLen >= 0 && uncompressedLen <= MaxBlockBytes,
           s"implausible block lengths onDisk=$onDiskLen uncompressed=$uncompressedLen")
-        if (java.util.Arrays.equals(java.util.Arrays.copyOfRange(hdr, 0, 8), DataMagic)) {
+        val magic8 = java.util.Arrays.copyOfRange(hdr, 0, 8)
+        val isData = java.util.Arrays.equals(magic8, DataMagic)
+        val isEncoded = java.util.Arrays.equals(magic8, EncodedDataMagic)
+        if (isData || isEncoded) {
           val onDisk = readFully(onDiskLen)
           // sizes differ ⟺ gzip payload (see blockPayload) — still
           // O(blockSize) heap: one raw + one inflated block at a time
           val payload =
             if (onDiskLen == uncompressedLen) onDisk
             else gunzip(onDisk, 0, onDiskLen, uncompressedLen)
-          blockIter = new Iterator[HCell] {
-            private var q = 0
-            def hasNext: Boolean = q < payload.length
-            def next(): HCell = { val (c, nq) = decodeKeyValue(payload, q); q = nq; c }
-          }
+          blockIter = dataBlockCells(payload, isEncoded)
         } else done = true // file-info block: past the data section
       }
 
@@ -837,17 +1084,11 @@ object HFileCodec {
     }
     blocks.iterator.flatMap { case (off, size) =>
       val hdr = off.toInt
-      require(hasMagic(file, hdr, DataMagic), "bad data block magic")
+      val isEncoded = hasMagic(file, hdr, EncodedDataMagic)
+      require(isEncoded || hasMagic(file, hdr, DataMagic), "bad data block magic")
       val onDiskLen = ByteBuffer.wrap(file, hdr + 8, 4).getInt
       require(HeaderSize + onDiskLen == size, "block size mismatch")
-      val payload = blockPayload(file, hdr)
-      new Iterator[HCell] {
-        private var q = 0
-        def hasNext: Boolean = q < payload.length
-        def next(): HCell = {
-          val (c, nq) = decodeKeyValue(payload, q); q = nq; c
-        }
-      }
+      dataBlockCells(blockPayload(file, hdr), isEncoded)
     }
   }
 }

@@ -49,7 +49,8 @@ object HFileOps {
     */
   def bulkWrite(cells: DataFrame, dir: String, regions: Int,
                 blockSize: Int = 64 * 1024,
-                compression: Int = HFileCodec.CompressionNone): Seq[String] = {
+                compression: Int = HFileCodec.CompressionNone,
+                encoding: Int = HFileCodec.EncodingNone): Seq[String] = {
     val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
@@ -83,7 +84,7 @@ object HFileOps {
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         try HFileCodec.write(cellsIt, os, blockSize,
           HFileCodec.DefaultIndexChunkEntries, HFileCodec.DefaultBloomChunkKeys,
-          compression)
+          compression, encoding)
         finally os.close()
         val dst = new HPath(dir, name)
         // Commit via FileContext.rename(OVERWRITE): Hadoop FileSystems
@@ -176,20 +177,17 @@ object HFileOps {
     */
   private def decodeBlockRows(blk: Array[Byte],
                               keep: Array[Byte] => Boolean): Seq[Row] = {
-    require(magicAt(blk, HFileCodec.DataMagic), "bad data block magic")
+    val isEncoded = magicAt(blk, HFileCodec.EncodedDataMagic)
+    require(isEncoded || magicAt(blk, HFileCodec.DataMagic),
+      "bad data block magic")
     val payload = HFileCodec.blockPayload(blk, 0) // inflates GZ blocks
-    var q = 0
-    val cells = scala.collection.mutable.ArrayBuffer.empty[Row]
-    while (q < payload.length) {
-      val (c, nq) = HFileCodec.decodeKeyValue(payload, q)
-      q = nq
-      if (keep(c.row))
-        cells += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
-          new String(c.qualifier, UTF_8), c.ts,
-          java.nio.ByteBuffer.wrap(c.value).getDouble,
-          if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
-    }
-    cells.toSeq
+    HFileCodec.dataBlockCells(payload, isEncoded)
+      .filter(c => keep(c.row))
+      .map(c => Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+        new String(c.qualifier, UTF_8), c.ts,
+        java.nio.ByteBuffer.wrap(c.value).getDouble,
+        if (c.typ == HFileCodec.TypeDelete) "delete" else "put"))
+      .toSeq
   }
 
   /** The HBase `Get` read shape against a bulk-written table: per region

@@ -238,6 +238,99 @@ class HFileSpec extends SparkSuite {
     assert(scanned.nonEmpty && scanned.sameElements(full))
   }
 
+  test("FAST_DIFF: encoded file round-trips both read paths and shrinks vs NONE") {
+    // qualifiers/types/values vary so every flag combination occurs:
+    // repeated values (FLAG_SAME_VALUE), alternating types, ts=0 (1-byte
+    // timestamp) through full 8-byte timestamps, shared row prefixes
+    val cells = (0 until 5000).flatMap { i =>
+      Seq(
+        cell(f"r$i%06d", "q", 1000L + i, (i % 7).toDouble,
+          if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut),
+        cell(f"r$i%06d", "qual-longer", if (i % 11 == 0) 0L else 1705362487499628968L,
+          3.25))
+    }
+    val plain = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    val fd = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingFastDiff)
+    // encoded data block: DATABLKE magic, then the 2-byte BE id after the header
+    assert(fd.slice(0, 8).sameElements(HFileCodec.EncodedDataMagic))
+    assert(((fd(HFileCodec.HeaderSize) & 0xff) << 8 |
+      (fd(HFileCodec.HeaderSize + 1) & 0xff)) == HFileCodec.EncodingFastDiff)
+    // delta encoding must beat raw KeyValues on shared-prefix rowkeys
+    assert(fd.length < plain.length * 3 / 4,
+      s"FAST_DIFF ${fd.length} B not smaller than NONE ${plain.length} B")
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts, c.typ,
+        java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(fd).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(fd)).toSeq) == canon(cells))
+  }
+
+  test("FAST_DIFF+GZ: encoding composes with block compression") {
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val both = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionGz, HFileCodec.EncodingFastDiff)
+    val gzOnly = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionGz)
+    // first block: encoded magic AND compressed sizes (deflate over the
+    // delta-encoded payload)
+    assert(both.slice(0, 8).sameElements(HFileCodec.EncodedDataMagic))
+    val onDisk = java.nio.ByteBuffer.wrap(both, 8, 4).getInt
+    val uncomp = java.nio.ByteBuffer.wrap(both, 12, 4).getInt
+    assert(onDisk < uncomp, s"expected compressed encoded block, got $onDisk/$uncomp")
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), c.ts, java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(both).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(both)).toSeq) == canon(cells))
+    assert(both.length <= gzOnly.length,
+      s"FAST_DIFF+GZ ${both.length} B larger than GZ alone ${gzOnly.length} B")
+  }
+
+  test("FAST_DIFF: each block decodes standalone (encoder state resets per block)") {
+    // 1-cell blocks: every entry is a block-first entry (no predecessor),
+    // and rows span blocks — the seek paths must never need block N-1
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("fdspan")
+    val rows = (0 until 40).flatMap { i =>
+      (0 until 3).map { v =>
+        org.apache.spark.sql.Row(f"r$i%04d", "e", s"q$v", 1000L + v, v.toDouble, "put")
+      }
+    }
+    val df = spark.createDataFrame(rows.asJava, HFileOps.cellsSchema)
+    HFileOps.bulkWrite(df, dir.toString, regions = 2, blockSize = 1,
+      encoding = HFileCodec.EncodingFastDiff)
+    val got = HFileOps.rangeScan(spark, dir.toString, "r0010", "r0020")
+      .collect().map(_.toString).sorted
+    val want = df.where(col("rowkey") >= "r0010" && col("rowkey") < "r0020")
+      .collect().map(_.toString).sorted
+    assert(got.length == 30 && got.sameElements(want))
+    val g = HFileOps.pointGet(spark, dir.toString, "r0015").collect()
+    assert(g.length == 3, s"point get on a spanning row returned ${g.length}/3 cells")
+  }
+
+  test("FAST_DIFF+GZ: spark bulk write + read + seek paths round-trip regions") {
+    val dir = tmpDir("fdgz").toString
+    val src = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(HFileOps.read(spark, dir)) == canon(src))
+    val keys = src.orderBy("rowkey").limit(100).collect().map(_.getString(0))
+    val got = HFileOps.pointGet(spark, dir, keys(42)).collect()
+    assert(got.length == 1 && got(0).getString(0) == keys(42))
+    assert(HFileOps.pointGet(spark, dir, "999999999999:none").isEmpty)
+    val scanned = HFileOps.rangeScan(spark, dir, keys(10), keys(90))
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir)
+      .where(col("rowkey") >= keys(10) && col("rowkey") < keys(90))
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
+  }
+
   test("point get returns exactly one rowkey's cells via the seek path") {
     val dir = tmpDir("get")
     val cells = Tables.cells(spark, sf)

@@ -302,9 +302,10 @@ object MediaCodecProps extends Properties("MediaCodec") {
   * damaged region file may throw a clean exception but must never hang,
   * spin the decode loop, or allocate past the buffer it came from (OOM).
   * The hang case is asserted structurally: each decoded cell consumes
-  * ≥ 20 payload bytes, so any consumption exceeding len/20 + slack means
-  * a non-advancing offset — exactly the keyLen = -8 loop the guards in
-  * decodeKeyValue/parseIndexEntriesWithKeys exist to prevent.
+  * ≥ 20 payload bytes raw, ≥ 3 FAST_DIFF-encoded (flag + commonPrefix
+  * vint + 1 timestamp byte), so any consumption exceeding len/3 + slack
+  * means a non-advancing offset — exactly the keyLen = -8 loop the
+  * guards in decodeKeyValue/fastDiffIterator exist to prevent.
   */
 object HFileFuzzProps extends Properties("HFileFuzz") {
 
@@ -317,25 +318,29 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
     value <- Gen.chooseNum(0, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString.getBytes(UTF_8))
   } yield HCell(row, "f".getBytes(UTF_8), qual, ts, HFileCodec.TypePut, value)
 
-  // both codecs: every mutation/truncation property below must hold over
-  // GZ files too (r6 punch list — corrupting a compressed payload must
-  // throw out of gunzip, never hang or over-allocate)
+  // all codec × encoding combinations: every mutation/truncation property
+  // below must hold over GZ and FAST_DIFF files too (r6/r7 punch lists —
+  // corrupting a compressed payload must throw out of gunzip, a corrupted
+  // delta entry out of fastDiffIterator; never hang or over-allocate)
   private val fileGen: Gen[Array[Byte]] =
     Gen.zip(Gen.chooseNum(1, 60).flatMap(Gen.listOfN(_, cellGen)),
         Gen.oneOf(64, 256, 4096),
-        Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz))
-      .map { case (cells, bs, codec) =>
+        Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz),
+        Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingFastDiff))
+      .map { case (cells, bs, codec, enc) =>
         HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator,
-          bs, codec)
+          bs, codec, enc)
       }
 
   private val rawGen: Gen[Array[Byte]] =
     Gen.chooseNum(0, 800).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
       .map(_.map(_.toByte).toArray)
 
-  /** Consume the streaming reader with the structural hang bound. */
+  /** Consume the streaming reader with the structural hang bound
+    * (≥ 3 bytes per FAST_DIFF entry is the tighter of the two decoders).
+    */
   private def boundedConsume(bytes: Array[Byte]): Boolean = {
-    val limit = bytes.length / 20 + 64
+    val limit = bytes.length / 3 + 64
     var n = 0
     val it = HFileCodec.readStreaming(new java.io.ByteArrayInputStream(bytes))
     while (it.hasNext && n <= limit) { it.next(); n += 1 }
@@ -351,6 +356,28 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
     forAll(rawGen) { tail =>
       try boundedConsume(HFileCodec.DataMagic ++ tail)
       catch { case _: Exception => true }
+    }
+
+  property("readStreaming: encoded-magic-prefixed garbage never hangs") =
+    forAll(rawGen) { tail =>
+      try boundedConsume(HFileCodec.EncodedDataMagic ++ tail)
+      catch { case _: Exception => true }
+    }
+
+  property("FAST_DIFF: mutated encoded entries throw cleanly or stay bounded") =
+    forAll(Gen.chooseNum(2, 60).flatMap(Gen.listOfN(_, cellGen)),
+           Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (cells, posSeed, v) =>
+        val file = HFileCodec.write(
+          cells.sortBy(c => new String(c.row, UTF_8)).iterator,
+          4096, HFileCodec.CompressionNone, HFileCodec.EncodingFastDiff)
+        // target a byte INSIDE the first data block's encoded payload,
+        // past the 2-byte id: flag/vint/suffix damage, not header damage
+        val onDiskLen = java.nio.ByteBuffer.wrap(file, 8, 4).getInt
+        val b = file.clone()
+        if (onDiskLen > 2)
+          b(HFileCodec.HeaderSize + 2 + posSeed % (onDiskLen - 2)) = v.toByte
+        try boundedConsume(b) catch { case _: Exception => true }
     }
 
   property("readStreaming: one-byte-mutated valid file never hangs or over-allocates") =
@@ -371,7 +398,7 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
            Gen.chooseNum(1, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString)) {
       (file, posSeed, v, probe) =>
         val b = file.clone(); b(posSeed % b.length) = v.toByte
-        val limit = b.length / 20 + 64
+        val limit = b.length / 3 + 64
         val scanOk =
           try {
             val it = HFileCodec.read(b)
