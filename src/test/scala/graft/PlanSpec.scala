@@ -89,4 +89,24 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("g4 EXCEPT: pushed quantity filter, broadcast anti join, no sort exchange") {
+    // pins the r7 plan-diff adjudication (docs/PLANS.md "g4 vs baseline
+    // B9"): the 2.57x battery ratio is a workload mismatch, NOT a weak
+    // plan — provided the plan stays exactly this shape. At 100x: the
+    // quantity predicate prunes at the parquet scan, the small filtered
+    // side broadcasts (LeftAnti — the big side never shuffles for the
+    // join), distinct is partial+final, and the R1-ordered LIMIT 100
+    // plans as TakeOrderedAndProject with no global sort exchange.
+    val df = SparkEntry.queries("g4_except")(spark, sf)
+    val plan = physical(df)
+    val scan = scanLine(df)
+    assert(scan.contains("LessThanOrEqual(l_quantity"), scan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    // keys-only distinct prints no "partial_" label: the map-side combine
+    // is the pre-shuffle HashAggregate of the two flanking the exchange
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2, plan)
+  }
 }
