@@ -58,7 +58,7 @@ object Bench {
     // ("parsed": null). The graded stdout line stays compact (<200 bytes).
     // Write-then-atomic-move so a concurrent reader never sees a torn file.
     val detailBytes =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","cpus":"$cpus"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // unique tmp per JVM: two concurrent Bench runs sharing a cwd must not
     // interleave writes into the same tmp file before the atomic move

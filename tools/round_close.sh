@@ -96,6 +96,17 @@ if [ -f bench_detail.json ]; then
   else
     cp bench_detail.json "$snap"
     echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
+    # VERDICT r7 task 1: same-session stock baseline. The r7 audit showed
+    # the host drifts +-30% BETWEEN rounds, so ratios against BASELINE.md's
+    # fixed numbers conflate drift with regression; re-measure the stock
+    # 15-shape battery NOW, in the same session state as the detail file
+    # just snapshotted, and emit BASELINE_r<N>.json with same-run ratios.
+    # Fail-soft: a baseline measurement hiccup must not block a green close.
+    if python3 tools/baseline_close.py "$n" bench_detail.json; then
+      echo "round_close: wrote $(printf 'BASELINE_r%02d.json' "$n") (git add it with the round commit)"
+    else
+      echo "round_close: WARNING baseline_close failed — round closes without a same-session baseline (ratios vs BASELINE.md only)"
+    fi
     # VERDICT r6 task 6: per-query attribution against the previous
     # round's snapshot — top deltas printed every close, fail-SOFT
     # (warn, don't block) on >1.5x single-query regressions, since noise
