@@ -147,37 +147,148 @@ object ScaleOps {
 
   // ------------------- distributed global prefix shapes (ntile, cumsum)
 
-  /** Shared scaffold of the two-job exact-global-prefix operators:
-    * range-partition `df` on the sort key (shuffle 1, parallel), compute
-    * one LONG total per partition with `perPartition` (driver-side —
-    * `partitions` longs, bounded), and return the partitioned frame
-    * joined with each partition's exclusive prefix as `_offset`, plus the
-    * grand total. Callers finish with a per-`_pid` window (shuffle 2,
-    * still parallel) and must drop `_pid`/`_offset`.
+  /** Lexicographic `key > boundary` over the sort tuple, with Spark's
+    * default asc-nulls-first semantics: a NULL key component compares
+    * below every value (the comparison yields NULL, which `when` sends to
+    * the low branch), and a NULL boundary component is exceeded by any
+    * non-NULL key.
+    */
+  private def keyAbove(sortCols: Seq[Column], boundary: Seq[Any]): Column =
+    sortCols.zip(boundary).foldRight(lit(false)) { case ((c, bv), rest) =>
+      val gt = if (bv == null) c.isNotNull else c > lit(bv)
+      val eq = if (bv == null) c.isNull else c <=> lit(bv)
+      gt || (eq && rest)
+    }
+
+  /** Bucket id of the sort key among `boundaries` (sorted ascending), as
+    * a balanced CASE-WHEN binary search — expression depth log2(buckets),
+    * so the per-row cost stays flat even when a 1000-partition deployment
+    * passes a large `partitions`. Monotone in the key order by
+    * construction, which is the only property the offset algebra needs.
+    * Leaf `i` emits `ids(i)`, the caller's (monotone-order-preserving by
+    * index, not value) bucket labels.
+    */
+  private def bucketOf(sortCols: Seq[Column], boundaries: IndexedSeq[Seq[Any]],
+                       ids: IndexedSeq[Int]): Column = {
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(ids(lo))
+      else {
+        val mid = (lo + hi) / 2
+        when(keyAbove(sortCols, boundaries(mid)), search(mid + 1, hi))
+          .otherwise(search(lo, mid))
+      }
+    if (boundaries.isEmpty) lit(ids(0)) else search(0, boundaries.length)
+  }
+
+  /** Bucket labels that the shuffle hash spreads evenly: label `i` is the
+    * smallest unused non-negative int whose Murmur3 hash (seed 42 — the
+    * exact `HashPartitioning.partitionIdExpression` function) lands on
+    * reducer `i % slots`. Hash-partitioning `buckets` ARBITRARY ids into
+    * `slots` reducers leaves ~1/e of them empty with ~3× load on the
+    * unlucky ones — a real skew at 100 TB where one reducer then sorts 3
+    * partitions' worth of rows; these labels make the window exchange
+    * exactly round-robin at zero runtime cost (the search is a bounded
+    * driver loop, ~slots·ln(slots) hash evals).
+    */
+  private def balancedPids(buckets: Int, slots: Int): IndexedSeq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, Murmur3Hash}
+    val out = Array.fill(buckets)(-1)
+    val pending = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.Queue[Int]]
+    (0 until buckets).foreach { i =>
+      pending.getOrElseUpdate(i % slots, scala.collection.mutable.Queue.empty) += i
+    }
+    var v = 0
+    var left = buckets
+    while (left > 0) {
+      val h = Murmur3Hash(Seq(CatLit(v)), 42).eval().asInstanceOf[Int]
+      val s = ((h % slots) + slots) % slots
+      pending.get(s).foreach { q =>
+        if (q.nonEmpty) { out(q.dequeue()) = v; left -= 1 }
+      }
+      v += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Shared scaffold of the exact-global-prefix operators
+    * ([[distributedNtile]], [[distributedCumsum]]). Assigns every row a
+    * deterministic range-bucket id `_pid` — an EXPRESSION over the sort
+    * key (boundaries from a bounded seeded sample, binary-search CASE),
+    * not `spark_partition_id()` after a range shuffle — computes one LONG
+    * total per bucket with `perPartition` (map-side partial agg, a
+    * `buckets`-row shuffle), and returns `df` with `_pid` and each
+    * bucket's exclusive prefix `_offset` (broadcast join), plus the grand
+    * total. Callers finish with a per-`_pid` window and drop the helpers.
     *
-    * localCheckpoint — NOT cache — pins the range-partition assignment
-    * across the totals job and the caller's window job (boundary sampling
-    * would otherwise rerun per job): a cache() entry is plan-matched by
-    * the CacheManager, so Bench's timed pass would silently read the
-    * warmup pass's cache and under-report the operator's real cost.
-    * localCheckpoint is per-invocation and leaves nothing registered.
+    * Because `_pid` is a pure function of the row, nothing has to pin
+    * partition assignment across jobs: the r7 shape's full-frame
+    * localCheckpoint (materialize every row to executor disk just to keep
+    * `repartitionByRange`'s nondeterministic boundary sampling stable
+    * between the totals job and the window job) is gone, and the full
+    * data now crosses exactly ONE exchange — the caller's window shuffle
+    * — instead of a range shuffle plus a checkpoint write/read plus the
+    * window shuffle. What remains driver-side is bounded metadata: a
+    * count, a ~64·buckets-key sample (the same sketch class as Spark's
+    * own RangePartitioner), and `buckets` totals.
+    *
+    * The `_pid` values are [[balancedPids]] labels, so the caller's
+    * window exchange — a Murmur3 hash of `_pid` — places the buckets
+    * round-robin across reducers instead of the ~1/e-empty placement
+    * hashing ids 0..buckets-1 would give. Callers' sort keys are unique
+    * (determinism rule R1), so bucket-boundary ties cannot straddle
+    * buckets; keys are compared ascending nulls-first (Spark's default —
+    * all callers sort that way).
+    *
+    * `materialize` decides what happens between the totals pass and the
+    * caller's window pass: `false` recomputes `df` (right when
+    * `perPartition` reads nothing beyond the sort key — the totals pass
+    * is then a column-pruned scan, e.g. ntile's count); `true`
+    * localCheckpoints the `_pid`-stamped frame so an expensive derived
+    * value column (cumsum's tokenize-the-text `_v`) is evaluated once.
+    * Unlike the r7 shape, the checkpoint is pure compute-reuse — `_pid`
+    * is deterministic, so nothing depends on it for correctness — and it
+    * materializes in place WITHOUT a preceding range shuffle.
     */
   private def withRangeOffsets(df: DataFrame, sortCols: Seq[Column],
-      partitions: Int, perPartition: Column): (DataFrame, Long) = {
-    val parted = df.repartitionByRange(partitions, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    // isNullAt guard: an all-null sum() partition must contribute 0 to the
+      partitions: Int, perPartition: Column,
+      materialize: Boolean): (DataFrame, Long) = {
+    val buckets = partitions
+    val slots = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pids = balancedPids(buckets, math.max(1, slots))
+    val keyNames = sortCols.indices.map(i => s"_k$i")
+    val keyDf = df.select(sortCols.zip(keyNames).map { case (c, n) => c.as(n) }: _*)
+    // Boundary sketch in ONE pruned pass: the `target` smallest keys BY
+    // HASH ORDER (a bottom-k sketch = a uniform sample without knowing
+    // the row count — no separate count job, which on a non-parquet
+    // upstream would be a full scan), planned as TakeOrderedAndProject
+    // (per-partition heap, driver merges `target` rows), then sorted by
+    // the key order in the same job for boundary picking.
+    val target = buckets * 64
+    val sampled = keyDf
+      .withColumn("_h", xxhash64(struct(keyNames.map(col): _*)))
+      .orderBy(col("_h")).limit(target).drop("_h")
+      .orderBy(keyNames.map(asc): _*)
+      .collect()
+    val boundaries =
+      if (sampled.isEmpty) IndexedSeq.empty[Seq[Any]]
+      else (1 until buckets).map { i =>
+        sampled((i.toLong * sampled.length / buckets).toInt
+          .min(sampled.length - 1)).toSeq
+      }
+    val withPid0 = df.withColumn("_pid",
+      bucketOf(sortCols, boundaries.take(pids.length - 1), pids))
+    val withPid = if (materialize) withPid0.localCheckpoint() else withPid0
+    // isNullAt guard: an all-null sum() bucket must contribute 0 to the
     // offsets (matching window-sum semantics), not NPE on getLong
-    val totals = parted.groupBy("_pid").agg(perPartition.as("_t")).collect()
+    val byPid = withPid.groupBy("_pid").agg(perPartition.as("_t")).collect()
       .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
-    val offsets = (0 until partitions).scanLeft(0L) {
-      case (acc, pid) => acc + totals.getOrElse(pid, 0L)
+    val offsets = pids.scanLeft(0L) {
+      case (acc, pid) => acc + byPid.getOrElse(pid, 0L)
     }
-    val offsetDf = parted.sparkSession.createDataFrame(
-      (0 until partitions).map(pid => (pid, offsets(pid))))
+    val offsetDf = df.sparkSession.createDataFrame(
+      pids.indices.map(i => (pids(i), offsets(i))))
       .toDF("_pid", "_offset")
-    (parted.join(broadcast(offsetDf), "_pid"), offsets.last)
+    (withPid.join(broadcast(offsetDf), "_pid"), offsets.last)
   }
 
   /** Exact global ntile without a single-partition window — the scale
@@ -192,7 +303,7 @@ object ScaleOps {
   def distributedNtile(df: DataFrame, sortCols: Seq[Column], n: Int,
                        partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (parted, total) = withRangeOffsets(df, sortCols, partitions, count(lit(1)))
+    val (parted, total) = withRangeOffsets(df, sortCols, partitions, count(lit(1)), materialize = false)
     val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
     val ranked = parted
       .withColumn("_lrank", row_number().over(w))
@@ -221,7 +332,7 @@ object ScaleOps {
                         partitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withV = df.withColumn("_v", valueCol.cast("long"))
-    val (parted, _) = withRangeOffsets(withV, sortCols, partitions, sum("_v"))
+    val (parted, _) = withRangeOffsets(withV, sortCols, partitions, sum("_v"), materialize = true)
     val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted.withColumn("_lcum", sum(col("_v")).over(w))
