@@ -278,6 +278,68 @@ object StreamOps {
       }
   }
 
+  /** The canonical cells projection of an events stream — the same
+    * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
+    * continuous event feed becomes bulk-loadable HBase cells.
+    */
+  def cellsStream(events: DataFrame): DataFrame =
+    events.select(
+      concat(Tables.pad(col("user_id")), lit(":"),
+        Tables.pad(col("event_id"))).as("rowkey"),
+      lit("e").as("cf"),
+      col("event_type").as("qualifier"),
+      col("ts"),
+      col("value"),
+      when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
+
+  /** I14: streaming HFile bulk-load sink — the continuous-ingest shape an
+    * HBase support library actually serves: each micro-batch of cells is
+    * bulk-written as a self-contained set of region files under
+    * `outDir/batch-<id>/`, ready for incremental load.
+    *
+    * Exactly-once by idempotent redo: the batch directory name is a pure
+    * function of the (checkpointed) batchId, and
+    * [[graft.sources.HFileOps.bulkWrite]] both clears stale `*.hfile`
+    * under its target and commits each region via tmp-write + atomic
+    * rename — so a batch replayed after a crash between data write and
+    * offset commit overwrites its own region files byte-for-byte instead
+    * of duplicating cells (StreamingSpec I14 kills a run there on
+    * purpose). Batches already committed to the offset log are never
+    * re-executed; their directories are untouched.
+    *
+    * Region count is sized from the micro-batch (same ~1M-cells/region
+    * rule as the batch path), so a burst micro-batch fans out to more
+    * region files instead of one oversized task. Read the accumulated
+    * load back with `HFileOps.read(spark, s"$outDir/batch-*")` — the
+    * region glob composes across batch directories.
+    *
+    * `onCommit` runs after a batch's region files are durably renamed but
+    * BEFORE Spark commits the epoch — the hand-off point for a real
+    * deployment's "tell HBase to adopt these files" step (and the spec's
+    * crash-injection point); it must be idempotent, exactly like the
+    * write itself.
+    */
+  def hfileBulkLoadSink(cells: DataFrame, outDir: String, checkpointDir: String,
+                        compression: Int = graft.sources.HFileCodec.CompressionNone,
+                        encoding: Int = graft.sources.HFileCodec.EncodingNone,
+                        onCommit: (Long, Seq[String]) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    cells.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          val files = graft.sources.HFileOps.bulkWrite(
+            batch, f"$outDir/batch-$batchId%05d",
+            regions = graft.sources.HFileOps.regionCountFor(n),
+            compression = compression, encoding = encoding)
+          onCommit(batchId, files)
+        }
+        ()
+      }
+
   /** I10: exactly-once parquet sink — foreachBatch + idempotent overwrite
     * by batchId partition; checkpointed so restart resumes, and a replayed
     * batch overwrites rather than duplicates.

@@ -240,6 +240,55 @@ class StreamingSpec extends SparkSuite {
     assert(n1 == Tables.events(spark, sf).count())
   }
 
+  test("I14: streaming HFile bulk-load sink — crash replay converges to the batch roundtrip (both providers)") {
+    import graft.sources.{HFileCodec, HFileOps}
+    // batch reference: the a9 write+read roundtrip on the same data,
+    // FAST_DIFF+GZ like the driver-gated query
+    val batchDir = Files.createTempDirectory("graft_hf_batch").toString
+    val cells = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(cells, batchDir,
+      regions = HFileOps.regionCountFor(cells.count()),
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    val want = HFileOps.read(spark, batchDir).collect().map(_.toString).sorted
+
+    for (provider <- Seq(StreamOps.DefaultProvider, StreamOps.RocksDbProvider)) {
+      StreamOps.withStateStore(spark, provider)
+      val out = Files.createTempDirectory("graft_hf_stream").toString
+      val ckpt = Files.createTempDirectory("graft_hf_ckpt").toString
+      val committed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def sink(crashOn: Option[Long]) = StreamOps.hfileBulkLoadSink(
+        StreamOps.cellsStream(StreamOps.eventsStream(spark, sf)),
+        out, ckpt,
+        compression = HFileCodec.CompressionGz,
+        encoding = HFileCodec.EncodingFastDiff,
+        onCommit = (id, files) => {
+          assert(files.nonEmpty, s"batch $id committed no region files")
+          // crash AFTER the region files are durably renamed but BEFORE
+          // Spark commits the epoch — the exact window where a non-
+          // idempotent sink would duplicate cells on restart
+          if (crashOn.contains(id)) throw new RuntimeException(s"injected crash at batch $id")
+          committed += id
+        })
+      // first run dies mid-stream (batch 1's files are on disk, offset is not)
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = sink(crashOn = Some(1L)).start(); q.awaitTermination()
+      }
+      assert(crashed.getMessage.contains("injected crash")
+        || Option(crashed.getCause).exists(_.getMessage.contains("injected crash")))
+      // restart from the checkpoint: batch 1 replays (overwriting its own
+      // files), the remaining batches follow
+      val q2 = sink(crashOn = None).start(); q2.awaitTermination()
+      assert(committed.distinct.size >= 2,
+        s"provider $provider: replay must be multi-micro-batch, got $committed")
+      assert(committed.contains(1L),
+        s"provider $provider: crashed batch 1 must replay, got $committed")
+      val got = HFileOps.read(spark, s"$out/batch-*").collect().map(_.toString).sorted
+      assert(got.length == want.length && got.sameElements(want),
+        s"provider $provider: streamed bulk-load read-back diverges from batch roundtrip")
+    }
+  }
+
   test("I5: late rows beyond the watermark are dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
