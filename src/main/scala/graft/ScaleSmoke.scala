@@ -115,15 +115,28 @@ object ScaleSmoke {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+    // _V2 marker: r8 planted ~1% near-dup vector pairs; a cached _V1
+    // fixture (uniform vectors — j9_lsh_neardup_pairs was timing an EMPTY
+    // candidate set) must regenerate, not silently keep the old shape
+    val embMarker = new java.io.File(s"$dir/embeddings.parquet/_NEARDUP_V2")
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists() || !embMarker.exists()) {
+      // every 100th vector is a tiny one-dimension perturbation of its
+      // predecessor (cosine ≈ 0.9999 ≫ the 0.95 threshold): ~1% planted
+      // near-dup pairs, so the LSH candidate join, the cosine verify
+      // stage, and the hot-bucket star guard all run non-vacuously at
+      // scale while the other 99% stay uniform (realistic entropy)
+      val srcVec = when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id"))
       spark.range(nVecs).select(
         col("id").as("vec_id"),
         transform(sequence(lit(1), lit(64)),
-          i => ((pmod(xxhash64(col("id"), i), lit(2001)) - 1000) / 1000.0).cast("float"))
+          i => (((pmod(xxhash64(srcVec, i), lit(2001)) - 1000) / 1000.0)
+            + when(col("id") % 100 === 99 && i === 1, 0.05).otherwise(0.0))
+            .cast("float"))
           .as("embedding"),
         (col("id") % 10).cast("int").as("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      embMarker.createNewFile()
     }
 
     // nBits scales with log2(corpus / target-bucket): fixed bucket count
@@ -188,8 +201,18 @@ object ScaleSmoke {
         val emb = Tables.embeddings(spark, dir)
         ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10), nBits = lshBits).count()
       }),
-      "j9_lsh_neardup_pairs" -> (() =>
-        ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir), nBits = lshBits).count()),
+      // find stage alone, then find+verify: the difference is the cosine
+      // verify stage's cost over the (now non-vacuous) candidate set
+      "j9_lsh_neardup_cand" -> (() =>
+        ops.AnnOps.cosineCandidatePairs(Tables.embeddings(spark, dir), nBits = lshBits).count()),
+      "j9_lsh_neardup_pairs" -> (() => {
+        val pairs = ops.AnnOps.cosineNearDupPairs(Tables.embeddings(spark, dir),
+          nBits = lshBits).count()
+        // ~1% of vectors are planted mutations; require the pipeline to
+        // actually find near-dups rather than time an empty set
+        require(pairs > 0, "planted near-dup pairs not found — smoke is vacuous again")
+        pairs
+      }),
       "curate_pipeline_e2e" -> (() =>
         // quality gate -> exact dedup -> near-dup dedup, one composition
         ops.CurateOps.curate(Tables.documents(spark, dir)).count()),

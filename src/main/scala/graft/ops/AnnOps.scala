@@ -150,26 +150,26 @@ object AnnOps {
       .select("pid", "vec_id", "rn", "sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold)
-    * via the same bucketing — the "semantic dedup" stage of a training
-    * pipeline.
+  /** Candidate (a < b) id pairs of the cosine near-dup path — the LSH
+    * "find" stage, exposed separately so the 1000× smoke can time find
+    * vs verify (the cosine re-rank) independently.
+    *
+    * The band self-join and the distinct's Exchange never carry vectors —
+    * only (tbl, key, vec_id); embeddings re-attach by id in
+    * [[cosineNearDupPairs]] after the pair set is small.
+    *
+    * `maxBucket` is the same LSH skew guard DedupOps.candidatePairs
+    * applies: with fixed nBits a growing corpus packs O(n/2^nBits)
+    * vectors per bucket and the self-join goes quadratic (the 1000×
+    * smoke measured 184 s at 200k uniform vectors — every bucket ~195
+    * members). Buckets above the cap contribute an O(B) star to their
+    * min-vec_id representative instead of O(B²) pairs: genuine
+    * mass-duplicate clusters stay connected through the representative
+    * while undiscriminating buckets die cheaply in the cosine filter.
+    * Same residual-recall trade-off as DedupOps (documented there).
     */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
-                         nBits: Int = 10, tables: Int = 4,
-                         maxBucket: Int = 200): DataFrame = {
-    // Dedup the multi-table candidate union on the (a, b) id pair only —
-    // the band self-join and the distinct's Exchange never carry vectors;
-    // embeddings re-attach by id after the pair set is small.
-    //
-    // `maxBucket` is the same LSH skew guard DedupOps.candidatePairs
-    // applies: with fixed nBits a growing corpus packs O(n/2^nBits)
-    // vectors per bucket and the self-join goes quadratic (the 1000×
-    // smoke measured 184 s at 200k uniform vectors — every bucket ~195
-    // members). Buckets above the cap contribute an O(B) star to their
-    // min-vec_id representative instead of O(B²) pairs: genuine
-    // mass-duplicate clusters stay connected through the representative
-    // while undiscriminating buckets die cheaply in the cosine filter.
-    // Same residual-recall trade-off as DedupOps (documented there).
+  def cosineCandidatePairs(emb: DataFrame, nBits: Int = 10, tables: Int = 4,
+                           maxBucket: Int = 200): DataFrame = {
     val b = bucketed(emb, nBits, tables).select(col("tbl"), col("key"), col("vec_id"))
     val sizes = b.groupBy("tbl", "key")
       .agg(count(lit(1)).as("bn"), min("vec_id").as("rep"))
@@ -184,7 +184,18 @@ object AnnOps {
     val hotPairs = b.join(broadcast(hot), Seq("tbl", "key"))
       .where(col("vec_id") =!= col("rep"))
       .select(col("rep").as("a"), col("vec_id").as("b"))
-    val ids = coldPairs.union(hotPairs).distinct()
+    coldPairs.union(hotPairs).distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold)
+    * via the same bucketing — the "semantic dedup" stage of a training
+    * pipeline. Candidates from [[cosineCandidatePairs]], verified by the
+    * native codegen'd cosine.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                         nBits: Int = 10, tables: Int = 4,
+                         maxBucket: Int = 200): DataFrame = {
+    val ids = cosineCandidatePairs(emb, nBits, tables, maxBucket)
     val e = emb.select(col("vec_id"), col("embedding"))
     graft.functions.CosineSim.register(emb.sparkSession)
     ids
