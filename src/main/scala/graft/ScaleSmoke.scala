@@ -197,6 +197,16 @@ object ScaleSmoke {
         ops.AnnOps.ivfTopK(spark, emb, emb.where(col("vec_id") < 10),
           trainFraction = frac).count()
       }),
+      "j9_ivfpq_build_probe" -> (() => {
+        val emb = Tables.embeddings(spark, dir)
+        // codebooks + coarse quantizer both train on the bounded seeded
+        // sample; corpus-side search state is (vec_id, cell, 8 codes) —
+        // the 100 TB memory representation (raw vectors only re-join for
+        // the bounded exact re-rank)
+        val frac = math.min(1.0, 20000.0 / nVecs)
+        ops.AnnOps.ivfPqTopK(spark, emb, emb.where(col("vec_id") < 10),
+          trainFraction = frac).count()
+      }),
       "j9_lsh_ann_topk" -> (() => {
         val emb = Tables.embeddings(spark, dir)
         ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10), nBits = lshBits).count()

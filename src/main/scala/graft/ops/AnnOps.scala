@@ -228,22 +228,26 @@ object AnnOps {
     * partitioned by cell and each probe batch touches nProbe partitions —
     * the classic IVF-flat layout.
     */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-              k: Int = 5, nlist: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
+  /** Coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]]: seeded
+    * KMeans over a bounded seeded sample, full corpus assigned to cells.
+    * Returns (assigned corpus `(vec_id, embedding, cell)`, centroids
+    * `(cell, center)` — nlist rows, broadcastable by construction).
+    *
+    * The quantizer only needs a representative sample — at large corpus
+    * sizes training on everything is the bottleneck (and at 100 TB a
+    * non-starter); the full corpus is still ASSIGNED to cells, so search
+    * quality degrades only as far as centroid placement does. Seeded
+    * sample keeps the whole operator deterministic.
+    */
+  private def coarseAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
+                           seed: Long, trainFraction: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-
     require(trainFraction > 0.0 && trainFraction <= 1.0,
-      s"ivfTopK: trainFraction must be in (0, 1], got $trainFraction")
+      s"ivf: trainFraction must be in (0, 1], got $trainFraction")
     val feats = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    // the quantizer only needs a representative sample — at large corpus
-    // sizes training on everything is the bottleneck (and at 100 TB a
-    // non-starter); the full corpus is still ASSIGNED to cells below, so
-    // search quality degrades only as far as centroid placement does.
-    // Seeded sample keeps the whole operator deterministic.
     val train = if (trainFraction >= 1.0) feats
                 else {
                   // floor guard: an aggressive fraction on a small corpus can
@@ -255,14 +259,19 @@ object AnnOps {
                 }
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
-    val assigned = model.transform(feats).select(col("vec_id"), col("embedding"), col("cell"))
-
-    // centroids: nlist rows, broadcastable by construction
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "center")
+    (assigned, centroids)
+  }
 
-    // each probe → its nProbe nearest cells (L2 to the centroid)
+  /** Each probe → its `nProbe` nearest cells (L2 to the broadcast
+    * centroid), as `(pid, p_emb, cell)`.
+    */
+  private def nearestCells(probes: DataFrame, centroids: DataFrame,
+                           nProbe: Int): DataFrame = {
     val pc = probes.select(col("vec_id").as("pid"), col("embedding").as("p_emb"))
       .crossJoin(broadcast(centroids))
     val dist = pc.select(col("pid"), col("p_emb"), col("cell"),
@@ -270,8 +279,15 @@ object AnnOps {
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
         lit(0.0), (a, x) => a + x).as("d2"))
     val w = Window.partitionBy("pid").orderBy(col("d2"), col("cell"))
-    val probeCells = dist.withColumn("pr", row_number().over(w))
+    dist.withColumn("pr", row_number().over(w))
       .where(col("pr") <= nProbe).select("pid", "p_emb", "cell")
+  }
+
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+              k: Int = 5, nlist: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
+    val (assigned, centroids) = coarseAssign(spark, corpus, nlist, seed, trainFraction)
+    val probeCells = nearestCells(probes, centroids, nProbe)
 
     // candidates from the probed cells only, exact cosine re-rank
     // (native graft_cosine — the re-rank touches nProbe/nlist of the
@@ -284,6 +300,111 @@ object AnnOps {
         col("p_emb"), col("embedding")).as("sim"))
     val wr = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(wr)).where(col("rn") <= k)
+      .select("pid", "vec_id", "rn", "sim")
+  }
+
+  // ----------------------------------------------------------- IVF-PQ
+
+  /** Train product-quantization codebooks: per subspace `s` of `m`, a
+    * seeded KMeans with `ksub` centroids over the subvectors of a bounded
+    * seeded sample. Returns the flat subspace-major codebook
+    * (`m × ksub × dsub` floats) — driver-side data the size of a few
+    * hundred KB at production settings (8 × 256 × 8 floats = 64 KB),
+    * independent of corpus size.
+    */
+  def pqTrain(spark: SparkSession, corpus: DataFrame, dim: Int, m: Int,
+              ksub: Int, seed: Long = 42L,
+              trainFraction: Double = 1.0): Array[Float] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"pqTrain: trainFraction must be in (0, 1], got $trainFraction")
+    val dsub = dim / m
+    val base = corpus.select(col("embedding"))
+    val train0 = if (trainFraction >= 1.0) base
+                 else {
+                   val sampled = base.sample(withReplacement = false, trainFraction, seed)
+                   if (sampled.count() < ksub) base else sampled
+                 }
+    // one bounded materialization feeds all m per-subspace fits
+    val train = train0.localCheckpoint()
+    val cb = new Array[Float](m * ksub * dsub)
+    (0 until m).foreach { s =>
+      val sub = train.select(array_to_vector(
+        slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
+      val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("code").fit(sub)
+      model.clusterCenters.zipWithIndex.foreach { case (c, kIdx) =>
+        val arr = c.toArray
+        var j = 0
+        while (j < dsub) {
+          cb((s * ksub + kIdx) * dsub + j) = arr(j).toFloat
+          j += 1
+        }
+      }
+    }
+    train.unpersist()
+    cb
+  }
+
+  /** IVF-PQ ANN top-k: the [[ivfTopK]] coarse quantizer plus a
+    * product-quantized corpus representation — the memory story at
+    * 100 TB, where raw float arrays don't fit: after encoding, the
+    * searchable corpus is `(vec_id, cell, m` small ints`)` (32× smaller
+    * than 64 raw floats at the default 8×256 setting), raw vectors never
+    * shuffle, and only the `rerank` approx-best candidates per probe are
+    * re-joined BY ID to raw embeddings for the exact final ranking.
+    *
+    * Stages: (1) coarse assign + per-probe nProbe cells, as IVF; (2)
+    * candidates ranked by `graft_cosine(p_emb, graft_pq_decode(codes))`
+    * — codes-only, the [[graft.functions.PqDecode]] reconstruction;
+    * (3) top-`rerank` per probe re-ranked exactly. Codebooks from
+    * [[pqTrain]] (bounded seeded sample, deterministic), captured in the
+    * codec expressions ProbeShingleHits-style.
+    */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+                k: Int = 10, nlist: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+                trainFraction: Double = 1.0, rerank: Int = 0): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val nRerank = if (rerank > 0) rerank else math.max(50, 5 * k)
+
+    val (assigned, centroids) = coarseAssign(spark, corpus, nlist, seed, trainFraction)
+    val probeCells = nearestCells(probes, centroids, nProbe)
+    val cb = pqTrain(spark, corpus, dim, m, ksub, seed, trainFraction)
+    graft.functions.PqEncode.register(spark, m, ksub, dsub, cb)
+    graft.functions.PqDecode.register(spark, m, ksub, dsub, cb)
+    graft.functions.CosineSim.register(spark)
+
+    // the searchable representation: codes, not vectors
+    val coded = assigned.select(col("vec_id"), col("cell"),
+      call_function(graft.functions.PqEncode.name, col("embedding")).as("codes"))
+
+    // approximate ranking from codes alone (asymmetric: exact probe vs
+    // reconstructed candidate)
+    val cands = probeCells.join(coded, "cell")
+      .where(col("vec_id") =!= col("pid"))
+    val approx = cands.select(col("pid"), col("p_emb"), col("vec_id"),
+      call_function(graft.functions.CosineSim.name, col("p_emb"),
+        call_function(graft.functions.PqDecode.name, col("codes"))).as("asim"))
+    val wa = Window.partitionBy("pid").orderBy(col("asim").desc, col("vec_id"))
+    val shortlist = approx.withColumn("ar", row_number().over(wa))
+      .where(col("ar") <= nRerank)
+      .select("pid", "p_emb", "vec_id")
+
+    // exact re-rank of the bounded shortlist: the only place raw corpus
+    // vectors are touched, re-attached by id (candidate side is small —
+    // AQE broadcasts it)
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("pid"), col("vec_id"),
+        call_function(graft.functions.CosineSim.name,
+          col("p_emb"), col("embedding")).as("sim"))
+    val wr = Window.partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
+    exact.withColumn("rn", row_number().over(wr)).where(col("rn") <= k)
       .select("pid", "vec_id", "rn", "sim")
   }
 }

@@ -185,6 +185,59 @@ class AnnSpec extends SparkSuite {
       .sameElements(again.collect().map(_.toString).sorted))
   }
 
+  test("IVF-PQ: codes-only ranking + bounded exact re-rank keeps recall@10") {
+    val probes = emb.where(col("vec_id") < 10)
+    // exact top-10 reference (j8's machinery is pinned to k=5)
+    graft.functions.CosineSim.register(spark)
+    val corpus = emb.select("vec_id", "embedding")
+    val sims = broadcast(probes.select(col("vec_id").as("pid"),
+        col("embedding").as("p_emb"))).crossJoin(corpus)
+      .where(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        call_function(graft.functions.CosineSim.name,
+          col("p_emb"), col("embedding")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("sim").desc, col("vec_id"))
+    val exact = sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10).select("pid", "vec_id")
+
+    // fixture is 500 uniform 64-d vectors: ksub=32 per 8-d subspace is a
+    // production-shaped ratio (256 codewords would be half the corpus)
+    val pq = AnnOps.ivfPqTopK(spark, emb, probes, k = 10, nlist = 16,
+      nProbe = 8, m = 8, ksub = 32, trainFraction = 0.5)
+    val recall = AnnOps.recallAtK(pq.select("pid", "vec_id"), exact)
+    assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall")
+    assert(pq.groupBy("pid").count().where(col("count") > 10).count() == 0)
+    // deterministic end to end: seeded coarse quantizer, seeded per-
+    // subspace codebooks, tie-broken rankings
+    val again = AnnOps.ivfPqTopK(spark, emb, probes, k = 10, nlist = 16,
+      nProbe = 8, m = 8, ksub = 32, trainFraction = 0.5)
+    assert(pq.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+
+  test("PQ codec: decode(encode(v)) reconstructs within quantization error, codes bounded") {
+    val dim = 64; val m = 8; val ksub = 32; val dsub = dim / m
+    val cb = AnnOps.pqTrain(spark, emb, dim, m, ksub)
+    assert(cb.length == m * ksub * dsub)
+    graft.functions.PqEncode.register(spark, m, ksub, dsub, cb)
+    graft.functions.PqDecode.register(spark, m, ksub, dsub, cb)
+    val roundtrip = emb.select(col("embedding"),
+      call_function(graft.functions.PqEncode.name, col("embedding")).as("codes"))
+      .select(col("embedding"), col("codes"),
+        call_function(graft.functions.PqDecode.name, col("codes")).as("rec"))
+    // every code within [0, ksub)
+    assert(roundtrip.select(explode(col("codes")).as("c"))
+      .where(col("c") < 0 || col("c") >= ksub).count() == 0)
+    // reconstruction correlates with the original (cosine well above
+    // random ~0 for uniform vectors) — the property ADC ranking relies on
+    graft.functions.CosineSim.register(spark)
+    val meanCos = roundtrip.select(avg(call_function(
+      graft.functions.CosineSim.name, col("embedding"), col("rec"))).as("c"))
+      .head().getDouble(0)
+    assert(meanCos > 0.5, s"PQ reconstruction too lossy: mean cosine $meanCos")
+  }
+
   test("hyperplane bucketing is deterministic") {
     val b1 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
     val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
