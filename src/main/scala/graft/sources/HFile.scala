@@ -20,7 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   *   - 33-byte block header (`magic:8 | onDiskSizeWithoutHeader:4 |
   *     uncompressedSizeWithoutHeader:4 | prevBlockOffset:8 | checksumType:1 |
   *     bytesPerChecksum:4 | onDiskDataSizeWithHeader:4`), block magics
-  *     (`DATABLK*`, `IDXROOT2`, `FILEINF2`, `TRABLK"$`), checksumType NULL.
+  *     (`DATABLK*`, `IDXROOT2`, `FILEINF2`, `TRABLK"$`).
+  *   - Per-block CRC32C checksum chunks (HBase's default checksumType,
+  *     `java.util.zip.CRC32C`): a 4-byte sum per `bytesPerChecksum` bytes
+  *     of header+payload, appended after the payload, verified on every
+  *     read path; NULL also writable/readable (header self-describes).
   *   - Root index entries (`offset:8 | onDiskSize:4 | firstKey` with the
   *     Hadoop-vint length prefix), and the trailing 4-byte version word
   *     (major=3, minor=0, minor in the high byte).
@@ -166,6 +170,23 @@ object HFileCodec {
     */
   val CompressionGz = 1
   val CompressionNone = 2
+
+  /** Checksum type codes [public: o.a.h.hbase.util.ChecksumType —
+    * NULL=0, CRC32=1, CRC32C=2]. CRC32C is HBase's default and the JDK
+    * ships it (`java.util.zip.CRC32C`), so it is also OUR write default;
+    * NULL remains writable (and readable — the header self-describes, so
+    * files from either setting read interchangeably). Layout per block:
+    * `header | payload | 4-byte BE sum per bytesPerChecksum chunk of
+    * header+payload` — the header participates in the checksum, exactly
+    * as HBase's ChecksumUtil computes it, so header corruption (not just
+    * payload corruption) is caught. `onDiskSizeWithoutHeader` INCLUDES
+    * the checksum bytes; `onDiskDataSizeWithHeader` excludes them — the
+    * two fields that let every reader find both regions without a file
+    * info lookup.
+    */
+  val ChecksumNull = 0
+  val ChecksumCrc32c = 2
+  val BytesPerChecksum = 16384
 
   /** Data-block-encoding ids [public: o.a.h.hbase.io.encoding
     * .DataBlockEncoding — NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4]. An
@@ -497,39 +518,110 @@ object HFileCodec {
       fastDiffIterator(payload, 2)
     }
 
+  /** CRC32C sums over the logical concatenation of `parts` (each a
+    * (buffer, offset, length) segment), one 4-byte BE word per `bpc`-byte
+    * chunk — segment form so the writer (header and payload in separate
+    * buffers) and the streaming reader share one implementation with the
+    * contiguous-buffer verify path, no copies anywhere.
+    */
+  private[sources] def checksumChunks(bpc: Int,
+      parts: (Array[Byte], Int, Int)*): Array[Byte] = {
+    val total = parts.iterator.map(_._3.toLong).sum
+    val n = ((total + bpc - 1) / bpc).toInt
+    val out = ByteBuffer.allocate(4 * n)
+    val crc = new java.util.zip.CRC32C
+    var i = 0
+    while (i < n) {
+      val lo = i.toLong * bpc
+      val hi = math.min(total, lo + bpc)
+      crc.reset()
+      var segStart = 0L
+      parts.foreach { case (b, off, len) =>
+        val s = math.max(lo, segStart)
+        val e = math.min(hi, segStart + len)
+        if (e > s) crc.update(b, off + (s - segStart).toInt, (e - s).toInt)
+        segStart += len
+      }
+      out.putInt(crc.getValue.toInt)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Verify a contiguous block's checksum chunks against its header's
+    * declared type; damaged data throws, NULL-checksum blocks return
+    * immediately. Shared by [[blockPayload]] (every random-access read).
+    */
+  private[sources] def verifyChecksums(block: Array[Byte], hdrOff: Int): Unit = {
+    val ctype = block(hdrOff + 24)
+    if (ctype == ChecksumNull) return
+    require(ctype == ChecksumCrc32c,
+      s"unsupported checksum type $ctype (NULL=0, CRC32C=2)")
+    val bpc = ByteBuffer.wrap(block, hdrOff + 25, 4).getInt
+    require(bpc > 0, s"bad bytesPerChecksum $bpc")
+    val dataWithHeader = ByteBuffer.wrap(block, hdrOff + 29, 4).getInt
+    require(dataWithHeader >= HeaderSize &&
+      dataWithHeader <= MaxBlockBytes + HeaderSize,
+      s"implausible onDiskDataSizeWithHeader $dataWithHeader")
+    val nChunks = ((dataWithHeader.toLong + bpc - 1) / bpc).toInt
+    require(hdrOff.toLong + dataWithHeader + 4L * nChunks <= block.length,
+      s"checksum chunks run past the buffer at $hdrOff")
+    val expect = checksumChunks(bpc, (block, hdrOff, dataWithHeader))
+    var i = 0
+    while (i < nChunks) {
+      val stored = ByteBuffer.wrap(block, hdrOff + dataWithHeader + 4 * i, 4).getInt
+      val computed = ByteBuffer.wrap(expect, 4 * i, 4).getInt
+      require(stored == computed,
+        f"CRC32C mismatch in chunk $i of block at $hdrOff: " +
+          f"stored 0x$stored%08x, computed 0x$computed%08x")
+      i += 1
+    }
+  }
+
   private def blockHeader(magic: Array[Byte], onDiskLen: Int,
-                          uncompressedLen: Int): Array[Byte] = {
+                          uncompressedLen: Int, checksumType: Int,
+                          dataWithHeader: Int): Array[Byte] = {
     val buf = ByteBuffer.allocate(HeaderSize)
     buf.put(magic)
-      .putInt(onDiskLen)                      // onDiskSizeWithoutHeader
+      .putInt(onDiskLen)                      // onDiskSizeWithoutHeader (incl. checksums)
       .putInt(uncompressedLen)                // uncompressedSizeWithoutHeader
       .putLong(-1L)                           // prevBlockOffset (unused by our reader)
-      .put(0: Byte)                           // checksumType NULL
-      .putInt(16384)                          // bytesPerChecksum
-      .putInt(HeaderSize + onDiskLen)         // onDiskDataSizeWithHeader
+      .put(checksumType.toByte)
+      .putInt(BytesPerChecksum)
+      .putInt(dataWithHeader)                 // onDiskDataSizeWithHeader (excl. checksums)
     buf.array()
   }
 
   /** The UNCOMPRESSED payload of the block whose header starts at
     * `hdrOff` — the one read-side seam every block consumer goes through.
-    * Compression is detected from the header itself (sizes differ ⟺
-    * payload is gzip — the writer's equal-size fallback makes this exact),
-    * so index / bloom / data readers need no codec parameter. Both
-    * declared lengths are bounds-checked BEFORE any allocation; damaged
-    * input may only throw, never over-allocate.
+    * Checksums are verified first (per the header's own declared type, so
+    * NULL-checksum files from either writer setting read fine), then
+    * compression is detected from the header itself (DATA length differs
+    * from uncompressed length ⟺ payload is gzip — the writer's equal-size
+    * fallback makes this exact; the data length is
+    * `onDiskDataSizeWithHeader - HeaderSize`, NOT `onDiskSizeWithoutHeader`,
+    * which includes the trailing checksum bytes), so index / bloom / data
+    * readers need no codec parameter. Every declared length is
+    * bounds-checked BEFORE any allocation; damaged input may only throw,
+    * never over-allocate.
     */
   private[sources] def blockPayload(block: Array[Byte], hdrOff: Int): Array[Byte] = {
     val onDiskLen = ByteBuffer.wrap(block, hdrOff + 8, 4).getInt
     val uncompressedLen = ByteBuffer.wrap(block, hdrOff + 12, 4).getInt
+    val dataWithHeader = ByteBuffer.wrap(block, hdrOff + 29, 4).getInt
     require(onDiskLen >= 0 && onDiskLen <= MaxBlockBytes &&
       uncompressedLen >= 0 && uncompressedLen <= MaxBlockBytes,
       s"implausible block lengths onDisk=$onDiskLen uncompressed=$uncompressedLen at $hdrOff")
+    val dataLen = dataWithHeader - HeaderSize
+    require(dataLen >= 0 && dataLen <= onDiskLen,
+      s"implausible onDiskDataSizeWithHeader $dataWithHeader at $hdrOff")
     require(hdrOff.toLong + HeaderSize + onDiskLen <= block.length,
       s"block payload $onDiskLen B at $hdrOff runs past the buffer")
-    if (onDiskLen == uncompressedLen)
+    verifyChecksums(block, hdrOff)
+    if (dataLen == uncompressedLen)
       java.util.Arrays.copyOfRange(block, hdrOff + HeaderSize,
-        hdrOff + HeaderSize + onDiskLen)
-    else gunzip(block, hdrOff + HeaderSize, onDiskLen, uncompressedLen)
+        hdrOff + HeaderSize + dataLen)
+    else gunzip(block, hdrOff + HeaderSize, dataLen, uncompressedLen)
   }
 
   /** Index entry serialization, shared by the root and intermediate
@@ -632,13 +724,21 @@ object HFileCodec {
 
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
             blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
-            compression: Int, encoding: Int): Long = {
+            compression: Int, encoding: Int): Long =
+    write(cells, sink, blockSize, indexChunkEntries, bloomChunkKeys,
+      compression, encoding, ChecksumCrc32c)
+
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
+            compression: Int, encoding: Int, checksumType: Int): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
     require(compression == CompressionNone || compression == CompressionGz,
       s"unsupported compression codec $compression (NONE=2, GZ=1)")
     require(encoding == EncodingNone || encoding == EncodingFastDiff,
       s"unsupported data block encoding $encoding (NONE=0, FAST_DIFF=4)")
+    require(checksumType == ChecksumNull || checksumType == ChecksumCrc32c,
+      s"unsupported checksum type $checksumType (NULL=0, CRC32C=2)")
     // read/write symmetry: the readers reject payloads above MaxBlockBytes,
     // so the writer must never produce one (a block holds ~blockSize bytes
     // plus the one cell that overflowed it — bound both)
@@ -649,7 +749,8 @@ object HFileCodec {
     // Every block goes through here: compress per the codec (falling back
     // to raw storage in the theoretical deflated-length == raw-length case
     // so the readers' sizes-differ ⟺ inflate rule stays exact), write
-    // header + payload, return (offset, onDiskSizeWithHeader) for index
+    // header + payload + per-chunk CRC32C sums over header+payload, return
+    // (offset, full on-disk size with header AND checksums) for index
     // entries.
     def emitBlock(magic: Array[Byte], payload: Array[Byte]): (Long, Int) = {
       val offset = written
@@ -660,9 +761,21 @@ object HFileCodec {
         } else payload
       require(onDisk.length <= MaxBlockBytes,
         s"block ${onDisk.length} B exceeds MaxBlockBytes")
-      emit(blockHeader(magic, onDisk.length, payload.length))
+      val dataWithHeader = HeaderSize + onDisk.length
+      // header participates in the checksum, so it is built first: its
+      // length fields depend only on the sums' LENGTH (nChunks), never
+      // their content, so there is no circularity
+      val nChunks =
+        if (checksumType == ChecksumNull) 0
+        else (dataWithHeader + BytesPerChecksum - 1) / BytesPerChecksum
+      val hdr = blockHeader(magic, onDisk.length + 4 * nChunks,
+        payload.length, checksumType, dataWithHeader)
+      emit(hdr)
       emit(onDisk)
-      (offset, HeaderSize + onDisk.length)
+      if (nChunks > 0)
+        emit(checksumChunks(BytesPerChecksum,
+          (hdr, 0, HeaderSize), (onDisk, 0, onDisk.length)))
+      (offset, HeaderSize + onDisk.length + 4 * nChunks)
     }
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // offset, onDiskSize, firstKey
     val block = new ByteArrayOutputStream(blockSize + 1024)
@@ -824,10 +937,17 @@ object HFileCodec {
 
   /** In-memory convenience form with an explicit codec and encoding. */
   def write(cells: Iterator[HCell], blockSize: Int,
-            compression: Int, encoding: Int): Array[Byte] = {
+            compression: Int, encoding: Int): Array[Byte] =
+    write(cells, blockSize, compression, encoding, ChecksumCrc32c)
+
+  /** In-memory convenience form with explicit codec, encoding and
+    * checksum type.
+    */
+  def write(cells: Iterator[HCell], blockSize: Int, compression: Int,
+            encoding: Int, checksumType: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 20)
     write(cells, out, blockSize, DefaultIndexChunkEntries,
-      DefaultBloomChunkKeys, compression, encoding)
+      DefaultBloomChunkKeys, compression, encoding, checksumType)
     out.toByteArray
   }
 
@@ -918,19 +1038,40 @@ object HFileCodec {
         val hdr = readFully(HeaderSize)
         val onDiskLen = ByteBuffer.wrap(hdr, 8, 4).getInt
         val uncompressedLen = ByteBuffer.wrap(hdr, 12, 4).getInt
+        val dataWithHeader = ByteBuffer.wrap(hdr, 29, 4).getInt
         require(onDiskLen >= 0 && onDiskLen <= MaxBlockBytes &&
           uncompressedLen >= 0 && uncompressedLen <= MaxBlockBytes,
           s"implausible block lengths onDisk=$onDiskLen uncompressed=$uncompressedLen")
+        val dataLen = dataWithHeader - HeaderSize
+        require(dataLen >= 0 && dataLen <= onDiskLen,
+          s"implausible onDiskDataSizeWithHeader $dataWithHeader")
         val magic8 = java.util.Arrays.copyOfRange(hdr, 0, 8)
         val isData = java.util.Arrays.equals(magic8, DataMagic)
         val isEncoded = java.util.Arrays.equals(magic8, EncodedDataMagic)
         if (isData || isEncoded) {
-          val onDisk = readFully(onDiskLen)
-          // sizes differ ⟺ gzip payload (see blockPayload) — still
-          // O(blockSize) heap: one raw + one inflated block at a time
+          // onDiskLen includes the trailing checksum bytes — one read
+          // grabs data + sums, still O(blockSize) heap
+          val body = readFully(onDiskLen)
+          val ctype = hdr(24)
+          if (ctype != ChecksumNull) {
+            require(ctype == ChecksumCrc32c,
+              s"unsupported checksum type $ctype (NULL=0, CRC32C=2)")
+            val bpc = ByteBuffer.wrap(hdr, 25, 4).getInt
+            require(bpc > 0, s"bad bytesPerChecksum $bpc")
+            val expect = checksumChunks(bpc,
+              (hdr, 0, HeaderSize), (body, 0, dataLen))
+            require(expect.length == onDiskLen - dataLen &&
+              java.util.Arrays.equals(expect,
+                java.util.Arrays.copyOfRange(body, dataLen, onDiskLen)),
+              "CRC32C mismatch in streamed data block")
+          }
+          // data length differs from uncompressed ⟺ gzip payload (see
+          // blockPayload) — one raw + one inflated block at a time
           val payload =
-            if (onDiskLen == uncompressedLen) onDisk
-            else gunzip(onDisk, 0, onDiskLen, uncompressedLen)
+            if (dataLen == uncompressedLen) {
+              if (dataLen == onDiskLen) body
+              else java.util.Arrays.copyOfRange(body, 0, dataLen)
+            } else gunzip(body, 0, dataLen, uncompressedLen)
           blockIter = dataBlockCells(payload, isEncoded)
         } else done = true // file-info block: past the data section
       }

@@ -203,6 +203,94 @@ class HFileSpec extends SparkSuite {
       HFileCodec.readTrailer(plain).totalUncompressed)
   }
 
+  test("CRC32C: default write emits HBase-shaped checksum fields and sums") {
+    val cells = (0 until 3000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val bytes = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    // first data block header: type=CRC32C, stock bytesPerChecksum, and
+    // onDiskSizeWithoutHeader == data + 4·ceil((header+data)/bpc)
+    assert(bytes(24) == HFileCodec.ChecksumCrc32c.toByte)
+    val bpc = java.nio.ByteBuffer.wrap(bytes, 25, 4).getInt
+    assert(bpc == HFileCodec.BytesPerChecksum)
+    val onDisk = java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt
+    val dataWithHeader = java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt
+    val dataLen = dataWithHeader - HFileCodec.HeaderSize
+    val nChunks = (dataWithHeader + bpc - 1) / bpc
+    assert(nChunks >= 1 && onDisk == dataLen + 4 * nChunks,
+      s"onDiskSizeWithoutHeader $onDisk != data $dataLen + sums ${4 * nChunks}")
+    // every read path verifies the sums and still round-trips
+    assert(HFileCodec.read(bytes).size == cells.size)
+    assert(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(bytes)).size == cells.size)
+    assert(HFileCodec.mayContainRow(bytes, "r000042".getBytes(UTF_8)))
+  }
+
+  test("CRC32C: catches corruption that would otherwise read back silently wrong") {
+    val cells = (0 until 2000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    // NONE/NONE so a flipped VALUE byte decodes structurally fine — the
+    // exact corruption class only a checksum can catch. Target the first
+    // cell's value region precisely: payload starts at HeaderSize with
+    // `keyLen:4 | valLen:4 | key | value`, so the value's 3rd mantissa
+    // byte sits at HeaderSize + 8 + keyLen + 3
+    def flipValueByte(file: Array[Byte]): Array[Byte] = {
+      val keyLen = java.nio.ByteBuffer.wrap(file, HFileCodec.HeaderSize, 4).getInt
+      val off = HFileCodec.HeaderSize + 8 + keyLen + 3
+      val b = file.clone()
+      b(off) = (b(off) ^ 0x40).toByte
+      b
+    }
+    val nul = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingNone, HFileCodec.ChecksumNull)
+    val crc = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingNone, HFileCodec.ChecksumCrc32c)
+    // without checksums the damage is SILENT (reads fine, wrong value)...
+    val silent = HFileCodec.read(flipValueByte(nul)).toSeq
+    assert(silent.size == cells.size)
+    // ...with CRC32C every read path throws instead
+    val bad = flipValueByte(crc)
+    def msgOf(t: => Any): String =
+      intercept[IllegalArgumentException](t).getMessage
+    assert(msgOf(HFileCodec.read(bad).foreach(_ => ())).contains("CRC32C"))
+    assert(msgOf(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(bad)).foreach(_ => ())).contains("CRC32C"))
+    // header corruption is caught too (prevBlockOffset: no other check
+    // reads it, so only the header-covering checksum can notice)
+    val badHdr = crc.clone(); badHdr(16) = (badHdr(16) ^ 0x01).toByte
+    assert(msgOf(HFileCodec.read(badHdr).foreach(_ => ())).contains("CRC32C"))
+  }
+
+  test("CRC32C: composes with GZ + FAST_DIFF on all read paths") {
+    val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val bytes = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionGz, HFileCodec.EncodingFastDiff,
+      HFileCodec.ChecksumCrc32c)
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), c.ts, java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(bytes).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(bytes)).toSeq) == canon(cells))
+    // checksum damage in a compressed block throws the CRC error, not a
+    // gunzip one — verification runs before inflate
+    val bad = bytes.clone()
+    val dwh = java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt
+    bad(dwh / 2) = (bad(dwh / 2) ^ 0x40).toByte
+    val msg = intercept[IllegalArgumentException](
+      HFileCodec.read(bad).foreach(_ => ())).getMessage
+    assert(msg.contains("CRC32C"), s"expected CRC error, got: $msg")
+  }
+
+  test("ChecksumNull: legacy layout retained — no sum bytes, reads interchangeably") {
+    val cells = (0 until 1000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val nul = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingNone, HFileCodec.ChecksumNull)
+    assert(nul(24) == HFileCodec.ChecksumNull.toByte)
+    val onDisk = java.nio.ByteBuffer.wrap(nul, 8, 4).getInt
+    val dataWithHeader = java.nio.ByteBuffer.wrap(nul, 29, 4).getInt
+    assert(onDisk == dataWithHeader - HFileCodec.HeaderSize) // no sum bytes
+    assert(HFileCodec.read(nul).size == cells.size)
+    assert(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(nul)).size == cells.size)
+  }
+
   test("GZ: bloom membership works against compressed bloom chunks") {
     val cells = (0 until 20000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
     val gz = HFileCodec.write(cells.iterator, 8 * 1024, HFileCodec.CompressionGz)

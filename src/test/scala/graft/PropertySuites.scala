@@ -318,18 +318,21 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
     value <- Gen.chooseNum(0, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString.getBytes(UTF_8))
   } yield HCell(row, "f".getBytes(UTF_8), qual, ts, HFileCodec.TypePut, value)
 
-  // all codec × encoding combinations: every mutation/truncation property
-  // below must hold over GZ and FAST_DIFF files too (r6/r7 punch lists —
-  // corrupting a compressed payload must throw out of gunzip, a corrupted
-  // delta entry out of fastDiffIterator; never hang or over-allocate)
+  // all codec × encoding × checksum combinations: every mutation/
+  // truncation property below must hold over GZ, FAST_DIFF, and CRC32C
+  // files too (r6/r7/r8 punch lists — corrupting a compressed payload
+  // must throw out of gunzip, a corrupted delta entry out of
+  // fastDiffIterator, a corrupted checksummed block out of the CRC
+  // verify; never hang or over-allocate)
   private val fileGen: Gen[Array[Byte]] =
     Gen.zip(Gen.chooseNum(1, 60).flatMap(Gen.listOfN(_, cellGen)),
         Gen.oneOf(64, 256, 4096),
         Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz),
-        Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingFastDiff))
-      .map { case (cells, bs, codec, enc) =>
+        Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingFastDiff),
+        Gen.oneOf(HFileCodec.ChecksumNull, HFileCodec.ChecksumCrc32c))
+      .map { case (cells, bs, codec, enc, sum) =>
         HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator,
-          bs, codec, enc)
+          bs, codec, enc, sum)
       }
 
   private val rawGen: Gen[Array[Byte]] =
