@@ -193,13 +193,14 @@ object HFileCodec {
     * encoded data block carries the `DATABLKE` magic and leads its
     * (pre-compression) payload with the 2-byte big-endian id, exactly as
     * HBase serializes it — so every read path detects the encoding per
-    * block from bytes it already has, composing freely with the
-    * sizes-differ ⟺ GZ rule one layer down. Deviation: real HBase also
-    * records DATA_BLOCK_ENCODING in the FileInfo map; our minimal
-    * file-info block does not (readers never need it — the block
-    * self-describes).
+    * block from bytes it already has (PREFIX and FAST_DIFF both
+    * supported), composing freely with the sizes-differ ⟺ GZ rule one
+    * layer down. Deviation: real HBase also records DATA_BLOCK_ENCODING
+    * in the FileInfo map; our minimal file-info block does not (readers
+    * never need it — the block self-describes).
     */
   val EncodingNone = 0
+  val EncodingPrefix = 2
   val EncodingFastDiff = 4
 
   /** Gzip-deflate `b` (java.util.zip, the same stream format HBase's
@@ -376,11 +377,124 @@ object HFileCodec {
     v
   }
 
+  // ------------------------------------------------------- PREFIX encoding
+  // Per-entry wire layout [public: o.a.h.hbase.io.encoding
+  // .PrefixKeyDeltaEncoder]:
+  //   keyLenLeft varint | valLen varint | commonPrefix varint
+  //     | key suffix (keyLenLeft bytes) | value
+  // where the varints are ByteBufferUtils.putCompressedInt's LEB128
+  // (7-bit groups, 0x80 continuation — NOT the Hadoop vint the block
+  // index uses), commonPrefix is the byte-wise common prefix of the FULL
+  // flat key (`rowLen:2 | row | famLen:1 | family | qualifier | ts:8 |
+  // type:1` — unlike FAST_DIFF, the ts/type tail participates), and
+  // keyLenLeft = keyLen - commonPrefix. First entry: commonPrefix 0,
+  // full key. Values are always stored whole. Encoder state resets at
+  // every block boundary — each block decodes standalone.
+
+  /** LEB128 varint [public: o.a.h.hbase.util.ByteBufferUtils
+    * .putCompressedInt] — 7-bit groups, low first, 0x80 continuation.
+    */
+  def putCompressedInt(out: ByteArrayOutputStream, value: Int): Unit = {
+    var v = value
+    while ({
+      val b = v & 0x7f
+      v >>>= 7
+      out.write(if (v != 0) b | 0x80 else b)
+      v != 0
+    }) ()
+  }
+
+  def readCompressedInt(b: Array[Byte], off: Int): (Int, Int) = {
+    var v = 0; var shift = 0; var p = off
+    while ({
+      require(p < b.length && shift < 32, s"bad compressed int at $off")
+      val byte = b(p); p += 1
+      v |= (byte & 0x7f) << shift; shift += 7
+      (byte & 0x80) != 0
+    }) ()
+    (v, p)
+  }
+
+  /** Incremental PREFIX block encoder — one instance per data block,
+    * same standalone-block contract as [[FastDiffEncoder]].
+    */
+  private final class PrefixEncoder(out: ByteArrayOutputStream) extends BlockEncoder {
+    private var prevKey: Array[Byte] = _
+
+    def append(c: HCell): Unit = {
+      val key = c.keyBytes
+      var common = 0
+      if (prevKey != null) {
+        val lim = math.min(key.length, prevKey.length)
+        while (common < lim && key(common) == prevKey(common)) common += 1
+      }
+      putCompressedInt(out, key.length - common)
+      putCompressedInt(out, c.value.length)
+      putCompressedInt(out, common)
+      out.write(key, common, key.length - common)
+      out.write(c.value, 0, c.value.length)
+      prevKey = key
+    }
+  }
+
+  /** Decode one PREFIX block payload (entries start at `start`, after the
+    * 2-byte encoding id) — same hostile-input regime as
+    * [[fastDiffIterator]]: every declared length validated before any
+    * allocation; each entry consumes ≥ 3 bytes, so the loop always
+    * advances.
+    */
+  private[sources] def prefixIterator(payload: Array[Byte],
+                                      start: Int): Iterator[HCell] =
+    new Iterator[HCell] {
+      private var p = start
+      private var key: Array[Byte] = _
+
+      def hasNext: Boolean = p < payload.length
+
+      def next(): HCell = {
+        val (keyLenLeft, p1) = readCompressedInt(payload, p)
+        val (valLen, p2) = readCompressedInt(payload, p1)
+        val (common, p3) = readCompressedInt(payload, p2)
+        p = p3
+        val keyLen = common + keyLenLeft
+        require(keyLenLeft >= 0 && valLen >= 0 && common >= 0 &&
+          keyLen >= 12 &&
+          (common == 0 || (key != null && common <= key.length)),
+          s"bad PREFIX lengths keyLenLeft=$keyLenLeft valLen=$valLen " +
+            s"common=$common at $p")
+        require(keyLenLeft.toLong + valLen <= payload.length - p,
+          s"PREFIX entry runs past the block at $p")
+        val nk = new Array[Byte](keyLen)
+        if (common > 0) System.arraycopy(key, 0, nk, 0, common)
+        System.arraycopy(payload, p, nk, common, keyLenLeft)
+        p += keyLenLeft
+        val value = java.util.Arrays.copyOfRange(payload, p, p + valLen)
+        p += valLen
+        key = nk
+        // flat key: rowLen:2 | row | famLen:1 | family | qualifier | ts:8 | type:1
+        val rowLen = ((nk(0) & 0xff) << 8) | (nk(1) & 0xff)
+        require(2 + rowLen + 1 <= keyLen - 9, s"row length $rowLen exceeds key")
+        val famLen = nk(2 + rowLen) & 0xff
+        require(2 + rowLen + 1 + famLen <= keyLen - 9,
+          s"family length $famLen exceeds key")
+        val ts = ByteBuffer.wrap(nk, keyLen - 9, 8).getLong
+        HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
+          java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1, 2 + rowLen + 1 + famLen),
+          java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1 + famLen, keyLen - 9),
+          ts, nk(keyLen - 1), value)
+      }
+    }
+
+  /** The one interface both block encoders share — [[write]] holds a
+    * `BlockEncoder` and never cares which encoding is active.
+    */
+  private sealed trait BlockEncoder { def append(c: HCell): Unit }
+
   /** Incremental FAST_DIFF block encoder. One instance per data block —
     * the per-block reset is what lets the index-directed seek paths
     * decode any block without its predecessors.
     */
-  private final class FastDiffEncoder(out: ByteArrayOutputStream) {
+  private final class FastDiffEncoder(out: ByteArrayOutputStream) extends BlockEncoder {
     private var prevKeyPart: Array[Byte] = _ // flat key minus ts:8|type:1
     private var prevKeyLen = -1
     private var prevType: Byte = 0
@@ -513,9 +627,12 @@ object HFileCodec {
     else {
       require(payload.length >= 2, "encoded data block shorter than its id")
       val id = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-      require(id == EncodingFastDiff,
-        s"unsupported data block encoding id $id (only FAST_DIFF=4)")
-      fastDiffIterator(payload, 2)
+      id match {
+        case EncodingFastDiff => fastDiffIterator(payload, 2)
+        case EncodingPrefix => prefixIterator(payload, 2)
+        case other => throw new IllegalArgumentException(
+          s"unsupported data block encoding id $other (PREFIX=2, FAST_DIFF=4)")
+      }
     }
 
   /** CRC32C sums over the logical concatenation of `parts` (each a
@@ -735,8 +852,9 @@ object HFileCodec {
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
     require(compression == CompressionNone || compression == CompressionGz,
       s"unsupported compression codec $compression (NONE=2, GZ=1)")
-    require(encoding == EncodingNone || encoding == EncodingFastDiff,
-      s"unsupported data block encoding $encoding (NONE=0, FAST_DIFF=4)")
+    require(encoding == EncodingNone || encoding == EncodingPrefix ||
+      encoding == EncodingFastDiff,
+      s"unsupported data block encoding $encoding (NONE=0, PREFIX=2, FAST_DIFF=4)")
     require(checksumType == ChecksumNull || checksumType == ChecksumCrc32c,
       s"unsupported checksum type $checksumType (NULL=0, CRC32C=2)")
     // read/write symmetry: the readers reject payloads above MaxBlockBytes,
@@ -782,19 +900,20 @@ object HFileCodec {
     var firstKey: Array[Byte] = null
     var entryCount = 0L
     var totalUncompressed = 0L
-    // With FAST_DIFF, `block` holds [id:2 | encoded entries] and the
+    // With an encoding, `block` holds [id:2 | encoded entries] and the
     // encoder resets per block so every block decodes standalone;
     // `unencodedSize` tracks the raw KeyValue bytes for the block
     // boundary (HBase's checkBlockBoundary closes on EITHER size).
-    val fastDiff = encoding == EncodingFastDiff
-    var enc: FastDiffEncoder = null
+    val isEncoded = encoding != EncodingNone
+    var enc: BlockEncoder = null
     var unencodedSize = 0
     def resetBlock(): Unit = {
       block.reset(); firstKey = null; unencodedSize = 0
-      if (fastDiff) {
-        block.write((EncodingFastDiff >>> 8) & 0xff) // 2-byte BE id prefix
-        block.write(EncodingFastDiff & 0xff)
-        enc = new FastDiffEncoder(block)
+      if (isEncoded) {
+        block.write((encoding >>> 8) & 0xff) // 2-byte BE id prefix
+        block.write(encoding & 0xff)
+        enc = if (encoding == EncodingFastDiff) new FastDiffEncoder(block)
+              else new PrefixEncoder(block)
       }
     }
     resetBlock()
@@ -825,7 +944,7 @@ object HFileCodec {
         s"data block ${payload.length} B exceeds MaxBlockBytes — a single " +
           "cell larger than the reader's cap would make the file unreadable")
       val (offset, onDiskSize) =
-        emitBlock(if (fastDiff) EncodedDataMagic else DataMagic, payload)
+        emitBlock(if (isEncoded) EncodedDataMagic else DataMagic, payload)
       index += ((offset, onDiskSize, firstKey))
       totalUncompressed += HeaderSize + payload.length
       resetBlock()
@@ -833,7 +952,7 @@ object HFileCodec {
 
     cells.foreach { c =>
       if (firstKey == null) firstKey = c.keyBytes
-      if (fastDiff) enc.append(c) else block.write(encodeKeyValue(c))
+      if (isEncoded) enc.append(c) else block.write(encodeKeyValue(c))
       // raw KeyValue footprint, computed without re-serializing:
       // kvLen:8 + key (rowLen:2|row|famLen:1|fam|qual|ts:8|type:1) + value
       unencodedSize += 8 + 2 + c.row.length + 1 + c.family.length +

@@ -376,6 +376,68 @@ class HFileSpec extends SparkSuite {
       s"FAST_DIFF+GZ ${both.length} B larger than GZ alone ${gzOnly.length} B")
   }
 
+  test("PREFIX: encoded file round-trips both read paths and shrinks vs NONE") {
+    // ts variety exercises the whole-flat-key common prefix (PREFIX, unlike
+    // FAST_DIFF, diffs straight through the ts:8|type:1 tail)
+    val cells = (0 until 5000).flatMap { i =>
+      Seq(
+        cell(f"r$i%06d", "q", 1000L + i, (i % 7).toDouble,
+          if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut),
+        cell(f"r$i%06d", "qual-longer", if (i % 11 == 0) 0L else 1705362487499628968L,
+          3.25))
+    }
+    val plain = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    val px = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingPrefix)
+    assert(px.slice(0, 8).sameElements(HFileCodec.EncodedDataMagic))
+    assert(((px(HFileCodec.HeaderSize) & 0xff) << 8 |
+      (px(HFileCodec.HeaderSize + 1) & 0xff)) == HFileCodec.EncodingPrefix)
+    assert(px.length < plain.length * 7 / 8,
+      s"PREFIX ${px.length} B not smaller than NONE ${plain.length} B")
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts, c.typ,
+        java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(px).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(px)).toSeq) == canon(cells))
+  }
+
+  test("PREFIX+GZ: spark bulk write + read + seek paths round-trip regions") {
+    val dir = tmpDir("pxgz").toString
+    val src = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingPrefix)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(HFileOps.read(spark, dir)) == canon(src))
+    val keys = src.orderBy("rowkey").limit(100).collect().map(_.getString(0))
+    val got = HFileOps.pointGet(spark, dir, keys(42)).collect()
+    assert(got.length == 1 && got(0).getString(0) == keys(42))
+    val scanned = HFileOps.rangeScan(spark, dir, keys(10), keys(90))
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir)
+      .where(col("rowkey") >= keys(10) && col("rowkey") < keys(90))
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
+  }
+
+  test("compressedInt varint round-trips and matches the LEB128 layout") {
+    val out = new java.io.ByteArrayOutputStream()
+    val vals = Seq(0, 1, 127, 128, 300, 16383, 16384, Int.MaxValue)
+    vals.foreach(v => HFileCodec.putCompressedInt(out, v))
+    val b = out.toByteArray
+    // 0→1 byte, 127→1, 128→2, 300→2, 16383→2, 16384→3, MaxValue→5
+    assert(b.length == 1 + 1 + 1 + 2 + 2 + 2 + 3 + 5)
+    var p = 0
+    vals.foreach { v =>
+      val (got, np) = HFileCodec.readCompressedInt(b, p)
+      assert(got == v, s"compressedInt $v round-tripped as $got")
+      p = np
+    }
+    assert(p == b.length)
+  }
+
   test("FAST_DIFF: each block decodes standalone (encoder state resets per block)") {
     // 1-cell blocks: every entry is a block-first entry (no predecessor),
     // and rows span blocks — the seek paths must never need block N-1
