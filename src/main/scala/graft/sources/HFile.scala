@@ -201,6 +201,7 @@ object HFileCodec {
     */
   val EncodingNone = 0
   val EncodingPrefix = 2
+  val EncodingDiff = 3
   val EncodingFastDiff = 4
 
   /** Gzip-deflate `b` (java.util.zip, the same stream format HBase's
@@ -323,9 +324,11 @@ object HFileCodec {
   // ---------------------------------------------- FAST_DIFF encoding
   // Per-entry wire layout [public: o.a.h.hbase.io.encoding
   // .FastDiffDeltaEncoder]:
-  //   flag:1 | keyLen vint (absent if FLAG_SAME_KEY_LENGTH)
-  //          | valLen vint (absent if FLAG_SAME_VALUE_LENGTH)
-  //          | commonPrefix vint | key suffix | ts (1-8 bytes, LE)
+  //   flag:1 | keyLen varint (absent if FLAG_SAME_KEY_LENGTH)
+  //          | valLen varint (absent if FLAG_SAME_VALUE_LENGTH)
+  //          | commonPrefix varint | key suffix | ts (1-8 bytes, LE)
+  // (varints are ByteBufferUtils.putCompressedInt's LEB128 — the same
+  // flavor PREFIX/DIFF use — NOT the Hadoop vint of the block index)
   //          | type:1 (absent if FLAG_SAME_TYPE)
   //          | value (absent if FLAG_SAME_VALUE)
   // where commonPrefix is the byte-wise common prefix of the flat key
@@ -485,10 +488,158 @@ object HFileCodec {
       }
     }
 
-  /** The one interface both block encoders share — [[write]] holds a
+  /** The one interface all block encoders share — [[write]] holds a
     * `BlockEncoder` and never cares which encoding is active.
     */
   private sealed trait BlockEncoder { def append(c: HCell): Unit }
+
+  // --------------------------------------------------------- DIFF encoding
+  // Per-entry wire layout [public: o.a.h.hbase.io.encoding
+  // .DiffKeyDeltaEncoder]:
+  //   flag:1 | keyLen varint (absent if FLAG_SAME_KEY_LENGTH)
+  //          | valLen varint (absent if FLAG_SAME_VALUE_LENGTH)
+  //          | commonPrefix varint | key suffix | ts (1-8 bytes, LE)
+  //          | type:1 (absent if FLAG_SAME_TYPE) | value (always whole)
+  // Like FAST_DIFF the common prefix excludes the ts:8|type:1 tail and
+  // varints are LEB128 compressed ints; unlike FAST_DIFF there is no
+  // FLAG_SAME_VALUE (values are always stored) and the timestamp may be
+  // stored as a DIFF against the previous entry's: bits 4-6 hold the
+  // stored byte count - 1, bit 3 (FLAG_TIMESTAMP_IS_DIFF) marks
+  // `prevTs - ts` instead of the absolute value, and bit 7
+  // (FLAG_TIMESTAMP_SIGN) marks a negated stored value — the encoder
+  // picks whichever representation is shorter.
+
+  private val DiffFlagSameKeyLen = 1
+  private val DiffFlagSameValueLen = 1 << 1
+  private val DiffFlagSameType = 1 << 2
+  private val DiffFlagTsIsDiff = 1 << 3
+  private val DiffMaskTsLen = 0x70 // bits 4-6: stored ts byte count - 1
+  private val DiffShiftTsLen = 4
+  private val DiffFlagTsSign = 1 << 7
+
+  /** Incremental DIFF block encoder — one instance per data block, same
+    * standalone-block contract as the other encoders.
+    */
+  private final class DiffEncoder(out: ByteArrayOutputStream) extends BlockEncoder {
+    private var prevKeyPart: Array[Byte] = _ // flat key minus ts:8|type:1
+    private var prevKeyLen = -1
+    private var prevValLen = -1
+    private var prevType: Byte = 0
+    private var prevTs = 0L
+
+    def append(c: HCell): Unit = {
+      val key = c.keyBytes
+      val keyLen = key.length
+      val keyPart = java.util.Arrays.copyOfRange(key, 0, keyLen - 9)
+      var flag = 0
+      // timestamp representation: absolute, or diff vs prev when shorter
+      var tsStore = c.ts
+      var isDiff = false
+      if (prevKeyPart != null) {
+        val diff = prevTs - c.ts
+        val absDiff = if (diff < 0) -diff else diff
+        val absTs = if (c.ts < 0) -c.ts else c.ts
+        if (longFitsIn(absDiff) < longFitsIn(absTs)) { tsStore = diff; isDiff = true }
+      }
+      if (isDiff) flag |= DiffFlagTsIsDiff
+      if (tsStore < 0) { flag |= DiffFlagTsSign; tsStore = -tsStore }
+      val tsBytes = longFitsIn(tsStore)
+      flag |= (tsBytes - 1) << DiffShiftTsLen
+      var commonPrefix = 0
+      if (prevKeyPart == null) {
+        out.write(flag)
+        putCompressedInt(out, keyLen)
+        putCompressedInt(out, c.value.length)
+        putCompressedInt(out, 0)
+      } else {
+        if (keyLen == prevKeyLen) flag |= DiffFlagSameKeyLen
+        if (c.value.length == prevValLen) flag |= DiffFlagSameValueLen
+        if (c.typ == prevType) flag |= DiffFlagSameType
+        val lim = math.min(keyPart.length, prevKeyPart.length)
+        while (commonPrefix < lim && keyPart(commonPrefix) == prevKeyPart(commonPrefix))
+          commonPrefix += 1
+        out.write(flag)
+        if ((flag & DiffFlagSameKeyLen) == 0) putCompressedInt(out, keyLen)
+        if ((flag & DiffFlagSameValueLen) == 0) putCompressedInt(out, c.value.length)
+        putCompressedInt(out, commonPrefix)
+      }
+      out.write(keyPart, commonPrefix, keyPart.length - commonPrefix)
+      putLongLE(out, tsStore, tsBytes)
+      if ((flag & DiffFlagSameType) == 0) out.write(c.typ.toInt)
+      out.write(c.value, 0, c.value.length)
+      prevKeyPart = keyPart; prevKeyLen = keyLen
+      prevValLen = c.value.length; prevType = c.typ; prevTs = c.ts
+    }
+  }
+
+  /** Decode one DIFF block payload — same hostile-input regime as
+    * [[fastDiffIterator]]: every declared length validated before any
+    * allocation, each entry consumes ≥ 3 bytes so the loop always
+    * advances.
+    */
+  private[sources] def diffIterator(payload: Array[Byte],
+                                    start: Int): Iterator[HCell] =
+    new Iterator[HCell] {
+      private var p = start
+      private var keyPart: Array[Byte] = _
+      private var keyLen = 0
+      private var valLen = 0
+      private var typ: Byte = 0
+      private var prevTs = 0L
+
+      def hasNext: Boolean = p < payload.length
+
+      def next(): HCell = {
+        val flag = payload(p) & 0xff; p += 1
+        if (keyPart == null)
+          require((flag & (DiffFlagSameKeyLen | DiffFlagSameValueLen |
+            DiffFlagSameType | DiffFlagTsIsDiff)) == 0,
+            s"first DIFF entry references a predecessor (flag $flag)")
+        if ((flag & DiffFlagSameKeyLen) == 0) {
+          val (v, np) = readCompressedInt(payload, p); keyLen = v; p = np
+        }
+        if ((flag & DiffFlagSameValueLen) == 0) {
+          val (v, np) = readCompressedInt(payload, p); valLen = v; p = np
+        }
+        val (commonPrefix, np2) = readCompressedInt(payload, p); p = np2
+        val partLen = keyLen - 9
+        require(keyLen >= 12 && valLen >= 0 && commonPrefix >= 0 &&
+          commonPrefix <= partLen &&
+          (commonPrefix == 0 || (keyPart != null && commonPrefix <= keyPart.length)),
+          s"bad DIFF lengths keyLen=$keyLen valLen=$valLen " +
+            s"commonPrefix=$commonPrefix at $p")
+        require(partLen - commonPrefix <= payload.length - p,
+          s"DIFF key suffix runs past the block at $p")
+        val nk = new Array[Byte](partLen)
+        if (commonPrefix > 0) System.arraycopy(keyPart, 0, nk, 0, commonPrefix)
+        System.arraycopy(payload, p, nk, commonPrefix, partLen - commonPrefix)
+        p += partLen - commonPrefix
+        val tsLen = ((flag & DiffMaskTsLen) >> DiffShiftTsLen) + 1
+        require(tsLen <= payload.length - p,
+          s"DIFF timestamp runs past the block at $p")
+        var tsStore = readLongLE(payload, p, tsLen); p += tsLen
+        if ((flag & DiffFlagTsSign) != 0) tsStore = -tsStore
+        val ts = if ((flag & DiffFlagTsIsDiff) != 0) prevTs - tsStore else tsStore
+        if ((flag & DiffFlagSameType) == 0) {
+          require(p < payload.length, s"DIFF type runs past the block")
+          typ = payload(p); p += 1
+        }
+        require(valLen <= payload.length - p,
+          s"DIFF value $valLen B runs past the block at $p")
+        val value = java.util.Arrays.copyOfRange(payload, p, p + valLen)
+        p += valLen
+        keyPart = nk; prevTs = ts
+        val rowLen = ((nk(0) & 0xff) << 8) | (nk(1) & 0xff)
+        require(2 + rowLen + 1 <= partLen, s"row length $rowLen exceeds key")
+        val famLen = nk(2 + rowLen) & 0xff
+        require(2 + rowLen + 1 + famLen <= partLen,
+          s"family length $famLen exceeds key")
+        HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
+          java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1, 2 + rowLen + 1 + famLen),
+          java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1 + famLen, partLen),
+          ts, typ, value)
+      }
+    }
 
   /** Incremental FAST_DIFF block encoder. One instance per data block —
     * the per-block reset is what lets the index-directed seek paths
@@ -511,9 +662,9 @@ object HFileCodec {
       if (prevKeyPart == null) {
         // first entry of the block: full key/val lengths, no sharing
         out.write(flag)
-        writeVInt(out, keyLen)
-        writeVInt(out, c.value.length)
-        writeVInt(out, 0)
+        putCompressedInt(out, keyLen)
+        putCompressedInt(out, c.value.length)
+        putCompressedInt(out, 0)
       } else {
         if (keyLen == prevKeyLen) flag |= FlagSameKeyLen
         if (c.value.length == prevValue.length) flag |= FlagSameValueLen
@@ -524,9 +675,9 @@ object HFileCodec {
         while (commonPrefix < lim && keyPart(commonPrefix) == prevKeyPart(commonPrefix))
           commonPrefix += 1
         out.write(flag)
-        if ((flag & FlagSameKeyLen) == 0) writeVInt(out, keyLen)
-        if ((flag & FlagSameValueLen) == 0) writeVInt(out, c.value.length)
-        writeVInt(out, commonPrefix)
+        if ((flag & FlagSameKeyLen) == 0) putCompressedInt(out, keyLen)
+        if ((flag & FlagSameValueLen) == 0) putCompressedInt(out, c.value.length)
+        putCompressedInt(out, commonPrefix)
       }
       out.write(keyPart, commonPrefix, keyPart.length - commonPrefix)
       putLongLE(out, c.ts, tsBytes)
@@ -563,12 +714,12 @@ object HFileCodec {
             FlagSameValue)) == 0,
             s"first FAST_DIFF entry references a predecessor (flag $flag)")
         if ((flag & FlagSameKeyLen) == 0) {
-          val (v, np) = readVInt(payload, p); keyLen = v; p = np
+          val (v, np) = readCompressedInt(payload, p); keyLen = v; p = np
         }
         if ((flag & FlagSameValueLen) == 0) {
-          val (v, np) = readVInt(payload, p); valLen = v; p = np
+          val (v, np) = readCompressedInt(payload, p); valLen = v; p = np
         }
-        val (commonPrefix, np2) = readVInt(payload, p); p = np2
+        val (commonPrefix, np2) = readCompressedInt(payload, p); p = np2
         val partLen = keyLen - 9
         // same minimum as decodeKeyValue: rowLen:2 + famLen:1 + ts + type
         require(keyLen >= 12 && valLen >= 0 && commonPrefix >= 0 &&
@@ -630,8 +781,9 @@ object HFileCodec {
       id match {
         case EncodingFastDiff => fastDiffIterator(payload, 2)
         case EncodingPrefix => prefixIterator(payload, 2)
+        case EncodingDiff => diffIterator(payload, 2)
         case other => throw new IllegalArgumentException(
-          s"unsupported data block encoding id $other (PREFIX=2, FAST_DIFF=4)")
+          s"unsupported data block encoding id $other (PREFIX=2, DIFF=3, FAST_DIFF=4)")
       }
     }
 
@@ -853,8 +1005,8 @@ object HFileCodec {
     require(compression == CompressionNone || compression == CompressionGz,
       s"unsupported compression codec $compression (NONE=2, GZ=1)")
     require(encoding == EncodingNone || encoding == EncodingPrefix ||
-      encoding == EncodingFastDiff,
-      s"unsupported data block encoding $encoding (NONE=0, PREFIX=2, FAST_DIFF=4)")
+      encoding == EncodingDiff || encoding == EncodingFastDiff,
+      s"unsupported data block encoding $encoding (NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4)")
     require(checksumType == ChecksumNull || checksumType == ChecksumCrc32c,
       s"unsupported checksum type $checksumType (NULL=0, CRC32C=2)")
     // read/write symmetry: the readers reject payloads above MaxBlockBytes,
@@ -912,8 +1064,11 @@ object HFileCodec {
       if (isEncoded) {
         block.write((encoding >>> 8) & 0xff) // 2-byte BE id prefix
         block.write(encoding & 0xff)
-        enc = if (encoding == EncodingFastDiff) new FastDiffEncoder(block)
-              else new PrefixEncoder(block)
+        enc = encoding match {
+          case EncodingFastDiff => new FastDiffEncoder(block)
+          case EncodingDiff => new DiffEncoder(block)
+          case _ => new PrefixEncoder(block)
+        }
       }
     }
     resetBlock()

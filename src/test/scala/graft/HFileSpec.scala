@@ -422,6 +422,68 @@ class HFileSpec extends SparkSuite {
     assert(scanned.nonEmpty && scanned.sameElements(full))
   }
 
+  test("DIFF: encoded file round-trips both read paths, ts-diff branch exercised") {
+    // near-monotone timestamps make prevTs - ts small → the
+    // FLAG_TIMESTAMP_IS_DIFF short representation fires; the i%13 jitter
+    // flips the diff's sign so FLAG_TIMESTAMP_SIGN is exercised too, and
+    // ts=0 rows hit the 1-byte absolute branch
+    val cells = (0 until 5000).flatMap { i =>
+      Seq(
+        cell(f"r$i%06d", "q", 1700000000000L + i * 7 - (i % 13) * 3, (i % 5).toDouble,
+          if (i % 89 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut),
+        cell(f"r$i%06d", "qual-longer", if (i % 11 == 0) 0L else 1700000000000L + i,
+          3.25))
+    }
+    val plain = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    val df = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingDiff)
+    assert(df.slice(0, 8).sameElements(HFileCodec.EncodedDataMagic))
+    assert(((df(HFileCodec.HeaderSize) & 0xff) << 8 |
+      (df(HFileCodec.HeaderSize + 1) & 0xff)) == HFileCodec.EncodingDiff)
+    // delta keys + short timestamps must beat raw KeyValues
+    assert(df.length < plain.length * 3 / 4,
+      s"DIFF ${df.length} B not smaller than NONE ${plain.length} B")
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts, c.typ,
+        java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(df).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(df)).toSeq) == canon(cells))
+  }
+
+  test("DIFF: negative timestamps and sign flags round-trip") {
+    val cells = Seq(
+      cell("r0", "q", -5L, 1.0), cell("r1", "q", 100L, 2.0),
+      cell("r2", "q", -1000000L, 3.0), cell("r3", "q", Long.MaxValue, 4.0),
+      cell("r4", "q", 0L, 5.0), cell("r5", "q", 7L, 6.0))
+    val df = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingDiff)
+    val got = HFileCodec.read(df).toSeq
+    assert(got.map(_.ts) == cells.map(_.ts))
+    assert(got.map(c => new String(c.row, UTF_8)) ==
+      cells.map(c => new String(c.row, UTF_8)))
+  }
+
+  test("DIFF+GZ: spark bulk write + read + seek paths round-trip regions") {
+    val dir = tmpDir("dfgz").toString
+    val src = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingDiff)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(HFileOps.read(spark, dir)) == canon(src))
+    val keys = src.orderBy("rowkey").limit(100).collect().map(_.getString(0))
+    val got = HFileOps.pointGet(spark, dir, keys(42)).collect()
+    assert(got.length == 1 && got(0).getString(0) == keys(42))
+    val scanned = HFileOps.rangeScan(spark, dir, keys(10), keys(90))
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir)
+      .where(col("rowkey") >= keys(10) && col("rowkey") < keys(90))
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
+  }
+
   test("compressedInt varint round-trips and matches the LEB128 layout") {
     val out = new java.io.ByteArrayOutputStream()
     val vals = Seq(0, 1, 127, 128, 300, 16383, 16384, Int.MaxValue)

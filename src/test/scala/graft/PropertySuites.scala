@@ -329,7 +329,7 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
         Gen.oneOf(64, 256, 4096),
         Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz),
         Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
-          HFileCodec.EncodingFastDiff),
+          HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff),
         Gen.oneOf(HFileCodec.ChecksumNull, HFileCodec.ChecksumCrc32c))
       .map { case (cells, bs, codec, enc, sum) =>
         HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator,
@@ -397,6 +397,21 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
         // target a byte INSIDE the first data block's encoded payload,
         // past the 2-byte id: varint/suffix damage, not header damage
         // (ChecksumNull so the damage reaches the decoder, not the CRC)
+        val onDiskLen = java.nio.ByteBuffer.wrap(file, 8, 4).getInt
+        val b = file.clone()
+        if (onDiskLen > 2)
+          b(HFileCodec.HeaderSize + 2 + posSeed % (onDiskLen - 2)) = v.toByte
+        try boundedConsume(b) catch { case _: Exception => true }
+    }
+
+  property("DIFF: mutated encoded entries throw cleanly or stay bounded") =
+    forAll(Gen.chooseNum(2, 60).flatMap(Gen.listOfN(_, cellGen)),
+           Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (cells, posSeed, v) =>
+        val file = HFileCodec.write(
+          cells.sortBy(c => new String(c.row, UTF_8)).iterator,
+          4096, HFileCodec.CompressionNone, HFileCodec.EncodingDiff,
+          HFileCodec.ChecksumNull)
         val onDiskLen = java.nio.ByteBuffer.wrap(file, 8, 4).getInt
         val b = file.clone()
         if (onDiskLen > 2)
