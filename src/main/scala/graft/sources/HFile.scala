@@ -195,9 +195,10 @@ object HFileCodec {
     * HBase serializes it — so every read path detects the encoding per
     * block from bytes it already has (PREFIX and FAST_DIFF both
     * supported), composing freely with the sizes-differ ⟺ GZ rule one
-    * layer down. Deviation: real HBase also records DATA_BLOCK_ENCODING
-    * in the FileInfo map; our minimal file-info block does not (readers
-    * never need it — the block self-describes).
+    * layer down. The encoding is also recorded under
+    * DATA_BLOCK_ENCODING in the FileInfoProto map, as HBase's
+    * HFileDataBlockEncoderImpl.saveMetadata does (readers never need it
+    * — the block self-describes — but the metadata matches).
     */
   val EncodingNone = 0
   val EncodingPrefix = 2
@@ -1105,13 +1106,20 @@ object HFileCodec {
       resetBlock()
     }
 
+    var lastKey: Array[Byte] = null
+    var totalKeyLen = 0L
+    var totalValLen = 0L
     cells.foreach { c =>
       if (firstKey == null) firstKey = c.keyBytes
       if (isEncoded) enc.append(c) else block.write(encodeKeyValue(c))
       // raw KeyValue footprint, computed without re-serializing:
       // kvLen:8 + key (rowLen:2|row|famLen:1|fam|qual|ts:8|type:1) + value
-      unencodedSize += 8 + 2 + c.row.length + 1 + c.family.length +
-        c.qualifier.length + 8 + 1 + c.value.length
+      val keyLen = 2 + c.row.length + 1 + c.family.length +
+        c.qualifier.length + 8 + 1
+      unencodedSize += 8 + keyLen + c.value.length
+      totalKeyLen += keyLen
+      totalValLen += c.value.length
+      lastKey = c.keyBytes
       entryCount += 1
       if (lastRow == null || !java.util.Arrays.equals(lastRow, c.row)) {
         if (chunkFirstRow == null) chunkFirstRow = c.row
@@ -1124,9 +1132,22 @@ object HFileCodec {
     flushBlock()
     closeBloomChunk()
 
-    // file-info block (entry kept minimal: count as 8 bytes)
+    // file-info block: the real FileInfoProto map [public: o.a.h.hbase
+    // .io.hfile.HFileInfo.write — PB_MAGIC then a delimited FileInfoProto
+    // of BytesBytesPair entries, keys sorted]. Every value is
+    // deterministic (no CREATE_TIME_TS — a wall clock would make
+    // byte-identical re-writes impossible).
     val fileInfoOffset = written
-    emitBlock(FileInfoMagic, ByteBuffer.allocate(8).putLong(entryCount).array())
+    val avgK = if (entryCount == 0) 0 else (totalKeyLen / entryCount).toInt
+    val avgV = if (entryCount == 0) 0 else (totalValLen / entryCount).toInt
+    val infoEntries = Seq(
+      "DATA_BLOCK_ENCODING" -> encodingName(encoding).getBytes(UTF_8),
+      "KEY_VALUE_VERSION" -> ByteBuffer.allocate(4).putInt(1).array(),
+      "hfile.AVG_KEY_LEN" -> ByteBuffer.allocate(4).putInt(avgK).array(),
+      "hfile.AVG_VALUE_LEN" -> ByteBuffer.allocate(4).putInt(avgV).array()) ++
+      (if (lastKey == null) Seq.empty
+       else Seq("hfile.LASTKEY" -> lastKey))
+    emitBlock(FileInfoMagic, buildFileInfo(infoEntries))
 
     // bloom section: chunks, then a meta block indexing them by first row
     // (same entry layout as the block index, so the reader shares a parser)
@@ -1223,6 +1244,97 @@ object HFileCodec {
     write(cells, out, blockSize, DefaultIndexChunkEntries,
       DefaultBloomChunkKeys, compression, encoding, checksumType)
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------ file info
+  // The FILEINF2 block carries HBase's FileInfoProto [public: o.a.h.hbase
+  // .io.hfile.HFileInfo.write / HFileProtos.FileInfoProto]: the 4-byte
+  // protobuf magic "PBUF", then a length-delimited FileInfoProto whose
+  // one repeated field (1) is BytesBytesPair { first = 1, second = 2 } —
+  // a bytes→bytes map, keys sorted.
+
+  val PbMagic: Array[Byte] = "PBUF".getBytes(UTF_8)
+
+  /** Wire name of a data-block encoding, as DATA_BLOCK_ENCODING stores it. */
+  def encodingName(encoding: Int): String = encoding match {
+    case EncodingNone => "NONE"
+    case EncodingPrefix => "PREFIX"
+    case EncodingDiff => "DIFF"
+    case EncodingFastDiff => "FAST_DIFF"
+    case other => s"UNKNOWN($other)"
+  }
+
+  private def buildFileInfo(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val body = new ByteArrayOutputStream(256)
+    entries.sortBy(_._1).foreach { case (k, v) =>
+      val pair = new ByteArrayOutputStream(k.length + v.length + 8)
+      pbWriteBytes(pair, 1, k.getBytes(UTF_8)) // BytesBytesPair.first
+      pbWriteBytes(pair, 2, v)                 // BytesBytesPair.second
+      pbWriteBytes(body, 1, pair.toByteArray)  // FileInfoProto.map_entry
+    }
+    val out = new ByteArrayOutputStream(body.size() + 8)
+    out.write(PbMagic, 0, PbMagic.length)
+    pbWriteVarint(out, body.size().toLong)     // writeDelimitedTo prefix
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Parse the FILEINF2 block's FileInfoProto map — protobuf wire rules
+    * only, unknown fields skipped, same hostile-input regime as
+    * [[readTrailer]].
+    */
+  def readFileInfo(file: Array[Byte]): Map[String, Array[Byte]] = {
+    val trailer = readTrailer(file)
+    require(trailer.fileInfoOffset >= 0 && trailer.fileInfoOffset < file.length,
+      s"bad fileInfoOffset ${trailer.fileInfoOffset}")
+    val payload = blockPayload(file, trailer.fileInfoOffset.toInt)
+    require(payload.length >= 4 &&
+      java.util.Arrays.equals(java.util.Arrays.copyOfRange(payload, 0, 4), PbMagic),
+      "file-info block missing PBUF magic")
+    val (msgLen, msgStart) = pbReadVarint(payload, 4)
+    require(msgLen >= 0 && msgLen <= payload.length - msgStart,
+      s"file-info protobuf length $msgLen overflows the block")
+    val end = msgStart + msgLen.toInt
+    val entries = Map.newBuilder[String, Array[Byte]]
+    var p = msgStart
+    while (p < end) {
+      val (tag, p1) = pbReadVarint(payload, p)
+      ((tag >>> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => // map_entry
+          val (len, p2) = pbReadVarint(payload, p1)
+          require(len >= 0 && len <= end - p2, s"bad map_entry at $p")
+          val pairEnd = p2 + len.toInt
+          var q = p2
+          var key: Array[Byte] = null
+          var value: Array[Byte] = null
+          while (q < pairEnd) {
+            val (ptag, q1) = pbReadVarint(payload, q)
+            require((ptag & 7) == 2, s"unexpected wire type in BytesBytesPair at $q")
+            val (plen, q2) = pbReadVarint(payload, q1)
+            require(plen >= 0 && plen <= pairEnd - q2, s"bad pair field at $q")
+            val bytes = java.util.Arrays.copyOfRange(payload, q2, q2 + plen.toInt)
+            (ptag >>> 3).toInt match {
+              case 1 => key = bytes
+              case 2 => value = bytes
+              case _ => // unknown field: skipped
+            }
+            q = q2 + plen.toInt
+          }
+          require(key != null && value != null, s"incomplete BytesBytesPair at $p")
+          entries += ((new String(key, UTF_8), value))
+          p = pairEnd
+        case (_, 0) => p = pbReadVarint(payload, p1)._2 // unknown varint
+        case (_, 2) =>
+          val (len, p2) = pbReadVarint(payload, p1)
+          require(len >= 0 && len <= end - p2, s"bad delimited field at $p")
+          p = p2 + len.toInt
+        case (_, 1) => p = p1 + 8
+        case (_, 5) => p = p1 + 4
+        case (_, w) => throw new IllegalArgumentException(
+          s"unsupported protobuf wire type $w in file info at $p")
+      }
+    }
+    entries.result()
   }
 
   final case class Trailer(fileInfoOffset: Long, rootIndexOffset: Long,

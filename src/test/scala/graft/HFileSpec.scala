@@ -484,6 +484,29 @@ class HFileSpec extends SparkSuite {
     assert(scanned.nonEmpty && scanned.sameElements(full))
   }
 
+  test("file info block carries the FileInfoProto map, all combos") {
+    val cells = (0 until 1000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+    val wantAvgK = cells.map(_.keyBytes.length.toLong).sum / cells.size
+    val wantAvgV = cells.map(_.value.length.toLong).sum / cells.size
+    for (enc <- Seq(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
+           HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff);
+         codec <- Seq(HFileCodec.CompressionNone, HFileCodec.CompressionGz)) {
+      val bytes = HFileCodec.write(cells.iterator, 8 * 1024, codec, enc)
+      val info = HFileCodec.readFileInfo(bytes)
+      assert(new String(info("DATA_BLOCK_ENCODING"), UTF_8) ==
+        HFileCodec.encodingName(enc))
+      assert(java.nio.ByteBuffer.wrap(info("hfile.AVG_KEY_LEN")).getInt == wantAvgK)
+      assert(java.nio.ByteBuffer.wrap(info("hfile.AVG_VALUE_LEN")).getInt == wantAvgV)
+      assert(info("hfile.LASTKEY").sameElements(cells.last.keyBytes))
+      assert(java.nio.ByteBuffer.wrap(info("KEY_VALUE_VERSION")).getInt == 1)
+    }
+    // deterministic: same cells → byte-identical file (no wall clock in
+    // the file info)
+    val a = HFileCodec.write(cells.iterator, 8 * 1024)
+    val b = HFileCodec.write(cells.iterator, 8 * 1024)
+    assert(a.sameElements(b))
+  }
+
   test("compressedInt varint round-trips and matches the LEB128 layout") {
     val out = new java.io.ByteArrayOutputStream()
     val vals = Seq(0, 1, 127, 128, 300, 16383, 16384, Int.MaxValue)
