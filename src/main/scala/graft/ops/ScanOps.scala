@@ -149,13 +149,16 @@ object ScanOps {
     // ~3 s at sf1, bounded by the same region sizing as a9
     val dir = Tables.appTmpDir(s, "graft_hfile_get", d)
     val nCells = Tables.events(s, d).count()
-    // FAST_DIFF+GZ regions: the bloom-pruned positioned-read path must
-    // inflate the bloom chunk and index blocks, then delta-decode the one
-    // data block it touches
+    // ROW_INDEX_V1+GZ regions (the encoding HBase recommends for
+    // point-read-heavy tables): the bloom-pruned positioned-read path
+    // must inflate the bloom chunk and index blocks, then BINARY-SEARCH
+    // the one data block's row offset array instead of decoding its
+    // prefix — the in-block seek is driver-gated here; a9 keeps the
+    // FAST_DIFF full-decode coverage
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
       regions = graft.sources.HFileOps.regionCountFor(nCells),
       compression = graft.sources.HFileCodec.CompressionGz,
-      encoding = graft.sources.HFileCodec.EncodingFastDiff)
+      encoding = graft.sources.HFileCodec.EncodingRowIndexV1)
     // single-row client-key lookup, built with the SAME Tables.pad spelling
     // the cells view uses (a hand-rolled format string here would be a third
     // independent copy of the rowkey layout — code-review finding)

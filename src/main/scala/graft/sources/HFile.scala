@@ -189,21 +189,21 @@ object HFileCodec {
   val BytesPerChecksum = 16384
 
   /** Data-block-encoding ids [public: o.a.h.hbase.io.encoding
-    * .DataBlockEncoding — NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4]. An
-    * encoded data block carries the `DATABLKE` magic and leads its
-    * (pre-compression) payload with the 2-byte big-endian id, exactly as
-    * HBase serializes it — so every read path detects the encoding per
-    * block from bytes it already has (PREFIX and FAST_DIFF both
-    * supported), composing freely with the sizes-differ ⟺ GZ rule one
-    * layer down. The encoding is also recorded under
-    * DATA_BLOCK_ENCODING in the FileInfoProto map, as HBase's
-    * HFileDataBlockEncoderImpl.saveMetadata does (readers never need it
-    * — the block self-describes — but the metadata matches).
+    * .DataBlockEncoding — NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4,
+    * ROW_INDEX_V1=7]. An encoded data block carries the `DATABLKE` magic
+    * and leads its (pre-compression) payload with the 2-byte big-endian
+    * id, exactly as HBase serializes it — so every read path detects the
+    * encoding per block from bytes it already has, composing freely with
+    * the sizes-differ ⟺ GZ rule one layer down. The encoding is also
+    * recorded under DATA_BLOCK_ENCODING in the FileInfoProto map, as
+    * HBase's HFileDataBlockEncoderImpl.saveMetadata does (readers never
+    * need it — the block self-describes — but the metadata matches).
     */
   val EncodingNone = 0
   val EncodingPrefix = 2
   val EncodingDiff = 3
   val EncodingFastDiff = 4
+  val EncodingRowIndexV1 = 7
 
   /** Gzip-deflate `b` (java.util.zip, the same stream format HBase's
     * GzipCodec emits).
@@ -490,9 +490,14 @@ object HFileCodec {
     }
 
   /** The one interface all block encoders share — [[write]] holds a
-    * `BlockEncoder` and never cares which encoding is active.
+    * `BlockEncoder` and never cares which encoding is active. `finish()`
+    * runs once at block close, for encodings with a trailing section
+    * (ROW_INDEX_V1's offset array); the delta encoders need nothing.
     */
-  private sealed trait BlockEncoder { def append(c: HCell): Unit }
+  private sealed trait BlockEncoder {
+    def append(c: HCell): Unit
+    def finish(): Unit = ()
+  }
 
   // --------------------------------------------------------- DIFF encoding
   // Per-entry wire layout [public: o.a.h.hbase.io.encoding
@@ -762,6 +767,138 @@ object HFileCodec {
       }
     }
 
+  // ------------------------------------------------- ROW_INDEX_V1 encoding
+  // Block payload layout [public: o.a.h.hbase.io.encoding.RowIndexCodecV1 /
+  // RowIndexEncoderV1 / RowIndexSeekerV1], after the 2-byte encoding id:
+  //   cells (unencoded KeyValues, NoneEncoder's keyLen:4|valLen:4|key|value)
+  //   | rowNumber:4 | rowOffset:4 × rowNumber | dataLen:4
+  // where rowOffset[i] is the offset (relative to the first cell byte) of
+  // row i's FIRST cell and the trailing int is the byte length of the cell
+  // section — the seeker finds the index by reading the block's last int.
+  // Cells are stored verbatim, so the encoding trades ~4 B per row of extra
+  // size for O(log rows) in-block seeks (the delta encodings can only scan
+  // forward from the block start).
+
+  private def putIntBE(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+
+  /** ROW_INDEX_V1 block encoder — cells pass through unencoded; the
+    * per-row offset array is buffered (4 B per distinct row, bounded by
+    * blockSize/20 entries) and appended by [[finish]].
+    */
+  private final class RowIndexEncoder(out: ByteArrayOutputStream) extends BlockEncoder {
+    private val base = out.size() // first cell byte, after the 2-byte id
+    private val offsets = ArrayBuffer.empty[Int]
+    private var prevRow: Array[Byte] = _
+
+    def append(c: HCell): Unit = {
+      if (prevRow == null || !java.util.Arrays.equals(prevRow, c.row))
+        offsets += out.size() - base
+      prevRow = c.row
+      val kv = encodeKeyValue(c)
+      out.write(kv, 0, kv.length)
+    }
+
+    override def finish(): Unit = {
+      val dataLen = out.size() - base
+      putIntBE(out, offsets.length)
+      offsets.foreach(putIntBE(out, _))
+      putIntBE(out, dataLen)
+    }
+  }
+
+  /** Validate a ROW_INDEX_V1 block's trailing index section and return
+    * (dataLen, rowCount, offset-array position). Same hostile-input
+    * regime as the delta decoders: the three sections must tile the
+    * payload exactly, so a damaged length can only throw, never send a
+    * reader into the offset array or past the buffer.
+    */
+  private[sources] def rowIndexParts(payload: Array[Byte],
+                                     start: Int): (Int, Int, Int) = {
+    require(payload.length - start >= 8,
+      s"ROW_INDEX_V1 block too short (${payload.length - start} B after the id)")
+    val dataLen = ByteBuffer.wrap(payload, payload.length - 4, 4).getInt
+    require(dataLen >= 0 && dataLen <= payload.length - start - 8,
+      s"bad ROW_INDEX_V1 data length $dataLen")
+    val rowCount = ByteBuffer.wrap(payload, start + dataLen, 4).getInt
+    require(rowCount >= 0 &&
+      start + dataLen + 4 + 4L * rowCount + 4 == payload.length,
+      s"ROW_INDEX_V1 offset array (rows=$rowCount) doesn't tile the block")
+    (dataLen, rowCount, start + dataLen + 4)
+  }
+
+  /** Decode a ROW_INDEX_V1 block's cell section in order (the full-scan
+    * read paths; the seek paths use [[rowIndexSeek]]).
+    */
+  private[graft] def rowIndexIterator(payload: Array[Byte],
+                                        start: Int): Iterator[HCell] = {
+    val (dataLen, _, _) = rowIndexParts(payload, start)
+    val dataEnd = start + dataLen
+    new Iterator[HCell] {
+      private var q = start
+      def hasNext: Boolean = q < dataEnd
+      def next(): HCell = {
+        val (c, nq) = decodeKeyValue(payload, q)
+        require(nq <= dataEnd,
+          s"ROW_INDEX_V1 cell at $q runs into the offset array")
+        q = nq; c
+      }
+    }
+  }
+
+  /** Binary-search the row offset array for the first row ≥ `fromRow`
+    * and iterate cells from there (RowIndexSeekerV1's seekToKeyInBlock
+    * shape): O(log rows) comparisons instead of decoding the block
+    * prefix. Point gets take cells while the row matches; range scans
+    * filter against the stop row.
+    */
+  private[graft] def rowIndexSeek(payload: Array[Byte], start: Int,
+                                    fromRow: Array[Byte]): Iterator[HCell] = {
+    val (dataLen, rowCount, offBase) = rowIndexParts(payload, start)
+    val dataEnd = start + dataLen
+    // (absolute cell position, row bytes) of row-index entry i, every
+    // declared offset/length validated against the cell section first
+    def rowAt(i: Int): (Int, Array[Byte]) = {
+      val o = ByteBuffer.wrap(payload, offBase + 4 * i, 4).getInt
+      require(o >= 0 && o + 12 <= dataLen,
+        s"bad ROW_INDEX_V1 row offset $o (data section $dataLen B)")
+      val p = start + o
+      val rowLen = ((payload(p + 8) & 0xff) << 8) | (payload(p + 9) & 0xff)
+      require(o + 10 + rowLen <= dataLen,
+        s"ROW_INDEX_V1 row at offset $o exceeds the data section")
+      (p, java.util.Arrays.copyOfRange(payload, p + 10, p + 10 + rowLen))
+    }
+    var lo = 0
+    var hi = rowCount
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.util.Arrays.compareUnsigned(rowAt(mid)._2, fromRow) < 0) lo = mid + 1
+      else hi = mid
+    }
+    if (lo == rowCount) Iterator.empty
+    else {
+      val p0 = rowAt(lo)._1
+      new Iterator[HCell] {
+        private var q = p0
+        def hasNext: Boolean = q < dataEnd
+        def next(): HCell = {
+          val (c, nq) = decodeKeyValue(payload, q)
+          require(nq <= dataEnd,
+            s"ROW_INDEX_V1 cell at $q runs into the offset array")
+          q = nq; c
+        }
+      }
+    }
+  }
+
+  /** The 2-byte big-endian encoding id leading an encoded block payload. */
+  private[graft] def encodingIdOf(payload: Array[Byte]): Int = {
+    require(payload.length >= 2, "encoded data block shorter than its id")
+    ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+  }
+
   /** Cell iterator over one data block's UNCOMPRESSED payload, NONE or
     * FAST_DIFF — the one decode seam every read path (full read,
     * streaming, point get, range scan) goes through. `encoded` comes
@@ -776,16 +913,14 @@ object HFileCodec {
         def hasNext: Boolean = q < payload.length
         def next(): HCell = { val (c, nq) = decodeKeyValue(payload, q); q = nq; c }
       }
-    else {
-      require(payload.length >= 2, "encoded data block shorter than its id")
-      val id = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-      id match {
-        case EncodingFastDiff => fastDiffIterator(payload, 2)
-        case EncodingPrefix => prefixIterator(payload, 2)
-        case EncodingDiff => diffIterator(payload, 2)
-        case other => throw new IllegalArgumentException(
-          s"unsupported data block encoding id $other (PREFIX=2, DIFF=3, FAST_DIFF=4)")
-      }
+    else encodingIdOf(payload) match {
+      case EncodingFastDiff => fastDiffIterator(payload, 2)
+      case EncodingPrefix => prefixIterator(payload, 2)
+      case EncodingDiff => diffIterator(payload, 2)
+      case EncodingRowIndexV1 => rowIndexIterator(payload, 2)
+      case other => throw new IllegalArgumentException(
+        s"unsupported data block encoding id $other " +
+          "(PREFIX=2, DIFF=3, FAST_DIFF=4, ROW_INDEX_V1=7)")
     }
 
   /** CRC32C sums over the logical concatenation of `parts` (each a
@@ -875,7 +1010,7 @@ object HFileCodec {
     * bounds-checked BEFORE any allocation; damaged input may only throw,
     * never over-allocate.
     */
-  private[sources] def blockPayload(block: Array[Byte], hdrOff: Int): Array[Byte] = {
+  private[graft] def blockPayload(block: Array[Byte], hdrOff: Int): Array[Byte] = {
     val onDiskLen = ByteBuffer.wrap(block, hdrOff + 8, 4).getInt
     val uncompressedLen = ByteBuffer.wrap(block, hdrOff + 12, 4).getInt
     val dataWithHeader = ByteBuffer.wrap(block, hdrOff + 29, 4).getInt
@@ -1006,8 +1141,10 @@ object HFileCodec {
     require(compression == CompressionNone || compression == CompressionGz,
       s"unsupported compression codec $compression (NONE=2, GZ=1)")
     require(encoding == EncodingNone || encoding == EncodingPrefix ||
-      encoding == EncodingDiff || encoding == EncodingFastDiff,
-      s"unsupported data block encoding $encoding (NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4)")
+      encoding == EncodingDiff || encoding == EncodingFastDiff ||
+      encoding == EncodingRowIndexV1,
+      s"unsupported data block encoding $encoding " +
+        "(NONE=0, PREFIX=2, DIFF=3, FAST_DIFF=4, ROW_INDEX_V1=7)")
     require(checksumType == ChecksumNull || checksumType == ChecksumCrc32c,
       s"unsupported checksum type $checksumType (NULL=0, CRC32C=2)")
     // read/write symmetry: the readers reject payloads above MaxBlockBytes,
@@ -1068,6 +1205,7 @@ object HFileCodec {
         enc = encoding match {
           case EncodingFastDiff => new FastDiffEncoder(block)
           case EncodingDiff => new DiffEncoder(block)
+          case EncodingRowIndexV1 => new RowIndexEncoder(block)
           case _ => new PrefixEncoder(block)
         }
       }
@@ -1095,6 +1233,7 @@ object HFileCodec {
     }
 
     def flushBlock(): Unit = if (unencodedSize > 0) {
+      if (isEncoded) enc.finish()
       val payload = block.toByteArray
       require(payload.length <= MaxBlockBytes,
         s"data block ${payload.length} B exceeds MaxBlockBytes — a single " +
@@ -1261,6 +1400,7 @@ object HFileCodec {
     case EncodingPrefix => "PREFIX"
     case EncodingDiff => "DIFF"
     case EncodingFastDiff => "FAST_DIFF"
+    case EncodingRowIndexV1 => "ROW_INDEX_V1"
     case other => s"UNKNOWN($other)"
   }
 

@@ -174,14 +174,34 @@ object HFileOps {
 
   /** Decode one data block into cells-schema Rows, keeping rows whose key
     * passes `keep` — the shared tail of every positioned reader.
+    *
+    * When the block is ROW_INDEX_V1-encoded, `seekRows` (distinct exact
+    * target rows, the multiGet shape) switches the decode from a full
+    * block scan to one binary-searched in-block seek per target, and
+    * `seekFrom` (a range scan's start row) skips the block prefix — the
+    * RowIndexSeekerV1 read shape. Both are hints only: the `keep` filter
+    * still decides membership, so every encoding returns identical rows.
     */
   private def decodeBlockRows(blk: Array[Byte],
-                              keep: Array[Byte] => Boolean): Seq[Row] = {
+                              keep: Array[Byte] => Boolean,
+                              seekRows: Seq[Array[Byte]] = Nil,
+                              seekFrom: Option[Array[Byte]] = None): Seq[Row] = {
     val isEncoded = magicAt(blk, HFileCodec.EncodedDataMagic)
     require(isEncoded || magicAt(blk, HFileCodec.DataMagic),
       "bad data block magic")
     val payload = HFileCodec.blockPayload(blk, 0) // inflates GZ blocks
-    HFileCodec.dataBlockCells(payload, isEncoded)
+    val rowIndexed = isEncoded &&
+      HFileCodec.encodingIdOf(payload) == HFileCodec.EncodingRowIndexV1
+    val cells: Iterator[HFileCodec.HCell] =
+      if (rowIndexed && seekRows.nonEmpty)
+        seekRows.iterator.flatMap { r =>
+          HFileCodec.rowIndexSeek(payload, 2, r)
+            .takeWhile(c => java.util.Arrays.equals(c.row, r))
+        }
+      else if (rowIndexed && seekFrom.isDefined)
+        HFileCodec.rowIndexSeek(payload, 2, seekFrom.get)
+      else HFileCodec.dataBlockCells(payload, isEncoded)
+    cells
       .filter(c => keep(c.row))
       .map(c => Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
         new String(c.qualifier, UTF_8), c.ts,
@@ -252,9 +272,12 @@ object HFileOps {
         }.distinct.sorted
         val wanted = surviving
           .map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_)).toSet
+        val seekRows = surviving.sortWith(
+          java.util.Arrays.compareUnsigned(_, _) < 0)
         dataOffsets.flatMap { off =>
           decodeBlockRows(blockAt(off), row =>
-            wanted.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
+            wanted.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)),
+            seekRows = seekRows)
         }
       }
     }
@@ -285,7 +308,8 @@ object HFileOps {
       dataOffsets.flatMap { off =>
         decodeBlockRows(readBlockAt(in, off), row =>
           java.util.Arrays.compareUnsigned(row, start) >= 0 &&
-            java.util.Arrays.compareUnsigned(row, stop) < 0)
+            java.util.Arrays.compareUnsigned(row, stop) < 0,
+          seekFrom = Some(start))
       }
     }
   }

@@ -484,12 +484,93 @@ class HFileSpec extends SparkSuite {
     assert(scanned.nonEmpty && scanned.sameElements(full))
   }
 
+  test("ROW_INDEX_V1: encoded file round-trips both read paths, bounded overhead") {
+    val cells = (0 until 5000).flatMap { i =>
+      Seq(
+        cell(f"r$i%06d", "q", 1000L + i, (i % 7).toDouble,
+          if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut),
+        cell(f"r$i%06d", "qual-longer", if (i % 11 == 0) 0L else 1705362487499628968L,
+          3.25))
+    }
+    val plain = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+    val ri = HFileCodec.write(cells.iterator, 8 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingRowIndexV1)
+    assert(ri.slice(0, 8).sameElements(HFileCodec.EncodedDataMagic))
+    assert(((ri(HFileCodec.HeaderSize) & 0xff) << 8 |
+      (ri(HFileCodec.HeaderSize + 1) & 0xff)) == HFileCodec.EncodingRowIndexV1)
+    // cells are stored verbatim: ~4 B per row + 10 B per block of index
+    // tail, never the delta encodings' shrinkage — bound the overhead
+    assert(ri.length >= plain.length && ri.length < plain.length * 9 / 8,
+      s"ROW_INDEX_V1 ${ri.length} B vs NONE ${plain.length} B")
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts, c.typ,
+        java.nio.ByteBuffer.wrap(c.value).getDouble))
+    assert(canon(HFileCodec.read(ri).toSeq) == canon(cells))
+    assert(canon(HFileCodec.readStreaming(
+      new java.io.ByteArrayInputStream(ri)).toSeq) == canon(cells))
+  }
+
+  test("ROW_INDEX_V1: in-block seek equals full-decode suffix for every probe") {
+    // multi-version rows (3 cells each) so a seek must land on the FIRST
+    // cell of the row, and rows of varying key length stress the compare
+    val cells = (0 until 500).flatMap { i =>
+      val r = if (i % 3 == 0) f"row$i%05d" else f"r$i%07d-long"
+      Seq(cell(r, "a", 300L, 1.0), cell(r, "b", 200L, 2.0),
+        cell(r, "b", 100L, 3.0))
+    }.sortBy(c => new String(c.row, UTF_8))
+    // one data block: blockSize above the total serialized size
+    val file = HFileCodec.write(cells.iterator, 512 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingRowIndexV1,
+      HFileCodec.ChecksumNull)
+    val payload = HFileCodec.blockPayload(file, 0)
+    assert(HFileCodec.encodingIdOf(payload) == HFileCodec.EncodingRowIndexV1)
+    def canon(cs: Seq[HCell]) = cs.map(c =>
+      (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts))
+    val all = HFileCodec.rowIndexIterator(payload, 2).toSeq
+    assert(canon(all) == canon(cells))
+    // exact-row probes, plus misses BETWEEN rows ("q..." sorts between
+    // the two row spellings), before the first and past the last row
+    val probes = cells.map(_.row).distinct ++ Seq(
+      "a".getBytes(UTF_8), "q".getBytes(UTF_8), "zzz".getBytes(UTF_8))
+    probes.foreach { probe =>
+      val want = all.dropWhile(c =>
+        java.util.Arrays.compareUnsigned(c.row, probe) < 0)
+      val got = HFileCodec.rowIndexSeek(payload, 2, probe).toSeq
+      assert(canon(got) == canon(want),
+        s"seek mismatch at probe ${new String(probe, UTF_8)}")
+    }
+  }
+
+  test("ROW_INDEX_V1+GZ: spark bulk write + read + seek paths round-trip regions") {
+    val dir = tmpDir("rigz").toString
+    val src = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingRowIndexV1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(HFileOps.read(spark, dir)) == canon(src))
+    val keys = src.orderBy("rowkey").limit(100).collect().map(_.getString(0))
+    val got = HFileOps.pointGet(spark, dir, keys(42)).collect()
+    assert(got.length == 1 && got(0).getString(0) == keys(42))
+    val multi = HFileOps.multiGet(spark, dir, Seq(keys(7), keys(42), keys(99)))
+      .collect().map(_.getString(0)).sorted
+    assert(multi.sameElements(Array(keys(7), keys(42), keys(99)).sorted))
+    val scanned = HFileOps.rangeScan(spark, dir, keys(10), keys(90))
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir)
+      .where(col("rowkey") >= keys(10) && col("rowkey") < keys(90))
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
+  }
+
   test("file info block carries the FileInfoProto map, all combos") {
     val cells = (0 until 1000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
     val wantAvgK = cells.map(_.keyBytes.length.toLong).sum / cells.size
     val wantAvgV = cells.map(_.value.length.toLong).sum / cells.size
     for (enc <- Seq(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
-           HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff);
+           HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff,
+           HFileCodec.EncodingRowIndexV1);
          codec <- Seq(HFileCodec.CompressionNone, HFileCodec.CompressionGz)) {
       val bytes = HFileCodec.write(cells.iterator, 8 * 1024, codec, enc)
       val info = HFileCodec.readFileInfo(bytes)

@@ -329,7 +329,8 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
         Gen.oneOf(64, 256, 4096),
         Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz),
         Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
-          HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff),
+          HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff,
+          HFileCodec.EncodingRowIndexV1),
         Gen.oneOf(HFileCodec.ChecksumNull, HFileCodec.ChecksumCrc32c))
       .map { case (cells, bs, codec, enc, sum) =>
         HFileCodec.write(cells.sortBy(c => new String(c.row, UTF_8)).iterator,
@@ -417,6 +418,39 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
         if (onDiskLen > 2)
           b(HFileCodec.HeaderSize + 2 + posSeed % (onDiskLen - 2)) = v.toByte
         try boundedConsume(b) catch { case _: Exception => true }
+    }
+
+  property("ROW_INDEX_V1: mutated blocks throw cleanly or stay bounded, both shapes") =
+    forAll(Gen.chooseNum(2, 60).flatMap(Gen.listOfN(_, cellGen)),
+           Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127),
+           Gen.chooseNum(1, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString)) {
+      (cells, posSeed, v, probe) =>
+        val file = HFileCodec.write(
+          cells.sortBy(c => new String(c.row, UTF_8)).iterator,
+          4096, HFileCodec.CompressionNone, HFileCodec.EncodingRowIndexV1,
+          HFileCodec.ChecksumNull)
+        // target a byte INSIDE the first data block's payload past the
+        // 2-byte id: cell, offset-array, or trailing-length damage
+        // (ChecksumNull so the damage reaches the decoder, not the CRC)
+        val onDiskLen = java.nio.ByteBuffer.wrap(file, 8, 4).getInt
+        val b = file.clone()
+        if (onDiskLen > 2)
+          b(HFileCodec.HeaderSize + 2 + posSeed % (onDiskLen - 2)) = v.toByte
+        val scanOk = try boundedConsume(b) catch { case _: Exception => true }
+        // the seek path validates the same lengths: damaged offsets may
+        // only throw, never read outside the data section or spin
+        val seekOk =
+          try {
+            val payload = HFileCodec.blockPayload(b, 0)
+            if (HFileCodec.encodingIdOf(payload) == HFileCodec.EncodingRowIndexV1) {
+              val it = HFileCodec.rowIndexSeek(payload, 2, probe.getBytes(UTF_8))
+              val limit = payload.length / 3 + 64
+              var n = 0
+              while (it.hasNext && n <= limit) { it.next(); n += 1 }
+              n <= limit
+            } else true
+          } catch { case _: Exception => true }
+        scanOk && seekOk
     }
 
   property("readStreaming: one-byte-mutated valid file never hangs or over-allocates") =
