@@ -44,12 +44,13 @@ import scala.collection.mutable.ArrayBuffer
   * Trailer: the fixed 212-byte v3 envelope (`magic | FileTrailerProto |
   * zero padding | version word`) with the protobuf body hand-encoded per
   * the public wire format — no protobuf jar needed; see the trailer
-  * section below. Our one extension field (bloom meta offset) uses a high
-  * field number that generated parsers skip as unknown.
+  * section below. No private fields: everything beyond the trailer's two
+  * offsets lives in the load-on-open section (root data index, meta
+  * index root, file info, bloom metadata), discovered by walking blocks
+  * by magic from `load_on_open_data_offset` up to the trailer — the same
+  * open sequence as HFileReaderImpl.
   *
-  * Documented deviations (a faithful subset, not a drop-in): blooms are
-  * reached through the trailer extension field rather than HBase's
-  * load-on-open meta-index section. The data-block index is two-level: a root
+  * The data-block index is two-level: a root
   * `IDXROOT2` block whose entries point either directly at data blocks
   * (small files) or at `IDXINTE2` intermediate index blocks once the
   * block count passes `indexChunkEntries` — the same escalation real
@@ -77,10 +78,11 @@ object HFileCodec {
   // format (tag varint = fieldNum<<3 | wireType; varint values;
   // length-delimited strings) is a public spec and needs no protobuf jar —
   // the fields below mirror HFile.proto's FileTrailerProto field numbers.
-  // Our one extension, the bloom meta offset (real HBase reaches blooms
-  // through the load-on-open section instead), rides in field 100: a
-  // standard protobuf parser skips unknown fields, so the trailer stays
-  // parseable by a stock FileTrailerProto reader.
+  // Everything else a reader needs at open time — root data index, meta
+  // index, file info, bloom metadata — lives in the LOAD-ON-OPEN section
+  // starting at load_on_open_data_offset and is discovered by walking
+  // blocks by magic up to the trailer ([[walkLoadOnOpen]]), exactly
+  // HFileReaderImpl's open sequence; no private trailer fields exist.
 
   /** Total on-disk trailer size, every v2/v3 file (padding absorbs the
     * variable protobuf length).
@@ -100,7 +102,6 @@ object HFileCodec {
   private val PbLastDataBlockOffset = 10
   private val PbComparatorClassName = 11
   private val PbCompressionCodec = 12
-  private val PbBloomMetaOffsetExt = 100 // graft extension, unknown-field-safe
 
   /** The comparator every file declares [public: o.a.h.hbase
     * .CellComparatorImpl — the v3 default].
@@ -1271,31 +1272,13 @@ object HFileCodec {
     flushBlock()
     closeBloomChunk()
 
-    // file-info block: the real FileInfoProto map [public: o.a.h.hbase
-    // .io.hfile.HFileInfo.write — PB_MAGIC then a delimited FileInfoProto
-    // of BytesBytesPair entries, keys sorted]. Every value is
-    // deterministic (no CREATE_TIME_TS — a wall clock would make
-    // byte-identical re-writes impossible).
-    val fileInfoOffset = written
-    val avgK = if (entryCount == 0) 0 else (totalKeyLen / entryCount).toInt
-    val avgV = if (entryCount == 0) 0 else (totalValLen / entryCount).toInt
-    val infoEntries = Seq(
-      "DATA_BLOCK_ENCODING" -> encodingName(encoding).getBytes(UTF_8),
-      "KEY_VALUE_VERSION" -> ByteBuffer.allocate(4).putInt(1).array(),
-      "hfile.AVG_KEY_LEN" -> ByteBuffer.allocate(4).putInt(avgK).array(),
-      "hfile.AVG_VALUE_LEN" -> ByteBuffer.allocate(4).putInt(avgV).array()) ++
-      (if (lastKey == null) Seq.empty
-       else Seq("hfile.LASTKEY" -> lastKey))
-    emitBlock(FileInfoMagic, buildFileInfo(infoEntries))
-
-    // bloom section: chunks, then a meta block indexing them by first row
-    // (same entry layout as the block index, so the reader shares a parser)
+    // bloom chunks follow the data section (real HBase interleaves them
+    // inline between data blocks — same discovery either way: chunks are
+    // only ever reached through the bloom meta index)
     val bloomMetaEntries = bloomChunks.map { case (firstRow, payload) =>
       val (off, onDiskSize) = emitBlock(BloomChunkMagic, payload)
       (off, onDiskSize, firstRow)
     }
-    val bloomMetaOffset = if (bloomMetaEntries.isEmpty) -1L
-      else emitBlock(BloomMetaMagic, serializeIndexEntries(bloomMetaEntries))._1
 
     // index section. Small files: root entries point straight at data
     // blocks. Past indexChunkEntries data blocks, escalate to two levels —
@@ -1317,10 +1300,47 @@ object HFileCodec {
         (off, onDiskSize, chunk.head._3)
       }.toSeq
 
-    // root index block
+    // ---- load-on-open section, HBase's order [public: o.a.h.hbase.io
+    // .hfile.HFileWriterImpl.close — root data index, meta index root,
+    // file info, then the bloom metadata]: everything a reader needs at
+    // open time sits contiguously between loadOnOpenDataOffset and the
+    // trailer, discovered by WALKING blocks by magic (HFileReaderImpl
+    // reads the whole region in one I/O), not by per-block trailer
+    // fields. The trailer's only offsets are load_on_open_data_offset
+    // and file_info_offset, exactly the two FileTrailerProto carries.
+
+    // root data index block (first load-on-open block — its offset IS
+    // loadOnOpenDataOffset)
     val rootPayload = serializeIndexEntries(rootEntries)
     idxUncompressed += rootPayload.length
     val rootIndexOffset = emitBlock(RootIndexMagic, rootPayload)._1
+
+    // meta index root: always written, empty here (we define no named
+    // meta blocks; blooms travel as BLMF chunks + meta, like HBase's)
+    emitBlock(RootIndexMagic, Array.emptyByteArray)
+
+    // file-info block: the real FileInfoProto map [public: o.a.h.hbase
+    // .io.hfile.HFileInfo.write — PB_MAGIC then a delimited FileInfoProto
+    // of BytesBytesPair entries, keys sorted]. Every value is
+    // deterministic (no CREATE_TIME_TS — a wall clock would make
+    // byte-identical re-writes impossible).
+    val fileInfoOffset = written
+    val avgK = if (entryCount == 0) 0 else (totalKeyLen / entryCount).toInt
+    val avgV = if (entryCount == 0) 0 else (totalValLen / entryCount).toInt
+    val infoEntries = Seq(
+      "DATA_BLOCK_ENCODING" -> encodingName(encoding).getBytes(UTF_8),
+      "KEY_VALUE_VERSION" -> ByteBuffer.allocate(4).putInt(1).array(),
+      "hfile.AVG_KEY_LEN" -> ByteBuffer.allocate(4).putInt(avgK).array(),
+      "hfile.AVG_VALUE_LEN" -> ByteBuffer.allocate(4).putInt(avgV).array()) ++
+      (if (lastKey == null) Seq.empty
+       else Seq("hfile.LASTKEY" -> lastKey))
+    emitBlock(FileInfoMagic, buildFileInfo(infoEntries))
+
+    // bloom meta: an index of the BLMF chunks by first row (same entry
+    // layout as the block index, so the reader shares a parser). Last
+    // load-on-open block, like HBase's general bloom metadata.
+    if (bloomMetaEntries.nonEmpty)
+      emitBlock(BloomMetaMagic, serializeIndexEntries(bloomMetaEntries))
 
     // 212-byte trailer: magic | FileTrailerProto (delimited) | padding |
     // version word with minor in the high byte [public: o.a.h.hbase.io
@@ -1342,8 +1362,6 @@ object HFileCodec {
     }
     pbWriteBytes(pb, PbComparatorClassName, ComparatorClassName.getBytes(UTF_8))
     pbWriteField(pb, PbCompressionCodec, compression.toLong)
-    if (bloomMetaOffset >= 0) // absent field = no bloom, like any optional
-      pbWriteField(pb, PbBloomMetaOffsetExt, bloomMetaOffset)
     val msg = pb.toByteArray
     val delimited = new ByteArrayOutputStream(msg.length + 4)
     pbWriteVarint(delimited, msg.length.toLong) // writeDelimitedTo prefix
@@ -1477,10 +1495,60 @@ object HFileCodec {
     entries.result()
   }
 
-  final case class Trailer(fileInfoOffset: Long, rootIndexOffset: Long,
+  final case class Trailer(fileInfoOffset: Long, loadOnOpenOffset: Long,
                            dataIndexCount: Int, totalUncompressed: Long,
-                           entryCount: Long, bloomMetaOffset: Long,
-                           compression: Int, majorVersion: Int)
+                           entryCount: Long, compression: Int,
+                           majorVersion: Int)
+
+  /** Positions of the load-on-open blocks (−1 = absent). `rootIndexOffset`
+    * always equals the section start; the others follow by walk order.
+    */
+  final case class LoadOnOpen(rootIndexOffset: Long, metaIndexOffset: Long,
+                              fileInfoOffset: Long, bloomMetaOffset: Long)
+
+  /** Walk the load-on-open section `[start, end)` of `b` block by block —
+    * HFileReaderImpl's open sequence: each block's header gives its
+    * on-disk length (checksums included), each is classified by magic
+    * (first IDXROOT2 = root data index, second = meta index root,
+    * FILEINF2 = file info, BLMFMET2 = bloom metadata). Hostile-input
+    * regime as everywhere: every declared length is bounds-checked before
+    * the jump, an unknown magic or a non-tiling section throws, so a
+    * damaged file can only ever fail loudly at open.
+    */
+  private[graft] def walkLoadOnOpen(b: Array[Byte], start: Int, end: Int): LoadOnOpen = {
+    require(start >= 0 && start <= end && end <= b.length,
+      s"bad load-on-open range [$start, $end)")
+    var root = -1L; var meta = -1L; var fileInfo = -1L; var bloom = -1L
+    var p = start
+    while (p < end) {
+      require(p + HeaderSize <= end, s"truncated load-on-open header at $p")
+      val onDiskLen = ByteBuffer.wrap(b, p + 8, 4).getInt
+      require(onDiskLen >= 0 && onDiskLen <= MaxBlockBytes &&
+        p + HeaderSize + onDiskLen <= end,
+        s"load-on-open block at $p ($onDiskLen B) runs past the section")
+      if (hasMagic(b, p, RootIndexMagic)) {
+        if (root < 0) root = p
+        else if (meta < 0) meta = p
+        else throw new IllegalArgumentException(
+          s"third IDXROOT2 block in the load-on-open section at $p")
+      } else if (hasMagic(b, p, FileInfoMagic)) fileInfo = p
+      else if (hasMagic(b, p, BloomMetaMagic)) bloom = p
+      else throw new IllegalArgumentException(
+        s"unexpected block magic in the load-on-open section at $p")
+      p += HeaderSize + onDiskLen
+    }
+    require(root >= 0, "load-on-open section missing the root data index")
+    LoadOnOpen(root, meta, fileInfo, bloom)
+  }
+
+  /** Locate the load-on-open blocks of an in-memory file. */
+  private[graft] def loadOnOpenOf(file: Array[Byte]): LoadOnOpen = {
+    val trailer = readTrailer(file)
+    require(trailer.loadOnOpenOffset >= 0 &&
+      trailer.loadOnOpenOffset <= file.length - TrailerLen,
+      s"bad loadOnOpenOffset ${trailer.loadOnOpenOffset}")
+    walkLoadOnOpen(file, trailer.loadOnOpenOffset.toInt, file.length - TrailerLen)
+  }
 
   /** Parse the 212-byte tail per the protobuf wire rules: skip the magic,
     * read the delimiter varint, then walk tag|value pairs — unknown
@@ -1502,9 +1570,9 @@ object HFileCodec {
       s"trailer protobuf length $msgLen overflows the trailer")
     val end = msgStart + msgLen.toInt
     var p = msgStart
-    var fileInfoOffset = -1L; var rootIndexOffset = -1L
+    var fileInfoOffset = -1L; var loadOnOpenOffset = -1L
     var dataIndexCount = 0; var totalUncompressed = 0L; var entryCount = 0L
-    var bloomMetaOffset = -1L; var compression = CompressionNone
+    var compression = CompressionNone
     while (p < end) {
       val (tag, p1) = pbReadVarint(file, p)
       val field = (tag >>> 3).toInt
@@ -1514,12 +1582,11 @@ object HFileCodec {
           val (v, p2) = pbReadVarint(file, p1)
           field match {
             case PbFileInfoOffset => fileInfoOffset = v
-            case PbLoadOnOpenOffset => rootIndexOffset = v
+            case PbLoadOnOpenOffset => loadOnOpenOffset = v
             case PbTotalUncompressedBytes => totalUncompressed = v
             case PbDataIndexCount => dataIndexCount = v.toInt
             case PbEntryCount => entryCount = v
             case PbCompressionCodec => compression = v.toInt
-            case PbBloomMetaOffsetExt => bloomMetaOffset = v
             case _ => // unknown varint field: skipped
           }
           p = p2
@@ -1534,8 +1601,8 @@ object HFileCodec {
           s"unsupported protobuf wire type $w in trailer at $p")
       }
     }
-    Trailer(fileInfoOffset, rootIndexOffset, dataIndexCount,
-      totalUncompressed, entryCount, bloomMetaOffset, compression,
+    Trailer(fileInfoOffset, loadOnOpenOffset, dataIndexCount,
+      totalUncompressed, entryCount, compression,
       ByteBuffer.wrap(file, file.length - 4, 4).getInt & 0x00ffffff)
   }
 
@@ -1719,9 +1786,9 @@ object HFileCodec {
     * "read the data block". Files without a bloom answer true.
     */
   def mayContainRow(file: Array[Byte], row: Array[Byte]): Boolean = {
-    val trailer = readTrailer(file)
-    if (trailer.bloomMetaOffset < 0) return true
-    val meta = parseIndexEntriesWithKeys(file, trailer.bloomMetaOffset.toInt,
+    val loo = loadOnOpenOf(file)
+    if (loo.bloomMetaOffset < 0) return true
+    val meta = parseIndexEntriesWithKeys(file, loo.bloomMetaOffset.toInt,
       BloomMetaMagic)
     val cands = candidateEntries(meta, row)
     cands.exists { case (off, _, _) =>
@@ -1742,7 +1809,7 @@ object HFileCodec {
   def read(file: Array[Byte]): Iterator[HCell] = {
     val trailer = readTrailer(file)
     val rootEntries = parseIndexEntries(
-      file, trailer.rootIndexOffset.toInt, RootIndexMagic)
+      file, loadOnOpenOf(file).rootIndexOffset.toInt, RootIndexMagic)
     require(rootEntries.size == trailer.dataIndexCount, "index count mismatch")
     val blocks = rootEntries.flatMap { case (off, size) =>
       if (hasMagic(file, off.toInt, IntermediateIndexMagic))

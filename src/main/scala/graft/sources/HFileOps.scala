@@ -150,11 +150,14 @@ object HFileOps {
   }
 
   /** One task per region file for the positioned-read paths: opens the
-    * stream, hands `f` the stream + parsed trailer, closes on return.
-    * `f` MUST evaluate eagerly — nothing it returns may read `in` lazily.
+    * stream, reads the trailer then the whole LOAD-ON-OPEN region in one
+    * positioned read (HFileReaderImpl's open sequence — root index, meta
+    * index, file info, bloom meta, located by magic walk), hands `f` the
+    * stream + section offsets, closes on return. `f` MUST evaluate
+    * eagerly — nothing it returns may read `in` lazily.
     */
   private def seekScan(spark: SparkSession, dir: String)(
-      f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.Trailer) => Seq[Row]): DataFrame = {
+      f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => Seq[Row]): DataFrame = {
     val (paths, serConf) = regionFiles(spark, dir)
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
@@ -166,7 +169,21 @@ object HFileOps {
         try {
           val tail = new Array[Byte](HFileCodec.TrailerLen)
           in.readFully(len - HFileCodec.TrailerLen, tail)
-          f(in, HFileCodec.readTrailer(tail))
+          val trailer = HFileCodec.readTrailer(tail)
+          val looStart = trailer.loadOnOpenOffset
+          val looLen = len - HFileCodec.TrailerLen - looStart
+          // index + file info + bloom meta: ~100s of KB at most under the
+          // two-level index invariant; a hostile offset claiming more than
+          // one block's worth may only throw, never mega-allocate
+          require(looStart >= 0 && looLen > 0 && looLen <= HFileCodec.MaxBlockBytes,
+            s"implausible load-on-open section [$looStart, ${len - HFileCodec.TrailerLen})")
+          val loo = new Array[Byte](looLen.toInt)
+          in.readFully(looStart, loo)
+          val sect = HFileCodec.walkLoadOnOpen(loo, 0, loo.length)
+          def abs(rel: Long): Long = if (rel < 0) -1L else looStart + rel
+          f(in, HFileCodec.LoadOnOpen(abs(sect.rootIndexOffset),
+            abs(sect.metaIndexOffset), abs(sect.fileInfoOffset),
+            abs(sect.bloomMetaOffset)))
         } finally in.close()
       }
     spark.createDataFrame(rows, cellsSchema)
@@ -211,10 +228,11 @@ object HFileOps {
   }
 
   /** The HBase `Get` read shape against a bulk-written table: per region
-    * file, a handful of positioned reads — trailer (1), bloom meta +
-    * chunk (2, after which most regions are REJECTED without touching
-    * data), root/intermediate index (1-2), then only the candidate data
-    * block(s). Never a region scan: cost per region is O(blockSize), not
+    * file, a handful of positioned reads — trailer (1), the load-on-open
+    * section (1: root index + bloom meta in one read), bloom chunk (1,
+    * after which most regions are REJECTED without touching data),
+    * intermediate index (0-1), then only the candidate data block(s).
+    * Never a region scan: cost per region is O(blockSize), not
     * O(region). One Spark task per region file, so a get against a
     * 4096-region table is 4096 tiny tasks — or, with the usual rowkey →
     * region routing an online serving layer adds, exactly one.
@@ -230,7 +248,7 @@ object HFileOps {
     */
   def multiGet(spark: SparkSession, dir: String, rowkeys: Seq[String]): DataFrame = {
     val keyBytes = rowkeys.distinct.map(_.getBytes(UTF_8))
-    seekScan(spark, dir) { (in, trailer) =>
+    seekScan(spark, dir) { (in, loo) =>
       // raw blocks cached by offset: k keys sharing a bloom chunk,
       // intermediate index chunk, or data block cost ONE positioned
       // read of it (bounded: candidates per key are O(1))
@@ -238,10 +256,10 @@ object HFileOps {
       def blockAt(off: Long): Array[Byte] =
         blockCache.getOrElseUpdate(off, readBlockAt(in, off))
       val surviving: Seq[Array[Byte]] =
-        if (trailer.bloomMetaOffset < 0) keyBytes
+        if (loo.bloomMetaOffset < 0) keyBytes
         else {
           val meta = HFileCodec.parseIndexEntriesWithKeys(
-            blockAt(trailer.bloomMetaOffset), 0, HFileCodec.BloomMetaMagic)
+            blockAt(loo.bloomMetaOffset), 0, HFileCodec.BloomMetaMagic)
           val metaRows = HFileCodec.indexRows(meta) // once per batch, not per key
           keyBytes.filter { kb =>
             HFileCodec.candidateEntries(meta, metaRows, kb).exists { case (off, _, _) =>
@@ -257,7 +275,7 @@ object HFileOps {
       if (surviving.isEmpty) Seq.empty[Row]
       else {
         val root = HFileCodec.parseIndexEntriesWithKeys(
-          blockAt(trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+          blockAt(loo.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
         val rootRows = HFileCodec.indexRows(root)
         val dataOffsets = surviving.flatMap { kb =>
           HFileCodec.candidateEntries(root, rootRows, kb).flatMap { case (off, _, _) =>
@@ -293,9 +311,9 @@ object HFileOps {
                 startRow: String, stopRow: String): DataFrame = {
     val start = startRow.getBytes(UTF_8)
     val stop = stopRow.getBytes(UTF_8)
-    seekScan(spark, dir) { (in, trailer) =>
+    seekScan(spark, dir) { (in, loo) =>
       val root = HFileCodec.parseIndexEntriesWithKeys(
-        readBlockAt(in, trailer.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+        readBlockAt(in, loo.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
       val dataOffsets = HFileCodec.entriesInRange(root, start, stop)
         .flatMap { case (off, _, _) =>
           val blk = readBlockAt(in, off)

@@ -48,10 +48,20 @@ class HFileSpec extends SparkSuite {
     assert(tr.majorVersion == 3)
     assert(tr.entryCount == 5000)
     assert(tr.dataIndexCount > 1, "multi-block file expected at 8KiB blocks")
-    assert(bytes.slice(tr.rootIndexOffset.toInt, tr.rootIndexOffset.toInt + 8)
+    // the load-on-open section starts at the root index and is walkable
+    // by magic in HBase's order: root index, meta index, file info, bloom
+    assert(bytes.slice(tr.loadOnOpenOffset.toInt, tr.loadOnOpenOffset.toInt + 8)
       .sameElements(HFileCodec.RootIndexMagic))
     assert(bytes.slice(tr.fileInfoOffset.toInt, tr.fileInfoOffset.toInt + 8)
       .sameElements(HFileCodec.FileInfoMagic))
+    val loo = HFileCodec.loadOnOpenOf(bytes)
+    assert(loo.rootIndexOffset == tr.loadOnOpenOffset)
+    assert(loo.metaIndexOffset > loo.rootIndexOffset, "meta index root missing")
+    assert(loo.fileInfoOffset == tr.fileInfoOffset,
+      "walked file info disagrees with the trailer field")
+    assert(loo.bloomMetaOffset > loo.fileInfoOffset, "bloom meta missing")
+    assert(bytes.slice(loo.bloomMetaOffset.toInt, loo.bloomMetaOffset.toInt + 8)
+      .sameElements(HFileCodec.BloomMetaMagic))
     // decode returns the exact sequence back, in key order
     val back = HFileCodec.read(bytes).toSeq
     assert(back.size == 5000)
@@ -92,7 +102,7 @@ class HFileSpec extends SparkSuite {
     val tr = HFileCodec.readTrailer(bytes)
     // FileTrailerProto field numbers [public: hbase-protocol HFile.proto]
     assert(fields(1) == tr.fileInfoOffset)        // file_info_offset
-    assert(fields(2) == tr.rootIndexOffset)       // load_on_open_data_offset
+    assert(fields(2) == tr.loadOnOpenOffset)      // load_on_open_data_offset
     assert(fields(4) == tr.totalUncompressed)     // total_uncompressed_bytes
     assert(fields(5) == tr.dataIndexCount.toLong) // data_index_count
     assert(fields(6) == 0L)                       // meta_index_count
@@ -101,7 +111,8 @@ class HFileSpec extends SparkSuite {
     assert(fields(9) == 0L)                       // first_data_block_offset
     assert(fields(11) == HFileCodec.ComparatorClassName) // comparator
     assert(fields(12) == HFileCodec.CompressionGz.toLong) // compression_codec
-    assert(fields(100) == tr.bloomMetaOffset)     // graft extension field
+    // no private fields: every field number is FileTrailerProto's own
+    assert(fields.keys.forall(_ <= 12), s"unexpected trailer fields ${fields.keys}")
     // padding between the message and the version word is all zeros
     assert(tail.slice(end, 208).forall(_ == 0), "trailer padding not zeroed")
     // version word: major=3 in the low bytes, minor=0 in the high byte
@@ -120,7 +131,7 @@ class HFileSpec extends SparkSuite {
     assert(tr.dataIndexCount == math.ceil(5000.0 / 128).toInt,
       s"root should hold chunk entries, got ${tr.dataIndexCount}")
     // the root's first child really is an intermediate index block
-    val rootOff = tr.rootIndexOffset.toInt
+    val rootOff = tr.loadOnOpenOffset.toInt
     val firstChildOff = java.nio.ByteBuffer.wrap(bytes, rootOff + HFileCodec.HeaderSize, 8).getLong.toInt
     assert(bytes.slice(firstChildOff, firstChildOff + 8)
       .sameElements(HFileCodec.IntermediateIndexMagic))
