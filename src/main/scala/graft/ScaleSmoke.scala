@@ -59,11 +59,14 @@ object ScaleSmoke {
     spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
 
     if (!new java.io.File(s"$dir/events.parquet").exists()) {
-      val t0 = 1704067200000000000L // 2024-01-01 in nanos
-      val month = 30L * 86400L * 1000000000L
+      val t0 = 1704067200000000L // 2024-01-01 in epoch µs
+      val month = 30L * 86400L * 1000000L
       spark.range(n).select(
         col("id").as("event_id"),
-        (lit(t0) + (xxhash64(col("id"), lit(1)).bitwiseAND(Long.MaxValue)) % month).as("ts"),
+        // TIMESTAMP_NTZ, mirroring the fixture's parquet timestamp[us]
+        timestamp_micros(lit(t0) +
+            (xxhash64(col("id"), lit(1)).bitwiseAND(Long.MaxValue)) % month)
+          .cast("timestamp_ntz").as("ts"),
         (xxhash64(col("id"), lit(2)).bitwiseAND(Long.MaxValue) % users).as("user_id"),
         element_at(array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
           ((col("id") % 5) + 1).cast("int")).as("event_type"),

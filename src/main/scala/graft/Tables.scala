@@ -24,17 +24,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it natively only as
-    * BIGINT nanos via this legacy flag (SURVEY.md §2.1 R5). Safe to set
-    * unconditionally: it only affects nanos-typed parquet columns.
+  /** events.ts is parquet `timestamp[us]` (no timezone) as of the 2026-08-13
+    * fixture regeneration — Spark reads it as TIMESTAMP_NTZ natively; the
+    * pre-regeneration fixtures were TIMESTAMP(NANOS) and needed
+    * `spark.sql.legacy.parquet.nanosAsLong`, which is gone with them. The
+    * values are bit-identical in the µs domain (old nanos ÷ 1000 exactly),
+    * so every µs-domain output is unchanged.
     */
-  def withNanos(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") withNanos(spark)
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+
+  /** Epoch-microseconds BIGINT view of a TIMESTAMP_NTZ column. The session
+    * timezone is pinned to UTC (build.sbt javaOptions + Bench/Verify conf),
+    * so the NTZ → TZ cast is the identity and `unix_micros` is exact —
+    * the one sanctioned spelling for "ts as a number" (HBase cell
+    * timestamps are longs; windows/gaps/buckets do integer arithmetic).
+    */
+  def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -80,6 +86,8 @@ object Tables {
   /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style
     * cell per event. `op` synthesizes delete tombstones deterministically.
     * rowkey = user:event so the key space is dense and range-scannable.
+    * `ts` is epoch-µs BIGINT (HBase cell timestamps are longs; DuckDB twin:
+    * `CAST(epoch_us(ts) AS BIGINT)`).
     */
   def cells(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
@@ -87,7 +95,7 @@ object Tables {
       concat(pad(col("user_id")), lit(":"), pad(col("event_id"))).as("rowkey"),
       lit("e").as("cf"),
       col("event_type").as("qualifier"),
-      col("ts"),
+      tsMicros(col("ts")).as("ts"),
       col("value"),
       when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
   }

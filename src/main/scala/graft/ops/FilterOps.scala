@@ -98,10 +98,17 @@ object FilterOps {
         "000000000010:000000000000", "000000000020:000000999999999999"))
       .agg(count(lit(1)).as("n"))
 
-  /** b10 — time-range scan (Scan#setTimeRange) on BIGINT nanos. */
+  /** b10 — time-range scan (Scan#setTimeRange). NTZ literals (not
+    * `unix_micros(ts) BETWEEN …`) keep the predicate pushable to the
+    * parquet scan — PlanSpec pins the PushedFilters line. The bounds are
+    * the old frozen epoch constants (1704500000000000 / 1705500000000000
+    * µs) rendered as UTC wall-clock.
+    */
   val b10_ts_range: Q = (s, d) =>
     Tables.events(s, d)
-      .filter(col("ts").between(1704500000000000000L, 1705500000000000000L))
+      .filter(col("ts").between(
+        expr("timestamp_ntz'2024-01-06 00:13:20'"),
+        expr("timestamp_ntz'2024-01-17 14:00:00'")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_last)
@@ -171,7 +178,7 @@ object FilterOps {
     * periodic rewrite job, range-partitioned by rowkey on write (A5).
     */
   val b17_compaction: Q = (s, d) => {
-    val ttlFloor = 1704800000000000000L
+    val ttlFloor = 1704800000000000L // epoch µs (cells.ts domain)
     val coord = Window.partitionBy("rowkey", "cf", "qualifier")
     val live = Tables.cells(s, d).where(col("ts") >= ttlFloor)
       .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))

@@ -119,13 +119,15 @@ object JoinOps {
     */
   val c11_join_interval: Q = (s, d) => {
     val a = Tables.events(s, d).select(
-      col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      col("user_id"), col("event_id").as("a_id"),
+      Tables.tsMicros(col("ts")).as("a_ts"))
     val b = Tables.events(s, d).select(
-      col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      col("user_id").as("b_user"), col("event_id").as("b_id"),
+      Tables.tsMicros(col("ts")).as("b_ts"))
     a.join(b,
         col("user_id") === col("b_user") &&
         col("a_id") < col("b_id") &&
-        col("b_ts").between(col("a_ts"), col("a_ts") + lit(3600000000000L)))
+        col("b_ts").between(col("a_ts"), col("a_ts") + lit(3600000000L))) // 1 h in µs
       .agg(count(lit(1)).as("pairs"))
   }
 

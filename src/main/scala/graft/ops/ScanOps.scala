@@ -73,7 +73,7 @@ object ScanOps {
     * (mid of the measured ts range), delete-agnostic per Scan#setTimeRange.
     */
   val a6_cells_asof: Q = (s, d) => {
-    val t0 = 1705362487499628968L
+    val t0 = 1705362487499628L // epoch µs, mid of the measured ts range
     val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
       .orderBy(col("ts").desc, col("value").asc)
     Tables.cells(s, d)
@@ -128,8 +128,8 @@ object ScanOps {
       .agg(
         count(lit(1)).as("n"),
         dsum(col("value")).as("vsum"),
-        // µs domain: DuckDB truncates TIMESTAMP_NS to µs (FIXTURES.md §F4.2)
-        sum((expr("ts div 1000") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
+        // cells.ts is epoch-µs BIGINT (Tables.cells)
+        sum((col("ts") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
         count(when(col("op") === "delete", 1)).as("dels"))
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
@@ -167,10 +167,10 @@ object ScanOps {
         Tables.pad(col("event_id"))))
       .head().getString(0)
     graft.sources.HFileOps.pointGet(s, dir, rowkey)
-      // µs domain for the output ts: DuckDB truncates TIMESTAMP_NS to µs
-      // at scan (FIXTURES.md §F4.2), so raw nanos can never hash-match
+      // cells.ts is already epoch-µs; keep the ts_us output name the
+      // oracle text aliases
       .select(col("rowkey"), col("cf"), col("qualifier"),
-        expr("ts div 1000").as("ts_us"), col("value"), col("op"))
+        col("ts").as("ts_us"), col("value"), col("op"))
       .orderBy(col("qualifier").asc_nulls_last, col("ts_us").asc_nulls_last)
   }
 

@@ -58,14 +58,12 @@ object WindowOps {
       .orderBy(asc_nulls_last("n_name"))
   }
 
-  /** e5: lag — inter-event gap stats per user. Computed in MICROSECONDS on
-    * both engines: DuckDB 1.0 truncates TIMESTAMP_NS to µs at parquet scan
-    * time, so µs is the largest precision the oracle can see; `div`
-    * (integer division) keeps >2^53 tick arithmetic exact (R2-adjacent).
+  /** e5: lag — inter-event gap stats per user, in epoch-µs (the fixture's
+    * native ts precision; `div` keeps the tick arithmetic integer-exact).
     */
   def e5_win_lag: Q = (s, d) => {
     val ev = Tables.events(s, d).select(
-      col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      col("user_id"), col("event_id"), Tables.tsMicros(col("ts")).as("us"))
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     ev.select((col("us") - lag("us", 1).over(w)).as("gap"))
       .where(col("gap").isNotNull)
@@ -132,29 +130,32 @@ object WindowOps {
       .orderBy(asc_nulls_last("event_type"), desc("spend"), asc_nulls_last("user_id"))
   }
 
-  /** i2 batch twin: tumbling 1h window = integer-division time bucket.
-    * Integer `div` keeps >2^53 nanos exact on both engines.
+  /** i2 batch twin: tumbling 1h window = integer-division time bucket
+    * over epoch-µs (bucket values identical to the pre-regeneration ns
+    * spelling: floor(ns/3.6e12) == floor(µs/3.6e9)).
     */
   def i2_window_tumbling_batch: Q = (s, d) =>
     Tables.events(s, d)
-      .groupBy(expr("ts div 3600000000000").cast("long").as("hour_bucket"), col("event_type"))
+      .select(Tables.tsMicros(col("ts")).as("us"), col("event_type"), col("value"))
+      .groupBy(expr("us div 3600000000").cast("long").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
       .orderBy(asc_nulls_last("hour_bucket"), asc_nulls_last("event_type"))
 
   /** i3 batch twin: sliding 1h window, 15m step. With width = 4·step every
     * event lands in exactly 4 windows, so the batch form is an explode of
-    * the 4 window starts (pure integer arithmetic on nanos — exact on both
-    * engines) followed by an ordinary partial+final aggregation. One
+    * the 4 window starts (pure integer arithmetic on epoch-µs — exact on
+    * both engines) followed by an ordinary partial+final aggregation. One
     * shuffle on (win_start, event_type); the 4× row expansion happens
     * map-side inside the scan stage, never materialized.
     */
   def i3_window_sliding_batch: Q = (s, d) => {
-    val step = 900000000000L // 15 min in nanos
+    val step = 900000000L // 15 min in µs
     Tables.events(s, d)
       .select(col("event_type"), col("value"),
-        explode(sequence(lit(0), lit(3))).as("i"), col("ts"))
+        explode(sequence(lit(0), lit(3))).as("i"),
+        Tables.tsMicros(col("ts")).as("us"))
       .select(col("event_type"), col("value"),
-        ((expr("ts div 900000000000") - col("i")) * step).as("win_start"))
+        ((expr("us div 900000000") - col("i")) * step).as("win_start"))
       .groupBy("win_start", "event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
       .orderBy(asc_nulls_last("win_start"), asc_nulls_last("event_type"))
@@ -165,12 +166,13 @@ object WindowOps {
     * scales linearly with user count).
     */
   def i4_window_session_batch: Q = (s, d) => {
-    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        when(col("ts") - lag("ts", 1).over(wOrd) > 1800000000000L
-          || lag("ts", 1).over(wOrd).isNull, 1).otherwise(0).as("new_s"))
+      .select(col("user_id"), col("event_id"), Tables.tsMicros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        when(col("us") - lag("us", 1).over(wOrd) > 1800000000L // 30 min in µs
+          || lag("us", 1).over(wOrd).isNull, 1).otherwise(0).as("new_s"))
       .withColumn("session_id", sum("new_s").over(wRun))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n"))

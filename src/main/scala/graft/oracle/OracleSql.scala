@@ -12,7 +12,7 @@ object OracleSql {
       |  SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'), ':',
       |                lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rowkey,
       |         'e' AS cf, event_type AS qualifier,
-      |         CAST(epoch_ns(ts) AS BIGINT) AS ts,
+      |         CAST(epoch_us(ts) AS BIGINT) AS ts,
       |         value AS value,
       |         CASE WHEN event_id % 97 = 0 THEN 'delete' ELSE 'put' END AS op
       |  FROM events)
@@ -44,13 +44,13 @@ object OracleSql {
           |  (SELECT rowkey, qualifier, value,
           |          row_number() OVER (PARTITION BY rowkey, cf, qualifier
           |                             ORDER BY ts DESC, value) AS rn
-          |   FROM cells WHERE ts <= 1705362487499628968)
+          |   FROM cells WHERE ts <= 1705362487499628)
           |WHERE rn = 1 ORDER BY rowkey NULLS LAST, qualifier NULLS LAST LIMIT 500""".stripMargin),
     "a9_hfile_roundtrip" ->
       (cellsCte +
         """SELECT cf, qualifier, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
-          |  CAST(sum(CAST((ts // 1000) % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
+          |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
@@ -58,7 +58,7 @@ object OracleSql {
     // the same way (the rowkey of event_id = 0, which exists at every SF)
     "a10_hfile_get" ->
       (cellsCte +
-        """SELECT rowkey, cf, qualifier, CAST(ts // 1000 AS BIGINT) AS ts_us, value, op
+        """SELECT rowkey, cf, qualifier, ts AS ts_us, value, op
           |FROM cells
           |WHERE rowkey = (SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'),
           |                              ':', lpad('0', 12, '0'))
@@ -138,7 +138,7 @@ object OracleSql {
           |WHERE rowkey BETWEEN '000000000010:000000000000' AND '000000000020:000000999999999999'""".stripMargin),
     "b10_ts_range" ->
       """SELECT event_type, count(*) AS n FROM events
-        |WHERE CAST(epoch_ns(ts) AS BIGINT) BETWEEN 1704500000000000000 AND 1705500000000000000
+        |WHERE CAST(epoch_us(ts) AS BIGINT) BETWEEN 1704500000000000 AND 1705500000000000
         |GROUP BY event_type ORDER BY event_type NULLS LAST""".stripMargin,
     "b11_qualifier_filter" ->
       (cellsCte + "SELECT count(*) AS n FROM cells WHERE qualifier LIKE 'c%'"),
@@ -178,7 +178,7 @@ object OracleSql {
           |   FROM (SELECT rowkey, cf, qualifier, ts, value, op,
           |                max(CASE WHEN op='delete' THEN ts END)
           |                  OVER (PARTITION BY rowkey, cf, qualifier) AS del_ts
-          |         FROM cells WHERE ts >= 1704800000000000000)
+          |         FROM cells WHERE ts >= 1704800000000000)
           |   WHERE op = 'put' AND (del_ts IS NULL OR ts > del_ts))
           |WHERE rn <= 2
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin))
@@ -327,25 +327,25 @@ object OracleSql {
     "c10_join_asof" ->
       """SELECT count(*) AS with_prior_click FROM
         |  (SELECT event_type,
-        |          max(CASE WHEN event_type = 'click' THEN CAST(epoch_ns(ts) AS BIGINT) END)
-        |            OVER (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id
+        |          max(CASE WHEN event_type = 'click' THEN CAST(epoch_us(ts) AS BIGINT) END)
+        |            OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
         |   FROM events)
         |WHERE event_type = 'error' AND prior_click IS NOT NULL""".stripMargin,
     "c11_join_interval" ->
       """SELECT count(*) AS pairs FROM
-        |  (SELECT user_id, event_id AS a_id, CAST(epoch_ns(ts) AS BIGINT) AS a_ts FROM events) a
+        |  (SELECT user_id, event_id AS a_id, CAST(epoch_us(ts) AS BIGINT) AS a_ts FROM events) a
         |JOIN
-        |  (SELECT user_id AS b_user, event_id AS b_id, CAST(epoch_ns(ts) AS BIGINT) AS b_ts FROM events) b
+        |  (SELECT user_id AS b_user, event_id AS b_id, CAST(epoch_us(ts) AS BIGINT) AS b_ts FROM events) b
         |ON a.user_id = b.b_user AND a.a_id < b.b_id
-        |   AND b.b_ts BETWEEN a.a_ts AND a.a_ts + 3600000000000""".stripMargin)
+        |   AND b.b_ts BETWEEN a.a_ts AND a.a_ts + 3600000000""".stripMargin)
 
   val windows: Map[String, String] = Map(
     "i3_window_sliding_batch" ->
       """SELECT win_start, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM
         |  (SELECT event_type, value,
-        |          (CAST(epoch_ns(ts) AS BIGINT) // 900000000000 - offs.i) * 900000000000 AS win_start
+        |          (CAST(epoch_us(ts) AS BIGINT) // 900000000 - offs.i) * 900000000 AS win_start
         |   FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) offs)
         |GROUP BY win_start, event_type
         |ORDER BY win_start NULLS LAST, event_type NULLS LAST""".stripMargin,
@@ -384,11 +384,11 @@ object OracleSql {
         |  (SELECT user_id,
         |     first_value(event_type) OVER w AS first_val,
         |     last_value(event_type)  OVER (PARTITION BY user_id
-        |       ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id
+        |       ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
         |     row_number() OVER w AS rn
         |   FROM events
-        |   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id))
+        |   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id))
         |WHERE rn = 1 ORDER BY user_id NULLS LAST""".stripMargin,
     "e7_win_running" ->
       """SELECT o_custkey, o_orderkey, CAST(run AS DOUBLE) AS run FROM
@@ -413,7 +413,7 @@ object OracleSql {
         |         FROM events GROUP BY event_type, user_id))
         |WHERE rn <= 3 ORDER BY event_type NULLS LAST, spend DESC, user_id NULLS LAST""".stripMargin,
     "i2_window_tumbling_batch" ->
-      """SELECT CAST(epoch_ns(ts) AS BIGINT) // 3600000000000 AS hour_bucket,
+      """SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_bucket,
         |       event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket NULLS LAST, event_type NULLS LAST""".stripMargin,
@@ -422,15 +422,15 @@ object OracleSql {
         |  (SELECT user_id, event_id,
         |          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id
         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |   FROM (SELECT user_id, event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts2,
-        |                CASE WHEN CAST(epoch_ns(ts) AS BIGINT)
-        |                          - lag(CAST(epoch_ns(ts) AS BIGINT))
+        |   FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts2,
+        |                CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+        |                          - lag(CAST(epoch_us(ts) AS BIGINT))
         |                            OVER (PARTITION BY user_id
-        |                                  ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id)
-        |                          > 1800000000000
-        |                       OR lag(CAST(epoch_ns(ts) AS BIGINT))
+        |                                  ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+        |                          > 1800000000
+        |                       OR lag(CAST(epoch_us(ts) AS BIGINT))
         |                            OVER (PARTITION BY user_id
-        |                                  ORDER BY CAST(epoch_ns(ts) AS BIGINT), event_id) IS NULL
+        |                                  ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL
         |                     THEN 1 ELSE 0 END AS new_s
         |         FROM events))
         |GROUP BY user_id, session_id

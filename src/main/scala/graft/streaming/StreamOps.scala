@@ -11,10 +11,10 @@ import org.apache.spark.sql.types.DecimalType
   * equivalence tests replay the events fixture as a file stream and
   * assert the streamed result equals the batch result.
   *
-  * Event time: the fixture's ts is BIGINT nanos; Structured Streaming
-  * watermarks need TimestampType, so `ets` = nanos truncated to micros —
-  * deterministic, and the same truncation DuckDB applies (TIMESTAMP_NS →
-  * µs), keeping stream, batch, and oracle in one time domain.
+  * Event time: the fixture's ts is parquet `timestamp[us]` (TIMESTAMP_NTZ
+  * in Spark); `ets` is its session-timezone (UTC-pinned) TimestampType
+  * cast, the type watermarks require — stream, batch, and oracle share
+  * the µs time domain natively.
   *
   * Scale posture: state stores are hash-partitioned by group key
   * (user_id / window), so a 1000-executor cluster shards state linearly;
@@ -62,14 +62,19 @@ object StreamOps {
                            splits: Int, stampMtime: Boolean): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = df.sparkSession
-    // Staging key = md5 of the SORTED input-file list: a full-strength
-    // digest makes a collision between two fixtures negligible (a 32-bit
-    // hashCode collision would silently replay the wrong staged data
-    // forever via the _STAGED sentinel), and sorting makes the key stable
-    // under the nondeterministic ordering FileIndex can return.
+    // Staging key = md5 of the SORTED input-file list + the schema JSON: a
+    // full-strength digest makes a collision between two fixtures
+    // negligible (a 32-bit hashCode collision would silently replay the
+    // wrong staged data forever via the _STAGED sentinel), sorting makes
+    // the key stable under the nondeterministic ordering FileIndex can
+    // return, and the schema term invalidates staged splits when a fixture
+    // is regenerated IN PLACE with different column types (the 2026-08-13
+    // events ts ns→µs regeneration is exactly that case — same paths, new
+    // schema, and a list-only key would have replayed the stale splits).
     val fileKey = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(df.inputFiles.sorted.mkString("\n").getBytes("UTF-8"))
+      md.digest((df.inputFiles.sorted.mkString("\n") + "\n" + df.schema.json)
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     }
     val dir = Paths.get(sys.props("java.io.tmpdir"),
@@ -112,12 +117,10 @@ object StreamOps {
     * Splits get event-time-ordered mtimes (see [[stagedStream]]).
     */
   def eventsStream(spark: SparkSession, sfDir: String,
-                   splits: Int = 4): DataFrame = {
-    Tables.withNanos(spark)
+                   splits: Int = 4): DataFrame =
     stagedStream(Tables.events(spark, sfDir), "event_id", "events",
         splits, stampMtime = true)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ets", col("ts").cast("timestamp"))
 
   /** Replay a documents parquet fixture as a micro-batch file stream
     * (doc_id-range splits; the sampling ops are stateless so replay order
@@ -288,7 +291,7 @@ object StreamOps {
         Tables.pad(col("event_id"))).as("rowkey"),
       lit("e").as("cf"),
       col("event_type").as("qualifier"),
-      col("ts"),
+      Tables.tsMicros(col("ts")).as("ts"),
       col("value"),
       when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
 

@@ -796,7 +796,7 @@ class HFileSpec extends SparkSuite {
       .agg(
         count(lit(1)).as("n"),
         ops.dsum(col("value")).as("vsum"),
-        sum((expr("ts div 1000") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
+        sum((col("ts") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
         count(when(col("op") === "delete", 1)).as("dels"))
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
     assert(viaHfile.collect().map(_.toSeq).toSeq ==

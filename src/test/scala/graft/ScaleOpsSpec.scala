@@ -72,7 +72,8 @@ class ScaleOpsSpec extends SparkSuite {
 
   test("z-order layout localizes both dimensions; a user-sorted layout cannot") {
     import java.nio.file.Files
-    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      Tables.tsMicros(col("ts")).as("ts")) // z-order quantizes numeric dims
     // layout A: classic single-dimension sort (by user)
     val userDir = Files.createTempDirectory("graft_zorder_user").toString
     ev.repartitionByRange(16, col("user_id"))

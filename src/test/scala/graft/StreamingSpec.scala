@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   private lazy val batchEvents =
-    Tables.events(spark, sf).withColumn("ets", timestamp_micros(expr("ts div 1000"))).cache()
+    Tables.events(spark, sf).withColumn("ets", col("ts").cast("timestamp")).cache()
 
   test("I1/I2: tumbling window stream equals batch twin") {
     val streamed = runStream(StreamOps.tumblingCounts(StreamOps.eventsStream(spark, sf)),

@@ -24,7 +24,6 @@ spark = (
     .config("spark.sql.shuffle.partitions", CPUS)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("WARN")
@@ -74,7 +73,7 @@ Q = {
         SELECT event_type, sum(CAST(get_json_object(props,'$.k') AS DECIMAL(18,0))) ksum
         FROM events GROUP BY event_type""",
     "B11_timebucket": """
-        SELECT CAST(floor(ts / 3600000000000) AS BIGINT) hb, event_type, count(*) n
+        SELECT unix_micros(cast(ts as timestamp)) div 3600000000 hb, event_type, count(*) n
         FROM events GROUP BY 1, 2""",
     "B12_lag_sessionize": """
         SELECT user_id, session_id, count(*) n FROM
@@ -83,10 +82,12 @@ Q = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
            FROM (SELECT user_id, event_id, ts,
                         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                                  > 1800000000000
+                                  > 1800000000
                                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                              THEN 1 ELSE 0 END new_s
-                 FROM events))
+                 FROM (SELECT user_id, event_id,
+                              unix_micros(cast(ts as timestamp)) ts
+                       FROM events)))
         GROUP BY user_id, session_id""",
     "B13_exact_dedup": """
         SELECT count(*) kept FROM

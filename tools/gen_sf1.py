@@ -99,8 +99,8 @@ gen("embeddings",
     " for i in range(1, 65)] END "
     "AS embedding, label FROM {src}")
 
-# events via pyarrow: preserves the timestamp[ns] physical type the Scala
-# reader (nanosAsLong) and the oracle's epoch_ns() both key on
+# events via pyarrow: preserves the timestamp[us] physical type (the
+# 2026-08-13 fixture schema) byte-for-byte — no engine rewrites the column
 t = pq.read_table(f"{SRC}/events.parquet")
 t = t.replace_schema_metadata(None)
 parts = []
