@@ -174,8 +174,34 @@ object ScanOps {
       .orderBy(col("qualifier").asc_nulls_last, col("ts_us").asc_nulls_last)
   }
 
+  /** a12 — the r9 codec surface under the driver gate: the a9 round-trip
+    * aggregate over regions written ZSTD-compressed + PREFIX-encoded.
+    * ZSTD/SNAPPY/LZ4 ride the codec jars Spark itself ships (zstd-jni
+    * etc. — no new dependency); a9 keeps GZ+FAST_DIFF and a10 keeps
+    * GZ+ROW_INDEX_V1, so the three driver-gated HFile queries cover
+    * three codec × encoding combinations end to end; SNAPPY/LZ4 carry
+    * their own spec + fuzz coverage in HFileSpec/HFileFuzzProps.
+    */
+  val a12_hfile_zstd: Q = (s, d) => {
+    val dir = Tables.appTmpDir(s, "graft_hfile_zstd", d)
+    val nCells = Tables.events(s, d).count()
+    graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
+      regions = graft.sources.HFileOps.regionCountFor(nCells),
+      compression = graft.sources.HFileCodec.CompressionZstd,
+      encoding = graft.sources.HFileCodec.EncodingPrefix)
+    graft.sources.HFileOps.read(s, dir)
+      .groupBy(col("cf"), col("qualifier"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        sum((col("ts") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
+        count(when(col("op") === "delete", 1)).as("dels"))
+      .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
+    "a12_hfile_zstd" -> a12_hfile_zstd,
     "a2_csv_roundtrip" -> a2_csv_roundtrip,
     "a4_cells_scan" -> a4_cells_scan,
     "a5_bulkload_splits" -> a5_bulkload_splits,

@@ -54,6 +54,17 @@ object OracleSql {
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a12: same oracle as a9 — the round-trip aggregate is
+    // codec-independent; only the Spark side's write options differ
+    // (ZSTD + PREFIX vs a9's GZ + FAST_DIFF)
+    "a12_hfile_zstd" ->
+      (cellsCte +
+        """SELECT cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
+          |  count(*) FILTER (WHERE op = 'delete') AS dels
+          |FROM cells GROUP BY cf, qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a10: the DuckDB twin of the point get — same single rowkey, computed
     // the same way (the rowkey of event_id = 0, which exists at every SF)
     "a10_hfile_get" ->

@@ -29,17 +29,22 @@ import scala.collection.mutable.ArrayBuffer
   *     Hadoop-vint length prefix), and the trailing 4-byte version word
   *     (major=3, minor=0, minor in the high byte).
   *
-  * Block compression: NONE or GZ (`java.util.zip` — GZ is a legal HBase
-  * block codec and the JDK ships the codec; Snappy/LZ4/ZSTD would need
-  * native libs that don't resolve offline). Compressed blocks carry
-  * `onDiskSizeWithoutHeader` = deflated length and
+  * Block compression: NONE, GZ (`java.util.zip`), SNAPPY, LZ4 and ZSTD —
+  * the latter three through the codec jars Spark ships on every cluster
+  * classpath (snappy-java / lz4-java / zstd-jni, Spark's own shuffle and
+  * parquet codecs). SNAPPY/LZ4 payloads use the Hadoop block-stream
+  * framing both Hadoop's codecs and HBase's pure-Java compression
+  * modules emit; ZSTD payloads are plain RFC 8878 frames — see
+  * [[hadoopBlockCompress]]. Compressed blocks carry
+  * `onDiskSizeWithoutHeader` = compressed length and
   * `uncompressedSizeWithoutHeader` = raw length in the 33-byte header,
   * exactly like HBase. The readers detect compression per block from
-  * those two fields (writer invariant: a GZ block whose deflated payload
+  * those two fields (writer invariant: a block whose compressed payload
   * happens to land on the raw length — possible in principle, never seen
-  * in practice — is stored raw, so sizes-differ ⟺ inflate), which keeps
-  * every read path codec-agnostic; the trailer still records the codec
-  * for format fidelity.
+  * in practice — is stored raw, so sizes-differ ⟺ decompress) and the
+  * codec from the payload's own first bytes (exact, not heuristic — see
+  * [[decompress]]), which keeps every read path codec-agnostic; the
+  * trailer still records the codec for format fidelity.
   *
   * Trailer: the fixed 212-byte v3 envelope (`magic | FileTrailerProto |
   * zero padding | version word`) with the protobuf body hand-encoded per
@@ -165,12 +170,19 @@ object HFileCodec {
   val MajorVersion = 3
 
   /** Compression codec ordinals [public: o.a.h.hbase.io.compress
-    * .Compression.Algorithm — LZO=0, GZ=1, NONE=2, SNAPPY=3, …]. Only
-    * NONE and GZ are writable here (GZ is JDK-native; the rest need
-    * native codec libs that don't resolve offline).
+    * .Compression.Algorithm — LZO=0, GZ=1, NONE=2, SNAPPY=3, LZ4=4,
+    * BZIP2=5, ZSTD=6]. GZ is JDK-native; SNAPPY, LZ4 and ZSTD ride the
+    * codec jars Spark itself ships on every cluster classpath
+    * (snappy-java, lz4-java, zstd-jni — Spark's own shuffle/parquet
+    * codecs), so no extra dependency exists. LZO (GPL, licence-gated
+    * even in real HBase) and BZIP2 (no HBase deployment uses it for
+    * blocks) stay unsupported.
     */
   val CompressionGz = 1
   val CompressionNone = 2
+  val CompressionSnappy = 3
+  val CompressionLz4 = 4
+  val CompressionZstd = 6
 
   /** Checksum type codes [public: o.a.h.hbase.util.ChecksumType —
     * NULL=0, CRC32=1, CRC32C=2]. CRC32C is HBase's default and the JDK
@@ -236,6 +248,158 @@ object HFileCodec {
     }
     require(in.read() < 0,
       s"gzip stream continues past declared length $uncompressedLen")
+    out
+  }
+
+  /** Group size for the Hadoop block-codec framing below — Hadoop's
+    * `io.compression.codec.{snappy,lz4}.buffersize` default (256 KiB).
+    * Only blocks larger than this split into multiple groups; with the
+    * 64 KiB default block size every block is a single group, matching
+    * what Hadoop's SnappyCodec/Lz4Codec emit for the same bytes.
+    */
+  private val HadoopCodecGroupSize = 256 * 1024
+
+  /** SNAPPY/LZ4 block payloads use the Hadoop block-stream framing
+    * [public: o.a.h.io.compress.BlockCompressorStream — the stream both
+    * Hadoop's SnappyCodec/Lz4Codec and HBase's pure-Java
+    * hbase-compression-snappy / -lz4 modules produce]: per group of up to
+    * bufferSize raw bytes, `rawLen:4 BE | compLen:4 BE | codec chunk`.
+    * One codec chunk per group (Hadoop emits exactly one whenever the
+    * group fits its buffer, which our write side guarantees by chunking
+    * at the same 256 KiB).
+    */
+  private def hadoopBlockCompress(payload: Array[Byte])
+                                 (chunk: (Array[Byte], Int, Int) => Array[Byte]): Array[Byte] = {
+    require(payload.length > 0, "empty block payload (writer never emits one)")
+    val out = new ByteArrayOutputStream(payload.length / 2 + 64)
+    var off = 0
+    while (off < payload.length) {
+      val rawLen = math.min(HadoopCodecGroupSize, payload.length - off)
+      val c = chunk(payload, off, rawLen)
+      val hdr = ByteBuffer.allocate(8).putInt(rawLen).putInt(c.length).array()
+      out.write(hdr, 0, 8)
+      out.write(c, 0, c.length)
+      off += rawLen
+    }
+    out.toByteArray
+  }
+
+  private def snappyCompress(payload: Array[Byte]): Array[Byte] =
+    hadoopBlockCompress(payload) { (b, off, len) =>
+      val buf = new Array[Byte](org.xerial.snappy.Snappy.maxCompressedLength(len))
+      val n = org.xerial.snappy.Snappy.compress(b, off, len, buf, 0)
+      java.util.Arrays.copyOf(buf, n)
+    }
+
+  private lazy val lz4Factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  private def lz4Compress(payload: Array[Byte]): Array[Byte] =
+    hadoopBlockCompress(payload) { (b, off, len) =>
+      lz4Factory.fastCompressor().compress(b, off, len)
+    }
+
+  /** ZSTD payloads are a standard zstd frame [public: RFC 8878; Hadoop's
+    * ZStandardCodec and HBase's hbase-compression-zstd both emit plain
+    * frames, no extra framing]. Level 3 is zstd's own default and what
+    * HBase's `hbase.io.compress.zstd.level` defaults to.
+    */
+  private def zstdCompress(payload: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(payload, 3)
+
+  /** Compress one block payload per the file codec; [[CompressionNone]]
+    * and unknown ordinals pass through (the writer `require`s the codec
+    * set up front, so unknown can't reach here from our write path).
+    */
+  private[sources] def compressBlock(payload: Array[Byte], codec: Int): Array[Byte] =
+    codec match {
+      case CompressionGz => gzip(payload)
+      case CompressionSnappy => snappyCompress(payload)
+      case CompressionLz4 => lz4Compress(payload)
+      case CompressionZstd => zstdCompress(payload)
+      case _ => payload
+    }
+
+  /** Decompress a block payload whose codec is identified from its own
+    * first bytes — the property that keeps every read path (including the
+    * forward-only [[readStreaming]], which sees data blocks BEFORE the
+    * trailer that records the codec) free of a codec parameter, exactly
+    * like the sizes-differ ⟺ compressed rule one layer up. The sniff is
+    * exact, not heuristic, for every codec this writer can produce:
+    *   - GZ streams open `1f 8b`; as a Hadoop-framing group length that
+    *     would declare a 528 MB group, > [[MaxBlockBytes]] — impossible.
+    *   - ZSTD frames open `28 b5 2f fd` (RFC 8878 magic); as a group
+    *     length that is 683 MB — impossible.
+    *   - The Hadoop SNAPPY/LZ4 framing opens with a 4-byte BE group
+    *     length ≤ 256 KiB, so its first byte is 0x00 — which no gzip or
+    *     zstd stream starts with.
+    * SNAPPY vs LZ4 inside the framing: a snappy chunk leads with a varint
+    * of its own raw length, which for one-chunk-per-group files equals
+    * the group's rawLen — checked first; whichever codec is picked must
+    * then reproduce rawLen bytes exactly or the read throws (so a
+    * coincidental varint match on an LZ4 chunk falls through to the LZ4
+    * attempt rather than returning garbage).
+    */
+  private[sources] def decompress(b: Array[Byte], off: Int, len: Int,
+                                  uncompressedLen: Int): Array[Byte] = {
+    require(len >= 4, s"compressed payload of $len B cannot hold any codec stream")
+    val b0 = b(off) & 0xff
+    if (b0 == 0x1f && (b(off + 1) & 0xff) == 0x8b)
+      gunzip(b, off, len, uncompressedLen)
+    else if (b0 == 0x28 && (b(off + 1) & 0xff) == 0xb5 &&
+             (b(off + 2) & 0xff) == 0x2f && (b(off + 3) & 0xff) == 0xfd) {
+      val frame = java.util.Arrays.copyOfRange(b, off, off + len)
+      val out = com.github.luben.zstd.Zstd.decompress(frame, uncompressedLen)
+      require(out.length == uncompressedLen,
+        s"zstd frame yielded ${out.length} B of declared $uncompressedLen")
+      out
+    } else hadoopBlockDecompress(b, off, len, uncompressedLen)
+  }
+
+  /** Walk the Hadoop framing groups, decompressing each chunk with
+    * whichever of SNAPPY/LZ4 validates (see [[decompress]] for why the
+    * sniff is reliable); total output must land exactly on the declared
+    * uncompressed length.
+    */
+  private def hadoopBlockDecompress(b: Array[Byte], off: Int, len: Int,
+                                    uncompressedLen: Int): Array[Byte] = {
+    val out = new Array[Byte](uncompressedLen)
+    var p = off
+    val end = off + len
+    var produced = 0
+    while (produced < uncompressedLen) {
+      require(p + 8 <= end, s"truncated Hadoop codec framing at $p")
+      val rawLen = ByteBuffer.wrap(b, p, 4).getInt
+      val compLen = ByteBuffer.wrap(b, p + 4, 4).getInt
+      require(rawLen > 0 && produced + rawLen <= uncompressedLen &&
+        compLen > 0 && p + 8 + compLen <= end,
+        s"implausible codec group rawLen=$rawLen compLen=$compLen at $p")
+      val cOff = p + 8
+      // snappy first iff its length preamble matches the group; either
+      // choice is then verified by the produced byte count
+      val snappyFirst =
+        try org.xerial.snappy.Snappy.uncompressedLength(b, cOff, compLen) == rawLen
+        catch { case _: Exception => false }
+      val n =
+        try {
+          if (snappyFirst)
+            org.xerial.snappy.Snappy.uncompress(b, cOff, compLen, out, produced)
+          else
+            lz4Factory.safeDecompressor()
+              .decompress(b, cOff, compLen, out, produced, rawLen)
+        } catch { case first: Exception =>
+          try { // the other codec (coincidental preamble match / foreign file)
+            if (snappyFirst)
+              lz4Factory.safeDecompressor()
+                .decompress(b, cOff, compLen, out, produced, rawLen)
+            else
+              org.xerial.snappy.Snappy.uncompress(b, cOff, compLen, out, produced)
+          } catch { case _: Exception => throw first }
+        }
+      require(n == rawLen, s"codec group yielded $n B of declared $rawLen")
+      produced += rawLen
+      p = cOff + compLen
+    }
+    require(p == end, s"codec framing continues past declared length ($p of $end)")
     out
   }
 
@@ -1027,7 +1191,7 @@ object HFileCodec {
     if (dataLen == uncompressedLen)
       java.util.Arrays.copyOfRange(block, hdrOff + HeaderSize,
         hdrOff + HeaderSize + dataLen)
-    else gunzip(block, hdrOff + HeaderSize, dataLen, uncompressedLen)
+    else decompress(block, hdrOff + HeaderSize, dataLen, uncompressedLen)
   }
 
   /** Index entry serialization, shared by the root and intermediate
@@ -1139,8 +1303,11 @@ object HFileCodec {
             compression: Int, encoding: Int, checksumType: Int): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
-    require(compression == CompressionNone || compression == CompressionGz,
-      s"unsupported compression codec $compression (NONE=2, GZ=1)")
+    require(compression == CompressionNone || compression == CompressionGz ||
+      compression == CompressionSnappy || compression == CompressionLz4 ||
+      compression == CompressionZstd,
+      s"unsupported compression codec $compression " +
+        "(GZ=1, NONE=2, SNAPPY=3, LZ4=4, ZSTD=6)")
     require(encoding == EncodingNone || encoding == EncodingPrefix ||
       encoding == EncodingDiff || encoding == EncodingFastDiff ||
       encoding == EncodingRowIndexV1,
@@ -1163,11 +1330,16 @@ object HFileCodec {
     // entries.
     def emitBlock(magic: Array[Byte], payload: Array[Byte]): (Long, Int) = {
       val offset = written
+      // empty payloads (the always-empty meta index root) store raw under
+      // every codec: zero bytes can only grow, and raw keeps the readers'
+      // sizes-differ ⟺ compressed rule trivially true
       val onDisk =
-        if (compression == CompressionGz) {
-          val z = gzip(payload)
+        if (compression == CompressionNone || payload.isEmpty) payload
+        else {
+          val z = compressBlock(payload, compression)
+          // equal-size fallback keeps sizes-differ ⟺ compressed exact
           if (z.length == payload.length) payload else z
-        } else payload
+        }
       require(onDisk.length <= MaxBlockBytes,
         s"block ${onDisk.length} B exceeds MaxBlockBytes")
       val dataWithHeader = HeaderSize + onDisk.length
@@ -1658,13 +1830,14 @@ object HFileCodec {
                 java.util.Arrays.copyOfRange(body, dataLen, onDiskLen)),
               "CRC32C mismatch in streamed data block")
           }
-          // data length differs from uncompressed ⟺ gzip payload (see
-          // blockPayload) — one raw + one inflated block at a time
+          // data length differs from uncompressed ⟺ compressed payload,
+          // codec sniffed from its own first bytes (see decompress) —
+          // one raw + one inflated block at a time
           val payload =
             if (dataLen == uncompressedLen) {
               if (dataLen == onDiskLen) body
               else java.util.Arrays.copyOfRange(body, 0, dataLen)
-            } else gunzip(body, 0, dataLen, uncompressedLen)
+            } else decompress(body, 0, dataLen, uncompressedLen)
           blockIter = dataBlockCells(payload, isEncoded)
         } else done = true // file-info block: past the data section
       }

@@ -789,6 +789,94 @@ class HFileSpec extends SparkSuite {
       s"expected a commit failure in the cause chain, got: ${chain(ex).mkString(" | ")}")
   }
 
+  // --- SNAPPY / LZ4 / ZSTD block codecs (r9) — the jars are Spark's own
+  // shuffle/parquet codecs (snappy-java, lz4-java, zstd-jni), present on
+  // every cluster classpath, so these are dependency-free here too.
+
+  private val newCodecs = Seq(
+    "SNAPPY" -> HFileCodec.CompressionSnappy,
+    "LZ4" -> HFileCodec.CompressionLz4,
+    "ZSTD" -> HFileCodec.CompressionZstd)
+
+  for ((name, codec) <- newCodecs)
+    test(s"$name: compressed file round-trips via both read paths and shrinks on disk") {
+      val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble,
+        if (i % 97 == 0) HFileCodec.TypeDelete else HFileCodec.TypePut))
+      val plain = HFileCodec.write(cells.iterator, blockSize = 8 * 1024)
+      val packed = HFileCodec.write(cells.iterator, 8 * 1024, codec)
+      assert(HFileCodec.readTrailer(packed).compression == codec)
+      assert(packed.length < plain.length,
+        s"$name file ${packed.length} B not smaller than NONE ${plain.length} B")
+      val onDisk = java.nio.ByteBuffer.wrap(packed, 8, 4).getInt
+      val uncomp = java.nio.ByteBuffer.wrap(packed, 12, 4).getInt
+      assert(onDisk < uncomp, s"expected compressed block, got $onDisk/$uncomp")
+      def canon(cs: Seq[HCell]) = cs.map(c =>
+        (new String(c.row, UTF_8), new String(c.qualifier, UTF_8), c.ts, c.typ,
+          java.nio.ByteBuffer.wrap(c.value).getDouble))
+      assert(canon(HFileCodec.read(packed).toSeq) == canon(cells))
+      assert(canon(HFileCodec.readStreaming(
+        new java.io.ByteArrayInputStream(packed)).toSeq) == canon(cells))
+      assert(HFileCodec.readTrailer(packed).totalUncompressed ==
+        HFileCodec.readTrailer(plain).totalUncompressed)
+    }
+
+  for ((name, codec) <- newCodecs)
+    test(s"$name: composes with FAST_DIFF + CRC32C on all read paths") {
+      val cells = (0 until 5000).map(i => cell(f"r$i%06d", "q", 1000L + i, i.toDouble))
+      val bytes = HFileCodec.write(cells.iterator, 8 * 1024,
+        codec, HFileCodec.EncodingFastDiff, HFileCodec.ChecksumCrc32c)
+      def canon(cs: Seq[HCell]) = cs.map(c =>
+        (new String(c.row, UTF_8), c.ts, java.nio.ByteBuffer.wrap(c.value).getDouble))
+      assert(canon(HFileCodec.read(bytes).toSeq) == canon(cells))
+      assert(canon(HFileCodec.readStreaming(
+        new java.io.ByteArrayInputStream(bytes)).toSeq) == canon(cells))
+      // corruption inside the compressed payload still dies in the CRC
+      // verify (it runs before any decompression)
+      val bad = bytes.clone()
+      val dwh = java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt
+      bad(dwh / 2) = (bad(dwh / 2) ^ 0x40).toByte
+      val msg = intercept[IllegalArgumentException](
+        HFileCodec.read(bad).foreach(_ => ())).getMessage
+      assert(msg.contains("CRC32C"), s"expected CRC error, got: $msg")
+    }
+
+  test("SNAPPY/LZ4: a block wider than the 256 KiB framing group splits into multiple groups") {
+    // one jumbo cell forces a > 256 KiB block payload — the Hadoop framing
+    // must emit several rawLen|compLen groups and the reader must walk all
+    // of them (a single-group assumption would truncate silently)
+    val big = Array.tabulate[Byte](700 * 1024)(i => (i % 251).toByte)
+    val jumbo = HCell("r0".getBytes(UTF_8), "e".getBytes(UTF_8),
+      "q".getBytes(UTF_8), 7L, HFileCodec.TypePut, big)
+    for (codec <- Seq(HFileCodec.CompressionSnappy, HFileCodec.CompressionLz4)) {
+      val bytes = HFileCodec.write(Iterator(jumbo), 64 * 1024, codec)
+      val back = HFileCodec.read(bytes).toSeq
+      assert(back.length == 1 && java.util.Arrays.equals(back.head.value, big))
+      val streamed = HFileCodec.readStreaming(
+        new java.io.ByteArrayInputStream(bytes)).toSeq
+      assert(streamed.length == 1 && java.util.Arrays.equals(streamed.head.value, big))
+    }
+  }
+
+  test("ZSTD+FAST_DIFF: spark bulk write + read + seek paths round-trip regions") {
+    val dir = tmpDir("zstd").toString
+    val src = Tables.cells(spark, sf)
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      compression = HFileCodec.CompressionZstd,
+      encoding = HFileCodec.EncodingFastDiff)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(HFileOps.read(spark, dir)) == canon(src))
+    val keys = src.orderBy("rowkey").limit(100).collect().map(_.getString(0))
+    val got = HFileOps.pointGet(spark, dir, keys(42)).collect()
+    assert(got.length == 1 && got(0).getString(0) == keys(42))
+    val scanned = HFileOps.rangeScan(spark, dir, keys(10), keys(90))
+      .collect().map(_.toString).sorted
+    val full = HFileOps.read(spark, dir)
+      .where(col("rowkey") >= keys(10) && col("rowkey") < keys(90))
+      .collect().map(_.toString).sorted
+    assert(scanned.nonEmpty && scanned.sameElements(full))
+  }
+
   test("a9 oracle query: round-trip aggregate equals the same aggregate on the source") {
     val viaHfile = ops.ScanOps.a9_hfile_roundtrip(spark, sf)
     val direct = Tables.cells(spark, sf)

@@ -327,7 +327,9 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
   private val fileGen: Gen[Array[Byte]] =
     Gen.zip(Gen.chooseNum(1, 60).flatMap(Gen.listOfN(_, cellGen)),
         Gen.oneOf(64, 256, 4096),
-        Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz),
+        Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz,
+          HFileCodec.CompressionSnappy, HFileCodec.CompressionLz4,
+          HFileCodec.CompressionZstd),
         Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
           HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff,
           HFileCodec.EncodingRowIndexV1),
