@@ -237,6 +237,173 @@ object MediaCodec {
     if (frames == 0 || rate <= 0) None
     else Some(MediaDims("mp3", -1, -1, channels, rate, samples * 1000L / rate))
   }
+
+  // ------------------------------------------------ full decode (r9)
+  // Header facts above need no codec; PIXELS do. The JDK ships complete
+  // ImageIO decoders for PNG/JPEG/GIF/BMP, so full image decode is
+  // dependency-free on the JVM — what was the one honestly-stubbed J12
+  // step ("no pixel/audio decode") until this round. Audio PCM decode is
+  // direct RIFF parsing (WAV carries raw samples; no codec involved).
+
+  /** Decode an image payload to pixels via ImageIO. None for audio
+    * payloads, unsupported formats, or malformed bytes — a curation
+    * pipeline meets those constantly and must not fail the task.
+    */
+  def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  /** Integer BT.601 luma of a packed sRGB pixel — exact arithmetic, so
+    * the j25 oracle can recompute sums without floating point.
+    */
+  def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+    (299 * r + 587 * g + 114 * bl) / 1000
+  }
+
+  /** Exact pixel statistics. For single-band (gray) images the raster
+    * sample IS the stored byte — PNG is lossless, so these sums equal the
+    * encoder's input exactly (the j25 gate); multi-band images go through
+    * the integer luma. `entropyMillibits` is the 256-bin gray-histogram
+    * Shannon entropy in millibits via StrictMath.log (bit-deterministic
+    * across JVMs, unlike Math.log), rounded to a long.
+    */
+  final case class PixelStats(width: Int, height: Int, bands: Int,
+                              graySum: Long, graySumSq: Long,
+                              entropyMillibits: Long)
+
+  def pixelStats(img: java.awt.image.BufferedImage): PixelStats = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val hist = new Array[Long](256)
+    var sum = 0L; var sumSq = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g =
+          if (bands == 1) raster.getSample(x, y, 0) & 0xff
+          else luma(img.getRGB(x, y))
+        sum += g; sumSq += g.toLong * g; hist(g) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var ent = 0.0
+    var i = 0
+    while (i < 256) {
+      if (hist(i) > 0) {
+        val p = hist(i).toDouble / n
+        ent -= p * StrictMath.log(p) / StrictMath.log(2.0)
+      }
+      i += 1
+    }
+    PixelStats(w, h, bands, sum, sumSq, StrictMath.round(ent * 1000))
+  }
+
+  /** Bilinear resize (Java2D — the JDK's own scaler). Gray sources stay
+    * single-band so thumbnails of gray images are gray bytes.
+    */
+  def resizeBilinear(img: java.awt.image.BufferedImage,
+                     w: Int, h: Int): java.awt.image.BufferedImage = {
+    val imgType =
+      if (img.getRaster.getNumBands == 1)
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val out = new java.awt.image.BufferedImage(w, h, imgType)
+    val g2 = out.createGraphics()
+    try {
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, w, h, null)
+    } finally g2.dispose()
+    out
+  }
+
+  /** `side`×`side` gray thumbnail bytes (row-major) — the fixed-width
+    * embedding-ish feature a downstream model input pipeline wants.
+    */
+  def thumbnailGray(img: java.awt.image.BufferedImage, side: Int): Array[Byte] = {
+    val small = resizeBilinear(img, side, side)
+    val out = new Array[Byte](side * side)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val g = if (small.getRaster.getNumBands == 1)
+          small.getRaster.getSample(x, y, 0) & 0xff
+        else luma(small.getRGB(x, y))
+        out(y * side + x) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Every k-th frame of a (possibly animated) GIF — the frame-sampling
+    * step a video-ish curation pipeline runs, expressed over the one
+    * multi-frame container the JDK decodes natively.
+    */
+  def sampleGifFrames(b: Array[Byte], everyK: Int): Seq[java.awt.image.BufferedImage] = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        (0 until n by everyK).map(reader.read(_))
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
+  /** Decoded PCM16 WAV facts: exact per-sample peak and sum-of-squares
+    * over all interleaved samples (rms = sqrt(sumSq / (frames·channels)),
+    * left to the caller so the stored facts stay integer-exact and
+    * mergeable across chunks); `frames` = samples per channel.
+    */
+  final case class WavPcmStats(channels: Int, sampleRate: Int,
+                               frames: Long, peak: Int, sumSq: Long)
+
+  /** Walk the RIFF chunks like [[decodeWav]], but decode the `data`
+    * chunk's 16-bit LE PCM samples. None for non-WAV/non-PCM16 payloads.
+    */
+  def wavPcmStats(b: Array[Byte]): Option[WavPcmStats] = {
+    if (sniff(b) != "wav" || b.length < 44) return None
+    var channels = -1; var rate = -1; var bits = -1
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = leU32(b, off + 4).toInt
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        channels = leU16(b, off + 10)
+        rate = leU32(b, off + 12).toInt
+        bits = leU16(b, off + 22)
+      } else if (id == "data" && channels > 0 && bits == 16) {
+        val avail = math.min(size.toLong, (b.length - off - 8).toLong).toInt
+        val nSamples = avail / 2
+        var peak = 0; var sumSq = 0L
+        var i = 0
+        while (i < nSamples) {
+          val p = off + 8 + i * 2
+          val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          i += 1
+        }
+        return Some(WavPcmStats(channels, rate, nSamples / channels, peak, sumSq))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    None
+  }
 }
 
 /** Fixture-side encoders: REAL bytes from independent codecs, so
@@ -303,6 +470,78 @@ object MediaGen {
       f += 1
     }
     out
+  }
+
+  /** Deterministic single-band gray PNG whose pixel (x, y) is the exact
+    * closed form `(3x + 5y + 7·id) mod 256` — PNG is lossless and
+    * TYPE_BYTE_GRAY stores the raster byte verbatim, so a decoder that
+    * reads the pixels back can be gated against an oracle that only does
+    * integer arithmetic (j25). Encoded by the JDK's own ImageIO PNG
+    * writer, like [[png]].
+    */
+  def grayPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((3 * x + 5 * y + 7 * id) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** PCM16 WAV carrying a square wave of amplitude `amp` (±amp
+    * alternating every `halfPeriod` frames) — integer-exact samples, so
+    * peak == amp and sumSq == nSamples·amp² exactly (MultimodalSpec).
+    */
+  def wavSquare(channels: Int, sampleRate: Int, nSamples: Int,
+                amp: Int, halfPeriod: Int): Array[Byte] = {
+    val silent = wav(channels, sampleRate, nSamples)
+    val buf = java.nio.ByteBuffer.wrap(silent)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples * channels) {
+      val frame = i / channels
+      val v = if ((frame / halfPeriod) % 2 == 0) amp else -amp
+      buf.putShort(44 + i * 2, v.toShort)
+      i += 1
+    }
+    silent
+  }
+
+  /** Multi-frame (animated) GIF via ImageIO's sequence writer — the one
+    * multi-frame container the JDK encodes AND decodes natively; frame f
+    * is a solid gray level `(f * 40) % 256` so sampled frames are
+    * distinguishable.
+    */
+  def gifAnimated(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g2 = img.createGraphics()
+        try {
+          val lvl = (f * 40) % 256
+          g2.setColor(new java.awt.Color(lvl, lvl, lvl))
+          g2.fillRect(0, 0, w, h)
+        } finally g2.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
   }
 
   /** PCM16 WAV, zero samples, direct RIFF layout. */

@@ -6,16 +6,20 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2.11 J12 — multimodal columns: image/audio/video treated as
   * opaque `BinaryType` payloads plus a typed metadata struct.
   *
-  * The decoder is REAL for PNG, JPEG, and WAV: pure-JVM header parsers
-  * ([[graft.functions.MediaCodec]]) over the public container formats,
-  * gate-checked by `j19_media_dims` against bytes the JDK's own ImageIO
-  * codecs produced. Full pixel/sample decode (DCT, resampling, frame
-  * sampling) stays out of scope — no codec libs resolve in this container
-  * — so payloads the codec doesn't recognize fall back to byte-moment
-  * features. Also real and tested: the schema, the partition-friendly
-  * per-row processing (typed `mapPartitions`, the Scala analogue of the
-  * Python `mapInPandas` batch-UDF shape), content addressing, and the
-  * per-kind stats a curation pipeline needs.
+  * The decoder is REAL end to end as of r9. Header facts (dims/duration)
+  * come from pure-JVM parsers over the public container formats
+  * ([[graft.functions.MediaCodec]]), gate-checked by `j19_media_dims`;
+  * PIXELS come from the JDK's own ImageIO decoders (PNG/JPEG/GIF/BMP ship
+  * with the JVM — no external codec lib needed), gate-checked by
+  * `j25_media_pixels` against an integer-arithmetic oracle; WAV PCM
+  * samples decode by direct RIFF parsing (`wavPcmStats`); bilinear
+  * resize/thumbnailing is Java2D; GIF frame sampling uses the ImageIO
+  * reader sequence. Only payloads no JDK codec recognizes (e.g. the j18
+  * synthetic blobs) fall back to byte-moment features. Also real and
+  * tested: the schema, the partition-friendly per-row processing (typed
+  * `mapPartitions`, the Scala analogue of the Python `mapInPandas`
+  * batch-UDF shape), content addressing, and the per-kind stats a
+  * curation pipeline needs.
   *
   * Scale posture: payloads stay columnar in parquet (binary column,
   * metadata struct prunable independently of payload bytes); feature
@@ -194,7 +198,61 @@ object MultimodalOps {
       .orderBy(asc_nulls_last("format"))
   }
 
+  case class PixelFeature(media_id: Long, width: Int, height: Int, bands: Int,
+                          gray_sum: Long, gray_sq_sum: Long, entropy_mb: Long,
+                          thumb: Array[Byte])
+
+  /** Full pixel decode + feature extraction (r9 — the step the J12
+    * Scaladoc used to declare out of scope): ImageIO decode to a raster,
+    * exact integer pixel sums, gray-histogram entropy, and an 8×8
+    * bilinear gray thumbnail, all per-partition on executors. Non-image
+    * payloads yield no row (`flatMap` semantics) — audio goes through
+    * [[graft.functions.MediaCodec.wavPcmStats]] instead.
+    */
+  def decodePixels(spark: SparkSession, media: DataFrame): Dataset[PixelFeature] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[MediaFile]
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          graft.functions.MediaCodec.decodeImage(f.payload).map { img =>
+            val st = graft.functions.MediaCodec.pixelStats(img)
+            PixelFeature(f.media_id, st.width, st.height, st.bands,
+              st.graySum, st.graySumSq, st.entropyMillibits,
+              graft.functions.MediaCodec.thumbnailGray(img, 8))
+          }
+        }
+      }
+  }
+
+  /** j25 — real pixel decode under the DuckDB oracle gate: every document
+    * becomes a gray PNG whose pixel (x,y) is the exact closed form
+    * `(3x + 5y + 7·doc_id) mod 256` ([[graft.functions.MediaGen.grayPng]]),
+    * the files round-trip through parquet, ImageIO decodes them back to
+    * rasters on executors, and the per-image pixel sums are compared
+    * against an oracle that only does integer arithmetic over a generated
+    * grid — one wrong pixel anywhere in encode → parquet → decode and the
+    * sums diverge. PNG losslessness is what makes the gate exact.
+    */
+  val j25_media_pixels: Q = (s, d) => {
+    import s.implicits._
+    val dir = graft.Tables.appTmpDir(s, "graft_media_px", d)
+    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + id % 17).toInt
+          val h = (16 + (id * 3) % 13).toInt
+          MediaFile(id, graft.functions.MediaGen.grayPng(id, w, h))
+        }
+      }
+      .write.mode("overwrite").parquet(dir)
+    decodePixels(s, s.read.parquet(dir)).toDF()
+      .select(col("media_id"), col("width").as("w"), col("height").as("h"),
+        col("gray_sum"))
+      .orderBy(col("media_id").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "j18_media_stats" -> j18_media_stats,
-    "j19_media_dims" -> j19_media_dims)
+    "j19_media_dims" -> j19_media_dims,
+    "j25_media_pixels" -> j25_media_pixels)
 }

@@ -556,6 +556,20 @@ object OracleSql {
         |                  WHEN doc_id % 5 = 4 THEN 24 * (doc_id % 50 + 1) END AS dur
         |      FROM documents WHERE doc_id < 300)
         |GROUP BY format ORDER BY format NULLS LAST""".stripMargin,
+    // j25: the pixel-decode gate — pure integer arithmetic over the same
+    // grid the Spark side encodes into gray PNGs and decodes back via
+    // ImageIO; PNG losslessness makes the comparison exact. The fixed
+    // 0..32 / 0..28 series bounds cover every (w, h) the id arithmetic
+    // can produce (w ≤ 32, h ≤ 28); the lateral filter trims per id.
+    "j25_media_pixels" ->
+      """SELECT id AS media_id, w, h,
+        |       CAST(sum((xs.x * 3 + ys.y * 5 + id * 7) % 256) AS BIGINT) AS gray_sum
+        |FROM (SELECT doc_id AS id, CAST(16 + doc_id % 17 AS INT) AS w,
+        |             CAST(16 + (doc_id * 3) % 13 AS INT) AS h
+        |      FROM documents) ids,
+        |     generate_series(0, 32) xs(x), generate_series(0, 28) ys(y)
+        |WHERE xs.x < w AND ys.y < h
+        |GROUP BY id, w, h ORDER BY media_id NULLS LAST""".stripMargin,
     "j16_token_stats" ->
       """SELECT lang, count(*) AS n,
         |       CAST(sum(CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens

@@ -169,4 +169,98 @@ class MultimodalSpec extends SparkSuite {
       Array[Byte](0xff.toByte, 0xfb.toByte, 0xf4.toByte, 0x00) // bitrate idx 15
     assert(MediaCodec.decode(junkTail).get.durationMs == 48L)
   }
+
+  // --- full decode (r9): pixels, resize, GIF frames, WAV PCM ---
+
+  test("pixel decode: gray PNG round-trips the closed-form raster exactly") {
+    val (id, w, h) = (42L, 23, 17)
+    val img = MediaCodec.decodeImage(MediaGen.grayPng(id, w, h)).get
+    val st = MediaCodec.pixelStats(img)
+    assert(st.width == w && st.height == h && st.bands == 1)
+    var expSum = 0L; var expSq = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ((3 * x + 5 * y + 7 * id) % 256).toInt
+      expSum += g; expSq += g.toLong * g
+    }
+    assert(st.graySum == expSum && st.graySumSq == expSq)
+    // constant image: zero entropy; the gradient: strictly positive
+    val flat = MediaCodec.pixelStats(MediaCodec.decodeImage(MediaGen.grayPng(0, 1, 1)).get)
+    assert(flat.entropyMillibits == 0L && st.entropyMillibits > 0L)
+    // RGB path: luma of an ImageIO-decoded 3-band fixture is bounded
+    val rgb = MediaCodec.pixelStats(MediaCodec.decodeImage(MediaGen.png(12, 9)).get)
+    assert(rgb.bands == 3 && rgb.width == 12 &&
+      rgb.graySum <= 255L * 12 * 9 && rgb.graySum > 0)
+    // non-image payloads decode to None, never throw
+    assert(MediaCodec.decodeImage(MediaGen.wav(1, 8000, 8)).isEmpty)
+    assert(MediaCodec.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("bilinear resize + gray thumbnail: dims, determinism, constant preservation") {
+    val img = MediaCodec.decodeImage(MediaGen.grayPng(7, 32, 24)).get
+    val small = MediaCodec.resizeBilinear(img, 8, 8)
+    assert(small.getWidth == 8 && small.getHeight == 8 &&
+      small.getRaster.getNumBands == 1) // gray stays gray
+    val t1 = MediaCodec.thumbnailGray(img, 8)
+    val t2 = MediaCodec.thumbnailGray(
+      MediaCodec.decodeImage(MediaGen.grayPng(7, 32, 24)).get, 8)
+    assert(t1.length == 64 && java.util.Arrays.equals(t1, t2)) // deterministic
+    // a constant image thumbnails to the same constant (interpolation of
+    // equal values is exact regardless of kernel placement)
+    val flat = new java.awt.image.BufferedImage(
+      20, 20, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g2 = flat.createGraphics()
+    try { g2.setColor(new java.awt.Color(130, 130, 130)); g2.fillRect(0, 0, 20, 20) }
+    finally g2.dispose()
+    assert(MediaCodec.thumbnailGray(flat, 8).forall(b => (b & 0xff) == 130))
+    // color sources thumbnail through the luma path
+    assert(MediaCodec.thumbnailGray(
+      MediaCodec.decodeImage(MediaGen.png(30, 20)).get, 8).length == 64)
+  }
+
+  test("GIF frame sampling: every k-th frame of an animated GIF, solid levels verified") {
+    val b = MediaGen.gifAnimated(11, 7, frames = 10)
+    val all = MediaCodec.sampleGifFrames(b, 1)
+    assert(all.length == 10)
+    val sampled = MediaCodec.sampleGifFrames(b, 3)
+    assert(sampled.length == 4) // frames 0, 3, 6, 9
+    sampled.zip(Seq(0, 3, 6, 9)).foreach { case (frame, f) =>
+      assert(frame.getWidth == 11 && frame.getHeight == 7)
+      val lvl = MediaCodec.luma(frame.getRGB(5, 3))
+      assert(lvl == (f * 40) % 256, s"frame $f level $lvl")
+    }
+    // single-frame fixture still works; non-GIF yields empty, not a throw
+    assert(MediaCodec.sampleGifFrames(MediaGen.gif(9, 9), 2).length == 1)
+    assert(MediaCodec.sampleGifFrames(Array[Byte](9, 9, 9), 2).isEmpty)
+  }
+
+  test("WAV PCM decode: square-wave peak and energy are integer-exact") {
+    val (ch, sr, n, amp) = (2, 8000, 480, 12000)
+    val st = MediaCodec.wavPcmStats(
+      MediaGen.wavSquare(ch, sr, n, amp, halfPeriod = 16)).get
+    assert(st.channels == ch && st.sampleRate == sr && st.frames == n)
+    assert(st.peak == amp)
+    assert(st.sumSq == n.toLong * ch * amp.toLong * amp) // ±amp everywhere
+    // rms of a square wave == amp exactly
+    assert(StrictMath.round(StrictMath.sqrt(
+      st.sumSq.toDouble / (st.frames * st.channels))) == amp)
+    // silence: zero peak and energy; truncated/alien bytes: None
+    val silent = MediaCodec.wavPcmStats(MediaGen.wav(1, 8000, 64)).get
+    assert(silent.peak == 0 && silent.sumSq == 0L && silent.frames == 64)
+    assert(MediaCodec.wavPcmStats(MediaGen.png(4, 4)).isEmpty)
+    assert(MediaCodec.wavPcmStats(MediaGen.wav(1, 8000, 64).take(30)).isEmpty)
+  }
+
+  test("j25 fixture: decodePixels over a parquet round-trip matches per-row closed form") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.MultimodalOps.j25_media_pixels(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((16 + id % 17).toInt, (16 + (id * 3) % 13).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w) exp += ((3 * x + 5 * y + 7 * id) % 256)
+      assert(r.getLong(3) == exp, s"doc $id")
+    }
+  }
 }
