@@ -1,0 +1,184 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainable byte-pair-encoding tokenizer — the tokenization step an LLM
+  * training-data pipeline runs over its curated corpus (token counting for
+  * budget sharding exists in TextOps/SampleOps; this is the real trainable
+  * vocabulary those counts approximate).
+  *
+  * Scale shape (the same one SentencePiece / HF tokenizers use for
+  * terabyte corpora): the ONLY corpus-scale work is one distributed
+  * word-count (groupBy word — map-side partial aggregation, one shuffle);
+  * training then runs over the bounded word→count dictionary (top
+  * `maxWords` by count — driver-side, like ScaleOps' 4-scalar collects,
+  * bounded by construction), and encoding broadcasts the merge-rank table
+  * back out as a narrow per-partition map with a per-word memo. At 100 TB
+  * the word-count pass is the same one job; nothing else grows with the
+  * corpus.
+  *
+  * Determinism: pair-count ties break lexicographically on the pair, and
+  * the word list is materialized in (count desc, word asc) order, so two
+  * trainings of the same corpus produce identical merge tables — the
+  * property the j26 driver gate and BpeSpec pin.
+  */
+object BpeOps {
+
+  /** Ordered merge table: `merges(r)` is the symbol pair merged at rank r
+    * (lower rank = merged earlier = higher priority during encoding).
+    */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+    def vocab: Set[String] = merges.map { case (a, b) => a + b }.toSet
+  }
+
+  /** Unicode-correct initial symbolization: one symbol per CODE POINT
+    * (splitting surrogate pairs would manufacture unpaired halves that
+    * can't round-trip through a UTF-8 sink).
+    */
+  private[graft] def codePointSymbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** The corpus-scale pass: lowercase whitespace words with counts, top
+    * `maxWords` by (count desc, word asc). The limit is what bounds every
+    * later step; the ordering makes the training input deterministic.
+    */
+  def wordCounts(docs: DataFrame, maxWords: Int): Seq[(String, Long)] =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Driver-side merge training over the bounded dictionary — classic
+    * BPE: repeatedly merge the most frequent adjacent symbol pair
+    * (weighted by word count), `numMerges` times or until no pair repeats.
+    * O(numMerges · Σ word lengths) on ≤ maxWords entries.
+    */
+  def train(words: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    var seqs: Vector[(Vector[String], Long)] =
+      words.map { case (w, n) => (codePointSymbols(w), n) }.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      // a pair seen once can never pay for a vocab slot
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        // max count, ties lexicographic on the pair — full determinism
+        val best = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        seqs = seqs.map { case (syms, n) => (mergePair(syms, best), n) }
+        m += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** All non-overlapping left-to-right occurrences of `pair` merged. */
+  private[graft] def mergePair(syms: Vector[String],
+                             pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** GPT-2-style word encoder: repeatedly merge the present pair with the
+    * LOWEST rank until none of the word's pairs is in the table. Training
+    * order replayed exactly ⇒ encode(train corpus) reproduces the
+    * training segmentation.
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = codePointSymbols(word)
+    if (ranks.isEmpty) return syms
+    var cont = syms.length > 1
+    while (cont) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (best == null) cont = false
+      else {
+        syms = mergePair(syms, best)
+        if (syms.length < 2) cont = false
+      }
+    }
+    syms
+  }
+
+  /** Distributed encode: broadcast the rank table, tokenize per partition
+    * with a per-partition word memo (Zipf makes the hit rate high; the
+    * memo is per-task, so executor memory stays bounded).
+    */
+  def encode(spark: SparkSession, docs: DataFrame, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    val bRanks = spark.sparkContext.broadcast(model.ranks)
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bRanks.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, text) =>
+          val tokens = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ranks))
+          }.toSeq
+          (id, tokens)
+        }
+      }
+      .toDF("doc_id", "tokens")
+  }
+
+  /** j26 — the tokenizer end to end under the driver gate (rows-only: BPE
+    * is not SQL-expressible, so there is no oracle text; BpeSpec carries
+    * the semantic pins — hand-computed merges, lossless round-trip,
+    * determinism). Trains on the documents fixture itself, encodes it,
+    * and emits per-doc token counts plus the compression the learned
+    * vocab achieves over the character baseline.
+    */
+  val j26_bpe_encode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = train(wordCounts(docs, maxWords = 20000), numMerges = 200)
+    encode(s, docs, model)
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        aggregate(transform(col("tokens"), t => length(t)),
+          lit(0), (acc, x) => acc + x).as("n_chars"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val queries: Map[String, Q] = Map("j26_bpe_encode" -> j26_bpe_encode)
+}
