@@ -199,9 +199,52 @@ object ScanOps {
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
+  /** a13 — LSM merge-on-read across store-file generations (r9): the
+    * read path a region server runs over accumulated store files, end to
+    * end under the driver gate. Generation 0 holds the base cells;
+    * generation 1 adds newer versions (ts+1s, value+1) for every 5th
+    * event and delete tombstones (ts+2s) for every 7th — events divisible
+    * by 35 get both, and the later delete must win. [[graft.sources
+    * .HFileOps.mergedRead]] resolves (ts, gen) — newest wins, winning
+    * tombstone hides the coordinate — and the oracle recomputes the same
+    * view relationally from the events table. The generations are
+    * deliberately written with DIFFERENT codecs (GZ+FAST_DIFF base,
+    * SNAPPY+PREFIX delta): HBase never requires store files of one
+    * column family to agree on compression, and the reader must not
+    * either.
+    */
+  val a13_hfile_merge_read: Q = (s, d) => {
+    val dir = Tables.appTmpDir(s, "graft_hfile_lsm", d)
+    val cells = Tables.cells(s, d)
+    // event_id = the rowkey's second 12-char component (1-based pos 14)
+    val eid = expr("cast(substring(rowkey, 14, 12) as bigint)")
+    val updates = cells.where(eid % 5 === 0)
+      .withColumn("ts", col("ts") + 1000000L)
+      .withColumn("value", col("value") + 1.0)
+      .withColumn("op", lit("put"))
+    val deletes = cells.where(eid % 7 === 0)
+      .withColumn("ts", col("ts") + 2000000L)
+      .withColumn("op", lit("delete"))
+    val regions = graft.sources.HFileOps.regionCountFor(Tables.events(s, d).count())
+    graft.sources.HFileOps.bulkWrite(cells, dir, regions,
+      compression = graft.sources.HFileCodec.CompressionGz,
+      encoding = graft.sources.HFileCodec.EncodingFastDiff, generation = 0)
+    graft.sources.HFileOps.bulkWrite(updates.unionByName(deletes), dir, regions,
+      compression = graft.sources.HFileCodec.CompressionSnappy,
+      encoding = graft.sources.HFileCodec.EncodingPrefix, generation = 1)
+    graft.sources.HFileOps.mergedRead(s, dir)
+      .groupBy(col("cf"), col("qualifier"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        sum((col("ts") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"))
+      .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
     "a12_hfile_zstd" -> a12_hfile_zstd,
+    "a13_hfile_merge_read" -> a13_hfile_merge_read,
     "a2_csv_roundtrip" -> a2_csv_roundtrip,
     "a4_cells_scan" -> a4_cells_scan,
     "a5_bulkload_splits" -> a5_bulkload_splits,

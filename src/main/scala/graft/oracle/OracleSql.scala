@@ -65,6 +65,29 @@ object OracleSql {
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a13: relational twin of the LSM merge-on-read — same three cell
+    // generations built from the cells view, same (ts desc, gen desc,
+    // value asc) version resolution, winning tombstones excluded
+    "a13_hfile_merge_read" ->
+      (cellsCte.stripSuffix("\n") +
+        """, upd AS (SELECT rowkey, cf, qualifier, ts + 1000000 AS ts,
+          |                 value + 1 AS value, 'put' AS op, 1 AS gen
+          |          FROM cells WHERE CAST(substring(rowkey, 14, 12) AS BIGINT) % 5 = 0),
+          |del AS (SELECT rowkey, cf, qualifier, ts + 2000000 AS ts,
+          |               value, 'delete' AS op, 1 AS gen
+          |        FROM cells WHERE CAST(substring(rowkey, 14, 12) AS BIGINT) % 7 = 0),
+          |merged AS (
+          |  SELECT *, row_number() OVER (PARTITION BY rowkey, cf, qualifier
+          |                               ORDER BY ts DESC, gen DESC, value ASC) AS rn
+          |  FROM (SELECT rowkey, cf, qualifier, ts, value, op, 0 AS gen FROM cells
+          |        UNION ALL SELECT * FROM upd
+          |        UNION ALL SELECT * FROM del))
+          |SELECT cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+          |FROM merged WHERE rn = 1 AND op = 'put'
+          |GROUP BY cf, qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a10: the DuckDB twin of the point get — same single rowkey, computed
     // the same way (the rowkey of event_id = 0, which exists at every SF)
     "a10_hfile_get" ->

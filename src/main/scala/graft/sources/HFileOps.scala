@@ -50,12 +50,18 @@ object HFileOps {
   def bulkWrite(cells: DataFrame, dir: String, regions: Int,
                 blockSize: Int = 64 * 1024,
                 compression: Int = HFileCodec.CompressionNone,
-                encoding: Int = HFileCodec.EncodingNone): Seq[String] = {
+                encoding: Int = HFileCodec.EncodingNone,
+                generation: Int = -1): Seq[String] = {
     val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
     dfs.mkdirs(dirPath)
-    Option(dfs.globStatus(new HPath(dirPath, "*.hfile")))
+    // generation >= 0 = LSM store-file mode: this write adds/replaces ONE
+    // generation's files and leaves the others for [[mergedRead]]'s
+    // merge-on-read (HBase accrues store files per flush/bulk-load the
+    // same way); the default (-1) keeps whole-directory-replace semantics.
+    val ownGlob = if (generation >= 0) f"gen-$generation%03d-*.hfile" else "*.hfile"
+    Option(dfs.globStatus(new HPath(dirPath, ownGlob)))
       .getOrElse(Array.empty)
       .foreach(st => dfs.delete(st.getPath, false))
     val serConf = new SerializableConfiguration(hadoopConf)
@@ -77,7 +83,9 @@ object HFileOps {
             java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
-        val name = f"region-$pid%05d.hfile"
+        val name =
+          if (generation >= 0) f"gen-$generation%03d-region-$pid%05d.hfile"
+          else f"region-$pid%05d.hfile"
         val tmp = new HPath(dir, s".$name.${TaskContext.get().taskAttemptId()}.tmp")
         // stream the codec straight to the filesystem: a region file bigger
         // than the task heap writes fine (O(blockSize) memory — HFileCodec.write)
@@ -360,5 +368,64 @@ object HFileOps {
         }
       }
     spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** Like [[read]], plus the store-file generation each cell came from
+    * (parsed from the `gen-NNN-` file-name prefix [[bulkWrite]] writes in
+    * generation mode; plain `region-*` files read as generation 0) — the
+    * merge-on-read tiebreak, standing in for HBase's per-file max
+    * sequence id.
+    */
+  def readWithGen(spark: SparkSession, dir: String): DataFrame = {
+    val (paths, serConf) = regionFiles(spark, dir)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new HPath(p)
+        val gen = {
+          val m = GenFilePattern.matcher(path.getName)
+          if (m.matches()) m.group(1).toInt else 0
+        }
+        val fs = path.getFileSystem(serConf.value)
+        val in = new java.io.BufferedInputStream(fs.open(path), 1 << 16)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        HFileCodec.readStreaming(in).map { c =>
+          Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+            new String(c.qualifier, UTF_8), c.ts,
+            java.nio.ByteBuffer.wrap(c.value).getDouble,
+            if (c.typ == HFileCodec.TypeDelete) "delete" else "put",
+            gen)
+        }
+      }
+    spark.createDataFrame(rows, cellsWithGenSchema)
+  }
+
+  private val GenFilePattern = java.util.regex.Pattern.compile("gen-(\\d+)-.*\\.hfile")
+
+  private val cellsWithGenSchema = StructType(
+    cellsSchema.fields :+ StructField("gen", IntegerType, nullable = false))
+
+  /** Merge-on-read across store-file generations — the LSM read path an
+    * HBase region server runs over its accumulated store files: for every
+    * cell coordinate (rowkey, cf, qualifier), the newest version wins by
+    * (ts, generation) — generation standing in for HBase's sequence id,
+    * which breaks equal-timestamp ties in favor of the later file — and a
+    * winning delete tombstone hides the coordinate entirely.
+    *
+    * Scale shape: one window shuffle keyed by the cell coordinate —
+    * identical to b17's compaction read and bounded per coordinate at any
+    * corpus size. This IS what a major compaction would persist: writing
+    * `mergedRead` back out as a fresh generation and deleting the old
+    * ones is compaction, so the operator doubles as its correctness
+    * spec.
+    */
+  def mergedRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("gen").desc, col("value").asc)
+    readWithGen(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") === "put")
+      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
   }
 }

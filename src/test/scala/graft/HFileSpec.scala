@@ -877,6 +877,50 @@ class HFileSpec extends SparkSuite {
     assert(scanned.nonEmpty && scanned.sameElements(full))
   }
 
+  // --- LSM merge-on-read across store-file generations (r9) ---
+
+  test("merge-on-read: newest (ts, gen) wins, tombstones mask, compaction is idempotent") {
+    import spark.implicits._
+    val dir = tmpDir("lsm").toString
+    def df(rows: Seq[(String, String, Long, Double, String)]) =
+      rows.toDF("rowkey", "qualifier", "ts", "value", "op")
+        .select(col("rowkey"), org.apache.spark.sql.functions.lit("e").as("cf"),
+          col("qualifier"), col("ts"), col("value"), col("op"))
+    // gen 0: base. gen 1: r1 updated at a LATER ts, r2 updated at the SAME
+    // ts (gen must break the tie), r3 tombstoned, r4 untouched.
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 100L, 1.0, "put"), ("r2", "q", 100L, 2.0, "put"),
+      ("r3", "q", 100L, 3.0, "put"), ("r4", "q", 100L, 4.0, "put"))),
+      dir, regions = 2, generation = 0)
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 200L, 10.0, "put"), ("r2", "q", 100L, 20.0, "put"),
+      ("r3", "q", 300L, 0.0, "delete"))),
+      dir, regions = 2, generation = 1,
+      compression = HFileCodec.CompressionLz4)
+    // readWithGen sees both generations with the right labels
+    val gens = HFileOps.readWithGen(spark, dir)
+      .groupBy("gen").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gens == Map(0 -> 4, 1 -> 3))
+    val merged = HFileOps.mergedRead(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).sorted
+    assert(merged.toSeq == Seq(("r1", 200L, 10.0), ("r2", 100L, 20.0), ("r4", 100L, 4.0)),
+      s"got ${merged.toSeq}")
+    // compaction = persist mergedRead as a fresh directory's gen 0; the
+    // merged view of the compacted store equals the pre-compaction view
+    val dir2 = tmpDir("lsm2").toString
+    HFileOps.bulkWrite(HFileOps.mergedRead(spark, dir), dir2, regions = 2,
+      generation = 0)
+    val recompacted = HFileOps.mergedRead(spark, dir2)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).sorted
+    assert(recompacted.sameElements(merged))
+    // generation-mode re-write replaces ONLY its own generation's files
+    HFileOps.bulkWrite(df(Seq(("r9", "q", 1L, 9.0, "put"))), dir,
+      regions = 1, generation = 1)
+    val after = HFileOps.readWithGen(spark, dir)
+      .groupBy("gen").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == Map(0 -> 4, 1 -> 1), s"got $after")
+  }
+
   test("a9 oracle query: round-trip aggregate equals the same aggregate on the source") {
     val viaHfile = ops.ScanOps.a9_hfile_roundtrip(spark, sf)
     val direct = Tables.cells(spark, sf)
