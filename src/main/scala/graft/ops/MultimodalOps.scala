@@ -233,10 +233,14 @@ object MultimodalOps {
     * grid — one wrong pixel anywhere in encode → parquet → decode and the
     * sums diverge. PNG losslessness is what makes the gate exact.
     */
-  val j25_media_pixels: Q = (s, d) => {
-    import s.implicits._
-    val dir = graft.Tables.appTmpDir(s, "graft_media_px", d)
-    graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+  /** Deterministic gray-PNG file table (the j25 fixture): one PNG per
+    * document, pixel (x, y) = (3x + 5y + 7·doc_id) mod 256, dims pure
+    * doc_id arithmetic. A narrow `mapPartitions`, so it applies to batch
+    * AND streaming inputs unchanged (the I15 twin).
+    */
+  def grayPngFiles(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (16 + id % 17).toInt
@@ -244,6 +248,11 @@ object MultimodalOps {
           MediaFile(id, graft.functions.MediaGen.grayPng(id, w, h))
         }
       }
+  }
+
+  val j25_media_pixels: Q = (s, d) => {
+    val dir = graft.Tables.appTmpDir(s, "graft_media_px", d)
+    grayPngFiles(s, graft.Tables.documents(s, d))
       .write.mode("overwrite").parquet(dir)
     decodePixels(s, s.read.parquet(dir)).toDF()
       .select(col("media_id"), col("width").as("w"), col("height").as("h"),

@@ -428,4 +428,33 @@ object HFileOps {
       .where(col("rn") === 1 && col("op") === "put")
       .select("rowkey", "cf", "qualifier", "ts", "value", "op")
   }
+
+  /** Major compaction: persist [[mergedRead]] as generation
+    * `maxGen + 1`, then delete every older generation's files — the
+    * rewrite an HBase major compaction performs (tombstones and masked
+    * versions drop out because the merged view already excludes them).
+    * Write-then-delete ordering keeps a crash mid-compaction readable:
+    * the new generation's cells are exactly the old generations' merged
+    * view, so [[mergedRead]] over the union returns the same rows (every
+    * surviving coordinate's newest version lives in the new generation,
+    * by construction). Returns the new generation number.
+    */
+  def compact(spark: SparkSession, dir: String,
+              blockSize: Int = 64 * 1024,
+              compression: Int = HFileCodec.CompressionNone,
+              encoding: Int = HFileCodec.EncodingNone): Int = {
+    val (paths, serConf) = regionFiles(spark, dir)
+    val gens = paths.map { p =>
+      val m = GenFilePattern.matcher(new HPath(p).getName)
+      if (m.matches()) m.group(1).toInt else 0
+    }
+    val newGen = if (gens.isEmpty) 0 else gens.max + 1
+    val merged = mergedRead(spark, dir)
+    val regions = math.max(1, paths.size)
+    bulkWrite(merged, dir, regions, blockSize, compression, encoding, newGen)
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    paths.foreach(p => dfs.delete(new HPath(p), false))
+    newGen
+  }
 }

@@ -281,6 +281,24 @@ object StreamOps {
       }
   }
 
+  /** I15: real pixel decode applied to a document stream — the media
+    * curation step as continuous ingestion. Stateless per row (PNG
+    * build + ImageIO decode are pure functions of doc_id), so streamed
+    * features equal the batch decode row-for-row (StreamingSpec I15).
+    */
+  def pixelDecodeStream(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.ops.MultimodalOps.decodePixels(spark,
+      graft.ops.MultimodalOps.grayPngFiles(spark, docs).toDF()).toDF()
+
+  /** I16: BPE encoding applied to a document stream with a batch-trained
+    * broadcast model — train once on the curated corpus, tokenize
+    * arriving documents forever; stateless given the model, so streaming
+    * and batch tokenizations agree row-for-row (StreamingSpec I16).
+    */
+  def bpeEncodeStream(spark: SparkSession, docs: DataFrame,
+                      model: graft.ops.BpeOps.BpeModel): DataFrame =
+    graft.ops.BpeOps.encode(spark, docs, model)
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

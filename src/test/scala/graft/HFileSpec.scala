@@ -921,6 +921,43 @@ class HFileSpec extends SparkSuite {
     assert(after == Map(0 -> 4, 1 -> 1), s"got $after")
   }
 
+  test("compact: rewrites the merged view as the next generation and drops the old files") {
+    import spark.implicits._
+    val dir = tmpDir("compact").toString
+    def df(rows: Seq[(String, String, Long, Double, String)]) =
+      rows.toDF("rowkey", "qualifier", "ts", "value", "op")
+        .select(col("rowkey"), org.apache.spark.sql.functions.lit("e").as("cf"),
+          col("qualifier"), col("ts"), col("value"), col("op"))
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 100L, 1.0, "put"), ("r2", "q", 100L, 2.0, "put"))),
+      dir, regions = 1, generation = 0)
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 200L, 10.0, "put"), ("r2", "q", 300L, 0.0, "delete"))),
+      dir, regions = 1, generation = 1,
+      compression = HFileCodec.CompressionZstd)
+    val before = HFileOps.mergedRead(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).sorted
+    val newGen = HFileOps.compact(spark, dir,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    assert(newGen == 2)
+    // only the new generation's files remain; the merged view is unchanged
+    // and the tombstone (plus what it masked) is physically gone
+    val gens = HFileOps.readWithGen(spark, dir)
+      .select("gen").distinct().collect().map(_.getInt(0)).toSeq
+    assert(gens == Seq(2), s"got $gens")
+    val afterRows = HFileOps.mergedRead(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).sorted
+    assert(afterRows.sameElements(before))
+    assert(afterRows.toSeq == Seq(("r1", 200L, 10.0)))
+    assert(HFileOps.read(spark, dir).where(col("op") === "delete").count() == 0)
+    // compacting an already-compacted store is a no-op view-wise
+    assert(HFileOps.compact(spark, dir) == 3)
+    assert(HFileOps.mergedRead(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+      .sorted.sameElements(before))
+  }
+
   test("a9 oracle query: round-trip aggregate equals the same aggregate on the source") {
     val viaHfile = ops.ScanOps.a9_hfile_roundtrip(spark, sf)
     val direct = Tables.cells(spark, sf)

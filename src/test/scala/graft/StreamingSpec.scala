@@ -51,6 +51,39 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I15: pixel decode is micro-batch invariant (stream equals batch)") {
+    // the media curation step as continuous ingestion: PNG build + ImageIO
+    // decode are pure per-row functions, so incremental arrival changes
+    // nothing about the extracted features
+    val streamed = runStream(
+      StreamOps.pixelDecodeStream(spark, StreamOps.documentsStream(spark, sf))
+        .select("media_id", "width", "height", "gray_sum", "entropy_mb"),
+      "append", "t_pixels")
+    val batch = graft.ops.MultimodalOps.decodePixels(spark,
+        graft.ops.MultimodalOps.grayPngFiles(spark, Tables.documents(spark, sf)).toDF())
+      .toDF().select("media_id", "width", "height", "gray_sum", "entropy_mb")
+    assert(streamed.count() == Tables.documents(spark, sf).count())
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
+  test("I16: BPE encode with a batch-trained model is micro-batch invariant") {
+    // train once on the full (batch) corpus, tokenize the stream with the
+    // broadcast model: token sequences must equal the batch backfill's
+    val docs = Tables.documents(spark, sf)
+    val model = graft.ops.BpeOps.train(
+      graft.ops.BpeOps.wordCounts(docs, 20000), numMerges = 120)
+    val streamed = runStream(
+      StreamOps.bpeEncodeStream(spark, StreamOps.documentsStream(spark, sf), model)
+        .select(col("doc_id"), concat_ws("", col("tokens")).as("joined")),
+      "append", "t_bpe")
+    val batch = graft.ops.BpeOps.encode(spark, docs, model)
+      .select(col("doc_id"), concat_ws("", col("tokens")).as("joined"))
+    assert(streamed.count() == docs.count())
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
     // j22's twin of I11: the per-language mix coins are stateless hash
     // decisions, so streaming ingestion and a batch recompute keep the
