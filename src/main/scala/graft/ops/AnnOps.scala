@@ -315,8 +315,6 @@ object AnnOps {
   def pqTrain(spark: SparkSession, corpus: DataFrame, dim: Int, m: Int,
               ksub: Int, seed: Long = 42L,
               trainFraction: Double = 1.0): Array[Float] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"pqTrain: trainFraction must be in (0, 1], got $trainFraction")
@@ -327,24 +325,84 @@ object AnnOps {
                    val sampled = base.sample(withReplacement = false, trainFraction, seed)
                    if (sampled.count() < ksub) base else sampled
                  }
-    // one bounded materialization feeds all m per-subspace fits
-    val train = train0.localCheckpoint()
-    val cb = new Array[Float](m * ksub * dsub)
-    (0 until m).foreach { s =>
-      val sub = train.select(array_to_vector(
-        slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
-      val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("code").fit(sub)
-      model.clusterCenters.zipWithIndex.foreach { case (c, kIdx) =>
-        val arr = c.toArray
-        var j = 0
-        while (j < dsub) {
-          cb((s * ksub + kIdx) * dsub + j) = arr(j).toFloat
-          j += 1
+    // Bounded DRIVER-side training (r9; replaces m distributed KMeans
+    // fits whose ~80 scheduler rounds dominated the smoke at 26 s): PQ
+    // codebooks need ~40·ksub training subvectors (the published FAISS
+    // guidance), so the train set is a bounded driver array at any corpus
+    // size — the caller's trainFraction bounds the collect, the cap below
+    // bounds the Lloyd cost. Determinism: collect order is NOT stable, so
+    // rows are sorted by content before the cap; every later step is a
+    // pure function of that sorted array.
+    val cap = math.max(ksub * 40, 10240)
+    val collected = train0.collect().map(_.getSeq[Float](0).toArray)
+    require(collected.nonEmpty, "pqTrain: empty training set")
+    val ordering = new Ordering[Array[Float]] {
+      def compare(a: Array[Float], b: Array[Float]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
         }
+        a.length - b.length
       }
     }
-    train.unpersist()
+    val pts = collected.sorted(ordering).take(cap)
+    val cb = new Array[Float](m * ksub * dsub)
+    // per-subspace Lloyd's, subspaces independent → parallel threads are
+    // still deterministic
+    val threads = (0 until m).map { s =>
+      val t = new Thread(() => {
+        val sub = pts.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+        val centers = Array.tabulate(ksub)(i => sub((i.toLong * sub.length / ksub).toInt).clone())
+        val assign = new Array[Int](sub.length)
+        var iter = 0
+        while (iter < 10) {
+          var p = 0
+          while (p < sub.length) {
+            var bestD = Double.MaxValue; var bestK = 0; var kk = 0
+            while (kk < ksub) {
+              var d = 0.0; var j = 0
+              val c = centers(kk); val v = sub(p)
+              while (j < dsub) { val t2 = v(j) - c(j); d += t2 * t2; j += 1 }
+              if (d < bestD) { bestD = d; bestK = kk }
+              kk += 1
+            }
+            assign(p) = bestK
+            p += 1
+          }
+          val sums = Array.ofDim[Double](ksub, dsub)
+          val counts = new Array[Int](ksub)
+          p = 0
+          while (p < sub.length) {
+            val k2 = assign(p); val v = sub(p)
+            var j = 0
+            while (j < dsub) { sums(k2)(j) += v(j); j += 1 }
+            counts(k2) += 1
+            p += 1
+          }
+          var kk2 = 0
+          while (kk2 < ksub) {
+            if (counts(kk2) > 0) { // empty cluster keeps its center
+              var j = 0
+              while (j < dsub) {
+                centers(kk2)(j) = (sums(kk2)(j) / counts(kk2)).toFloat
+                j += 1
+              }
+            }
+            kk2 += 1
+          }
+          iter += 1
+        }
+        var kk3 = 0
+        while (kk3 < ksub) {
+          System.arraycopy(centers(kk3), 0, cb, (s * ksub + kk3) * dsub, dsub)
+          kk3 += 1
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
     cb
   }
 
