@@ -164,13 +164,21 @@ object HFileOps {
     * stream + section offsets, closes on return. `f` MUST evaluate
     * eagerly — nothing it returns may read `in` lazily.
     */
-  private def seekScan(spark: SparkSession, dir: String)(
+  /** [[seekScan]] plus the store-file generation of every produced cell
+    * (from the file name, like [[readWithGen]]) — the seam that lets the
+    * seek paths participate in merge-on-read version resolution.
+    */
+  private def seekScanWithGen(spark: SparkSession, dir: String)(
       f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => Seq[Row]): DataFrame = {
     val (paths, serConf) = regionFiles(spark, dir)
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
         val path = new HPath(p)
+        val gen = {
+          val m = GenFilePattern.matcher(path.getName)
+          if (m.matches()) m.group(1).toInt else 0
+        }
         val fs = path.getFileSystem(serConf.value)
         val len = fs.getFileStatus(path).getLen
         val in = fs.open(path)
@@ -192,10 +200,15 @@ object HFileOps {
           f(in, HFileCodec.LoadOnOpen(abs(sect.rootIndexOffset),
             abs(sect.metaIndexOffset), abs(sect.fileInfoOffset),
             abs(sect.bloomMetaOffset)))
+            .map(r => Row.fromSeq(r.toSeq :+ gen))
         } finally in.close()
       }
-    spark.createDataFrame(rows, cellsSchema)
+    spark.createDataFrame(rows, cellsWithGenSchema)
   }
+
+  private def seekScan(spark: SparkSession, dir: String)(
+      f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => Seq[Row]): DataFrame =
+    seekScanWithGen(spark, dir)(f).drop("gen")
 
   /** Decode one data block into cells-schema Rows, keeping rows whose key
     * passes `keep` — the shared tail of every positioned reader.
@@ -254,9 +267,30 @@ object HFileOps {
     * data blocks is fetched (each block once, even when several keys land
     * in it). Keys are a client-supplied argument (bounded), never data.
     */
-  def multiGet(spark: SparkSession, dir: String, rowkeys: Seq[String]): DataFrame = {
+  def multiGet(spark: SparkSession, dir: String, rowkeys: Seq[String]): DataFrame =
+    seekScan(spark, dir)(multiGetBody(rowkeys))
+
+  /** Version-resolved point get over a generational store — the
+    * client-visible HBase `Get` against an un-compacted region: every
+    * store file's candidate blocks are consulted through the same
+    * bloom/index seek path, then the coordinate's newest (ts, gen)
+    * version wins and a winning tombstone hides it, exactly
+    * [[mergedRead]]'s rule applied to one key's cells.
+    */
+  def mergedGet(spark: SparkSession, dir: String, rowkey: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("gen").desc, col("value").asc)
+    seekScanWithGen(spark, dir)(multiGetBody(Seq(rowkey)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") === "put")
+      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
+  }
+
+  private def multiGetBody(rowkeys: Seq[String])
+      : (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => Seq[Row] = {
     val keyBytes = rowkeys.distinct.map(_.getBytes(UTF_8))
-    seekScan(spark, dir) { (in, loo) =>
+    (in, loo) => {
       // raw blocks cached by offset: k keys sharing a bloom chunk,
       // intermediate index chunk, or data block cost ONE positioned
       // read of it (bounded: candidates per key are O(1))

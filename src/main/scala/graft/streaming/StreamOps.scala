@@ -361,6 +361,38 @@ object StreamOps {
         ()
       }
 
+  /** I17: continuous bulk-ingest into ONE generational store — each
+    * micro-batch commits as its own store-file generation (generation =
+    * batchId), so [[graft.sources.HFileOps.mergedRead]] over the
+    * directory is the continuously-updated merge-on-read view at any
+    * moment and [[graft.sources.HFileOps.compact]] folds the accumulated
+    * history whenever the file count warrants — the flush-then-compact
+    * lifecycle of a region server, driven by Structured Streaming.
+    * Idempotent under replay: a retried batch REPLACES exactly its own
+    * generation's files ([[graft.sources.HFileOps.bulkWrite]] generation
+    * mode) and touches nothing else.
+    */
+  def hfileGenerationalSink(cells: DataFrame, outDir: String, checkpointDir: String,
+                            compression: Int = graft.sources.HFileCodec.CompressionNone,
+                            encoding: Int = graft.sources.HFileCodec.EncodingNone)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    cells.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          graft.sources.HFileOps.bulkWrite(
+            batch, outDir,
+            regions = graft.sources.HFileOps.regionCountFor(n),
+            compression = compression, encoding = encoding,
+            generation = batchId.toInt)
+          ()
+        }
+        ()
+      }
+
   /** I10: exactly-once parquet sink — foreachBatch + idempotent overwrite
     * by batchId partition; checkpointed so restart resumes, and a replayed
     * batch overwrites rather than duplicates.

@@ -322,6 +322,51 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("I17: generational sink — merge-on-read over streamed generations equals batch resolution") {
+    import graft.sources.HFileOps
+    // coarse rowkeys (user only) so coordinates SPAN micro-batches and the
+    // merge must resolve versions across generations; ts = event_id makes
+    // the newest version batch-computable without knowing the batching
+    def coarse(df: org.apache.spark.sql.DataFrame) = df.select(
+      Tables.pad(col("user_id")).as("rowkey"), lit("e").as("cf"),
+      col("event_type").as("qualifier"), col("event_id").as("ts"),
+      col("value"),
+      when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
+    val out = Files.createTempDirectory("graft_hf_gen").toString
+    val ckpt = Files.createTempDirectory("graft_hf_gen_ckpt").toString
+    val q = StreamOps.hfileGenerationalSink(
+      coarse(StreamOps.eventsStream(spark, sf)), out, ckpt,
+      compression = graft.sources.HFileCodec.CompressionZstd).start()
+    q.awaitTermination()
+    // multiple generations actually accrued (one per micro-batch)
+    val gens = HFileOps.readWithGen(spark, out)
+      .select("gen").distinct().count()
+    assert(gens >= 2, s"expected multi-generation store, got $gens generation(s)")
+    // batch twin: same coarse cells, latest ts per coordinate, tombstones mask
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("value").asc)
+    val want = coarse(Tables.events(spark, sf))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") === "put")
+      .drop("rn").collect().map(_.toString).sorted
+    val got = HFileOps.mergedRead(spark, out).collect().map(_.toString).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      "streamed generational merge-on-read diverges from the batch resolution")
+    // version-resolved point get agrees with the merged view for a key
+    val someKey = HFileOps.mergedRead(spark, out)
+      .orderBy("rowkey").limit(1).collect()(0).getString(0)
+    val viaGet = HFileOps.mergedGet(spark, out, someKey)
+      .collect().map(_.toString).sorted
+    val viaScan = HFileOps.mergedRead(spark, out)
+      .where(col("rowkey") === someKey).collect().map(_.toString).sorted
+    assert(viaGet.sameElements(viaScan), "mergedGet diverges from mergedRead")
+    // compaction folds the generations without changing the view
+    HFileOps.compact(spark, out)
+    val afterCompact = HFileOps.mergedRead(spark, out).collect().map(_.toString).sorted
+    assert(afterCompact.sameElements(want))
+  }
+
   test("I5: late rows beyond the watermark are dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
