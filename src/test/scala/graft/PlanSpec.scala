@@ -78,6 +78,20 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("a13 merge-on-read: one coordinate-keyed window shuffle, no join or product") {
+    // the LSM resolution must stay a single hash-partitioned window over
+    // the union of store-file generations — a join- or product-shaped
+    // regression here multiplies at 100 TB
+    val plan = physical(SparkEntry.queries("a13_hfile_merge_read")(spark, sf))
+    assert(plan.contains("Window"), plan)
+    val coordExchanges = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning(rowkey"))
+      .size
+    assert(coordExchanges == 1,
+      s"expected exactly one coordinate-keyed exchange, got $coordExchanges\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("c10 as-of is one window shuffle by user, not a join") {
     val plan = physical(SparkEntry.queries("c10_join_asof")(spark, sf))
     assert(plan.contains("Window") || plan.contains("RunningWindowFunction"), plan)
