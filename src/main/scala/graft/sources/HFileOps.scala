@@ -277,15 +277,11 @@ object HFileOps {
     * version wins and a winning tombstone hides it, exactly
     * [[mergedRead]]'s rule applied to one key's cells.
     */
-  def mergedGet(spark: SparkSession, dir: String, rowkey: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("rowkey", "cf", "qualifier")
-      .orderBy(col("ts").desc, col("gen").desc, col("value").asc)
-    seekScanWithGen(spark, dir)(multiGetBody(Seq(rowkey)))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("op") === "put")
-      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
-  }
+  def mergedGet(spark: SparkSession, dir: String, rowkey: String,
+                maxVersions: Int = 1,
+                ttlFloor: Long = Long.MinValue): DataFrame =
+    resolveVersions(seekScanWithGen(spark, dir)(multiGetBody(Seq(rowkey))),
+      maxVersions, ttlFloor)
 
   private def multiGetBody(rowkeys: Seq[String])
       : (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => Seq[Row] = {
@@ -440,26 +436,44 @@ object HFileOps {
     cellsSchema.fields :+ StructField("gen", IntegerType, nullable = false))
 
   /** Merge-on-read across store-file generations — the LSM read path an
-    * HBase region server runs over its accumulated store files: for every
-    * cell coordinate (rowkey, cf, qualifier), the newest version wins by
-    * (ts, generation) — generation standing in for HBase's sequence id,
-    * which breaks equal-timestamp ties in favor of the later file — and a
-    * winning delete tombstone hides the coordinate entirely.
+    * HBase region server runs over its accumulated store files, with the
+    * full Get/Scan read semantics (r9): cells older than `ttlFloor`
+    * expire; a delete tombstone masks every put at-or-before its
+    * timestamp (equal ts goes to the delete, as HBase's KeyValue ordering
+    * does); of the surviving puts, the newest `maxVersions` per cell
+    * coordinate are visible, ordered by (ts, generation) — generation
+    * standing in for HBase's sequence id, which breaks equal-timestamp
+    * ties in favor of the later file.
     *
-    * Scale shape: one window shuffle keyed by the cell coordinate —
+    * Scale shape: both window passes (tombstone max, version rank) share
+    * the one coordinate-keyed partitioning, so this is a single shuffle —
     * identical to b17's compaction read and bounded per coordinate at any
-    * corpus size. This IS what a major compaction would persist: writing
-    * `mergedRead` back out as a fresh generation and deleting the old
-    * ones is compaction, so the operator doubles as its correctness
-    * spec.
+    * corpus size (PlanSpec pins the one-exchange plan). This IS what a
+    * major compaction would persist: writing `mergedRead` back out as a
+    * fresh generation and deleting the old ones is compaction
+    * ([[compact]]), so the operator doubles as its correctness spec.
     */
-  def mergedRead(spark: SparkSession, dir: String): DataFrame = {
+  def mergedRead(spark: SparkSession, dir: String,
+                 maxVersions: Int = 1,
+                 ttlFloor: Long = Long.MinValue): DataFrame =
+    resolveVersions(readWithGen(spark, dir), maxVersions, ttlFloor)
+
+  /** The (ts, gen) version-resolution applied by [[mergedRead]] and
+    * [[mergedGet]] — b17's compaction semantics over a with-gen cells
+    * frame.
+    */
+  private def resolveVersions(cells: DataFrame, maxVersions: Int,
+                              ttlFloor: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("rowkey", "cf", "qualifier")
-      .orderBy(col("ts").desc, col("gen").desc, col("value").asc)
-    readWithGen(spark, dir)
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    val coord = Window.partitionBy("rowkey", "cf", "qualifier")
+    val w = coord.orderBy(col("ts").desc, col("gen").desc, col("value").asc)
+    cells.where(col("ts") >= ttlFloor)
+      .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
+      .where(col("op") === "put" &&
+        (col("del_ts").isNull || col("ts") > col("del_ts")))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("op") === "put")
+      .where(col("rn") <= maxVersions)
       .select("rowkey", "cf", "qualifier", "ts", "value", "op")
   }
 

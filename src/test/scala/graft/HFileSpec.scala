@@ -921,6 +921,44 @@ class HFileSpec extends SparkSuite {
     assert(after == Map(0 -> 4, 1 -> 1), s"got $after")
   }
 
+  test("merge-on-read: maxVersions, TTL floor, and equal-ts delete-beats-put semantics") {
+    import spark.implicits._
+    val dir = tmpDir("lsmv").toString
+    def df(rows: Seq[(String, String, Long, Double, String)]) =
+      rows.toDF("rowkey", "qualifier", "ts", "value", "op")
+        .select(col("rowkey"), org.apache.spark.sql.functions.lit("e").as("cf"),
+          col("qualifier"), col("ts"), col("value"), col("op"))
+    // r1: three versions across generations; r2: delete at the SAME ts as
+    // a put (delete must win, as HBase's KeyValue ordering does); r3: a
+    // put NEWER than the tombstone survives it; r4: old enough to expire
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 100L, 1.0, "put"), ("r2", "q", 100L, 2.0, "put"),
+      ("r3", "q", 100L, 3.0, "put"), ("r4", "q", 5L, 4.0, "put"))),
+      dir, regions = 1, generation = 0)
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 200L, 10.0, "put"), ("r1", "q", 300L, 11.0, "put"),
+      ("r2", "q", 100L, 0.0, "delete"),
+      ("r3", "q", 150L, 0.0, "delete"), ("r3", "q", 200L, 30.0, "put"))),
+      dir, regions = 1, generation = 1)
+    def view(maxV: Int, ttl: Long = Long.MinValue) =
+      HFileOps.mergedRead(spark, dir, maxVersions = maxV, ttlFloor = ttl)
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).sorted.toSeq
+    // k=1: r1's newest, r2 hidden (equal-ts delete wins), r3's post-
+    // tombstone put, r4 visible (no TTL)
+    assert(view(1) == Seq(("r1", 300L, 11.0), ("r3", 200L, 30.0), ("r4", 5L, 4.0)))
+    // k=2: r1 additionally exposes its second-newest version
+    assert(view(2) == Seq(("r1", 200L, 10.0), ("r1", 300L, 11.0),
+      ("r3", 200L, 30.0), ("r4", 5L, 4.0)))
+    // k=3: the gen-0 base version of r1 appears too
+    assert(view(3).count(_._1 == "r1") == 3)
+    // TTL floor expires r4 (and nothing else at this floor)
+    assert(view(1, ttl = 50L) == Seq(("r1", 300L, 11.0), ("r3", 200L, 30.0)))
+    // mergedGet agrees with the scan view per key, including maxVersions
+    val viaGet = HFileOps.mergedGet(spark, dir, "r1", maxVersions = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).sorted.toSeq
+    assert(viaGet == Seq(("r1", 200L, 10.0), ("r1", 300L, 11.0)))
+  }
+
   test("compact: rewrites the merged view as the next generation and drops the old files") {
     import spark.implicits._
     val dir = tmpDir("compact").toString
