@@ -141,6 +141,19 @@ object BpeOps {
     syms
   }
 
+  /** Token → contiguous id vocabulary of a trained model: single
+    * code-point symbols that survive in the training corpus's encoding
+    * come first (sorted), then merged symbols in rank order — the layout
+    * real BPE vocab files use (specials, then bytes/chars, then merges).
+    * A pure function of (words, model), so batch and streaming encoders
+    * broadcast identical tables.
+    */
+  def vocabIds(words: Seq[(String, Long)], model: BpeModel): Map[String, Int] = {
+    val chars = words.iterator.flatMap(w => codePointSymbols(w._1)).toSeq.distinct.sorted
+    val merged = model.merges.map { case (a, b) => a + b }
+    (chars ++ merged.filterNot(chars.contains)).zipWithIndex.toMap
+  }
+
   /** Distributed encode: broadcast the rank table, tokenize per partition
     * with a per-partition word memo (Zipf makes the hit rate high; the
     * memo is per-task, so executor memory stays bounded).
@@ -161,6 +174,34 @@ object BpeOps {
         }
       }
       .toDF("doc_id", "tokens")
+  }
+
+  /** Distributed encode to INTEGER token ids — what a training pipeline
+    * actually emits (model inputs are id arrays, not strings). Unknown
+    * symbols (absent from the training corpus's character set) map to
+    * `unkId` = vocab size, the conventional trailing UNK slot.
+    */
+  def encodeIds(spark: SparkSession, docs: DataFrame, model: BpeModel,
+                vocab: Map[String, Int]): DataFrame = {
+    import spark.implicits._
+    val bRanks = spark.sparkContext.broadcast(model.ranks)
+    val bVocab = spark.sparkContext.broadcast(vocab)
+    val unkId = vocab.size
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bRanks.value
+        val ids = bVocab.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.map { case (id, text) =>
+          val tokens = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+            memo.getOrElseUpdate(w,
+              encodeWord(w, ranks).map(t => ids.getOrElse(t, unkId)).toArray)
+          }.toSeq
+          (id, tokens)
+        }
+      }
+      .toDF("doc_id", "token_ids")
   }
 
   /** j26 — the tokenizer end to end under the driver gate (rows-only: BPE

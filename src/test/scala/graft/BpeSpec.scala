@@ -86,6 +86,38 @@ class BpeSpec extends SparkSuite {
     assert(alien.isEmpty, s"tokens outside the trained vocab: ${alien.take(5).mkString(",")}")
   }
 
+  test("integer-id encode: ids invert to the same tokens, unknowns map to the UNK slot") {
+    val docs = Tables.documents(spark, sf)
+    val words = BpeOps.wordCounts(docs, 20000)
+    val model = BpeOps.train(words, numMerges = 120)
+    val vocab = BpeOps.vocabIds(words, model)
+    // contiguous ids, merged symbols present, stable across calls
+    assert(vocab.values.toSeq.sorted == (0 until vocab.size))
+    assert(model.vocab.forall(vocab.contains))
+    assert(BpeOps.vocabIds(words, model) == vocab)
+    // ids ↔ tokens bijection on the corpus: decoding ids through the
+    // inverted vocab reproduces the string tokens exactly
+    val inv = vocab.map(_.swap)
+    val strTokens = BpeOps.encode(spark, docs, model)
+      .select(col("doc_id"), col("tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val idTokens = BpeOps.encodeIds(spark, docs, model, vocab)
+      .select(col("doc_id"), col("token_ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(idTokens.keySet == strTokens.keySet)
+    val unkId = vocab.size
+    idTokens.foreach { case (id, ids2) =>
+      assert(!ids2.contains(unkId), s"doc $id produced UNK for in-corpus text")
+      assert(ids2.map(inv) == strTokens(id), s"doc $id ids do not invert")
+    }
+    // an out-of-corpus symbol becomes UNK, not a crash
+    import spark.implicits._
+    val alien = Seq((999L, "☃")).toDF("doc_id", "text") // snowman
+    val got = BpeOps.encodeIds(spark, alien, model, vocab)
+      .collect()(0).getSeq[Int](1)
+    assert(got == Seq(unkId))
+  }
+
   test("j26 gate query: deterministic, rows for every document, exact char accounting") {
     val out1 = ops.BpeOps.j26_bpe_encode(spark, sf).collect()
     val out2 = ops.BpeOps.j26_bpe_encode(spark, sf).collect()
