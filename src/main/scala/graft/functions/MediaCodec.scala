@@ -380,13 +380,13 @@ object MediaCodec {
     var off = 12
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = leU32(b, off + 4).toInt
+      val size = leU32(b, off + 4) // unsigned u32, kept as Long — see below
       if (id == "fmt " && off + 8 + 16 <= b.length) {
         channels = leU16(b, off + 10)
         rate = leU32(b, off + 12).toInt
         bits = leU16(b, off + 22)
       } else if (id == "data" && channels > 0 && bits == 16) {
-        val avail = math.min(size.toLong, (b.length - off - 8).toLong).toInt
+        val avail = math.min(size, (b.length - off - 8).toLong).toInt
         val nSamples = avail / 2
         var peak = 0; var sumSq = 0L
         var i = 0
@@ -400,7 +400,12 @@ object MediaCodec {
         }
         return Some(WavPcmStats(channels, rate, nSamples / channels, peak, sumSq))
       }
-      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      // same overflow guard as decodeWav: a crafted chunk size (e.g.
+      // 0xFFFFFFF8) must neither advance by <= 0 (infinite loop) nor past
+      // the buffer — either ends the walk
+      val next = off.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= off || next > b.length) return None
+      off = next.toInt
     }
     None
   }

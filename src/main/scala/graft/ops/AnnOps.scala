@@ -228,35 +228,61 @@ object AnnOps {
     * partitioned by cell and each probe batch touches nProbe partitions —
     * the classic IVF-flat layout.
     */
+  /** Deterministic bounded training set: bottom-`cap` rows by content
+    * hash, pushed INTO the query as `orderBy(xxhash64(embedding),
+    * embedding).limit(cap)` — plans as TakeOrderedAndProject
+    * (per-partition bounded heaps, one bounded gather), so at most `cap`
+    * rows ever reach a fit or a driver collect, at any corpus size and
+    * for any caller. `trainFraction` (kept for API compat) pre-thins the
+    * scan but can only shrink, never relax, the bound; the floor guard
+    * keeps an aggressive fraction on a tiny corpus from starving KMeans
+    * below `minRows` centroids. The (hash, content) sort key is a total
+    * order, so the selected set is a pure function of corpus content.
+    */
+  private[graft] def boundedTrainSet(df: DataFrame, embCol: String, cap: Int,
+                                     trainFraction: Double, minRows: Int,
+                                     seed: Long): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"boundedTrainSet: trainFraction must be in (0, 1], got $trainFraction")
+    val thinned = if (trainFraction >= 1.0) df
+                  else {
+                    val sampled = df.sample(withReplacement = false, trainFraction, seed)
+                    if (sampled.count() < minRows) df else sampled
+                  }
+    thinned.orderBy(xxhash64(col(embCol)).asc, col(embCol).asc).limit(cap)
+  }
+
+  /** Training-set bound shared by the coarse quantizer and [[pqTrain]]:
+    * ~40 training points per centroid (published FAISS guidance), floored
+    * so small codebooks still see a representative slice.
+    */
+  private[graft] def trainCap(centroids: Int): Int =
+    math.max(centroids * 40, 10240)
+
   /** Coarse quantizer shared by [[ivfTopK]] and [[ivfPqTopK]]: seeded
-    * KMeans over a bounded seeded sample, full corpus assigned to cells.
-    * Returns (assigned corpus `(vec_id, embedding, cell)`, centroids
-    * `(cell, center)` — nlist rows, broadcastable by construction).
+    * KMeans over a deterministic bounded training set, full corpus
+    * assigned to cells. Returns (assigned corpus `(vec_id, embedding,
+    * cell)`, centroids `(cell, center)` — nlist rows, broadcastable by
+    * construction).
     *
     * The quantizer only needs a representative sample — at large corpus
     * sizes training on everything is the bottleneck (and at 100 TB a
     * non-starter); the full corpus is still ASSIGNED to cells, so search
-    * quality degrades only as far as centroid placement does. Seeded
-    * sample keeps the whole operator deterministic.
+    * quality degrades only as far as centroid placement does. The
+    * [[boundedTrainSet]] cap applies regardless of `trainFraction`, so
+    * the KMeans fit scans at most [[trainCap]]`(nlist)` rows by
+    * construction — there is no caller convention that trains on the
+    * whole corpus.
     */
   private def coarseAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
                            seed: Long, trainFraction: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-    require(trainFraction > 0.0 && trainFraction <= 1.0,
-      s"ivf: trainFraction must be in (0, 1], got $trainFraction")
     val feats = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    val train = if (trainFraction >= 1.0) feats
-                else {
-                  // floor guard: an aggressive fraction on a small corpus can
-                  // sample fewer rows than nlist, which makes KMeans.fit throw
-                  // (or yield degenerate centroids). KMeans scans the training
-                  // set ~maxIter times anyway, so one count() here is noise.
-                  val sampled = feats.sample(withReplacement = false, trainFraction, seed)
-                  if (sampled.count() < nlist) feats else sampled
-                }
+    val train = boundedTrainSet(feats, "embedding", trainCap(nlist),
+      trainFraction, minRows = nlist, seed = seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
     val assigned = model.transform(feats)
@@ -316,24 +342,20 @@ object AnnOps {
               ksub: Int, seed: Long = 42L,
               trainFraction: Double = 1.0): Array[Float] = {
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m $m")
-    require(trainFraction > 0.0 && trainFraction <= 1.0,
-      s"pqTrain: trainFraction must be in (0, 1], got $trainFraction")
     val dsub = dim / m
-    val base = corpus.select(col("embedding"))
-    val train0 = if (trainFraction >= 1.0) base
-                 else {
-                   val sampled = base.sample(withReplacement = false, trainFraction, seed)
-                   if (sampled.count() < ksub) base else sampled
-                 }
     // Bounded DRIVER-side training (r9; replaces m distributed KMeans
     // fits whose ~80 scheduler rounds dominated the smoke at 26 s): PQ
     // codebooks need ~40·ksub training subvectors (the published FAISS
-    // guidance), so the train set is a bounded driver array at any corpus
-    // size — the caller's trainFraction bounds the collect, the cap below
-    // bounds the Lloyd cost. Determinism: collect order is NOT stable, so
-    // rows are sorted by content before the cap; every later step is a
-    // pure function of that sorted array.
-    val cap = math.max(ksub * 40, 10240)
+    // guidance). The cap is pushed INTO the query (r10): boundedTrainSet
+    // plans as TakeOrderedAndProject, so the collect below receives at
+    // most trainCap(ksub) rows by construction — no caller, and no
+    // trainFraction default, can materialize the corpus on the driver.
+    // Determinism: the (hash, content) sort key is a total order and the
+    // driver re-sorts by content, so every later step is a pure function
+    // of corpus content.
+    val cap = trainCap(ksub)
+    val train0 = boundedTrainSet(corpus.select(col("embedding")), "embedding",
+      cap, trainFraction, minRows = ksub, seed = seed)
     val collected = train0.collect().map(_.getSeq[Float](0).toArray)
     require(collected.nonEmpty, "pqTrain: empty training set")
     val ordering = new Ordering[Array[Float]] {
@@ -347,10 +369,13 @@ object AnnOps {
         a.length - b.length
       }
     }
-    val pts = collected.sorted(ordering).take(cap)
+    val pts = collected.sorted(ordering)
     val cb = new Array[Float](m * ksub * dsub)
     // per-subspace Lloyd's, subspaces independent → parallel threads are
-    // still deterministic
+    // still deterministic. A thread that dies (bad data, OOM) must fail
+    // pqTrain loudly — a silently all-zero codebook stripe would "train"
+    // successfully and corrupt every downstream encode.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until m).map { s =>
       val t = new Thread(() => {
         val sub = pts.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
@@ -400,9 +425,15 @@ object AnnOps {
           kk3 += 1
         }
       })
+      t.setUncaughtExceptionHandler((_, e) => failures.add(e))
       t.start(); t
     }
     threads.foreach(_.join())
+    if (!failures.isEmpty) {
+      val first = failures.peek()
+      throw new RuntimeException(
+        s"pqTrain: ${failures.size} subspace fit(s) failed: ${first.getMessage}", first)
+    }
     cb
   }
 

@@ -151,7 +151,11 @@ object BpeOps {
   def vocabIds(words: Seq[(String, Long)], model: BpeModel): Map[String, Int] = {
     val chars = words.iterator.flatMap(w => codePointSymbols(w._1)).toSeq.distinct.sorted
     val merged = model.merges.map { case (a, b) => a + b }
-    (chars ++ merged.filterNot(chars.contains)).zipWithIndex.toMap
+    // distinct over the WHOLE list: two merges can concatenate to the
+    // same token string ((a,bc) and (ab,c) both yield "abc"), and toMap
+    // would silently drop a slot — leaving ids non-contiguous and letting
+    // unkId = vocab.size collide with a real token's id.
+    (chars ++ merged).distinct.zipWithIndex.toMap
   }
 
   /** Distributed encode: broadcast the rank table, tokenize per partition

@@ -171,6 +171,42 @@ class AnnSpec extends SparkSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("quantizer training set is bounded by construction: TakeOrderedAndProject in the plan") {
+    // The r9 wart was a driver collect bounded only by caller convention
+    // (trainFraction default 1.0 collected the corpus). The bound now
+    // lives in the query: bottom-cap by content hash plans as
+    // TakeOrderedAndProject (per-partition heaps), so ≤ cap rows ever
+    // reach the driver — for ANY caller, at ANY corpus size.
+    val cap = AnnOps.trainCap(32)
+    val ts = AnnOps.boundedTrainSet(emb.select(col("embedding")), "embedding",
+      cap, trainFraction = 1.0, minRows = 32, seed = 42L)
+    val plan = ts.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+    assert(ts.count() <= cap)
+    // tiny cap actually truncates, deterministically
+    val tiny = AnnOps.boundedTrainSet(emb.select(col("embedding")), "embedding",
+      7, trainFraction = 1.0, minRows = 1, seed = 42L)
+    val a = tiny.collect().map(_.getSeq[Float](0).mkString(","))
+    val b = AnnOps.boundedTrainSet(emb.select(col("embedding")), "embedding",
+      7, trainFraction = 1.0, minRows = 1, seed = 42L)
+      .collect().map(_.getSeq[Float](0).mkString(","))
+    assert(a.length == 7 && a.sameElements(b))
+  }
+
+  test("pqTrain fails loudly when a subspace fit dies") {
+    // dim not divisible is caught by require; a thread-level failure is
+    // exercised via NaN-free but length-ragged vectors that break the
+    // subvector copy inside the Lloyd thread.
+    import spark.implicits._
+    val ragged = Seq((1L, Array.fill(8)(0.1f)), (2L, Array.fill(3)(0.2f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[RuntimeException] {
+      AnnOps.pqTrain(spark, ragged, dim = 8, m = 4, ksub = 2)
+    }
+    assert(e.getMessage.contains("subspace fit"), e.getMessage)
+  }
+
   test("IVF with sampled quantizer training keeps recall") {
     val probes = emb.where(col("vec_id") < 10)
     val exact = TextOps.j8_sim_topk(spark, sf).select("pid", "vec_id")

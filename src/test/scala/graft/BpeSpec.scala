@@ -86,6 +86,18 @@ class BpeSpec extends SparkSuite {
     assert(alien.isEmpty, s"tokens outside the trained vocab: ${alien.take(5).mkString(",")}")
   }
 
+  test("vocabIds: colliding merge concatenations keep ids contiguous and UNK unused") {
+    // (a,bc) and (ab,c) both concatenate to "abc" — the duplicate must be
+    // deduped BEFORE id assignment, else toMap drops a slot, ids go
+    // non-contiguous, and unkId = vocab.size collides with a real token.
+    val words = Seq(("abc", 5L))
+    val model = BpeOps.BpeModel(Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+    val vocab = BpeOps.vocabIds(words, model)
+    assert(vocab.values.toSeq.sorted == (0 until vocab.size), vocab)
+    assert(!vocab.values.toSet.contains(vocab.size), vocab)
+    assert(vocab.contains("abc") && vocab.contains("ab") && vocab.contains("bc"))
+  }
+
   test("integer-id encode: ids invert to the same tokens, unknowns map to the UNK slot") {
     val docs = Tables.documents(spark, sf)
     val words = BpeOps.wordCounts(docs, 20000)

@@ -248,6 +248,13 @@ class MultimodalSpec extends SparkSuite {
     assert(silent.peak == 0 && silent.sumSq == 0L && silent.frames == 64)
     assert(MediaCodec.wavPcmStats(MediaGen.png(4, 4)).isEmpty)
     assert(MediaCodec.wavPcmStats(MediaGen.wav(1, 8000, 64).take(30)).isEmpty)
+    // crafted chunk size 0xFFFFFFF8: as a signed Int the advance is
+    // 8 + (-8) = 0 — the unguarded walk loops forever. Must terminate
+    // with None, like decodeWav does.
+    val crafted = MediaGen.wav(1, 8000, 64).clone()
+    crafted(16) = 0xf8.toByte; crafted(17) = 0xff.toByte
+    crafted(18) = 0xff.toByte; crafted(19) = 0xff.toByte
+    assert(MediaCodec.wavPcmStats(crafted).isEmpty)
   }
 
   test("j25 fixture: decodePixels over a parquet round-trip matches per-row closed form") {
