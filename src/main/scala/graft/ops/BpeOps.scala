@@ -208,12 +208,36 @@ object BpeOps {
       .toDF("doc_id", "token_ids")
   }
 
-  /** j26 — the tokenizer end to end under the driver gate (rows-only: BPE
-    * is not SQL-expressible, so there is no oracle text; BpeSpec carries
-    * the semantic pins — hand-computed merges, lossless round-trip,
-    * determinism). Trains on the documents fixture itself, encodes it,
-    * and emits per-doc token counts plus the compression the learned
-    * vocab achieves over the character baseline.
+  /** Inverse of [[encodeIds]]: token ids → token strings → concatenated
+    * text. Word boundaries are not recoverable from a flat id stream
+    * (the tokenizer writes no end-of-word marker), so the reconstruction
+    * is the concatenation of the encoder's normalized words — exactly
+    * what the j27 oracle computes independently. Unknown ids decode to
+    * U+FFFD so corruption is visible in the hash, never silent.
+    */
+  def decodeIds(spark: SparkSession, encoded: DataFrame,
+                vocab: Map[String, Int]): DataFrame = {
+    import spark.implicits._
+    val bInv = spark.sparkContext.broadcast(vocab.map(_.swap))
+    encoded.select(col("doc_id"), col("token_ids")).as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val inv = bInv.value
+        it.map { case (id, ids) =>
+          val sb = new java.lang.StringBuilder()
+          ids.foreach(i => sb.append(inv.getOrElse(i, "�")))
+          (id, sb.toString)
+        }
+      }
+      .toDF("doc_id", "text")
+  }
+
+  /** j26 — the tokenizer end to end (BPE training/encoding itself has no
+    * DuckDB spelling; BpeSpec carries the semantic pins — hand-computed
+    * merges, lossless round-trip, determinism). Trains on the documents
+    * fixture itself, encodes it, and emits per-doc token counts plus the
+    * compression the learned vocab achieves over the character baseline.
+    * The DRIVER-gated spelling is [[j27_bpe_roundtrip]], whose
+    * decode∘encode invariant IS oracle-expressible.
     */
   val j26_bpe_encode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -225,5 +249,24 @@ object BpeOps {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
-  val queries: Map[String, Q] = Map("j26_bpe_encode" -> j26_bpe_encode)
+  /** j27 — the tokenizer end to end under a HASH-matched driver gate:
+    * md5 of decode(encodeIds(text)) per document. The full pipeline runs
+    * (distributed word-count → driver training on the bounded dictionary
+    * → broadcast integer-id encode → broadcast decode), and the oracle
+    * recomputes the same bytes from first principles in DuckDB (lowercase,
+    * whitespace-split, concatenate) — so a wrong merge table, a dropped
+    * vocab slot, a non-contiguous id, or a spurious UNK all flip the
+    * hash. Replaces the r9 rows-only j26 gate entry.
+    */
+  val j27_bpe_roundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val words = wordCounts(docs, maxWords = 20000)
+    val model = train(words, numMerges = 200)
+    val vocab = vocabIds(words, model)
+    decodeIds(s, encodeIds(s, docs, model, vocab), vocab)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("rt_md5"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  val queries: Map[String, Q] = Map("j27_bpe_roundtrip" -> j27_bpe_roundtrip)
 }

@@ -768,7 +768,22 @@ object OracleSql {
     */
   def k5: Map[String, String] = Map("k5_expr_cosine" -> texts("j8_sim_topk"))
 
+  /** j27: the BPE round-trip invariant. The Spark side runs the whole
+    * tokenizer (train → integer-id encode → decode → md5); DuckDB
+    * recomputes the expected bytes from first principles — the encoder's
+    * normalization is lowercase + whitespace-split, and a flat token
+    * stream decodes to the words concatenated (no end-of-word marker) —
+    * so the hashes agree iff decode∘encode is lossless over the corpus.
+    */
+  val bpe: Map[String, String] = Map(
+    "j27_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+        |    '')) AS rt_md5
+        |FROM documents ORDER BY doc_id NULLS LAST""".stripMargin)
+
   def all: Map[String, String] =
     scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
-      samples ++ udx ++ k5
+      samples ++ udx ++ k5 ++ bpe
 }

@@ -9,13 +9,13 @@ class QueriesSpec extends SparkSuite {
 
   /** Queries the driver checks rows-only, per the contract's sanctioned
     * escape hatch for non-SQL-expressible operators ("Omit for non-SQL-
-    * expressible ops"). Every entry here must name the spec that carries
-    * its semantics instead:
-    *   - j26_bpe_encode — BPE training/encoding has no DuckDB spelling;
-    *     BpeSpec pins hand-computed merges, lossless round-trip,
-    *     determinism, and exact char accounting.
+    * expressible ops"). Empty since r10: the BPE gate entry became
+    * j27_bpe_roundtrip, whose decode∘encode invariant IS
+    * oracle-expressible (md5 of the round-tripped text vs DuckDB md5 of
+    * the independently normalized text) — every declared query is now
+    * hash-matched cross-engine.
     */
-  private val rowsOnlyQueries = Set("j26_bpe_encode")
+  private val rowsOnlyQueries = Set.empty[String]
 
   test("every declared query has an oracle and vice versa") {
     val q = SparkEntry.queries.keySet
