@@ -407,9 +407,18 @@ object HFileCodec {
   val TypePut: Byte = 4
   val TypeDelete: Byte = 8
 
+  /** One KeyValue. `memstoreTS` is the per-cell MVCC sequence id real
+    * region servers persist after each cell (an Hadoop vlong, gated by
+    * the `MAX_MEMSTORE_TS` file-info key); `tags` are the v3 per-cell
+    * tag bytes (gated by `hfile.MAX_TAGS_LEN`). Both default empty so
+    * bulk-load writers that predate them are unchanged; both round-trip
+    * when the writer is asked to include them (r10 read-compat: a file
+    * taken from a live cluster with either flag set parses correctly).
+    */
   final case class HCell(row: Array[Byte], family: Array[Byte],
                          qualifier: Array[Byte], ts: Long, typ: Byte,
-                         value: Array[Byte]) {
+                         value: Array[Byte], memstoreTS: Long = 0L,
+                         tags: Array[Byte] = Array.emptyByteArray) {
     /** The serialized key part (what block-index firstKey entries hold). */
     def keyBytes: Array[Byte] = {
       val buf = ByteBuffer.allocate(2 + row.length + 1 + family.length +
@@ -486,6 +495,129 @@ object HFileCodec {
       (v.toInt, off + 1 + n)
     }
   }
+
+  /** Hadoop WritableUtils vlong, full spec including negatives — the
+    * per-cell memstoreTS encoding [public: o.a.h.io.WritableUtils
+    * .writeVLong]: values in [-112, 127] are one byte; otherwise a
+    * length byte (-113.. for positive, -121.. for negative/inverted)
+    * then big-endian magnitude bytes.
+    */
+  def writeVLong(out: ByteArrayOutputStream, value: Long): Unit = {
+    if (value >= -112 && value <= 127) { out.write(value.toInt & 0xff); return }
+    var len = -112
+    var i = value
+    if (i < 0) { i = ~i; len = -120 }
+    var tmp = i
+    while (tmp != 0) { tmp >>>= 8; len -= 1 }
+    out.write(len & 0xff)
+    val n = if (len < -120) -(len + 120) else -(len + 112)
+    var idx = n
+    while (idx != 0) {
+      val shift = (idx - 1) * 8
+      out.write(((i >>> shift) & 0xff).toInt)
+      idx -= 1
+    }
+  }
+
+  def readVLong(b: Array[Byte], off: Int): (Long, Int) = {
+    require(off < b.length, s"vlong starts past the buffer at $off")
+    val first = b(off)
+    if (first >= -112) (first.toLong, off + 1)
+    else {
+      val neg = first < -120
+      val n = if (neg) -(first + 120) else -(first + 112)
+      require(n >= 1 && n <= 8 && off + 1 + n <= b.length,
+        s"bad vlong length byte $first at $off")
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(off + 1 + i) & 0xff); i += 1 }
+      (if (neg) ~v else v, off + 1 + n)
+    }
+  }
+
+  // ----------------------------------------------- per-cell mvcc + tags
+  // HFile v3 cells may carry two optional postfixes after the value,
+  // gated by FILE-level file-info keys (HFileReaderImpl's open rules):
+  //   - tags (file-info `hfile.MAX_TAGS_LEN` present): `tagsLen | tags`,
+  //     tagsLen as a 2-byte BE short in plain KeyValue blocks and as a
+  //     putCompressedInt in delta-encoded blocks [public: o.a.h.hbase
+  //     .io.encoding.BufferedDataBlockEncoder.afterEncodingKeyValue]
+  //   - mvcc/memstoreTS (file-info `MAX_MEMSTORE_TS` present): one
+  //     Hadoop vlong per cell, always last
+  // The flags are per FILE, decided at open from file-info presence —
+  // never sniffed per block.
+
+  /** Which optional per-cell postfixes this file carries. */
+  final case class CellExtras(mvcc: Boolean, tags: Boolean) {
+    def any: Boolean = mvcc || tags
+  }
+  val NoExtras: CellExtras = CellExtras(mvcc = false, tags = false)
+
+  /** File-info keys gating the postfixes [public: o.a.h.hbase.io.hfile
+    * .HFileWriterImpl — MAX_MEMSTORE_TS_KEY, HFileInfo.MAX_TAGS_LEN].
+    */
+  val MaxMemstoreTsKey = "MAX_MEMSTORE_TS"
+  val MaxTagsLenKey = "hfile.MAX_TAGS_LEN"
+
+  /** Derive a file's postfix flags from its parsed file-info map —
+    * presence of the key is the gate, exactly HFileReaderImpl's
+    * `shouldIncludeMemStoreTS` / tag-inclusion rules.
+    */
+  def extrasOf(info: Map[String, Array[Byte]]): CellExtras =
+    CellExtras(info.contains(MaxMemstoreTsKey), info.contains(MaxTagsLenKey))
+
+  /** Append a cell's postfix bytes (tags then mvcc) per the block's
+    * encoding family. Shared by the plain and encoded write paths.
+    */
+  private def writeCellPostfix(out: ByteArrayOutputStream, c: HCell,
+                               extras: CellExtras, encoded: Boolean): Unit = {
+    if (extras.tags) {
+      require(c.tags.length <= 0xffff, s"tags ${c.tags.length} B exceed u16")
+      if (encoded) putCompressedInt(out, c.tags.length)
+      else { out.write((c.tags.length >>> 8) & 0xff); out.write(c.tags.length & 0xff) }
+      out.write(c.tags, 0, c.tags.length)
+    }
+    if (extras.mvcc) writeVLong(out, c.memstoreTS)
+  }
+
+  /** Consume a cell's postfix at `off`; returns (tags, memstoreTS,
+    * offsetAfter). Hostile-input regime as everywhere: declared lengths
+    * are bounds-checked before any allocation, and the offset strictly
+    * advances whenever a postfix is present.
+    */
+  private def readCellPostfix(b: Array[Byte], off: Int, extras: CellExtras,
+                              encoded: Boolean): (Array[Byte], Long, Int) = {
+    var p = off
+    var tags = Array.emptyByteArray
+    if (extras.tags) {
+      val tagsLen =
+        if (encoded) { val (v, np) = readCompressedInt(b, p); p = np; v }
+        else {
+          require(p + 2 <= b.length, s"truncated tags length at $p")
+          val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v
+        }
+      require(tagsLen >= 0 && tagsLen <= b.length - p,
+        s"bad tags length $tagsLen at $off")
+      if (tagsLen > 0) {
+        tags = java.util.Arrays.copyOfRange(b, p, p + tagsLen)
+        p += tagsLen
+      }
+    }
+    var mts = 0L
+    if (extras.mvcc) { val (v, np) = readVLong(b, p); mts = v; p = np }
+    (tags, mts, p)
+  }
+
+  /** Postfix-aware wrapper used by every block iterator: reads the
+    * postfix after an entry and attaches it to the cell.
+    */
+  private def withPostfix(c: HCell, b: Array[Byte], off: Int,
+                          extras: CellExtras, encoded: Boolean): (HCell, Int) =
+    if (!extras.any) (c, off)
+    else {
+      val (tg, mts, np) = readCellPostfix(b, off, extras, encoded)
+      (c.copy(memstoreTS = mts, tags = tg), np)
+    }
 
   // ---------------------------------------------- FAST_DIFF encoding
   // Per-entry wire layout [public: o.a.h.hbase.io.encoding
@@ -612,8 +744,8 @@ object HFileCodec {
     * allocation; each entry consumes ≥ 3 bytes, so the loop always
     * advances.
     */
-  private[sources] def prefixIterator(payload: Array[Byte],
-                                      start: Int): Iterator[HCell] =
+  private[sources] def prefixIterator(payload: Array[Byte], start: Int,
+                                      extras: CellExtras = NoExtras): Iterator[HCell] =
     new Iterator[HCell] {
       private var p = start
       private var key: Array[Byte] = _
@@ -647,10 +779,13 @@ object HFileCodec {
         require(2 + rowLen + 1 + famLen <= keyLen - 9,
           s"family length $famLen exceeds key")
         val ts = ByteBuffer.wrap(nk, keyLen - 9, 8).getLong
-        HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
+        val c0 = HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
           java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1, 2 + rowLen + 1 + famLen),
           java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1 + famLen, keyLen - 9),
           ts, nk(keyLen - 1), value)
+        val (c, np) = withPostfix(c0, payload, p, extras, encoded = true)
+        p = np
+        c
       }
     }
 
@@ -748,8 +883,8 @@ object HFileCodec {
     * allocation, each entry consumes ≥ 3 bytes so the loop always
     * advances.
     */
-  private[sources] def diffIterator(payload: Array[Byte],
-                                    start: Int): Iterator[HCell] =
+  private[sources] def diffIterator(payload: Array[Byte], start: Int,
+                                    extras: CellExtras = NoExtras): Iterator[HCell] =
     new Iterator[HCell] {
       private var p = start
       private var keyPart: Array[Byte] = _
@@ -805,10 +940,13 @@ object HFileCodec {
         val famLen = nk(2 + rowLen) & 0xff
         require(2 + rowLen + 1 + famLen <= partLen,
           s"family length $famLen exceeds key")
-        HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
+        val c0 = HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
           java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1, 2 + rowLen + 1 + famLen),
           java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1 + famLen, partLen),
           ts, typ, value)
+        val (c, np) = withPostfix(c0, payload, p, extras, encoded = true)
+        p = np
+        c
       }
     }
 
@@ -866,8 +1004,8 @@ object HFileCodec {
     * never over-allocate or fail to advance (each entry consumes ≥ 3
     * bytes — flag, commonPrefix vint, ≥1 timestamp byte).
     */
-  private[sources] def fastDiffIterator(payload: Array[Byte],
-                                        start: Int): Iterator[HCell] =
+  private[sources] def fastDiffIterator(payload: Array[Byte], start: Int,
+                                        extras: CellExtras = NoExtras): Iterator[HCell] =
     new Iterator[HCell] {
       private var p = start
       private var keyPart: Array[Byte] = _
@@ -925,10 +1063,13 @@ object HFileCodec {
         val famLen = nk(2 + rowLen) & 0xff
         require(2 + rowLen + 1 + famLen <= partLen,
           s"family length $famLen exceeds key")
-        HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
+        val c0 = HCell(java.util.Arrays.copyOfRange(nk, 2, 2 + rowLen),
           java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1, 2 + rowLen + 1 + famLen),
           java.util.Arrays.copyOfRange(nk, 2 + rowLen + 1 + famLen, partLen),
           ts, typ, value)
+        val (c, np) = withPostfix(c0, payload, p, extras, encoded = true)
+        p = np
+        c
       }
     }
 
@@ -997,15 +1138,19 @@ object HFileCodec {
   /** Decode a ROW_INDEX_V1 block's cell section in order (the full-scan
     * read paths; the seek paths use [[rowIndexSeek]]).
     */
-  private[graft] def rowIndexIterator(payload: Array[Byte],
-                                        start: Int): Iterator[HCell] = {
+  private[graft] def rowIndexIterator(payload: Array[Byte], start: Int,
+                                      extras: CellExtras = NoExtras): Iterator[HCell] = {
     val (dataLen, _, _) = rowIndexParts(payload, start)
     val dataEnd = start + dataLen
     new Iterator[HCell] {
       private var q = start
       def hasNext: Boolean = q < dataEnd
       def next(): HCell = {
-        val (c, nq) = decodeKeyValue(payload, q)
+        // ROW_INDEX_V1 stores verbatim KeyValues, so the postfix uses the
+        // plain KV layout (2-byte tags length), not the delta encoders'
+        // compressed int
+        val (c0, nq0) = decodeKeyValue(payload, q)
+        val (c, nq) = withPostfix(c0, payload, nq0, extras, encoded = false)
         require(nq <= dataEnd,
           s"ROW_INDEX_V1 cell at $q runs into the offset array")
         q = nq; c
@@ -1020,7 +1165,8 @@ object HFileCodec {
     * filter against the stop row.
     */
   private[graft] def rowIndexSeek(payload: Array[Byte], start: Int,
-                                    fromRow: Array[Byte]): Iterator[HCell] = {
+                                    fromRow: Array[Byte],
+                                    extras: CellExtras = NoExtras): Iterator[HCell] = {
     val (dataLen, rowCount, offBase) = rowIndexParts(payload, start)
     val dataEnd = start + dataLen
     // (absolute cell position, row bytes) of row-index entry i, every
@@ -1049,7 +1195,8 @@ object HFileCodec {
         private var q = p0
         def hasNext: Boolean = q < dataEnd
         def next(): HCell = {
-          val (c, nq) = decodeKeyValue(payload, q)
+          val (c0, nq0) = decodeKeyValue(payload, q)
+          val (c, nq) = withPostfix(c0, payload, nq0, extras, encoded = false)
           require(nq <= dataEnd,
             s"ROW_INDEX_V1 cell at $q runs into the offset array")
           q = nq; c
@@ -1070,19 +1217,23 @@ object HFileCodec {
     * from the block's own magic (`DATABLKE`), and the payload's leading
     * 2-byte id is verified against the one encoding we write.
     */
-  private[sources] def dataBlockCells(payload: Array[Byte],
-                                      encoded: Boolean): Iterator[HCell] =
+  private[sources] def dataBlockCells(payload: Array[Byte], encoded: Boolean,
+                                      extras: CellExtras = NoExtras): Iterator[HCell] =
     if (!encoded)
       new Iterator[HCell] {
         private var q = 0
         def hasNext: Boolean = q < payload.length
-        def next(): HCell = { val (c, nq) = decodeKeyValue(payload, q); q = nq; c }
+        def next(): HCell = {
+          val (c0, nq0) = decodeKeyValue(payload, q)
+          val (c, nq) = withPostfix(c0, payload, nq0, extras, encoded = false)
+          q = nq; c
+        }
       }
     else encodingIdOf(payload) match {
-      case EncodingFastDiff => fastDiffIterator(payload, 2)
-      case EncodingPrefix => prefixIterator(payload, 2)
-      case EncodingDiff => diffIterator(payload, 2)
-      case EncodingRowIndexV1 => rowIndexIterator(payload, 2)
+      case EncodingFastDiff => fastDiffIterator(payload, 2, extras)
+      case EncodingPrefix => prefixIterator(payload, 2, extras)
+      case EncodingDiff => diffIterator(payload, 2, extras)
+      case EncodingRowIndexV1 => rowIndexIterator(payload, 2, extras)
       case other => throw new IllegalArgumentException(
         s"unsupported data block encoding id $other " +
           "(PREFIX=2, DIFF=3, FAST_DIFF=4, ROW_INDEX_V1=7)")
@@ -1300,7 +1451,22 @@ object HFileCodec {
 
   def write(cells: Iterator[HCell], sink: java.io.OutputStream,
             blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
-            compression: Int, encoding: Int, checksumType: Int): Long = {
+            compression: Int, encoding: Int, checksumType: Int): Long =
+    write(cells, sink, blockSize, indexChunkEntries, bloomChunkKeys,
+      compression, encoding, checksumType,
+      includeMvcc = false, includeTags = false)
+
+  /** Core writer. `includeMvcc` appends each cell's memstoreTS vlong and
+    * records `MAX_MEMSTORE_TS` in file-info (HBase flushes always do
+    * this; bulk-load files conventionally don't — the reader gates on
+    * the key's presence either way). `includeTags` appends each cell's
+    * tag bytes and records `hfile.MAX_TAGS_LEN`. Both default off, so
+    * files are byte-identical to r9's unless asked for.
+    */
+  def write(cells: Iterator[HCell], sink: java.io.OutputStream,
+            blockSize: Int, indexChunkEntries: Int, bloomChunkKeys: Int,
+            compression: Int, encoding: Int, checksumType: Int,
+            includeMvcc: Boolean, includeTags: Boolean): Long = {
     require(indexChunkEntries > 0, "indexChunkEntries must be positive")
     require(bloomChunkKeys > 0, "bloomChunkKeys must be positive")
     require(compression == CompressionNone || compression == CompressionGz ||
@@ -1421,9 +1587,22 @@ object HFileCodec {
     var lastKey: Array[Byte] = null
     var totalKeyLen = 0L
     var totalValLen = 0L
+    // postfix layout follows the block family: plain KV blocks and
+    // ROW_INDEX_V1 (verbatim KeyValues) use the 2-byte tags length; the
+    // delta encoders use putCompressedInt (BufferedDataBlockEncoder's
+    // afterEncodingKeyValue)
+    val extras = CellExtras(includeMvcc, includeTags)
+    val deltaEncoded = isEncoded && encoding != EncodingRowIndexV1
+    var maxMemstoreTS = 0L
+    var maxTagsLen = 0
     cells.foreach { c =>
       if (firstKey == null) firstKey = c.keyBytes
       if (isEncoded) enc.append(c) else block.write(encodeKeyValue(c))
+      if (extras.any) {
+        writeCellPostfix(block, c, extras, deltaEncoded)
+        if (c.memstoreTS > maxMemstoreTS) maxMemstoreTS = c.memstoreTS
+        if (c.tags.length > maxTagsLen) maxTagsLen = c.tags.length
+      }
       // raw KeyValue footprint, computed without re-serializing:
       // kvLen:8 + key (rowLen:2|row|famLen:1|fam|qual|ts:8|type:1) + value
       val keyLen = 2 + c.row.length + 1 + c.family.length +
@@ -1505,7 +1684,15 @@ object HFileCodec {
       "hfile.AVG_KEY_LEN" -> ByteBuffer.allocate(4).putInt(avgK).array(),
       "hfile.AVG_VALUE_LEN" -> ByteBuffer.allocate(4).putInt(avgV).array()) ++
       (if (lastKey == null) Seq.empty
-       else Seq("hfile.LASTKEY" -> lastKey))
+       else Seq("hfile.LASTKEY" -> lastKey)) ++
+      // presence of these keys is what tells readers the cells carry the
+      // postfixes — the same open-time gate HFileReaderImpl applies
+      (if (includeMvcc)
+        Seq(MaxMemstoreTsKey -> ByteBuffer.allocate(8).putLong(maxMemstoreTS).array())
+       else Seq.empty) ++
+      (if (includeTags)
+        Seq(MaxTagsLenKey -> ByteBuffer.allocate(4).putInt(maxTagsLen).array())
+       else Seq.empty)
     emitBlock(FileInfoMagic, buildFileInfo(infoEntries))
 
     // bloom meta: an index of the BLMF chunks by first row (same entry
@@ -1575,6 +1762,21 @@ object HFileCodec {
     out.toByteArray
   }
 
+  /** In-memory convenience form that persists the v3 per-cell postfixes
+    * (memstoreTS vlong and/or tags) — the region-server flush shape.
+    */
+  def writeWithExtras(cells: Iterator[HCell], blockSize: Int = 64 * 1024,
+                      compression: Int = CompressionNone,
+                      encoding: Int = EncodingNone,
+                      includeMvcc: Boolean = true,
+                      includeTags: Boolean = false): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    write(cells, out, blockSize, DefaultIndexChunkEntries,
+      DefaultBloomChunkKeys, compression, encoding, ChecksumCrc32c,
+      includeMvcc, includeTags)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ file info
   // The FILEINF2 block carries HBase's FileInfoProto [public: o.a.h.hbase
   // .io.hfile.HFileInfo.write / HFileProtos.FileInfoProto]: the 4-byte
@@ -1617,7 +1819,13 @@ object HFileCodec {
     val trailer = readTrailer(file)
     require(trailer.fileInfoOffset >= 0 && trailer.fileInfoOffset < file.length,
       s"bad fileInfoOffset ${trailer.fileInfoOffset}")
-    val payload = blockPayload(file, trailer.fileInfoOffset.toInt)
+    parseFileInfoPayload(blockPayload(file, trailer.fileInfoOffset.toInt))
+  }
+
+  /** Parse an already-extracted FILEINF2 block payload — the form the
+    * positioned-read paths use (they fetch the block themselves).
+    */
+  def parseFileInfoPayload(payload: Array[Byte]): Map[String, Array[Byte]] = {
     require(payload.length >= 4 &&
       java.util.Arrays.equals(java.util.Arrays.copyOfRange(payload, 0, 4), PbMagic),
       "file-info block missing PBUF magic")
@@ -1783,7 +1991,18 @@ object HFileCodec {
     * v3 layout invariant that the file-info block follows the last data
     * block, so the data section ends at the first non-`DATABLK*` magic.
     */
-  def readStreaming(in: java.io.InputStream): Iterator[HCell] = new Iterator[HCell] {
+  def readStreaming(in: java.io.InputStream): Iterator[HCell] =
+    readStreaming(in, NoExtras)
+
+  /** Forward-streaming reader with explicit postfix flags: a pure
+    * forward stream meets the file-info (which gates mvcc/tags) only
+    * AFTER the data blocks, so a caller reading a file that carries
+    * postfixes must say so — [[graft.sources.HFileOps]] reads the
+    * trailer + file-info with one positioned read first and passes the
+    * flags in.
+    */
+  def readStreaming(in: java.io.InputStream,
+                    extras: CellExtras): Iterator[HCell] = new Iterator[HCell] {
     private var blockIter: Iterator[HCell] = Iterator.empty
     private var done = false
 
@@ -1838,7 +2057,7 @@ object HFileCodec {
               if (dataLen == onDiskLen) body
               else java.util.Arrays.copyOfRange(body, 0, dataLen)
             } else decompress(body, 0, dataLen, uncompressedLen)
-          blockIter = dataBlockCells(payload, isEncoded)
+          blockIter = dataBlockCells(payload, isEncoded, extras)
         } else done = true // file-info block: past the data section
       }
 
@@ -1981,6 +2200,9 @@ object HFileCodec {
     */
   def read(file: Array[Byte]): Iterator[HCell] = {
     val trailer = readTrailer(file)
+    // open-time gate: file-info keys decide whether cells carry the
+    // mvcc/tags postfixes (HFileReaderImpl's shouldIncludeMemStoreTS)
+    val extras = extrasOf(readFileInfo(file))
     val rootEntries = parseIndexEntries(
       file, loadOnOpenOf(file).rootIndexOffset.toInt, RootIndexMagic)
     require(rootEntries.size == trailer.dataIndexCount, "index count mismatch")
@@ -1995,7 +2217,7 @@ object HFileCodec {
       require(isEncoded || hasMagic(file, hdr, DataMagic), "bad data block magic")
       val onDiskLen = ByteBuffer.wrap(file, hdr + 8, 4).getInt
       require(HeaderSize + onDiskLen == size, "block size mismatch")
-      dataBlockCells(blockPayload(file, hdr), isEncoded)
+      dataBlockCells(blockPayload(file, hdr), isEncoded, extras)
     }
   }
 }

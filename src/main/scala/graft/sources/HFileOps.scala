@@ -144,6 +144,17 @@ object HFileOps {
   private def magicAt(b: Array[Byte], magic: Array[Byte]): Boolean =
     java.util.Arrays.equals(java.util.Arrays.copyOfRange(b, 0, 8), magic)
 
+  /** Per-file postfix flags from the file-info block at `fileInfoOffset`
+    * (absolute) — the open-time mvcc/tags gate every read path applies
+    * before decoding cells. Files without a file-info block (offset < 0)
+    * carry no postfixes by construction.
+    */
+  private def extrasAt(blockAt: Long => Array[Byte],
+                       fileInfoOffset: Long): HFileCodec.CellExtras =
+    if (fileInfoOffset < 0) HFileCodec.NoExtras
+    else HFileCodec.extrasOf(HFileCodec.parseFileInfoPayload(
+      HFileCodec.blockPayload(blockAt(fileInfoOffset), 0)))
+
   /** Region-file listing under `dir` + a serializable conf for executor-side
     * opens — one name per region, bounded metadata, shared by every reader.
     */
@@ -223,7 +234,8 @@ object HFileOps {
   private def decodeBlockRows(blk: Array[Byte],
                               keep: Array[Byte] => Boolean,
                               seekRows: Seq[Array[Byte]] = Nil,
-                              seekFrom: Option[Array[Byte]] = None): Seq[Row] = {
+                              seekFrom: Option[Array[Byte]] = None,
+                              extras: HFileCodec.CellExtras = HFileCodec.NoExtras): Seq[Row] = {
     val isEncoded = magicAt(blk, HFileCodec.EncodedDataMagic)
     require(isEncoded || magicAt(blk, HFileCodec.DataMagic),
       "bad data block magic")
@@ -233,12 +245,12 @@ object HFileOps {
     val cells: Iterator[HFileCodec.HCell] =
       if (rowIndexed && seekRows.nonEmpty)
         seekRows.iterator.flatMap { r =>
-          HFileCodec.rowIndexSeek(payload, 2, r)
+          HFileCodec.rowIndexSeek(payload, 2, r, extras)
             .takeWhile(c => java.util.Arrays.equals(c.row, r))
         }
       else if (rowIndexed && seekFrom.isDefined)
-        HFileCodec.rowIndexSeek(payload, 2, seekFrom.get)
-      else HFileCodec.dataBlockCells(payload, isEncoded)
+        HFileCodec.rowIndexSeek(payload, 2, seekFrom.get, extras)
+      else HFileCodec.dataBlockCells(payload, isEncoded, extras)
     cells
       .filter(c => keep(c.row))
       .map(c => Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
@@ -330,10 +342,11 @@ object HFileOps {
           .map(scala.collection.immutable.ArraySeq.unsafeWrapArray(_)).toSet
         val seekRows = surviving.sortWith(
           java.util.Arrays.compareUnsigned(_, _) < 0)
+        val extras = extrasAt(blockAt, loo.fileInfoOffset)
         dataOffsets.flatMap { off =>
           decodeBlockRows(blockAt(off), row =>
             wanted.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)),
-            seekRows = seekRows)
+            seekRows = seekRows, extras = extras)
         }
       }
     }
@@ -361,11 +374,12 @@ object HFileOps {
                 HFileCodec.IntermediateIndexMagic), start, stop).map(_._1)
           else Seq(off)
         }
+      val extras = extrasAt(readBlockAt(in, _), loo.fileInfoOffset)
       dataOffsets.flatMap { off =>
         decodeBlockRows(readBlockAt(in, off), row =>
           java.util.Arrays.compareUnsigned(row, start) >= 0 &&
             java.util.Arrays.compareUnsigned(row, stop) < 0,
-          seekFrom = Some(start))
+          seekFrom = Some(start), extras = extras)
       }
     }
   }
@@ -388,9 +402,14 @@ object HFileOps {
       .flatMap { p =>
         val path = new HPath(p)
         val fs = path.getFileSystem(serConf.value)
-        val in = new java.io.BufferedInputStream(fs.open(path), 1 << 16)
+        val raw = fs.open(path)
+        // one positioned read of trailer + file-info resolves the
+        // per-file mvcc/tags postfix flags BEFORE the forward stream —
+        // positioned reads don't move the stream's own position
+        val extras = streamExtras(raw, fs.getFileStatus(path).getLen)
+        val in = new java.io.BufferedInputStream(raw, 1 << 16)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        HFileCodec.readStreaming(in).map { c =>
+        HFileCodec.readStreaming(in, extras).map { c =>
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
             new String(c.qualifier, UTF_8), c.ts,
             java.nio.ByteBuffer.wrap(c.value).getDouble,
@@ -398,6 +417,17 @@ object HFileOps {
         }
       }
     spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** Open-time postfix-flag resolution for the forward-streaming readers:
+    * trailer (1 positioned read) → file-info block (1 positioned read) →
+    * [[HFileCodec.extrasOf]].
+    */
+  private def streamExtras(in: org.apache.hadoop.fs.FSDataInputStream,
+                           len: Long): HFileCodec.CellExtras = {
+    val tail = new Array[Byte](HFileCodec.TrailerLen)
+    in.readFully(len - HFileCodec.TrailerLen, tail)
+    extrasAt(readBlockAt(in, _), HFileCodec.readTrailer(tail).fileInfoOffset)
   }
 
   /** Like [[read]], plus the store-file generation each cell came from
@@ -417,9 +447,11 @@ object HFileOps {
           if (m.matches()) m.group(1).toInt else 0
         }
         val fs = path.getFileSystem(serConf.value)
-        val in = new java.io.BufferedInputStream(fs.open(path), 1 << 16)
+        val raw = fs.open(path)
+        val extras = streamExtras(raw, fs.getFileStatus(path).getLen)
+        val in = new java.io.BufferedInputStream(raw, 1 << 16)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        HFileCodec.readStreaming(in).map { c =>
+        HFileCodec.readStreaming(in, extras).map { c =>
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
             new String(c.qualifier, UTF_8), c.ts,
             java.nio.ByteBuffer.wrap(c.value).getDouble,

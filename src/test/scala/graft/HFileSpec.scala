@@ -744,6 +744,69 @@ class HFileSpec extends SparkSuite {
     }
   }
 
+  test("mvcc + tags: nonzero memstoreTS and tag bytes round-trip, gated by file-info") {
+    val cells = (0 until 3000).map { i =>
+      cell(f"r$i%06d", "q", 1000L + i, i.toDouble).copy(
+        memstoreTS = 1000000L + i * 7L,
+        tags = if (i % 3 == 0) Array[Byte](1, 0, 2, (i % 127).toByte) // type|len|payload
+               else Array.emptyByteArray)
+    }
+    for (enc <- Seq(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
+        HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff,
+        HFileCodec.EncodingRowIndexV1)) {
+      val bytes = HFileCodec.writeWithExtras(cells.iterator, 4 * 1024,
+        HFileCodec.CompressionGz, enc, includeMvcc = true, includeTags = true)
+      val info = HFileCodec.readFileInfo(bytes)
+      // the reader's open-time gate: key presence, value = the max
+      assert(info.contains(HFileCodec.MaxMemstoreTsKey))
+      assert(java.nio.ByteBuffer.wrap(info(HFileCodec.MaxMemstoreTsKey)).getLong
+        == cells.map(_.memstoreTS).max)
+      assert(java.nio.ByteBuffer.wrap(info(HFileCodec.MaxTagsLenKey)).getInt == 4)
+      val back = HFileCodec.read(bytes).toSeq
+      assert(back.size == cells.size, s"enc=$enc")
+      back.zip(cells).foreach { case (b, c) =>
+        assert(b.memstoreTS == c.memstoreTS, s"enc=$enc mvcc mismatch")
+        assert(java.util.Arrays.equals(b.tags, c.tags), s"enc=$enc tags mismatch")
+        assert(java.util.Arrays.equals(b.value, c.value) && b.ts == c.ts)
+      }
+      // streaming path with the flags passed in (forward stream meets
+      // file-info only after the data blocks)
+      val streamed = HFileCodec.readStreaming(
+        new java.io.ByteArrayInputStream(bytes),
+        HFileCodec.CellExtras(mvcc = true, tags = true)).toSeq
+      assert(streamed.map(_.memstoreTS) == back.map(_.memstoreTS))
+    }
+    // a file written WITHOUT extras carries neither gate key — r9 files
+    // and bulk-load output are byte-compatible
+    val plain = HFileCodec.write(cells.iterator, blockSize = 4 * 1024)
+    val plainInfo = HFileCodec.readFileInfo(plain)
+    assert(!plainInfo.contains(HFileCodec.MaxMemstoreTsKey))
+    assert(!plainInfo.contains(HFileCodec.MaxTagsLenKey))
+  }
+
+  test("mvcc region file: HFileOps streaming + get + range-scan paths parse it") {
+    // a region-server-shaped file (mvcc vlongs present) dropped into a
+    // table dir must read correctly through every HFileOps path — the
+    // r10 read-compat deviation: flags resolve from file-info at open
+    val dir = tmpDir("mvccread")
+    val cells = (0 until 2000).map { i =>
+      cell(f"r$i%06d", "q", 1000L + i, i.toDouble)
+        .copy(memstoreTS = 500L + i)
+    }
+    val bytes = HFileCodec.writeWithExtras(cells.iterator, 4 * 1024,
+      HFileCodec.CompressionNone, HFileCodec.EncodingRowIndexV1,
+      includeMvcc = true, includeTags = true)
+    Files.write(dir.resolve("region-00000.hfile"), bytes)
+    val back = HFileOps.read(spark, dir.toString)
+    assert(back.count() == 2000)
+    assert(back.where(col("rowkey") === "r000042").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(42.0))
+    val got = HFileOps.pointGet(spark, dir.toString, "r001234").collect()
+    assert(got.length == 1 && got(0).getAs[Double]("value") == 1234.0)
+    val ranged = HFileOps.rangeScan(spark, dir.toString, "r000100", "r000110")
+    assert(ranged.count() == 10)
+  }
+
   test("spark bulk write + read round-trips the sf0.001 cells multiset exactly") {
     val dir = tmpDir("roundtrip").toString
     val src = Tables.cells(spark, sf)

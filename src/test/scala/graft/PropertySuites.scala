@@ -468,6 +468,63 @@ object HFileFuzzProps extends Properties("HFileFuzz") {
       try boundedConsume(b) catch { case _: Exception => true }
     }
 
+  // -------- r10: per-cell mvcc (memstoreTS vlong) + v3 tags postfixes
+
+  private val extrasCellGen: Gen[HCell] = for {
+    c <- cellGen
+    mts <- Gen.chooseNum(0L, 1L << 45)
+    tags <- Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+  } yield c.copy(memstoreTS = mts, tags = tags)
+
+  property("hadoop vlong: values round-trip at every length, negatives included") =
+    forAll(Gen.oneOf(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, -112L, -113L, 127L, 128L, Long.MinValue, Long.MaxValue))) { v =>
+      val out = new java.io.ByteArrayOutputStream()
+      HFileCodec.writeVLong(out, v)
+      val (back, off) = HFileCodec.readVLong(out.toByteArray, 0)
+      back == v && off == out.size()
+    }
+
+  property("mvcc+tags: round-trip under every codec × encoding") =
+    forAll(Gen.chooseNum(1, 40).flatMap(Gen.listOfN(_, extrasCellGen)),
+      Gen.oneOf(HFileCodec.CompressionNone, HFileCodec.CompressionGz,
+        HFileCodec.CompressionSnappy, HFileCodec.CompressionLz4,
+        HFileCodec.CompressionZstd),
+      Gen.oneOf(HFileCodec.EncodingNone, HFileCodec.EncodingPrefix,
+        HFileCodec.EncodingDiff, HFileCodec.EncodingFastDiff,
+        HFileCodec.EncodingRowIndexV1)) { (cells0, codec, enc) =>
+      val cells = cells0.sortBy(c => new String(c.row, UTF_8))
+      val file = HFileCodec.writeWithExtras(cells.iterator, 4096, codec, enc,
+        includeMvcc = true, includeTags = true)
+      val info = HFileCodec.readFileInfo(file)
+      val back = HFileCodec.read(file).toSeq
+      info.contains(HFileCodec.MaxMemstoreTsKey) &&
+        info.contains(HFileCodec.MaxTagsLenKey) &&
+        back.size == cells.size &&
+        back.zip(cells).forall { case (b, c) =>
+          b.memstoreTS == c.memstoreTS &&
+            java.util.Arrays.equals(b.tags, c.tags) &&
+            java.util.Arrays.equals(b.value, c.value) && b.ts == c.ts
+        }
+    }
+
+  property("mvcc+tags: mutated extras file never hangs either read path") =
+    forAll(Gen.chooseNum(1, 40).flatMap(Gen.listOfN(_, extrasCellGen)),
+      Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (cells0, posSeed, v) =>
+        val file = HFileCodec.writeWithExtras(
+          cells0.sortBy(c => new String(c.row, UTF_8)).iterator,
+          4096, HFileCodec.CompressionNone, HFileCodec.EncodingNone,
+          includeMvcc = true, includeTags = true)
+        val b = file.clone(); b(posSeed % b.length) = v.toByte
+        val stream = try boundedConsume(b) catch { case _: Exception => true }
+        val walk =
+          try { HFileCodec.read(b).foreach(_ => ()); true }
+          catch { case _: Exception => true }
+        stream && walk
+    }
+
   property("index-walking read + pointGet prune survive one-byte mutation") =
     forAll(fileGen, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127),
            Gen.chooseNum(1, 16).flatMap(Gen.listOfN(_, Gen.alphaNumChar)).map(_.mkString)) {
