@@ -2173,6 +2173,18 @@ object HFileCodec {
     }
   }
 
+  /** [[entriesInRange]] with an open upper bound — the last merge range
+    * of a generational read has no stop row.
+    */
+  private[sources] def entriesFromStart(entries: Seq[(Long, Int, Array[Byte])],
+      start: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    val rows = indexRows(entries)
+    var lo = math.max(0, lastBefore(rows, start, strict = false))
+    while (lo > 0 && java.util.Arrays.compareUnsigned(rows(lo), start) == 0)
+      lo -= 1
+    entries.slice(lo, entries.size)
+  }
+
   /** Row-bloom membership test over a whole in-memory file: false means
     * the row is DEFINITELY absent (the point-get prune); true means
     * "read the data block". Files without a bloom answer true.

@@ -477,17 +477,220 @@ object HFileOps {
     * standing in for HBase's sequence id, which breaks equal-timestamp
     * ties in favor of the later file.
     *
-    * Scale shape: both window passes (tombstone max, version rank) share
-    * the one coordinate-keyed partitioning, so this is a single shuffle —
-    * identical to b17's compaction read and bounded per coordinate at any
-    * corpus size (PlanSpec pins the one-exchange plan). This IS what a
-    * major compaction would persist: writing `mergedRead` back out as a
-    * fresh generation and deleting the old ones is compaction
-    * ([[compact]]), so the operator doubles as its correctness spec.
+    * Scale shape (r10): NO exchange — the actual region-server shape.
+    * Store files arrive range-partitioned and internally sorted by
+    * (rowkey, cf, qualifier, ts desc), so the (row, cf, qualifier)
+    * resolution window is computable with a per-range K-way heap merge
+    * of the overlapping files' sorted streams, K = files covering the
+    * range (≈ the generation count). The driver's only work is region
+    * assignment — per FILE NAME, three positioned reads of trailer +
+    * load-on-open metadata (first/last row), never data — exactly the
+    * boundary bookkeeping an HBase master keeps in META. Each Spark task
+    * owns one row range, index-seeks every overlapping file to the range
+    * start ([[HFileCodec.entriesInRange]]), and streams the merge:
+    * O(blockSize · K) memory, zero shuffle, zero driver data. PlanSpec
+    * pins the exchange-free plan; the window-shuffle spelling is kept as
+    * [[mergedReadShuffled]] and equivalence-pinned in HFileSpec.
     */
   def mergedRead(spark: SparkSession, dir: String,
                  maxVersions: Int = 1,
-                 ttlFloor: Long = Long.MinValue): DataFrame =
+                 ttlFloor: Long = Long.MinValue): DataFrame = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    val (paths, serConf) = regionFiles(spark, dir)
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], cellsSchema)
+    // ---- driver-side region assignment: (gen, firstRow, lastRow) per
+    // file from trailer + load-on-open only (firstRow = root index's
+    // first key, lastRow = file-info hfile.LASTKEY)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val metas: Seq[(String, Int, Array[Byte], Array[Byte])] = paths.map { p =>
+      val path = new HPath(p)
+      val fs = path.getFileSystem(hadoopConf)
+      val in = fs.open(path)
+      try {
+        val (loo, _, sect) = openSections(in, fs.getFileStatus(path).getLen)
+        val root = HFileCodec.parseIndexEntriesWithKeys(
+          loo, sect.rootIndexOffset.toInt, HFileCodec.RootIndexMagic)
+        val info = HFileCodec.parseFileInfoPayload(
+          HFileCodec.blockPayload(loo, sect.fileInfoOffset.toInt))
+        val lastKey = info.getOrElse("hfile.LASTKEY",
+          throw new IllegalStateException(s"$p missing hfile.LASTKEY"))
+        (p, genOf(path.getName), HFileCodec.rowOfKey(root.head._3),
+          HFileCodec.rowOfKey(lastKey))
+      } finally in.close()
+    }
+    // merge ranges: the distinct file first-rows partition the key space;
+    // every cell's row is >= its file's first row, so [bounds(0), ∞)
+    // covers everything and each cell belongs to exactly one range
+    val bounds = metas.map(_._3)
+      .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+      .foldLeft(Vector.empty[Array[Byte]]) { (acc, r) =>
+        if (acc.nonEmpty && java.util.Arrays.equals(acc.last, r)) acc
+        else acc :+ r
+      }
+    val ranges: Seq[(Array[Byte], Option[Array[Byte]], Seq[(String, Int)])] =
+      bounds.indices.map { i =>
+        val start = bounds(i)
+        val stop = if (i + 1 < bounds.size) Some(bounds(i + 1)) else None
+        val files = metas.collect {
+          case (p, gen, fr, lr)
+            if java.util.Arrays.compareUnsigned(lr, start) >= 0 &&
+              stop.forall(s => java.util.Arrays.compareUnsigned(fr, s) < 0) =>
+            (p, gen)
+        }
+        (start, stop, files)
+      }.filter(_._3.nonEmpty)
+    val rows = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (start, stop, files) =>
+        mergeRangeRows(serConf, start, stop, files, maxVersions, ttlFloor)
+      }
+    spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** Trailer + load-on-open section in two positioned reads; returns the
+    * section bytes, its absolute start, and the walked (RELATIVE) block
+    * offsets — index entries inside hold absolute data offsets, so most
+    * callers never need another metadata read.
+    */
+  private def openSections(in: org.apache.hadoop.fs.FSDataInputStream,
+                           len: Long): (Array[Byte], Long, HFileCodec.LoadOnOpen) = {
+    val tail = new Array[Byte](HFileCodec.TrailerLen)
+    in.readFully(len - HFileCodec.TrailerLen, tail)
+    val trailer = HFileCodec.readTrailer(tail)
+    val looStart = trailer.loadOnOpenOffset
+    val looLen = len - HFileCodec.TrailerLen - looStart
+    require(looStart >= 0 && looLen > 0 && looLen <= HFileCodec.MaxBlockBytes,
+      s"implausible load-on-open section [$looStart, ${len - HFileCodec.TrailerLen})")
+    val loo = new Array[Byte](looLen.toInt)
+    in.readFully(looStart, loo)
+    (loo, looStart, HFileCodec.walkLoadOnOpen(loo, 0, loo.length))
+  }
+
+  private def genOf(name: String): Int = {
+    val m = GenFilePattern.matcher(name)
+    if (m.matches()) m.group(1).toInt else 0
+  }
+
+  /** One merge range: K-way heap merge of the overlapping files' sorted
+    * cell streams restricted to `[start, stop)`, resolved per coordinate
+    * group as it streams — the region-server scan. Memory is
+    * O(blockSize · K + versions-per-coordinate), independent of range
+    * size.
+    */
+  private def mergeRangeRows(serConf: SerializableConfiguration,
+                             start: Array[Byte], stop: Option[Array[Byte]],
+                             files: Seq[(String, Int)], maxVersions: Int,
+                             ttlFloor: Long): Iterator[Row] = {
+    val streams: Seq[(Iterator[HFileCodec.HCell], Int)] = files.map {
+      case (p, gen) =>
+        val path = new HPath(p)
+        val fs = path.getFileSystem(serConf.value)
+        val in = fs.open(path)
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val (loo, _, sect) = openSections(in, fs.getFileStatus(path).getLen)
+        val root = HFileCodec.parseIndexEntriesWithKeys(
+          loo, sect.rootIndexOffset.toInt, HFileCodec.RootIndexMagic)
+        val extras =
+          if (sect.fileInfoOffset < 0) HFileCodec.NoExtras
+          else HFileCodec.extrasOf(HFileCodec.parseFileInfoPayload(
+            HFileCodec.blockPayload(loo, sect.fileInfoOffset.toInt)))
+        def inRange(entries: Seq[(Long, Int, Array[Byte])]) = stop match {
+          case Some(s) => HFileCodec.entriesInRange(entries, start, s)
+          case None => HFileCodec.entriesFromStart(entries, start)
+        }
+        val dataOffsets = inRange(root).flatMap { case (off, _, _) =>
+          val blk = readBlockAt(in, off)
+          if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+            inRange(HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+              HFileCodec.IntermediateIndexMagic)).map(_._1)
+          else Seq(off)
+        }
+        val cells = dataOffsets.iterator.flatMap { off =>
+          val blk = readBlockAt(in, off)
+          val isEncoded = magicAt(blk, HFileCodec.EncodedDataMagic)
+          require(isEncoded || magicAt(blk, HFileCodec.DataMagic),
+            "bad data block magic")
+          HFileCodec.dataBlockCells(HFileCodec.blockPayload(blk, 0),
+            isEncoded, extras)
+        }
+          // streams are row-ascending, so the range restriction is a
+          // prefix drop + a truncation, never a full filter
+          .dropWhile(c => java.util.Arrays.compareUnsigned(c.row, start) < 0)
+          .takeWhile(c => stop.forall(s =>
+            java.util.Arrays.compareUnsigned(c.row, s) < 0))
+        (cells, gen)
+    }
+    def coordCompare(a: HFileCodec.HCell, b: HFileCodec.HCell): Int = {
+      var c = java.util.Arrays.compareUnsigned(a.row, b.row)
+      if (c == 0) c = java.util.Arrays.compareUnsigned(a.family, b.family)
+      if (c == 0) c = java.util.Arrays.compareUnsigned(a.qualifier, b.qualifier)
+      c
+    }
+    val pq = new java.util.PriorityQueue[(HFileCodec.HCell, Int, Iterator[HFileCodec.HCell])](
+      math.max(1, streams.size),
+      (x: (HFileCodec.HCell, Int, Iterator[HFileCodec.HCell]),
+       y: (HFileCodec.HCell, Int, Iterator[HFileCodec.HCell])) =>
+        coordCompare(x._1, y._1))
+    streams.foreach { case (it, gen) =>
+      if (it.hasNext) pq.add((it.next(), gen, it))
+    }
+    new Iterator[Row] {
+      private val out = scala.collection.mutable.Queue.empty[Row]
+      private def refill(): Unit =
+        while (out.isEmpty && !pq.isEmpty) {
+          // drain one coordinate group across all streams (a stream's own
+          // same-coordinate successors re-enter the heap and match too)
+          val group = scala.collection.mutable.ArrayBuffer.empty[(HFileCodec.HCell, Int)]
+          val first = pq.poll()
+          group += ((first._1, first._2))
+          if (first._3.hasNext) pq.add((first._3.next(), first._2, first._3))
+          while (!pq.isEmpty && coordCompare(pq.peek()._1, first._1) == 0) {
+            val e = pq.poll()
+            group += ((e._1, e._2))
+            if (e._3.hasNext) pq.add((e._3.next(), e._2, e._3))
+          }
+          // resolution identical to resolveVersions: TTL first, the max
+          // surviving tombstone ts masks puts at-or-before it, newest
+          // maxVersions puts by (ts desc, gen desc, value asc) win
+          val kept = group.filter(_._1.ts >= ttlFloor)
+          var delTs = Long.MinValue; var hasDel = false
+          kept.foreach { case (c, _) =>
+            if (c.typ == HFileCodec.TypeDelete && c.ts > delTs) {
+              delTs = c.ts; hasDel = true
+            }
+          }
+          kept.filter { case (c, _) =>
+            c.typ != HFileCodec.TypeDelete && (!hasDel || c.ts > delTs)
+          }
+            .sortWith { (a, b) =>
+              if (a._1.ts != b._1.ts) a._1.ts > b._1.ts
+              else if (a._2 != b._2) a._2 > b._2
+              else java.nio.ByteBuffer.wrap(a._1.value).getDouble <
+                java.nio.ByteBuffer.wrap(b._1.value).getDouble
+            }
+            .take(maxVersions)
+            .foreach { case (c, _) =>
+              out += Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+                new String(c.qualifier, UTF_8), c.ts,
+                java.nio.ByteBuffer.wrap(c.value).getDouble, "put")
+            }
+        }
+      def hasNext: Boolean = { refill(); out.nonEmpty }
+      def next(): Row = { refill(); out.dequeue() }
+    }
+  }
+
+  /** The r9 window-shuffle spelling of [[mergedRead]] — one
+    * coordinate-keyed exchange over the union of generations. Kept as
+    * the REFERENCE implementation the exchange-free merge is
+    * equivalence-pinned against in HFileSpec.
+    */
+  private[graft] def mergedReadShuffled(spark: SparkSession, dir: String,
+                                        maxVersions: Int = 1,
+                                        ttlFloor: Long = Long.MinValue): DataFrame =
     resolveVersions(readWithGen(spark, dir), maxVersions, ttlFloor)
 
   /** The (ts, gen) version-resolution applied by [[mergedRead]] and

@@ -1022,6 +1022,31 @@ class HFileSpec extends SparkSuite {
     assert(viaGet == Seq(("r1", 200L, 10.0), ("r1", 300L, 11.0)))
   }
 
+  test("merge-on-read: exchange-free merge equals the window-shuffle reference, misaligned boundaries included") {
+    import spark.implicits._
+    val dir = tmpDir("lsmeq").toString
+    // generations bulk-written with DIFFERENT region counts, so their
+    // range boundaries interleave — the hard case for range alignment:
+    // a merge range can overlap one gen-0 file and a different gen-1 file
+    val base = (0 until 500).map(i => (f"r$i%04d", "q", 100L + (i % 3), i.toDouble, "put"))
+    val upd = (0 until 500 by 5).map(i => (f"r$i%04d", "q", 200L, i + 0.5, "put")) ++
+      (0 until 500 by 7).map(i => (f"r$i%04d", "q", 300L, 0.0, "delete"))
+    def df(rows: Seq[(String, String, Long, Double, String)]) =
+      rows.toDF("rowkey", "qualifier", "ts", "value", "op")
+        .select(col("rowkey"), org.apache.spark.sql.functions.lit("e").as("cf"),
+          col("qualifier"), col("ts"), col("value"), col("op"))
+    HFileOps.bulkWrite(df(base), dir, regions = 4, generation = 0,
+      compression = HFileCodec.CompressionGz, encoding = HFileCodec.EncodingFastDiff)
+    HFileOps.bulkWrite(df(upd), dir, regions = 3, generation = 1,
+      compression = HFileCodec.CompressionSnappy, encoding = HFileCodec.EncodingPrefix)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    for ((maxV, ttl) <- Seq((1, Long.MinValue), (2, Long.MinValue), (1, 101L)))
+      assert(canon(HFileOps.mergedRead(spark, dir, maxV, ttl))
+        == canon(HFileOps.mergedReadShuffled(spark, dir, maxV, ttl)),
+        s"local merge diverges from the window reference at maxV=$maxV ttl=$ttl")
+  }
+
   test("compact: rewrites the merged view as the next generation and drops the old files") {
     import spark.implicits._
     val dir = tmpDir("compact").toString

@@ -78,17 +78,19 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("a13 merge-on-read: one coordinate-keyed window shuffle, no join or product") {
-    // the LSM resolution must stay a single hash-partitioned window over
-    // the union of store-file generations — a join- or product-shaped
-    // regression here multiplies at 100 TB
+  test("a13 merge-on-read: generation-aligned partition-local merge — no coordinate exchange") {
+    // r10: the LSM resolution is a per-range K-way heap merge of the
+    // store files' already-sorted streams (the region-server shape) — no
+    // window, no coordinate-keyed shuffle, no join. The only exchanges
+    // in a13's plan belong to the query's own (cf, qualifier) aggregate
+    // and its 5-row ORDER BY, never to the merge itself.
     val plan = physical(SparkEntry.queries("a13_hfile_merge_read")(spark, sf))
-    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Window"), plan)
     val coordExchanges = plan.linesIterator
       .filter(l => l.contains("hashpartitioning(rowkey"))
       .size
-    assert(coordExchanges == 1,
-      s"expected exactly one coordinate-keyed exchange, got $coordExchanges\n$plan")
+    assert(coordExchanges == 0,
+      s"merge-on-read must not shuffle by coordinate, got $coordExchanges\n$plan")
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
   }
 
