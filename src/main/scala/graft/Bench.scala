@@ -28,6 +28,13 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the battery for targeted iteration;
     // the driver never sets it, so graded runs always time the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // SPARK_GRAFT_REPEAT=k (default 1) times each query k times and
+    // records the MEDIAN — the r9 close produced three phantom >2x
+    // baseline ratios from single-shot timings of 100-500 ms shapes with
+    // a documented ±0.7x spread; medians are what the ratio tooling
+    // (tools/baseline_close.py) compares. The driver's graded run keeps
+    // the single-shot default, so BENCH_rN totals stay comparable.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup pass (untimed)
@@ -42,14 +49,23 @@ object Bench {
     // filtered count read 0.53 s mid-battery right after the HFile write
     // queries, purely from inherited heap pressure.
     val results = ordered.map { case (name, fn) =>
-      System.gc(); Thread.sleep(50)
-      val t0 = System.nanoTime()
-      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
-      name -> sec
+      val times = (0 until repeat).map { _ =>
+        System.gc(); Thread.sleep(50)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val sec =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2) // median (upper on even k)
+      (name, sec, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread =
+      if (repeat <= 1) ""
+      else results.map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
+        .mkString(""","k":""" + repeat + ""","spread":{""", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query detail goes to a FILE, not stdout: the driver captures only
@@ -58,14 +74,20 @@ object Bench {
     // ("parsed": null). The graded stdout line stays compact (<200 bytes).
     // Write-then-atomic-move so a concurrent reader never sees a torn file.
     val detailBytes =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$spread,"sf":"$sfDir","cpus":"$cpus"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // unique tmp per JVM: two concurrent Bench runs sharing a cwd must not
     // interleave writes into the same tmp file before the atomic move
+    // SPARK_GRAFT_DETAIL_OUT redirects the detail file (default cwd
+    // bench_detail.json) — the ratio tooling's targeted twin runs must
+    // not clobber the close run's detail (the r9 attribution loss).
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json"))
     val detailTmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get("."), "bench_detail.json.", ".tmp")
+      Option(detailPath.getParent).getOrElse(java.nio.file.Paths.get(".")),
+      "bench_detail.json.", ".tmp")
     java.nio.file.Files.write(detailTmp, detailBytes)
-    java.nio.file.Files.move(detailTmp, java.nio.file.Paths.get("bench_detail.json"),
+    java.nio.file.Files.move(detailTmp, detailPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // Stop Spark BEFORE printing the metric line so no shutdown logging can
@@ -74,7 +96,7 @@ object Bench {
     spark.stop()
     val totalR = math.round(total * 1000.0) / 1000.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfName","detail":"bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfName","detail":"$detailPath"}""")
     System.out.flush()
   }
 }

@@ -7,10 +7,16 @@ stay within 2x of (BASELINE.json:2). Driver-side tooling only (pyspark is a
 driver dependency, same stack as tools/compare.py; the graded library itself
 is pure Scala).
 
-Usage: python3 tools/baseline_bench.py [sfDir] [cpus]
+Usage: python3 tools/baseline_bench.py [sfDir] [cpus] [k]
 Prints one JSON line: {"metric":"baseline_total","value":N,"unit":"sec","queries":{...}}
+
+Each shape is timed k times (default 5) and `queries` carries the MEDIAN;
+`spread` carries [min, max]. The r9 close produced three phantom >2x
+ratios from single-shot timings of 100-500 ms shapes with a documented
+±0.7x spread — the 2x gate is evaluated on medians since r10.
 """
 import json
+import statistics
 import sys
 import time
 
@@ -18,6 +24,7 @@ from pyspark.sql import SparkSession
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 CPUS = sys.argv[2] if len(sys.argv) > 2 else "8"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
 spark = (
     SparkSession.builder.master(f"local[{CPUS}]")
@@ -109,15 +116,22 @@ Q = {
     "B15_anti_join": "SELECT count(*) n FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey",
 }
 
-# untimed warmup pass, then timed pass (same protocol as graft.Bench)
+# untimed warmup pass, then k timed passes per shape (same protocol as
+# graft.Bench with SPARK_GRAFT_REPEAT=k): median kills the single-shot
+# wobble that dominates sub-second shapes
 for name, sql in Q.items():
     spark.sql(sql).count()
-res = {}
+res, spread = {}, {}
 for name, sql in Q.items():
-    t0 = time.time()
-    spark.sql(sql).count()
-    res[name] = round(time.time() - t0, 4)
+    times = []
+    for _ in range(K):
+        t0 = time.time()
+        spark.sql(sql).count()
+        times.append(time.time() - t0)
+    res[name] = round(statistics.median(times), 4)
+    spread[name] = [round(min(times), 4), round(max(times), 4)]
 
 print(json.dumps({"metric": "baseline_total", "value": round(sum(res.values()), 3),
-                  "unit": "sec", "queries": res, "sf": SF, "cpus": CPUS}))
+                  "unit": "sec", "k": K, "queries": res, "spread": spread,
+                  "sf": SF, "cpus": CPUS}))
 spark.stop()

@@ -5,14 +5,18 @@ BASELINE.md's numbers were measured once, on 2026-08-12; the r7 verdict's
 re-runs showed the host drifts +-30% BETWEEN rounds (pure-function control
 queries moved 1.26-1.45x with zero code change), so a fixed bar lets drift
 masquerade as regression — or hide one — and pollutes the 2x gate in both
-directions. This tool re-measures the stock 15-shape battery in the SAME
-session state as the graft bench it is compared against: same host, same
-hour, and the same cpus/sf config read from bench_detail.json. It emits
-BASELINE_r<N>.json with per-shape and aggregate ratios computed against
-those same-run stock numbers. Performance adjudication should read THESE
-ratios; BASELINE.md stays as the protocol document and twin-mapping record.
+directions. This tool measures BOTH sides of every ratio fresh, back to back, in one
+session state: the graft twins via a targeted `graft.Bench` run
+(SPARK_GRAFT_ONLY + SPARK_GRAFT_REPEAT) and the stock 15-shape battery via
+tools/baseline_bench.py — each shape timed k=5 times, ratios computed on
+MEDIANS with [min, max] spreads recorded (r10: single-shot ratios produced
+three phantom >2x excursions on sub-second shapes in r9). It emits
+BASELINE_r<N>.json; performance adjudication should read THESE ratios;
+BASELINE.md stays as the protocol document and twin-mapping record.
 
 Usage: python3 tools/baseline_close.py <round> [bench_detail.json]
+(bench_detail.json supplies sf/cpus config and the single-shot battery
+numbers recorded for reference; the ratio inputs are measured fresh.)
 Driver-side tooling only (pyspark via tools/baseline_bench.py).
 """
 import json
@@ -43,28 +47,44 @@ TWINS = {
 }
 
 
+K = 5  # per-shape repeats on BOTH sides; the 2x gate reads medians
+
+
 def main():
     rnd = int(sys.argv[1])
     detail_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
     detail = json.load(open(detail_path))
     sf = detail.get("sf", "/root/testdata/sf0.1")
     cpus = str(detail.get("cpus", os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    # "same session" is only as true as the detail file is fresh: warn when
-    # the graft numbers were taken more than 30 min before the stock ones
-    age = time.time() - os.path.getmtime(detail_path)
-    if age > 1800:
-        print(f"baseline_close: WARNING {detail_path} is {age/60:.0f} min old "
-              "— re-run graft.Bench first for a true same-session ratio")
+    # Median-of-K graft twin timings, fresh in THIS session (r10: the r9
+    # close read single-shot battery numbers for the graft side and
+    # produced three phantom >2x ratios on 100-500 ms shapes; both sides
+    # of every ratio are now k=5 medians measured back to back).
+    # SPARK_GRAFT_DETAIL_OUT keeps the targeted run from clobbering the
+    # close run's bench_detail.json (the r9 attribution loss).
+    twin_detail = os.path.join(repo, f".baseline_twins_r{rnd:02d}.json.tmp")
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS=cpus,
+               SPARK_GRAFT_ONLY=",".join(TWINS.values()),
+               SPARK_GRAFT_REPEAT=str(K),
+               SPARK_GRAFT_DETAIL_OUT=twin_detail)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=repo, env=env,
+                   capture_output=True, text=True, check=True)
+    graft = json.load(open(twin_detail))
+    os.unlink(twin_detail)
 
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "baseline_bench.py")
-    out = subprocess.run([sys.executable, tool, sf, cpus],
+    out = subprocess.run([sys.executable, tool, sf, cpus, str(K)],
                          capture_output=True, text=True, check=True)
     lines = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')]
     stock = json.loads(lines[-1])
 
-    graft_q = detail.get("queries", {})
+    graft_q = graft.get("queries", {})
+    graft_spread = graft.get("spread", {})
+    stock_spread = stock.get("spread", {})
     shapes = []
     for b, g in TWINS.items():
         bs = stock["queries"].get(b)
@@ -73,6 +93,8 @@ def main():
         shapes.append({
             "baseline": b, "stock_sec": bs, "twin": g, "graft_sec": gs,
             "ratio": round(gs / bs, 3) if ok else None,
+            "stock_spread": stock_spread.get(b),
+            "graft_spread": graft_spread.get(g),
         })
     stock_total = sum(s["stock_sec"] for s in shapes if s["stock_sec"])
     graft_total = sum(s["graft_sec"] for s in shapes
@@ -82,29 +104,32 @@ def main():
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf": sf,
         "cpus": cpus,
-        "detail_age_sec": round(age),
-        "protocol": ("stock 15-shape battery re-run in the same session "
-                     "state (host/hour/config) as the bench_detail it is "
-                     "compared against; ratios are same-run, immune to "
-                     "cross-round host drift"),
+        "k": K,
+        "protocol": ("median-of-%d per shape on BOTH sides, graft twins and "
+                     "stock battery measured back to back in one session "
+                     "state; spreads are [min, max] over the k runs; the 2x "
+                     "gate reads the median ratios" % K),
         "stock_total_sec": round(stock_total, 3),
         "graft_twin_total_sec": round(graft_total, 3),
         "aggregate_ratio": round(graft_total / stock_total, 3),
         "shapes": shapes,
+        "battery_single_shot": {g: detail.get("queries", {}).get(g)
+                                for g in TWINS.values()},
     }
     path = f"BASELINE_r{rnd:02d}.json"
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"baseline_close: wrote {path} — aggregate "
           f"{result['aggregate_ratio']}x (stock {stock_total:.2f}s, graft "
-          f"twins {graft_total:.2f}s, {len(shapes)} shapes, cpus={cpus})")
+          f"twins {graft_total:.2f}s, {len(shapes)} shapes, k={K}, cpus={cpus})")
     rated = sorted((s for s in shapes if s["ratio"]), key=lambda s: -s["ratio"])
     for s in rated[:3]:
         print(f"  slowest vs stock: {s['twin']:28s} {s['ratio']:5.2f}x "
-              f"({s['stock_sec']:.3f}s stock, {s['graft_sec']:.3f}s graft)")
+              f"(median {s['stock_sec']:.3f}s stock, {s['graft_sec']:.3f}s graft)")
     over = [s for s in rated if s["ratio"] > 2.0]
     if over:
-        print("  WARNING: above the 2x gate vs SAME-RUN stock (investigate): "
+        print("  WARNING: above the 2x gate on MEDIANS vs same-run stock "
+              "(investigate): "
               + ", ".join(f"{s['twin']} {s['ratio']}x" for s in over))
 
 

@@ -84,7 +84,26 @@ else
   fi
 fi
 
-echo "== round_close: snapshot per-query bench detail =="
+echo "== round_close: fresh full bench + per-query detail snapshot =="
+# r10 (VERDICT r9 task 3): the close does NOT trust whatever
+# bench_detail.json sits in cwd — r9 closed with a 45.35 s stdout total
+# but a 59.24 s detail from an earlier run, losing per-query attribution
+# for the graded number. Run the full battery NOW, on the tree being
+# closed, snapshot ITS detail, and assert the stdout total matches the
+# detail total (same results array, so any disagreement means a torn
+# file or a concurrent writer).
+if [ "${SPARK_GRAFT_SKIP_BENCH:-0}" = "1" ]; then
+  echo "round_close: bench SKIPPED by SPARK_GRAFT_SKIP_BENCH=1"
+else
+  bench_line=$(SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+      sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep -o '{"metric".*}' | tail -1 || true)
+  if [ -z "$bench_line" ]; then
+    echo "ROUND CLOSE BLOCKED: graft.Bench produced no metric line." >&2
+    exit 1
+  fi
+  echo "round_close: bench stdout: $bench_line"
+fi
 if [ -f bench_detail.json ]; then
   snap=$(printf 'BENCH_DETAIL_r%02d.json' "$n")
   # freshness: only stamp a detail file newer than the last commit —
@@ -96,6 +115,19 @@ if [ -f bench_detail.json ]; then
   else
     cp bench_detail.json "$snap"
     echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
+    if [ -n "${bench_line:-}" ]; then
+      python3 - "$snap" "$bench_line" <<'PYEOF'
+import json, sys
+snap = json.load(open(sys.argv[1]))
+line = json.loads(sys.argv[2])
+if abs(snap["value"] - line["value"]) > 0.011:
+    sys.exit(f"ROUND CLOSE BLOCKED: {sys.argv[1]} total {snap['value']:.3f}s "
+             f"disagrees with the bench stdout total {line['value']:.3f}s — "
+             "the snapshot is not the detail of the recorded run")
+print(f"round_close: detail/stdout totals agree ({line['value']:.2f}s, "
+      f"{len(snap['queries'])} queries)")
+PYEOF
+    fi
     # VERDICT r7 task 1: same-session stock baseline. The r7 audit showed
     # the host drifts +-30% BETWEEN rounds, so ratios against BASELINE.md's
     # fixed numbers conflate drift with regression; re-measure the stock
