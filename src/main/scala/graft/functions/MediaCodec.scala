@@ -177,7 +177,7 @@ object MediaCodec {
   // MPEG audio tables, Layer III columns only (the layer every curation
   // corpus actually contains): bitrate kbps by (version, index), sample
   // rate Hz by (version, index), samples per frame by version.
-  private val V1L3Bitrate =
+  private[functions] val V1L3Bitrate =
     Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
   private val V2L3Bitrate =
     Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
@@ -236,6 +236,71 @@ object MediaCodec {
     }
     if (frames == 0 || rate <= 0) None
     else Some(MediaDims("mp3", -1, -1, channels, rate, samples * 1000L / rate))
+  }
+
+  /** Exact MP3 frame-sequence facts (r10): everything the header walk can
+    * know without a Layer III decoder — per-file frame count, exact
+    * sample-accurate duration, min/max/mean bitrate, and whether the
+    * stream is VBR. `meanKbps` is exact integer arithmetic over the
+    * walked audio bytes: totalBytes·8·rate / (samples·1000).
+    */
+  final case class Mp3Stats(channels: Int, sampleRate: Int, frames: Long,
+                            durMs: Long, minKbps: Int, maxKbps: Int,
+                            meanKbps: Long, vbr: Boolean)
+
+  /** Walk the Layer III frame headers like [[decodeMp3]], additionally
+    * accumulating per-frame bitrate facts. Same malformed-input posture:
+    * the walk ends at the first non-frame byte, gathered facts stand,
+    * and only a file with no valid frame yields None. Payload DECODE
+    * stays honestly out of scope — no Layer III codec ships with the
+    * JDK; these are the exact stats a curation pipeline can trust from
+    * headers alone.
+    */
+  def mp3FrameStats(b: Array[Byte]): Option[Mp3Stats] = {
+    var i = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10L + sz
+    }
+    var frames = 0L
+    var samples = 0L
+    var audioBytes = 0L
+    var channels = -1
+    var rate = -1
+    var minKbps = Int.MaxValue
+    var maxKbps = 0
+    while (i + 4 <= b.length) {
+      val p = i.toInt
+      if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) i = b.length
+      else {
+        val ver = (b(p + 1) >> 3) & 0x3
+        val layer = (b(p + 1) >> 1) & 0x3
+        val brIdx = (b(p + 2) >> 4) & 0xf
+        val srIdx = (b(p + 2) >> 2) & 0x3
+        val pad = (b(p + 2) >> 1) & 0x1
+        val br = if (layer != 1 || ver == 1 || srIdx == 3) -1
+                 else (if (ver == 3) V1L3Bitrate else V2L3Bitrate)(brIdx)
+        if (br <= 0) i = b.length
+        else {
+          val sr = SampleRates(ver)(srIdx)
+          val spf = if (ver == 3) 1152 else 576
+          val frameLen = spf / 8 * br * 1000L / sr + pad
+          channels = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
+          rate = sr
+          frames += 1
+          samples += spf
+          audioBytes += frameLen
+          if (br < minKbps) minKbps = br
+          if (br > maxKbps) maxKbps = br
+          i += frameLen
+        }
+      }
+    }
+    if (frames == 0 || rate <= 0) None
+    else Some(Mp3Stats(channels, rate, frames, samples * 1000L / rate,
+      minKbps, maxKbps, audioBytes * 8L * rate / (samples * 1000L),
+      vbr = minKbps != maxKbps))
   }
 
   // ------------------------------------------------ full decode (r9)
@@ -475,6 +540,27 @@ object MediaGen {
       f += 1
     }
     out
+  }
+
+  /** VBR variant of [[mp3]]: MPEG-1 Layer III 48 kHz mono frames whose
+    * bitrate alternates per `pattern` (bitrate INDICES, V1L3 table) — the
+    * synthesized frame sequence [[MediaCodec.mp3FrameStats]]'s VBR facts
+    * are gated against. Every parameter keeps frame lengths exact
+    * integers at 48 kHz (144·kbps·1000/48000 = 3·kbps bytes).
+    */
+  def mp3Vbr(pattern: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    pattern.foreach { idx =>
+      val kbps = MediaCodec.V1L3Bitrate(idx)
+      val len = 144 * kbps * 1000 / 48000
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte
+      frame(2) = ((idx << 4) | (1 << 2)).toByte // bitrate idx | 48 kHz
+      frame(3) = 0xc0.toByte                    // mono
+      out.write(frame, 0, len)
+    }
+    out.toByteArray
   }
 
   /** Deterministic single-band gray PNG whose pixel (x, y) is the exact

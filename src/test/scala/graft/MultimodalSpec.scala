@@ -257,6 +257,34 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.wavPcmStats(crafted).isEmpty)
   }
 
+  test("MP3 frame stats: exact duration/bitrate facts over synthesized CBR and VBR sequences") {
+    // CBR: 40 frames x 96 kbps @48 kHz mono = 40 x 24 ms, mean == min == max
+    val cbr = MediaCodec.mp3FrameStats(MediaGen.mp3(40)).get
+    assert(cbr.frames == 40 && cbr.durMs == 40 * 24)
+    assert(cbr.channels == 1 && cbr.sampleRate == 48000)
+    assert(cbr.minKbps == 96 && cbr.maxKbps == 96 && cbr.meanKbps == 96)
+    assert(!cbr.vbr)
+    // VBR: alternating 96k (idx 7) and 320k (idx 14) frames — exact mean
+    // by integer arithmetic: bytes = 10*(288+960), samples = 20*1152
+    val pattern = Seq.fill(10)(Seq(7, 14)).flatten
+    val vbr = MediaCodec.mp3FrameStats(MediaGen.mp3Vbr(pattern)).get
+    assert(vbr.frames == 20 && vbr.vbr)
+    assert(vbr.minKbps == 96 && vbr.maxKbps == 320)
+    val bytes = 10L * (288 + 960); val samples = 20L * 1152
+    assert(vbr.meanKbps == bytes * 8 * 48000 / (samples * 1000))
+    assert(vbr.durMs == samples * 1000 / 48000)
+    // facts agree with the dims walk on the same bytes
+    val dims = MediaCodec.decodeMp3(MediaGen.mp3Vbr(pattern)).get
+    assert(dims.durationMs == vbr.durMs && dims.sampleRate == vbr.sampleRate)
+    // truncated mid-frame: gathered facts stand (keep-gathered posture);
+    // the third frame's HEADER parsed before the cut, so it counts —
+    // headers are the unit of this walk, payloads are never touched
+    val cut = MediaGen.mp3Vbr(pattern).take(288 + 960 + 100)
+    assert(MediaCodec.mp3FrameStats(cut).get.frames == 3)
+    // alien bytes: None, not a throw
+    assert(MediaCodec.mp3FrameStats(MediaGen.png(4, 4)).isEmpty)
+  }
+
   test("j25 fixture: decodePixels over a parquet round-trip matches per-row closed form") {
     import org.apache.spark.sql.functions.col
     val out = graft.ops.MultimodalOps.j25_media_pixels(spark, sf).collect()
