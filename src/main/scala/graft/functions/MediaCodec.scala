@@ -66,6 +66,8 @@ object MediaCodec {
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
+    else if (b.length >= 4 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S') "ogg"
     else if (b.length >= 4 && (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
       (b(0) == 'I' && b(1) == 'D' && b(2) == '3'))) "mp3"
     else "unknown"
@@ -75,6 +77,7 @@ object MediaCodec {
     case "jpeg" => decodeJpeg(b)
     case "wav"  => decodeWav(b)
     case "gif"  => decodeGif(b)
+    case "ogg"  => decodeOgg(b)
     case "mp3"  => decodeMp3(b)
     case _      => None
   }
@@ -236,6 +239,61 @@ object MediaCodec {
     }
     if (frames == 0 || rate <= 0) None
     else Some(MediaDims("mp3", -1, -1, channels, rate, samples * 1000L / rate))
+  }
+
+  private def leU64(b: Array[Byte], o: Int): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Ogg/Vorbis (r10): container page walk + the Vorbis identification
+    * header — channels and sample rate from the BOS page's id packet
+    * (`0x01 vorbis | version | channels:1 | rate:4 LE`), duration from
+    * the LAST page's granule position, which for Vorbis is the absolute
+    * PCM sample count [public: RFC 3533 (Ogg) §6, Vorbis I spec §4.2.2/
+    * A.2]. Payload DECODE stays honestly out of scope (no JDK Vorbis
+    * codec); these are the exact facts a curation pipeline can trust
+    * from the container alone. Same posture as the other walks: a
+    * malformed page ends the walk with gathered facts standing, only a
+    * stream with no parseable id header yields None. Advance is
+    * strictly positive (a page consumes ≥ 27 bytes), so hostile input
+    * can never spin the loop.
+    */
+  def decodeOgg(b: Array[Byte]): Option[MediaDims] = {
+    var channels = -1
+    var rate = -1
+    var lastGranule = -1L
+    var i = 0
+    var first = true
+    while (i + 27 <= b.length && b(i) == 'O' && b(i + 1) == 'g' &&
+      b(i + 2) == 'g' && b(i + 3) == 'S' && b(i + 4) == 0) {
+      val granule = leU64(b, i + 6) // signed: -1 = no packet ends here
+      val nseg = b(i + 26) & 0xff
+      if (i + 27 + nseg > b.length) i = b.length // truncated segment table
+      else {
+        var body = 0
+        var s = 0
+        while (s < nseg) { body += b(i + 27 + s) & 0xff; s += 1 }
+        val payload = i + 27 + nseg
+        if (first) {
+          // BOS page must start the Vorbis identification packet
+          if (payload + 16 > b.length || b(payload) != 1 ||
+            b(payload + 1) != 'v' || b(payload + 2) != 'o' ||
+            b(payload + 3) != 'r' || b(payload + 4) != 'b' ||
+            b(payload + 5) != 'i' || b(payload + 6) != 's') return None
+          channels = b(payload + 11) & 0xff
+          rate = leU32(b, payload + 12).toInt
+          first = false
+        }
+        if (granule >= 0) lastGranule = granule
+        val next = payload.toLong + body
+        if (next <= i || next > b.length) i = b.length else i = next.toInt
+      }
+    }
+    if (channels <= 0 || rate <= 0) None
+    else Some(MediaDims("ogg", -1, -1, channels, rate,
+      if (lastGranule >= 0) lastGranule * 1000L / rate else -1L))
   }
 
   /** Exact MP3 frame-sequence facts (r10): everything the header walk can
@@ -559,6 +617,79 @@ object MediaGen {
       frame(2) = ((idx << 4) | (1 << 2)).toByte // bitrate idx | 48 kHz
       frame(3) = 0xc0.toByte                    // mono
       out.write(frame, 0, len)
+    }
+    out.toByteArray
+  }
+
+  /** Ogg page CRC-32 [public: RFC 3533 §6 — poly 0x04c11db7, init 0, no
+    * reflection, no final xor], computed over the page with the CRC
+    * field zeroed.
+    */
+  private def oggCrc(page: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      crc ^= (page(i) & 0xff) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+              else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Minimal valid Ogg/Vorbis stream by direct layout (no JDK Vorbis
+    * encoder exists — same posture as [[mp3]]): a BOS page carrying the
+    * real Vorbis identification header, then `audioPages` data pages
+    * whose last granule position is exactly `totalSamples`, every page
+    * CRC-32-stamped per RFC 3533 so a real demuxer would accept the
+    * container.
+    */
+  def oggVorbis(channels: Int, rate: Int, totalSamples: Long,
+                audioPages: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def page(granule: Long, headerType: Int, seq: Int,
+             payload: Array[Byte]): Unit = {
+      require(payload.length < 255, "single-segment pages only")
+      val p = new Array[Byte](27 + 1 + payload.length)
+      p(0) = 'O'; p(1) = 'g'; p(2) = 'g'; p(3) = 'S'
+      p(5) = headerType.toByte
+      var g = granule
+      var i = 0
+      while (i < 8) { p(6 + i) = (g & 0xff).toByte; g >>>= 8; i += 1 }
+      p(14) = 0x78; p(15) = 0x56; p(16) = 0x34; p(17) = 0x12 // serial LE
+      var sq = seq
+      i = 0
+      while (i < 4) { p(18 + i) = (sq & 0xff).toByte; sq >>>= 8; i += 1 }
+      p(26) = 1 // one segment
+      p(27) = payload.length.toByte
+      System.arraycopy(payload, 0, p, 28, payload.length)
+      val crc = oggCrc(p)
+      p(22) = (crc & 0xff).toByte; p(23) = ((crc >>> 8) & 0xff).toByte
+      p(24) = ((crc >>> 16) & 0xff).toByte; p(25) = ((crc >>> 24) & 0xff).toByte
+      out.write(p, 0, p.length)
+    }
+    // Vorbis identification packet: type 1 | "vorbis" | version:4 |
+    // channels:1 | rate:4 LE | bitrates:12 | blocksizes:1 | framing:1
+    val id = new Array[Byte](30)
+    id(0) = 1
+    "vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .copyToArray(id, 1)
+    id(11) = channels.toByte
+    id(12) = (rate & 0xff).toByte; id(13) = ((rate >>> 8) & 0xff).toByte
+    id(14) = ((rate >>> 16) & 0xff).toByte; id(15) = ((rate >>> 24) & 0xff).toByte
+    id(28) = 0x66 // blocksizes 64/1024 (not parsed by the walk)
+    id(29) = 1    // framing bit
+    page(0L, 0x02, 0, id) // BOS
+    var p = 1
+    while (p <= audioPages) {
+      val granule = totalSamples * p / audioPages
+      page(granule, if (p == audioPages) 0x04 else 0x00, p,
+        Array.fill(20)((p % 127).toByte))
+      p += 1
     }
     out.toByteArray
   }

@@ -285,6 +285,27 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.mp3FrameStats(MediaGen.png(4, 4)).isEmpty)
   }
 
+  test("Ogg/Vorbis: id-header facts and granule-exact duration from the page walk") {
+    // 3 s @ 48 kHz stereo over 6 pages; last granule = total samples
+    val ogg = MediaGen.oggVorbis(2, 48000, 144000L, 6)
+    assert(MediaCodec.sniff(ogg) == "ogg")
+    val d = MediaCodec.decode(ogg).get
+    assert(d.format == "ogg" && d.channels == 2 && d.sampleRate == 48000)
+    assert(d.durationMs == 3000L)
+    // mono, odd rate, non-round duration: exact integer arithmetic
+    val d2 = MediaCodec.decodeOgg(MediaGen.oggVorbis(1, 44100, 99999L, 3)).get
+    assert(d2.channels == 1 && d2.sampleRate == 44100)
+    assert(d2.durationMs == 99999L * 1000 / 44100)
+    // truncated mid-stream: facts gathered from complete pages stand
+    val pageLen = 28 + 30 // BOS page
+    val cut = MediaCodec.decodeOgg(ogg.take(pageLen + 48 + 10)).get
+    assert(cut.sampleRate == 48000 && cut.durationMs == (144000L / 6) * 1000 / 48000)
+    // an Ogg page whose BOS payload is not a Vorbis id header: None
+    val alien = ogg.clone(); alien(29) = 'x' // corrupt "vorbis"
+    assert(MediaCodec.decodeOgg(alien).isEmpty)
+    assert(MediaCodec.decodeOgg(MediaGen.png(4, 4)).isEmpty)
+  }
+
   test("j25 fixture: decodePixels over a parquet round-trip matches per-row closed form") {
     import org.apache.spark.sql.functions.col
     val out = graft.ops.MultimodalOps.j25_media_pixels(spark, sf).collect()

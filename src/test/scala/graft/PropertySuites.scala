@@ -262,7 +262,8 @@ object MediaCodecProps extends Properties("MediaCodec") {
     "RIFF    WAVE".getBytes(UTF_8),                                      // WAV
     "GIF89a".getBytes(UTF_8),                                            // GIF
     Array(0xff, 0xfb).map(_.toByte),                                     // MP3 frame
-    "ID3".getBytes(UTF_8))                                               // MP3 tag
+    "ID3".getBytes(UTF_8),                                               // MP3 tag
+    "OggS".getBytes(UTF_8))                                              // Ogg page
 
   private val validGen: Gen[Array[Byte]] = Gen.oneOf(
     Gen.zip(Gen.chooseNum(16, 64), Gen.chooseNum(16, 64))
@@ -272,6 +273,8 @@ object MediaCodecProps extends Properties("MediaCodec") {
     Gen.zip(Gen.chooseNum(16, 64), Gen.chooseNum(16, 64))
       .map { case (w, h) => MediaGen.gif(w, h) },
     Gen.chooseNum(1, 20).map(MediaGen.mp3),
+    Gen.zip(Gen.chooseNum(1, 2), Gen.chooseNum(1, 20))
+      .map { case (ch, pages) => MediaGen.oggVorbis(ch, 48000, 48000L * pages, pages) },
     Gen.zip(Gen.chooseNum(1, 2), Gen.chooseNum(1, 500))
       .map { case (ch, n) => MediaGen.wav(ch, 8000, 8 * n) })
 
