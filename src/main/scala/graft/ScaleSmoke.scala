@@ -29,6 +29,7 @@ object ScaleSmoke {
     "i4_window_session_batch",// lag + running-sum sessionization
     "d13_hbase_increment",    // counter aggregation per rowkey
     "a9_hfile_roundtrip",     // full HFile bulk write + read back
+    "a13_hfile_merge_read",   // LSM generations + exchange-free heap merge (r10)
     // LLM-pipeline families over the scaled documents/embeddings tables
     "j1_dedup_exact",         // corpus-wide hash dedup
     "j4_text_tokens",         // tokenize + global top-k
