@@ -43,7 +43,12 @@ object ScaleSmoke {
     "j21_pack_shards",
     "j22_mix_domains",        // shape-identical to j20 (salted stateless filter)
     "j23_sample_stratified",
-    "j24_pack_payload")
+    "j24_pack_payload",
+    // substring surgery + decontamination (round 10): window-keyed
+    // occurrence counts, per-doc interval union, broadcast eval grams
+    "j28_dup_substrings",
+    "j29_decontaminate",
+    "j31_dedup_cut")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -226,6 +231,17 @@ object ScaleSmoke {
         // actually find near-dups rather than time an empty set
         require(pairs > 0, "planted near-dup pairs not found — smoke is vacuous again")
         pairs
+      }),
+      "semdedup_e2e" -> (() => {
+        // ~1% of vectors are planted near-copies (cosine ≈ 0.9999): the
+        // coarse-cell pair join, hub-star guard and CC must all run
+        // non-vacuously, and the planted mass must actually be removed
+        val removed = ops.DedupOps.semanticDedup(
+          Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+          nClusters = 64, threshold = 0.95)
+          .where(!col("is_canonical")).count()
+        require(removed > 0, "planted semantic dups not removed — smoke is vacuous")
+        removed
       }),
       "curate_pipeline_e2e" -> (() =>
         // quality gate -> exact dedup -> near-dup dedup, one composition

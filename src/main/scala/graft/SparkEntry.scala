@@ -19,7 +19,8 @@ object SparkEntry {
     ops.ScanOps.queries ++ ops.FilterOps.queries ++ ops.JoinOps.queries ++
       ops.AggOps.queries ++ ops.SortSetOps.queries ++ ops.WindowOps.queries ++
       ops.FnOps.queries ++ ops.TextOps.queries ++ ops.SampleOps.queries ++
-      ops.UdxOps.queries ++ ops.MultimodalOps.queries ++ ops.BpeOps.queries
+      ops.UdxOps.queries ++ ops.MultimodalOps.queries ++ ops.BpeOps.queries ++
+      ops.RepetitionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

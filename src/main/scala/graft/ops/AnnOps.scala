@@ -274,8 +274,8 @@ object AnnOps {
     * construction — there is no caller convention that trains on the
     * whole corpus.
     */
-  private def coarseAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
-                           seed: Long, trainFraction: Double): (DataFrame, DataFrame) = {
+  private[graft] def coarseAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
+                                  seed: Long, trainFraction: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._

@@ -167,18 +167,27 @@ object DedupOps {
       val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
+      // localCheckpoint, not cache: cache materializes values but keeps
+      // the LINEAGE, so each round's plan embeds every earlier round's —
+      // by round k the logical plan is O(2^k) nodes and even rendering it
+      // (TreeNode.generateTreeString) OOMed an 8g driver when the label
+      // seed sat on a deep upstream (KMeans assign + joins, the
+      // semanticDedup caller). Eager localCheckpoint truncates lineage to
+      // the materialized partitions each round — the standard iterative-
+      // algorithm discipline, and what a 1000-executor CC run needs
+      // anyway (a straggler recomputing round k from round 0 is a
+      // cascade, not a retry).
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .where(col("cluster_id") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist(); p.unpersist() // final labels are cached
+    edges.unpersist(); p.unpersist() // final labels stay checkpointed
     labels
   }
 
@@ -265,5 +274,72 @@ object DedupOps {
       .select(col("a"), col("b2").as("b"), hamming(col("fa"), col("fb")).as("dist"))
       .distinct()
       .where(col("dist") <= maxHamming)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, public arXiv:2303.09540) — semantic
+    * dedup over an embedding column: coarse-cluster the corpus with the
+    * bounded-sample KMeans quantizer ([[AnnOps.coarseAssign]] — the fit
+    * scans ≤ trainCap rows by construction), compare EXACT cosine only
+    * within a cluster, connect the ≥threshold pairs ([[clusters]]), and
+    * keep the min vec_id of each component as canonical.
+    *
+    * Returns `(vec_id, component, is_canonical)` for every corpus row —
+    * `where(is_canonical)` is the deduplicated corpus.
+    *
+    * Scale design: the cluster cell plays the LSH band-bucket role —
+    * all-pairs runs only inside cells of ≤ `maxCluster` members; larger
+    * cells degrade to a representative star (rep = min vec_id) exactly
+    * like [[candidatePairs]]' hot-bucket guard, so per-cell work is O(B)
+    * on mass-duplicate cells, never O(B²). Pair rows carry ids + one
+    * double; embeddings travel only into the per-cell join, keyed on the
+    * cell — one shuffle whose width is the corpus itself (unavoidable:
+    * every row must meet its cell), never corpus × corpus.
+    */
+  def semanticDedup(corpus: DataFrame, nClusters: Int, threshold: Double,
+                    maxCluster: Int = 1000, seed: Long = 42L): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.CosineSim.register(s)
+    val (assigned0, _) = AnnOps.coarseAssign(s, corpus, nClusters, seed,
+      trainFraction = 1.0)
+    // cache: the cell assignment feeds the hot census, both pair branches
+    // and the vertex set — uncached each re-runs the KMeans transform scan
+    val assigned = assigned0.cache()
+    val hot = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("bn"), min("vec_id").as("rep"))
+      .where(col("bn") > maxCluster).select("cell", "rep")
+    val cold = assigned.join(broadcast(hot.select("cell")), Seq("cell"), "left_anti")
+    // distinct key names per side — see candidatePairs' self-join note
+    val l = cold.select(col("cell").as("cl"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val r = cold.select(col("cell").as("cr"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    val coldPairs = l.join(r, col("cl") === col("cr") && col("a") < col("b"))
+      .select(col("a"), col("b"), expr("graft_cosine(ea, eb)").as("sim"))
+    // hot cells: member ↔ hub star with sim verified per edge. Hubs are
+    // the rep (min vec_id) plus 2 seeded members — a mass-duplicate cell
+    // is mostly duplicates, so some hub lands in the dup mass and the
+    // component survives the O(B) degradation (candidatePairs' guard).
+    val hotMembers = assigned.join(broadcast(hot), Seq("cell"))
+    val wHub = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(xxhash64(col("cell"), col("vec_id")), col("vec_id"))
+    val hubs = hotMembers.withColumn("hr", row_number().over(wHub))
+      .where(col("hr") <= 2).select(col("cell"), col("vec_id").as("hub"))
+      .union(hot.select(col("cell"), col("rep").as("hub"))).distinct()
+    val hubEmb = hubs.join(
+      assigned.select(col("vec_id").as("hub"), col("embedding").as("eh")), "hub")
+    val hotPairs = hotMembers.join(broadcast(hubEmb), Seq("cell"))
+      .where(col("vec_id") =!= col("hub"))
+      .select(least(col("hub"), col("vec_id")).as("a"),
+        greatest(col("hub"), col("vec_id")).as("b"),
+        expr("graft_cosine(eh, embedding)").as("sim"))
+    val pairs = coldPairs.union(hotPairs).where(col("sim") >= threshold)
+      .select("a", "b").distinct()
+    val labels = clusters(pairs, assigned.select(col("vec_id").as("doc_id")))
+    val keep = labels.groupBy("cluster_id").agg(min("doc_id").as("canon"))
+    val out = labels.join(keep, "cluster_id")
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("component"),
+        (col("doc_id") === col("canon")).as("is_canonical"))
+    assigned.unpersist()
+    out
   }
 }

@@ -783,7 +783,105 @@ object OracleSql {
         |    '')) AS rt_md5
         |FROM documents ORDER BY doc_id NULLS LAST""".stripMargin)
 
+  /** j28–j30 (graft.ops.RepetitionOps): substring-level dedup coverage,
+    * eval-set decontamination, Gopher-style repetition signals. All counts
+    * are exact integers; fractions are single int/int→double divisions
+    * (R7). Every `sum` over BIGINT is CAST back to BIGINT (R9 — DuckDB
+    * widens to HUGEINT).
+    */
+  val repetition: Map[String, String] = Map(
+    "j28_dup_substrings" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS p, substr(t, i, 30) AS w
+        |  FROM d, unnest(generate_series(1, length(t)-29)) AS u(i)
+        |  WHERE length(t) >= 30),
+        |dup AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, p FROM w JOIN dup USING (w)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p > coalesce(max(p+30) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+        |  FROM dp),
+        |g AS (SELECT doc_id, p, sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl),
+        |cov AS (SELECT doc_id, gid, max(p)+30-min(p) AS covered, count(*) AS nw
+        |        FROM g GROUP BY doc_id, gid)
+        |SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars,
+        |       CAST(sum(nw) AS BIGINT) AS dup_windows
+        |FROM cov GROUP BY doc_id
+        |ORDER BY dup_chars DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    "j29_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(ws, i, i+2), ' ') AS g
+        |  FROM d, unnest(generate_series(1, len(ws)-2)) AS u(i)
+        |  WHERE len(ws) >= 3),
+        |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS hits
+        |FROM g JOIN eg USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY hits DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    "j30_rep_quality" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE doc_id < 100),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i+1), ' ') AS g
+        |       FROM d, unnest(generate_series(1, len(ws)-1)) u(i) WHERE len(ws) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, g, c,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) rn FROM c2),
+        |top2 AS (SELECT doc_id, g AS top_gram, c*length(g) AS chars2 FROM t2 WHERE rn = 1),
+        |g5 AS (SELECT doc_id, array_to_string(list_slice(ws, i, i+4), ' ') AS g
+        |       FROM d, unnest(generate_series(1, len(ws)-4)) u(i) WHERE len(ws) >= 5),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        |dup5 AS (SELECT doc_id,
+        |                CAST(coalesce(sum(CASE WHEN c >= 2 THEN c*length(g) END), 0) AS BIGINT)
+        |                  AS dup5_chars
+        |         FROM c5 GROUP BY doc_id)
+        |SELECT d.doc_id, top_gram, CAST(chars2 AS DOUBLE)/length(t) AS top2_frac,
+        |       dup5_chars, CAST(dup5_chars AS DOUBLE)/length(t) AS dup5_frac
+        |FROM d LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+        |ORDER BY doc_id NULLS LAST""".stripMargin,
+    "j31_dedup_cut" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS p, substr(t, i, 30) AS w
+        |  FROM d, unnest(generate_series(1, length(t)-29)) AS u(i)
+        |  WHERE length(t) >= 30),
+        |r AS (
+        |  SELECT doc_id, p,
+        |         count(*) OVER (PARTITION BY w) AS c,
+        |         row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rk
+        |  FROM w),
+        |dp AS (SELECT doc_id, p FROM r WHERE c >= 2 AND rk > 1),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p > coalesce(max(p+30) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+        |  FROM dp),
+        |g AS (SELECT doc_id, p, sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl),
+        |cov AS (SELECT doc_id, gid, min(p) AS s, max(p)+30 AS e FROM g GROUP BY doc_id, gid),
+        |seg AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+        |         s AS ke
+        |  FROM cov
+        |  UNION ALL
+        |  SELECT doc_id, max(e) AS ks, NULL AS ke FROM cov GROUP BY doc_id),
+        |pieces AS (
+        |  SELECT seg.doc_id, ks,
+        |         CASE WHEN ke IS NULL THEN substr(t, ks)
+        |              ELSE substr(t, ks, ke-ks) END AS piece
+        |  FROM seg JOIN d ON seg.doc_id = d.doc_id),
+        |cleaned AS (
+        |  SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS ct
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(length(ct), length(t)) AS BIGINT) AS clean_len,
+        |       md5(coalesce(ct, t)) AS clean_md5
+        |FROM d LEFT JOIN cleaned USING (doc_id)
+        |ORDER BY doc_id NULLS LAST""".stripMargin)
+
   def all: Map[String, String] =
     scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
-      samples ++ udx ++ k5 ++ bpe
+      samples ++ udx ++ k5 ++ bpe ++ repetition
 }

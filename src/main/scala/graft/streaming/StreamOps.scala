@@ -299,6 +299,20 @@ object StreamOps {
                       model: graft.ops.BpeOps.BpeModel): DataFrame =
     graft.ops.BpeOps.encode(spark, docs, model)
 
+  /** I18: eval-set decontamination applied to a document stream — the
+    * j29 pass as continuous ingestion. The eval-gram set is extracted
+    * once (batch) and rides along as a literal/broadcast; each arriving
+    * document's hit count is computed entirely inside its own row
+    * (grams → membership filter → distinct count), so the flagging is
+    * stateless and micro-batch invariant — StreamingSpec I18 pins the
+    * streamed result against the RELATIONAL batch spelling
+    * (explode → broadcast semi-join → groupBy), which is also the
+    * backfill path at scale.
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: Seq[String],
+                          n: Int = 3): DataFrame =
+    graft.ops.RepetitionOps.contaminationHitsRowwise(docs, evalGrams, n)
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -125,4 +125,35 @@ class PlanSpec extends SparkSuite {
     // is the pre-shuffle HashAggregate of the two flanking the exchange
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2, plan)
   }
+
+  test("j31 substring-cut: one window-keyed exchange, no self-join on the explode") {
+    // the occurrence count and the global first-occurrence rank are two
+    // window functions over ONE hashpartitioning(w) exchange — the
+    // groupBy+join spelling re-exploded the corpus for the probe side and
+    // paid a second string-keyed exchange (measured 2x on j28 at sf0.1).
+    // Joins appear only downstream of the doc_id re-key (segment splice
+    // against the 1-row-per-doc text), never on the window stream.
+    val plan = physical(SparkEntry.queries("j31_dedup_cut")(spark, sf))
+    val wExchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning(w#") && l.contains("Exchange"))
+    assert(wExchanges == 1,
+      s"expected exactly one window-value exchange, got $wExchanges\n$plan")
+    assert(!plan.contains("SortMergeJoin(w"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("j28 dup-substring detection shares j31's single window-value exchange") {
+    val plan = physical(SparkEntry.queries("j28_dup_substrings")(spark, sf))
+    val wExchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning(w#") && l.contains("Exchange"))
+    assert(wExchanges == 1,
+      s"expected exactly one window-value exchange, got $wExchanges\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("j29 decontamination: eval grams broadcast — corpus grams never shuffle for the join") {
+    val plan = physical(SparkEntry.queries("j29_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I18: decontamination flags are micro-batch invariant (row-wise stream equals relational batch)") {
+    // the j29 pass as continuous ingestion: eval grams extracted once
+    // (batch), each arriving doc flagged inside its own row. The batch
+    // side runs the RELATIONAL spelling (explode → broadcast semi-join →
+    // groupBy), so this also pins row-wise ≡ relational.
+    val docs = Tables.documents(spark, sf)
+    val relational = graft.ops.RepetitionOps.contaminationHits(docs, n = 3)
+    val evSet = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .where(col("doc_id") % 97 === 0)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val streamed = runStream(
+      StreamOps.decontaminateStream(StreamOps.documentsStream(spark, sf), evSet),
+      "append", "t_decon")
+    val batch = relational.collect().map(_.toString)
+    assert(streamed.count() > 0, "decontamination must flag rows on this fixture")
+    assert(streamed.collect().map(_.toString).sorted.sameElements(batch.sorted))
+  }
+
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
     // j22's twin of I11: the per-language mix coins are stateless hash
     // decisions, so streaming ingestion and a batch recompute keep the
