@@ -241,10 +241,58 @@ object ScanOps {
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
+  /** a14 — the full HBase delete-scope lattice under the driver gate
+    * (r10): cells keyed by USER (one rowkey per user, every event_type a
+    * qualifier, multiple versions per coordinate), then a delta
+    * generation carrying all three tombstone scopes — `delete_version`
+    * (event_id % 11, at the put's EXACT ts), `delete` = DeleteColumn
+    * (event_id % 7, at ts+2s, masks at-or-before), and `delete_family`
+    * (user_id % 5, empty qualifier at the user's min ts + 1.5s, masks
+    * every column of the family at-or-before). [[graft.sources.HFileOps
+    * .mergedRead]] resolves the scopes in its exchange-free heap merge at
+    * maxVersions = 2; the oracle recomputes the visible set relationally
+    * from events.
+    */
+  val a14_hfile_delete_types: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_deltypes", d)
+    val u = Tables.events(s, d).select(
+      Tables.pad(col("user_id")).as("rowkey"), lit("e").as("cf"),
+      col("event_type").as("qualifier"), Tables.tsMicros(col("ts")).as("ts"),
+      col("value"), col("event_id"), col("user_id"))
+    val cellCols = Seq("rowkey", "cf", "qualifier", "ts", "value", "op")
+    val base = u.withColumn("op", lit("put"))
+      .select(cellCols.map(col): _*)
+    val delv = u.where(col("event_id") % 11 === 0)
+      .withColumn("op", lit("delete_version")).select(cellCols.map(col): _*)
+    val delc = u.where(col("event_id") % 7 === 0)
+      .withColumn("ts", col("ts") + 2000000L)
+      .withColumn("op", lit("delete")).select(cellCols.map(col): _*)
+    val delf = u.where(col("user_id") % 5 === 0)
+      .groupBy("rowkey", "cf").agg((min(col("ts")) + 1500000L).as("ts"))
+      .select(col("rowkey"), col("cf"), lit("").as("qualifier"), col("ts"),
+        lit(0.0).as("value"), lit("delete_family").as("op"))
+    val regions = graft.sources.HFileOps.regionCountFor(Tables.events(s, d).count())
+    HFileOps.bulkWrite(base, dir, regions,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff, generation = 0)
+    HFileOps.bulkWrite(delv.unionByName(delc).unionByName(delf), dir, regions,
+      compression = HFileCodec.CompressionZstd,
+      encoding = HFileCodec.EncodingRowIndexV1, generation = 1)
+    HFileOps.mergedRead(s, dir, maxVersions = 2)
+      .groupBy(col("qualifier"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        sum((col("ts") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
     "a12_hfile_zstd" -> a12_hfile_zstd,
     "a13_hfile_merge_read" -> a13_hfile_merge_read,
+    "a14_hfile_delete_types" -> a14_hfile_delete_types,
     "a2_csv_roundtrip" -> a2_csv_roundtrip,
     "a4_cells_scan" -> a4_cells_scan,
     "a5_bulkload_splits" -> a5_bulkload_splits,

@@ -257,6 +257,40 @@ object TextOps {
       .orderBy(desc("sim"), asc_nulls_last("va"), asc_nulls_last("vb")).limit(50)
   }
 
+  /** j32: unigram language-model quality score — the CCNet-style
+    * "perplexity under a corpus LM" filter (Wenzek et al. 2019, public
+    * arXiv:1911.00359, which uses a Wikipedia KenLM; the unigram model
+    * here trains on the corpus itself in one aggregation pass). Score =
+    * mean negative log-probability of the document's tokens; high scores
+    * flag gibberish/outlier documents.
+    *
+    * Determinism (rules R2/R7): a naive avg(-ln p) is a floating SUM in
+    * arbitrary partition order. Instead each DISTINCT token's
+    * -ln(c/n) is computed once from exact longs (one IEEE division, one
+    * libm ln, round(,6) capping the last-ulp ln divergence — j5's trick),
+    * then the per-doc total is an exact DECIMAL(18,6) sum (associative,
+    * map-side-combinable at any parallelism) and ONE final division by
+    * the token count.
+    *
+    * Scale: token frequencies are one groupBy(token) pass; the score join
+    * keys tokens against a vocabulary-sized table (AQE broadcasts it when
+    * it fits; vocabulary grows sublinearly in corpus size).
+    */
+  def j32_lm_score: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("n"))
+    toks.join(cnt, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("n").cast("double")), 6).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"),
+        (sum(col("t").cast(DecimalType(18, 6))).cast(DecimalType(38, 6))
+          .cast("double") / count(lit(1))).as("nll"))
+      .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
+  }
+
   /** j13: embedding ⟷ document metadata join (vec_id = doc_id). */
   def j13_embed_join: Q = (s, d) =>
     Tables.embeddings(s, d)
@@ -278,5 +312,6 @@ object TextOps {
     "j10_vec_norms" -> j10_vec_norms,
     "j13_embed_join" -> j13_embed_join,
     "j14_dedup_ngram" -> j14_dedup_ngram,
-    "j15_dedup_cosine" -> j15_dedup_cosine)
+    "j15_dedup_cosine" -> j15_dedup_cosine,
+    "j32_lm_score" -> j32_lm_score)
 }

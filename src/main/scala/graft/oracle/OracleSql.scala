@@ -88,6 +88,51 @@ object OracleSql {
           |FROM merged WHERE rn = 1 AND op = 'put'
           |GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a14: the full delete-scope lattice recomputed relationally — family
+    // (at-or-before, whole cf), column (at-or-before, one coordinate),
+    // version (exact ts); then newest-2 per coordinate by (ts, gen, value)
+    "a14_hfile_delete_types" ->
+      """WITH u AS (
+        |  SELECT lpad(CAST(user_id AS VARCHAR), 12, '0') AS rowkey, 'e' AS cf,
+        |         event_type AS qualifier, CAST(epoch_us(ts) AS BIGINT) AS ts,
+        |         value, event_id, user_id
+        |  FROM events),
+        |allc AS (
+        |  SELECT rowkey, cf, qualifier, ts, value, 'put' AS op, 0 AS gen FROM u
+        |  UNION ALL
+        |  SELECT rowkey, cf, qualifier, ts, value, 'delete_version', 1 FROM u
+        |  WHERE event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT rowkey, cf, qualifier, ts + 2000000, value, 'delete', 1 FROM u
+        |  WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT rowkey, cf, '' AS qualifier, min(ts) + 1500000 AS ts,
+        |         0.0 AS value, 'delete_family', 1
+        |  FROM u WHERE user_id % 5 = 0 GROUP BY rowkey, cf),
+        |famdel AS (SELECT rowkey, cf, max(ts) AS fts FROM allc
+        |           WHERE op = 'delete_family' GROUP BY rowkey, cf),
+        |coldel AS (SELECT rowkey, cf, qualifier, max(ts) AS cts FROM allc
+        |           WHERE op = 'delete' GROUP BY rowkey, cf, qualifier),
+        |vis AS (
+        |  SELECT a.* FROM allc a
+        |  LEFT JOIN famdel f USING (rowkey, cf)
+        |  LEFT JOIN coldel c USING (rowkey, cf, qualifier)
+        |  WHERE a.op = 'put'
+        |    AND (f.fts IS NULL OR a.ts > f.fts)
+        |    AND (c.cts IS NULL OR a.ts > c.cts)
+        |    AND NOT EXISTS (SELECT 1 FROM allc d
+        |                    WHERE d.op = 'delete_version' AND d.rowkey = a.rowkey
+        |                      AND d.cf = a.cf AND d.qualifier = a.qualifier
+        |                      AND d.ts = a.ts)),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |             ORDER BY ts DESC, gen DESC, value ASC) AS rn
+        |  FROM vis)
+        |SELECT qualifier, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+        |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+        |FROM rn WHERE rn <= 2
+        |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,
     // a10: the DuckDB twin of the point get — same single rowkey, computed
     // the same way (the rowkey of event_id = 0, which exists at every SF)
     "a10_hfile_get" ->
@@ -678,6 +723,22 @@ object OracleSql {
         |              ORDER BY CAST(cc AS DOUBLE)/(na+nb-cc) DESC, doc_id) rn
         |   FROM pairs)
         |WHERE rn <= 5 ORDER BY pid NULLS LAST, rn NULLS LAST""".stripMargin,
+    // j32: per-distinct-token -ln rounded to 6 dp (j5's libm-ulp cap),
+    // exact DECIMAL sum per doc (R2), one final IEEE division
+    "j32_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |terms AS (
+        |  SELECT t.doc_id,
+        |         CAST(round(-ln(CAST(c.c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6)) AS term
+        |  FROM toks t JOIN cnt c USING (tok))
+        |SELECT doc_id, count(*) AS ntok,
+        |       CAST(sum(term) AS DOUBLE) / count(*) AS nll
+        |FROM terms GROUP BY doc_id
+        |ORDER BY nll DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
     "j15_dedup_cosine" ->
       """WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -403,9 +403,19 @@ object HFileCodec {
     out
   }
 
-  /** KeyValue type codes [public: o.a.h.hbase.KeyValue.Type]. */
+  /** KeyValue type codes [public: o.a.h.hbase.KeyValue.Type]. Real HBase
+    * delete scopes: `Delete` (8) masks the put at EXACTLY its timestamp,
+    * `DeleteColumn` (12) masks every version of its (row, family,
+    * qualifier) at-or-before its timestamp, `DeleteFamily` (14) — written
+    * with an EMPTY qualifier, so KeyValue ordering places it before all
+    * of the family's columns — masks every column of its (row, family)
+    * at-or-before its timestamp. At equal (row, family, qualifier, ts)
+    * the comparator orders HIGHER type codes first (deletes before puts).
+    */
   val TypePut: Byte = 4
   val TypeDelete: Byte = 8
+  val TypeDeleteColumn: Byte = 12
+  val TypeDeleteFamily: Byte = 14
 
   /** One KeyValue. `memstoreTS` is the per-cell MVCC sequence id real
     * region servers persist after each cell (an Hadoop vlong, gated by

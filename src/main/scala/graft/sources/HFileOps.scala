@@ -34,6 +34,29 @@ object HFileOps {
     StructField("qualifier", StringType), StructField("ts", LongType),
     StructField("value", DoubleType), StructField("op", StringType)))
 
+  /** op string ⟷ KeyValue type code. The historical op string `"delete"`
+    * has always carried mask-at-or-before semantics here — that IS
+    * HBase's `DeleteColumn`, so it maps to code 12 (every pre-r10 query
+    * and oracle keeps its meaning and its bytes change only in the type
+    * code, which no pre-r10 gate observed). The r10 additions complete
+    * the real type lattice: `"delete_version"` = code 8 (masks the put at
+    * EXACTLY its ts), `"delete_family"` = code 14 (empty qualifier; masks
+    * every column of the (row, cf) at-or-before its ts).
+    */
+  private[graft] def typOf(op: String): Byte = op match {
+    case "delete"         => HFileCodec.TypeDeleteColumn
+    case "delete_version" => HFileCodec.TypeDelete
+    case "delete_family"  => HFileCodec.TypeDeleteFamily
+    case _                => HFileCodec.TypePut
+  }
+
+  private[graft] def opOf(typ: Byte): String = typ match {
+    case HFileCodec.TypeDeleteColumn => "delete"
+    case HFileCodec.TypeDelete       => "delete_version"
+    case HFileCodec.TypeDeleteFamily => "delete_family"
+    case _                           => "put"
+  }
+
   /** Bulk-write a cells DataFrame as `regions` HFile region files under
     * `dir`. Returns the file names written (small: one per region).
     *
@@ -65,21 +88,32 @@ object HFileOps {
       .getOrElse(Array.empty)
       .foreach(st => dfs.delete(st.getPath, false))
     val serConf = new SerializableConfiguration(hadoopConf)
+    // KeyValue order: (rowkey, cf, qualifier, ts DESC, type-code DESC) —
+    // the type tiebreak is HBase's comparator rule that deletes sort
+    // before puts at an equal timestamp (DeleteFamily's empty qualifier
+    // already places it before all of the family's columns)
+    val typeRank = expr(
+      "CASE op WHEN 'delete_family' THEN 14 WHEN 'delete' THEN 12 " +
+        "WHEN 'delete_version' THEN 8 ELSE 4 END")
     val sorted = cells
       .repartitionByRange(regions, col("rowkey"))
       .sortWithinPartitions(col("rowkey").asc, col("cf").asc,
-        col("qualifier").asc, col("ts").desc)
+        col("qualifier").asc, col("ts").desc, typeRank.desc)
       .select("rowkey", "cf", "qualifier", "ts", "value", "op")
     sorted.rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       if (it.isEmpty) Iterator.empty
       else {
         val cellsIt = it.map { r =>
+          val op = r.getString(5)
+          require(op != "delete_family" || r.getString(2).isEmpty,
+            s"delete_family marker must carry an empty qualifier " +
+              s"(got '${r.getString(2)}' at rowkey ${r.getString(0)}) — " +
+              "HBase stores the family tombstone before all columns")
           HFileCodec.HCell(
             r.getString(0).getBytes(UTF_8), r.getString(1).getBytes(UTF_8),
             r.getString(2).getBytes(UTF_8), r.getLong(3),
-            if (r.getString(5) == "delete") HFileCodec.TypeDelete
-            else HFileCodec.TypePut,
+            typOf(op),
             java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
@@ -256,7 +290,7 @@ object HFileOps {
       .map(c => Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
         new String(c.qualifier, UTF_8), c.ts,
         java.nio.ByteBuffer.wrap(c.value).getDouble,
-        if (c.typ == HFileCodec.TypeDelete) "delete" else "put"))
+        opOf(c.typ)))
       .toSeq
   }
 
@@ -413,7 +447,7 @@ object HFileOps {
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
             new String(c.qualifier, UTF_8), c.ts,
             java.nio.ByteBuffer.wrap(c.value).getDouble,
-            if (c.typ == HFileCodec.TypeDelete) "delete" else "put")
+            opOf(c.typ))
         }
       }
     spark.createDataFrame(rows, cellsSchema)
@@ -455,7 +489,7 @@ object HFileOps {
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
             new String(c.qualifier, UTF_8), c.ts,
             java.nio.ByteBuffer.wrap(c.value).getDouble,
-            if (c.typ == HFileCodec.TypeDelete) "delete" else "put",
+            opOf(c.typ),
             gen)
         }
       }
@@ -469,13 +503,16 @@ object HFileOps {
 
   /** Merge-on-read across store-file generations — the LSM read path an
     * HBase region server runs over its accumulated store files, with the
-    * full Get/Scan read semantics (r9): cells older than `ttlFloor`
-    * expire; a delete tombstone masks every put at-or-before its
-    * timestamp (equal ts goes to the delete, as HBase's KeyValue ordering
-    * does); of the surviving puts, the newest `maxVersions` per cell
-    * coordinate are visible, ordered by (ts, generation) — generation
-    * standing in for HBase's sequence id, which breaks equal-timestamp
-    * ties in favor of the later file.
+    * full Get/Scan read semantics (r9, delete scopes completed r10):
+    * cells older than `ttlFloor` expire; the three HBase tombstone
+    * scopes mask — `delete_family` hides every column of its (row, cf)
+    * at-or-before its ts, `delete` (= DeleteColumn, see [[typOf]]) hides
+    * its coordinate at-or-before its ts, `delete_version` hides the put
+    * at EXACTLY its ts (equal ts goes to the delete in every scope, as
+    * HBase's KeyValue ordering does); of the surviving puts, the newest
+    * `maxVersions` per cell coordinate are visible, ordered by
+    * (ts, generation) — generation standing in for HBase's sequence id,
+    * which breaks equal-timestamp ties in favor of the later file.
     *
     * Scale shape (r10): NO exchange — the actual region-server shape.
     * Store files arrive range-partitioned and internally sorted by
@@ -639,6 +676,15 @@ object HFileOps {
     }
     new Iterator[Row] {
       private val out = scala.collection.mutable.Queue.empty[Row]
+      // family-tombstone state across coordinate groups: groups stream in
+      // (row, family, qualifier) order and a DeleteFamily marker's empty
+      // qualifier sorts FIRST within its family, so the marker's max
+      // surviving ts is known before any of the family's columns arrive —
+      // O(1) state, the same trick a region-server scanner uses. Ranges
+      // split at row boundaries, so a (row, family) never spans tasks.
+      private var famRow: Array[Byte] = null
+      private var famFam: Array[Byte] = null
+      private var famDelTs = Long.MinValue
       private def refill(): Unit =
         while (out.isEmpty && !pq.isEmpty) {
           // drain one coordinate group across all streams (a stream's own
@@ -652,18 +698,35 @@ object HFileOps {
             group += ((e._1, e._2))
             if (e._3.hasNext) pq.add((e._3.next(), e._2, e._3))
           }
-          // resolution identical to resolveVersions: TTL first, the max
-          // surviving tombstone ts masks puts at-or-before it, newest
-          // maxVersions puts by (ts desc, gen desc, value asc) win
+          // resolution identical to resolveVersions: TTL first, then the
+          // three HBase delete scopes — DeleteFamily masks the whole
+          // (row, cf) at-or-before its ts, DeleteColumn masks its
+          // coordinate at-or-before, Delete masks the put at EXACTLY its
+          // ts — then the newest maxVersions surviving puts by
+          // (ts desc, gen desc, value asc) win
+          val c0 = first._1
+          if (famRow == null || !java.util.Arrays.equals(famRow, c0.row) ||
+              !java.util.Arrays.equals(famFam, c0.family)) {
+            famRow = c0.row; famFam = c0.family; famDelTs = Long.MinValue
+          }
           val kept = group.filter(_._1.ts >= ttlFloor)
-          var delTs = Long.MinValue; var hasDel = false
+          var colDelTs = Long.MinValue
+          var verDel: scala.collection.mutable.HashSet[Long] = null
           kept.foreach { case (c, _) =>
-            if (c.typ == HFileCodec.TypeDelete && c.ts > delTs) {
-              delTs = c.ts; hasDel = true
+            c.typ match {
+              case HFileCodec.TypeDeleteFamily =>
+                if (c.ts > famDelTs) famDelTs = c.ts
+              case HFileCodec.TypeDeleteColumn =>
+                if (c.ts > colDelTs) colDelTs = c.ts
+              case HFileCodec.TypeDelete =>
+                if (verDel == null) verDel = scala.collection.mutable.HashSet.empty
+                verDel += c.ts
+              case _ => ()
             }
           }
           kept.filter { case (c, _) =>
-            c.typ != HFileCodec.TypeDelete && (!hasDel || c.ts > delTs)
+            c.typ == HFileCodec.TypePut && c.ts > famDelTs && c.ts > colDelTs &&
+              (verDel == null || !verDel.contains(c.ts))
           }
             .sortWith { (a, b) =>
               if (a._1.ts != b._1.ts) a._1.ts > b._1.ts
@@ -701,12 +764,22 @@ object HFileOps {
                               ttlFloor: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    val fam = Window.partitionBy("rowkey", "cf")
     val coord = Window.partitionBy("rowkey", "cf", "qualifier")
+    val coordTs = Window.partitionBy("rowkey", "cf", "qualifier", "ts")
     val w = coord.orderBy(col("ts").desc, col("gen").desc, col("value").asc)
     cells.where(col("ts") >= ttlFloor)
+      // the three HBase delete scopes (see typOf): family at-or-before,
+      // column at-or-before, version at exactly its ts
+      .withColumn("fam_del_ts",
+        max(when(col("op") === "delete_family", col("ts"))).over(fam))
       .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
+      .withColumn("ver_del_n",
+        count(when(col("op") === "delete_version", lit(1))).over(coordTs))
       .where(col("op") === "put" &&
-        (col("del_ts").isNull || col("ts") > col("del_ts")))
+        (col("fam_del_ts").isNull || col("ts") > col("fam_del_ts")) &&
+        (col("del_ts").isNull || col("ts") > col("del_ts")) &&
+        col("ver_del_n") === 0)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= maxVersions)
       .select("rowkey", "cf", "qualifier", "ts", "value", "op")

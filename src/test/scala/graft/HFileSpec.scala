@@ -1022,6 +1022,93 @@ class HFileSpec extends SparkSuite {
     assert(viaGet == Seq(("r1", 200L, 10.0), ("r1", 300L, 11.0)))
   }
 
+  test("delete scopes: version-exact, column at-or-before, family across qualifiers") {
+    import spark.implicits._
+    val dir = tmpDir("lsmdel").toString
+    def df(rows: Seq[(String, String, Long, Double, String)]) =
+      rows.toDF("rowkey", "qualifier", "ts", "value", "op")
+        .select(col("rowkey"), org.apache.spark.sql.functions.lit("e").as("cf"),
+          col("qualifier"), col("ts"), col("value"), col("op"))
+    // r1: three versions; delete_version at ts=200 must hide ONLY that
+    //     version (both neighbors survive under maxVersions=3)
+    // r2: two qualifiers + older junk; delete_family at ts=150 hides
+    //     everything at-or-before across BOTH qualifiers; the ts=200 put
+    //     survives
+    // r3: control — delete (column scope) still masks at-or-before
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 100L, 1.0, "put"), ("r1", "q", 200L, 2.0, "put"),
+      ("r1", "q", 300L, 3.0, "put"),
+      ("r2", "qa", 100L, 4.0, "put"), ("r2", "qb", 150L, 5.0, "put"),
+      ("r2", "qa", 200L, 6.0, "put"),
+      ("r3", "q", 100L, 7.0, "put"), ("r3", "q", 200L, 8.0, "put"))),
+      dir, regions = 1, generation = 0)
+    HFileOps.bulkWrite(df(Seq(
+      ("r1", "q", 200L, 0.0, "delete_version"),
+      ("r2", "", 150L, 0.0, "delete_family"),
+      ("r3", "q", 150L, 0.0, "delete"))),
+      dir, regions = 1, generation = 1)
+    val view = HFileOps.mergedRead(spark, dir, maxVersions = 3)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(view == Seq(
+      ("r1", "q", 100L), ("r1", "q", 300L), // ts=200 version-deleted, rest kept
+      ("r2", "qa", 200L),                   // family delete ate qa@100 and qb@150
+      ("r3", "q", 200L)),                   // column delete ate q@100 (and @150 if any)
+      s"got $view")
+    // the file actually carries the real KeyValue type codes
+    val codes = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val f = fs.globStatus(new org.apache.hadoop.fs.Path(p, "gen-001-*.hfile")).head.getPath
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f.toUri))
+      HFileCodec.read(bytes).map(_.typ).toSet
+    }
+    assert(codes == Set(HFileCodec.TypeDelete, HFileCodec.TypeDeleteColumn,
+      HFileCodec.TypeDeleteFamily), s"got $codes")
+    // mergedGet sees the family tombstone too (it rides the same rowkey)
+    val got = HFileOps.mergedGet(spark, dir, "r2", maxVersions = 3)
+      .collect().map(r => (r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(got == Seq(("qa", 200L)), s"got $got")
+    // family markers must be written with an empty qualifier
+    val bad = intercept[org.apache.spark.SparkException] {
+      HFileOps.bulkWrite(df(Seq(("r9", "q", 1L, 0.0, "delete_family"))),
+        tmpDir("lsmbad").toString, regions = 1)
+    }
+    assert(bad.getMessage.contains("delete_family") ||
+      Option(bad.getCause).exists(_.getMessage.contains("delete_family")))
+  }
+
+  test("delete scopes: exchange-free merge equals the window reference; compaction idempotent") {
+    import spark.implicits._
+    val dir = tmpDir("lsmdeq").toString
+    def df(rows: Seq[(String, String, Long, Double, String)]) =
+      rows.toDF("rowkey", "qualifier", "ts", "value", "op")
+        .select(col("rowkey"), org.apache.spark.sql.functions.lit("e").as("cf"),
+          col("qualifier"), col("ts"), col("value"), col("op"))
+    val base = (0 until 300).flatMap(i => Seq(
+      (f"r$i%04d", "qa", 100L + (i % 3), i.toDouble, "put"),
+      (f"r$i%04d", "qb", 100L, i + 0.25, "put")))
+    val deltas =
+      (0 until 300 by 5).map(i => (f"r$i%04d", "qa", 100L + (i % 3), 0.0, "delete_version")) ++
+      (0 until 300 by 7).map(i => (f"r$i%04d", "", 150L, 0.0, "delete_family")) ++
+      (0 until 300 by 11).map(i => (f"r$i%04d", "qb", 120L, 0.0, "delete")) ++
+      (0 until 300 by 13).map(i => (f"r$i%04d", "qb", 200L, i + 0.5, "put"))
+    HFileOps.bulkWrite(df(base), dir, regions = 4, generation = 0,
+      compression = HFileCodec.CompressionGz, encoding = HFileCodec.EncodingFastDiff)
+    HFileOps.bulkWrite(df(deltas), dir, regions = 3, generation = 1,
+      compression = HFileCodec.CompressionSnappy, encoding = HFileCodec.EncodingPrefix)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    for (maxV <- Seq(1, 2))
+      assert(canon(HFileOps.mergedRead(spark, dir, maxV))
+        == canon(HFileOps.mergedReadShuffled(spark, dir, maxV)),
+        s"local merge diverges from the window reference at maxV=$maxV")
+    // compaction drops every tombstone scope and is idempotent
+    val before = canon(HFileOps.mergedRead(spark, dir))
+    HFileOps.compact(spark, dir)
+    assert(canon(HFileOps.mergedRead(spark, dir)) == before)
+    assert(HFileOps.read(spark, dir).where(col("op") =!= "put").count() == 0)
+  }
+
   test("merge-on-read: exchange-free merge equals the window-shuffle reference, misaligned boundaries included") {
     import spark.implicits._
     val dir = tmpDir("lsmeq").toString
