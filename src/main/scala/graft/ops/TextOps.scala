@@ -291,6 +291,44 @@ object TextOps {
       .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
   }
 
+  /** j33: winnowing document fingerprint under the cross-engine gate —
+    * the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD '03, public):
+    * hash every k-char gram, keep the minimum hash of each sliding window
+    * of w consecutive gram hashes, and emit the per-document distinct
+    * fingerprint set (count + md5 of the sorted comma-joined values).
+    * The gram hash is engine-portable by construction — the top 60 bits
+    * of md5 (15 hex chars parsed base-16), which DuckDB spells
+    * `('0x'||substr(md5(g),1,15))::BIGINT` — so both engines select
+    * identical fingerprints and the hash gate pins the full set.
+    *
+    * Scale design: ZERO shuffles. Native O(len·k)
+    * [[graft.functions.Shingles]] slicing, per-gram md5, the native O(n)
+    * monotonic-deque [[graft.functions.Winnow]] sliding minimum, then
+    * distinct+sort+digest — all inside the document's own row in one
+    * whole-stage-codegen map pass; at 100 TB this is a map-only scan
+    * whose output (one short digest row per doc) is the only thing that
+    * moves. [[TextAnalysisOps.fingerprints]] (xxhash64, no hex
+    * round-trip) is the production spelling; this query pins the same
+    * algorithm cross-engine with the portable hash.
+    */
+  def j33_winnow_fingerprint: Q = (s, d) => {
+    graft.functions.Shingles.register(s)
+    graft.functions.Winnow.register(s)
+    val k = 7
+    val w = 4
+    val hashes = transform(expr(s"graft_shingles(t, $k)"),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val fps = array_sort(array_distinct(
+      call_function(graft.functions.Winnow.name, hashes, lit(w))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) >= k)
+      .select(col("doc_id"),
+        size(fps).cast("long").as("n_fp"),
+        md5(concat_ws(",", transform(fps, _.cast("string")))).as("fp_md5"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
   /** j13: embedding ⟷ document metadata join (vec_id = doc_id). */
   def j13_embed_join: Q = (s, d) =>
     Tables.embeddings(s, d)
@@ -313,5 +351,6 @@ object TextOps {
     "j13_embed_join" -> j13_embed_join,
     "j14_dedup_ngram" -> j14_dedup_ngram,
     "j15_dedup_cosine" -> j15_dedup_cosine,
-    "j32_lm_score" -> j32_lm_score)
+    "j32_lm_score" -> j32_lm_score,
+    "j33_winnow_fingerprint" -> j33_winnow_fingerprint)
 }

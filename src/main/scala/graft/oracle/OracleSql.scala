@@ -586,6 +586,30 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin)
 
   val texts: Map[String, String] = Map(
+    // j33 recomputes the winnowing fingerprint relationally: every 7-char
+    // gram hashed to the top 60 bits of md5 (15 hex chars → BIGINT — the
+    // portable spelling of the Spark side's conv(substr(md5,1,15),16,10)),
+    // the per-position window min over the UNFILTERED gram sequence (the
+    // frame must see the tail grams even though only positions
+    // p <= max(n-w+1, 1) select a fingerprint), then distinct + ordered
+    // digest. n < w degenerates to one window over all n grams — exactly
+    // graft_winnow's contract.
+    "j33_winnow_fingerprint" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 7),
+        |g AS (
+        |  SELECT doc_id, i AS p, length(t) - 6 AS n,
+        |         CAST(('0x' || substr(md5(substr(t, i, 7)), 1, 15)) AS BIGINT) AS h
+        |  FROM d, unnest(generate_series(1, length(t)-6)) AS u(i)),
+        |m AS (
+        |  SELECT doc_id, p, n,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, mh FROM m WHERE p <= greatest(n-3, 1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY mh)) AS fp_md5
+        |FROM fp GROUP BY doc_id ORDER BY doc_id NULLS LAST""".stripMargin,
     // j18 recomputes the media payload (utf8 bytes ++ raw sha256 bytes)
     // independently from documents — hashing lower(hex(payload)) because
     // DuckDB's sha256 is VARCHAR-only and hex casing differs per engine
