@@ -329,6 +329,58 @@ object TextOps {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
+  /** j34: PII scrubbing — the redaction pass of the public web-corpus
+    * pipelines (C4 strips bad-word lines; RefinedWeb/FineWeb normalize
+    * emails, IP addresses, and phone numbers to placeholder tokens before
+    * training). The fixture corpus carries no PII by construction, so the
+    * query first augments each document with synthetic PII derived
+    * deterministically from doc_id (two emails, one IPv4, one phone —
+    * both engines build byte-identical input, the j18/j29 fixture
+    * pattern), then the operator under test runs: count each PII class
+    * and chain-redact email → IPv4 → phone. The gate hash-matches md5 of
+    * the fully scrubbed text, so the exact replacement semantics —
+    * leftmost, non-overlapping, all occurrences — are pinned cross-engine
+    * (Java regex vs RE2 agree on these alternation-free patterns).
+    *
+    * Scale design: map-only, like j33 — counting and redaction are
+    * row-local codegen'd regexes; the sole exchange is the output order.
+    * At 100 TB this pass rides the same scan as the rest of the quality
+    * funnel and moves nothing but one digest row per document.
+    */
+  /** The PII patterns and the redaction chain, exposed for the spec
+    * (idempotence, zero residual matches) and the streaming twin.
+    * Alternation-free, backreference-free patterns: Java regex (Spark)
+    * and RE2 (DuckDB) produce identical matches and replacements.
+    */
+  private[graft] val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val piiPhone = "\\+1-555-\\d{4}"
+
+  private[graft] def piiScrub(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      piiEmail, "<EMAIL>"), piiIp, "<IP>"), piiPhone, "<PHONE>")
+
+  def j34_pii_scrub: Q = (s, d) => {
+    val email = piiEmail
+    val ip = piiIp
+    val phone = piiPhone
+    val aug = concat(col("t"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or admin@test.org from "),
+      (col("doc_id") % 256).cast("string"), lit(".10."),
+      (col("doc_id") % 100).cast("string"), lit(".7 call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), aug.as("a"))
+      .select(col("doc_id"),
+        regexp_count(col("a"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("a"), lit(ip)).cast("long").as("n_ips"),
+        regexp_count(col("a"), lit(phone)).cast("long").as("n_phones"),
+        md5(piiScrub(col("a"))).as("scrub_md5"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
   /** j13: embedding ⟷ document metadata join (vec_id = doc_id). */
   def j13_embed_join: Q = (s, d) =>
     Tables.embeddings(s, d)
@@ -352,5 +404,6 @@ object TextOps {
     "j14_dedup_ngram" -> j14_dedup_ngram,
     "j15_dedup_cosine" -> j15_dedup_cosine,
     "j32_lm_score" -> j32_lm_score,
-    "j33_winnow_fingerprint" -> j33_winnow_fingerprint)
+    "j33_winnow_fingerprint" -> j33_winnow_fingerprint,
+    "j34_pii_scrub" -> j34_pii_scrub)
 }

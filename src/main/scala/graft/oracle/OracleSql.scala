@@ -610,6 +610,28 @@ object OracleSql {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
         |       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY mh)) AS fp_md5
         |FROM fp GROUP BY doc_id ORDER BY doc_id NULLS LAST""".stripMargin,
+    // j34: same deterministic PII augmentation from doc_id, then RE2's
+    // count (regexp_extract_all length) and global regexp_replace — the
+    // alternation-free patterns make Java regex and RE2 agree exactly;
+    // the md5 pins the fully scrubbed bytes
+    "j34_pii_scrub" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |a AS (SELECT doc_id,
+        |  t || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or admin@test.org from '
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.10.'
+        |    || CAST(doc_id % 100 AS VARCHAR) || '.7 call +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(a, '\+1-555-\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+1-555-\d{4}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM a ORDER BY doc_id NULLS LAST""".stripMargin,
     // j18 recomputes the media payload (utf8 bytes ++ raw sha256 bytes)
     // independently from documents — hashing lower(hex(payload)) because
     // DuckDB's sha256 is VARCHAR-only and hex casing differs per engine

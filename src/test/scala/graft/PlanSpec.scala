@@ -169,4 +169,13 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("hashpartitioning"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("j34 PII scrub shares j33's map-only shape") {
+    val plan = physical(SparkEntry.queries("j34_pii_scrub")(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1 && plan.contains("rangepartitioning"),
+      s"expected only the output-order range exchange\n$plan")
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

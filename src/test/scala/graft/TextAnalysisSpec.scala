@@ -53,4 +53,26 @@ class TextAnalysisSpec extends SparkSuite {
       assert(keep > 0.7, s"doc $k kept only ${keep * 100}%% of prints after 1-token append")
     }
   }
+
+  test("PII scrub: removes every match, idempotent, leaves clean text alone") {
+    import ops.TextOps.{piiEmail, piiIp, piiPhone, piiScrub}
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.co.uk and 10.0.255.3 then +1-555-0042",
+      "no pii here at all",
+      "edge a@b.io end 1.2.3.4",           // minimal-length email, bare IP
+      "999.999.999.999 still an ip shape", // \d{1,3} accepts any 3 digits
+      "already <EMAIL> <IP> <PHONE> done")
+    val df = rows.toDF("t").select(col("t"), piiScrub(col("t")).as("s"))
+    // no residual matches of any class in the scrubbed text
+    val residual = df.select(
+      sum(regexp_count(col("s"), lit(piiEmail))) +
+        sum(regexp_count(col("s"), lit(piiIp))) +
+        sum(regexp_count(col("s"), lit(piiPhone)))).first().getLong(0)
+    assert(residual == 0, s"scrubbed text still matches PII patterns: $residual")
+    // idempotence: scrubbing a second time is a no-op
+    assert(df.where(piiScrub(col("s")) =!= col("s")).count() == 0)
+    // PII-free text passes through byte-identical
+    val clean = df.where(col("t") === "no pii here at all").first()
+    assert(clean.getString(1) == "no pii here at all")
+  }
 }
