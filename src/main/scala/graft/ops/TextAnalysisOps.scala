@@ -126,4 +126,23 @@ object TextAnalysisOps {
     docs.select(col("doc_id"),
       array_sort(array_distinct(windows)).as("fingerprint"))
   }
+
+  /** Row-local quality-funnel projection shared by the batch path and the
+    * I19 streaming twin: PII-scrubbed digest ([[TextOps.piiScrub]]) plus
+    * winnowing fingerprint count, both computed entirely inside the
+    * document's own row — micro-batch invariant by construction, the
+    * j33/j34 map-only shape as one scan-stage pipeline.
+    */
+  def scrubFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    graft.functions.Winnow.register(docs.sparkSession)
+    val grams = transform(
+      call_function(graft.functions.Shingles.name, lower(col("text")), lit(7)),
+      sh => xxhash64(sh))
+    docs.select(col("doc_id"),
+      md5(TextOps.piiScrub(lower(col("text")))).as("scrub_md5"),
+      size(array_distinct(
+        call_function(graft.functions.Winnow.name, grams, lit(4))))
+        .cast("long").as("n_fp"))
+  }
 }

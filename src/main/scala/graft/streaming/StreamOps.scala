@@ -313,6 +313,15 @@ object StreamOps {
                           n: Int = 3): DataFrame =
     graft.ops.RepetitionOps.contaminationHitsRowwise(docs, evalGrams, n)
 
+  /** I19: the j33/j34 row-local quality passes applied to a document
+    * stream — the PII-scrub digest and winnowing fingerprint count are
+    * pure functions of the row (map-only in batch, PlanSpec-pinned), so
+    * continuous ingestion equals batch backfill row-for-row
+    * (StreamingSpec I19).
+    */
+  def scrubFingerprintStream(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysisOps.scrubFingerprint(docs)
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -105,6 +105,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.collect().map(_.toString).sorted.sameElements(batch.sorted))
   }
 
+  test("I19: PII scrub + winnow fingerprint are micro-batch invariant (stream equals batch)") {
+    // the j33/j34 quality passes as continuous ingestion: both are
+    // computed inside the arriving row, so the stream must reproduce the
+    // batch backfill exactly
+    val streamed = runStream(
+      StreamOps.scrubFingerprintStream(StreamOps.documentsStream(spark, sf)),
+      "append", "t_scrubfp")
+    val batch = graft.ops.TextAnalysisOps.scrubFingerprint(Tables.documents(spark, sf))
+    assert(streamed.count() == Tables.documents(spark, sf).count())
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
     // j22's twin of I11: the per-language mix coins are stateless hash
     // decisions, so streaming ingestion and a batch recompute keep the
