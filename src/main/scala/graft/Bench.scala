@@ -37,9 +37,22 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Evaluate the query AS DECLARED: toRdd.count() forces every output
+    // column of the query's own plan. A DataFrame .count() plants an
+    // aggregate ABOVE the query and lets Catalyst optimize the query for
+    // that consumer — pruning every output column and join-eliminating
+    // whole subtrees (j31's left-outer splice is per-key-unique on the
+    // struck side, so .count() measured a bare corpus scan: 0.2 s for a
+    // query whose declared output costs ~2 s — the same vacuity the 100x
+    // smoke had until r10 de-vacuated it). Nothing is collected to the
+    // driver; the count is per-partition row counting after full
+    // evaluation.
+    def evaluate(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     // warmup pass (untimed)
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // timed pass. A query that throws is recorded as -1 (NOT a near-zero
     // wall-clock) so a crashed query can never read as a speedup; the
@@ -52,7 +65,7 @@ object Bench {
       val times = (0 until repeat).map { _ =>
         System.gc(); Thread.sleep(50)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { evaluate(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
       val sec =

@@ -312,15 +312,22 @@ object TextOps {
     * algorithm cross-engine with the portable hash.
     */
   def j33_winnow_fingerprint: Q = (s, d) => {
-    graft.functions.Shingles.register(s)
+    graft.functions.ShingleMd5.register(s)
     graft.functions.Winnow.register(s)
     val k = 7
     val w = 4
-    val hashes = transform(expr(s"graft_shingles(t, $k)"),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    // fused native shingle+hash: bit-identical to
+    //   transform(graft_shingles(t,k), g -> conv(substring(md5(g),1,15),16,10))
+    // (Md5Props pins it) at ~1/5 the cost — the declarative chain paid
+    // five allocating expressions per gram and made this map-only pass
+    // the heaviest bench query (7.8 s at sf0.1) once toRdd stopped
+    // .count() from pruning the fingerprint columns
+    val hashes = expr(s"graft_shingle_md5_60(t, $k)")
     val fps = array_sort(array_distinct(
       call_function(graft.functions.Winnow.name, hashes, lit(w))))
-    Tables.documents(s, d)
+    // fanOut: the fixture's single-row-group scan would run the whole
+    // digest pass on one core; identity at production split counts
+    ScaleOps.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), lower(col("text")).as("t"))
       .where(length(col("t")) >= k)
       .select(col("doc_id"),

@@ -160,12 +160,14 @@ class PlanSpec extends SparkSuite {
   test("j33 winnow fingerprint is a map-only pass — no shuffle before the output sort") {
     // the whole fingerprint (native shingle slice, per-gram md5, deque
     // sliding min, distinct+sort+digest) happens inside the document's
-    // own row; the ONLY exchange is the rangepartitioning that orders the
-    // oracle output. At 100 TB the operator itself is a map-only scan.
+    // own row; the only exchanges are the fanOut round-robin (local
+    // split-starvation remedy — identity at production split counts) and
+    // the rangepartitioning that orders the oracle output. At 100 TB the
+    // operator itself is a map-only scan.
     val plan = physical(SparkEntry.queries("j33_winnow_fingerprint")(spark, sf))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1 && plan.contains("rangepartitioning"),
-      s"expected only the output-order range exchange\n$plan")
+    assert(exchanges <= 2 && plan.contains("rangepartitioning"),
+      s"expected only fanOut + the output-order range exchange\n$plan")
     assert(!plan.contains("hashpartitioning"), plan)
     assert(!plan.contains("Join"), plan)
   }

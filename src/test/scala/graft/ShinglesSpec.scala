@@ -48,4 +48,30 @@ class ShinglesSpec extends SparkSuite {
       assert(bad == 0, s"k=$k")
     }
   }
+
+  /** The fused shingle+hash (j33's hot path) must be bit-identical to the
+    * declarative md5-hex-conv chain it replaces — same windows, same top
+    * 60 bits, including multi-byte UTF-8 (the digest is over the CHAR
+    * window's byte slice) and the shorter-than-k degenerate window.
+    */
+  private def declarativeMd5(c: org.apache.spark.sql.Column, k: Int) =
+    transform(
+      transform(
+        sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+        i => c.substr(i, lit(k))),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+
+  test("graft_shingle_md5_60 equals the declarative md5/conv chain (fixture + edges)") {
+    graft.functions.ShingleMd5.register(spark)
+    import spark.implicits._
+    val fixture = Tables.documents(spark, sf).select(lower(col("text")).as("t"))
+    val edges = Seq("", "ab", "abcdef", "abcdefg", "héllo wörld",
+      "日本語のテキスト", "aあbいc").toDF("t")
+    for ((df, what) <- Seq((fixture, "fixture"), (edges, "edges")); k <- Seq(3, 7)) {
+      val bad = df.select(expr(s"graft_shingle_md5_60(t, $k)").as("native"),
+          declarativeMd5(col("t"), k).as("decl"))
+        .where(not(col("native") === col("decl"))).count()
+      assert(bad == 0, s"$what k=$k")
+    }
+  }
 }
