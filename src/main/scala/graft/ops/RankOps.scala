@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Ranked retrieval — the search side of a data-curation stack (finding
+  * the corpus documents most relevant to a probe query, e.g. targeted
+  * decontamination or topic mining). Okapi BM25 (Robertson/Walker,
+  * TREC-3 1994, public) with k1 = 1.2, b = 0.75.
+  */
+object RankOps {
+
+  /** j35: BM25 top-10 per probe query, end to end from raw text: term
+    * frequencies, document lengths, document frequencies, idf, the
+    * length-normalized tf, and a per-query ranking.
+    *
+    * Probe queries are carved from the corpus itself (docs ≡ 0 mod 125;
+    * a query's terms are that document's distinct tokens of length ≥ 6) —
+    * deterministic and SF-stable, no fixture beyond the tables.
+    *
+    * Determinism (R2/R7, the j32 recipe): every per-(query,doc,term)
+    * contribution is ONE chain of IEEE double ops from exact integer
+    * counts — identical AST shape on both engines — rounded at 6 dp and
+    * cast to DECIMAL(18,6), so the per-(query,doc) score is an exact
+    * decimal sum (associative, map-side combinable at any parallelism)
+    * with one final cast to double.
+    *
+    * Scale shape: tf/dl/df are the standard one-shuffle corpus
+    * aggregations; the query-term table and df join small-side broadcast,
+    * so the corpus-sized tf never reshuffles for the match — only rows
+    * whose term appears in SOME query (the candidate sliver) reach the
+    * per-(query,doc) scoring shuffle; the final top-k is a bounded
+    * row_number window per query.
+    */
+  def j35_bm25_topk: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("toktot"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = tf.where(col("doc_id") % 125 === 0 && length(col("tok")) >= 6)
+      .select(col("doc_id").as("qid"), col("tok"))
+
+    val avgdl = col("toktot").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val tfn = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val contrib = round(idf * tfn, 6).cast(DecimalType(18, 6))
+
+    val scored = tf.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(sum(contrib).cast(DecimalType(38, 6)).cast("double").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("score"))
+      .orderBy(asc_nulls_last("qid"), asc_nulls_last("rnk"))
+  }
+
+  val queries: Map[String, Q] = Map("j35_bm25_topk" -> j35_bm25_topk)
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.Tables
+
+/** Sketch-gated corpus passes — the 100 TB shapes where an exact
+  * distributed answer is reached THROUGH a probabilistic prefilter, so
+  * the expensive exact stage only ever touches a sketch-selected sliver
+  * of the corpus. Both queries are hash-gated against exact DuckDB
+  * oracles: the sketches are one-sided (no false negatives), so the
+  * exact confirm stage makes the final answer independent of sketch
+  * noise — correctness never rides on the sketch, only the data volume
+  * that reaches the shuffle does.
+  */
+object SketchOps {
+
+  /** Word n-grams of a (doc_id, ws) frame, one row per gram position. */
+  private def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("g"))
+
+  private def docWords(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+
+  /** j36: eval-set decontamination behind a NATIVE bloom prefilter — the
+    * j29 operation re-planned for the corpus:benchmark asymmetry of a
+    * real pipeline. The benchmark side (docs ≡ 0 mod 97, word 4-grams)
+    * builds Spark's own runtime-filter sketch
+    * ([[graft.functions.SketchFns]] → BloomFilterAggregate, partial/final
+    * merge, ≤ numBits/8 bytes by construction), which then guards the
+    * corpus scan as a codegen'd `might_contain` predicate: at 100 TB the
+    * overwhelmingly-clean corpus is dropped map-side — before the
+    * shuffle — and only bloom survivors reach the exact semi-join that
+    * kills false positives. Output is bit-identical to the sketch-free
+    * spelling (the oracle IS the sketch-free spelling): the bloom has no
+    * false negatives, the confirm join no false positives.
+    *
+    * Driver materialization: ONE row, the serialized filter (128 KiB
+    * here), bounded by the numBits argument at any corpus size.
+    */
+  def j36_decontaminate_bloom: Q = (s, d) => {
+    graft.functions.SketchFns.register(s)
+    val n = 4
+    val words = docWords(s, d)
+    val evalGrams = wordGrams(words.where(col("doc_id") % 97 === 0), n)
+      .select("g").distinct()
+    val bloomBytes = evalGrams
+      .agg(call_function(graft.functions.SketchFns.bloomAggName,
+        col("g"), lit(65536L), lit(1048576L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpus = wordGrams(words.where(col("doc_id") % 97 =!= 0), n)
+    corpus
+      .where(call_function(graft.functions.SketchFns.bloomMightName,
+        lit(bloomBytes), col("g")))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count_distinct(col("g")).as("hits"))
+      .orderBy(desc("hits"), asc_nulls_last("doc_id")).limit(100)
+  }
+
+  /** j37: threshold heavy hitters over corpus word bigrams, EXACTLY, via
+    * a count-min prefilter (Cormode/Muthukrishnan 2005, public). Pass 1
+    * builds Spark's `count_min_sketch` aggregate (fixed size: width
+    * ⌈e/ε⌉ × depth ⌈ln 1/(1−conf)⌉ counters — ~1 MiB here — merged
+    * map-side like any sketch, ONE row to the driver at any corpus
+    * size) plus the exact gram total. Pass 2 keeps only grams whose CMS
+    * estimate reaches the threshold — since CMS never underestimates,
+    * that set is a SUPERSET of the true heavy hitters, so the exact
+    * groupBy recount + HAVING on the survivors returns exactly the grams
+    * with true count ≥ T. At 100 TB the (gram, count) shuffle — the cost
+    * that makes naive heavy-hitter counting over an unbounded n-gram
+    * vocabulary infeasible — carries only the sketch-selected sliver;
+    * the oracle is the sketch-free GROUP BY/HAVING.
+    */
+  def j37_heavy_hitters: Q = (s, d) => {
+    val grams = wordGrams(docWords(s, d), 2)
+    val row = grams.agg(
+      expr("count_min_sketch(g, 0.0001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val threshold = math.max(2L, row.getAs[Long]("total") / 2000L)
+    // torrent-broadcast the ~1 MiB sketch once per executor instead of
+    // shipping it inside every task binary
+    val probe = new CmsProbe(s.sparkContext.broadcast(row.getAs[Array[Byte]]("cms")))
+    val estimate = udf((g: String) => probe.estimate(g))
+    grams
+      .where(estimate(col("g")) >= lit(threshold))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= lit(threshold))
+      .orderBy(desc("c"), asc_nulls_last("g")).limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j36_decontaminate_bloom" -> j36_decontaminate_bloom,
+    "j37_heavy_hitters" -> j37_heavy_hitters)
+}
+
+/** Serializable CMS handle over a broadcast: the task closure carries
+  * only the broadcast stub; the sketch deserializes once per
+  * deserialized closure (not per row) from executor-local bytes.
+  */
+private[ops] class CmsProbe(bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends Serializable {
+  @transient private lazy val sketch: CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes.value))
+  def estimate(g: String): Long = sketch.estimateCount(g)
+}

@@ -988,7 +988,63 @@ object OracleSql {
         |FROM d LEFT JOIN cleaned USING (doc_id)
         |ORDER BY doc_id NULLS LAST""".stripMargin)
 
+  /** Ranked retrieval + sketch-path queries (j35–j37). The j36/j37
+    * oracles are deliberately SKETCH-FREE: the Spark twins reach the
+    * same exact answer through a bloom / count-min prefilter, and the
+    * hash gate proves the sketch layer is semantically transparent.
+    */
+  val rankSketch: Map[String, String] = Map(
+    "j35_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id % 125 = 0 AND length(tok) >= 6),
+        |terms AS (
+        |  SELECT q.qid, tf.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |                    / (CAST(df.df AS DOUBLE) + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |                          / (CAST(s.toktot AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
+        |           6) AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+        |       JOIN df USING (tok) CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT qid, doc_id, CAST(CAST(sum(contrib) AS DECIMAL(38,6)) AS DOUBLE) AS score
+        |  FROM terms GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score,
+        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+        |      FROM scored)
+        |SELECT qid, rnk, doc_id, score FROM r WHERE rnk <= 10
+        |ORDER BY qid NULLS LAST, rnk NULLS LAST""".stripMargin,
+    "j36_decontaminate_bloom" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(ws, i, i+3), ' ') AS g
+        |  FROM d, unnest(generate_series(1, len(ws)-3)) AS u(i)
+        |  WHERE len(ws) >= 4),
+        |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS hits
+        |FROM g JOIN eg USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY hits DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    "j37_heavy_hitters" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT array_to_string(list_slice(ws, i, i+1), ' ') AS g
+        |  FROM d, unnest(generate_series(1, len(ws)-1)) AS u(i)
+        |  WHERE len(ws) >= 2),
+        |tot AS (SELECT count(*) AS total FROM g)
+        |SELECT g, count(*) AS c FROM g GROUP BY g
+        |HAVING count(*) >= greatest(2, (SELECT total FROM tot) // 2000)
+        |ORDER BY c DESC, g NULLS LAST LIMIT 100""".stripMargin)
+
   def all: Map[String, String] =
     scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
-      samples ++ udx ++ k5 ++ bpe ++ repetition
+      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch
 }

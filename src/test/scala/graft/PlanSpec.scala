@@ -180,4 +180,36 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("hashpartitioning"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("j35 BM25: query terms and df broadcast — corpus tf never shuffles for the match") {
+    val plan = physical(SparkEntry.queries("j35_bm25_topk")(spark, sf))
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected qterms + df as broadcast joins\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("j36 bloom decontamination: might_contain prefilter sits map-side, confirm join broadcast") {
+    val plan = physical(SparkEntry.queries("j36_decontaminate_bloom")(spark, sf))
+    // the bloom probe must be a plain filter predicate over the corpus
+    // scan (pre-shuffle), not anything join-shaped
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the filter appears strictly below the distinct-count aggregation's
+    // exchange: everything before the first Exchange line must include it
+    val lines = plan.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val probeLine = lines.indexWhere(_.contains("might_contain"))
+    assert(probeLine > firstExchange,
+      s"bloom probe should be under (after, in tree print order) the agg exchange\n$plan")
+  }
+
+  test("j37 heavy hitters: CMS prefilter leaves one (gram,count) exchange and no join") {
+    val plan = physical(SparkEntry.queries("j37_heavy_hitters")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected only the groupBy(g) exchange\n$plan")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
