@@ -36,15 +36,31 @@ object RankOps {
     * row_number window per query.
     */
   def j35_bm25_topk: Q = (s, d) => {
+    // ONE corpus explode by construction. A first cut derived dl/df/
+    // stats as separate aggregations over a shared tf frame — but each
+    // consumer pushed a different inferred IsNotNull set into its copy
+    // of the subtree, the branches stopped being canonically identical,
+    // AQE stage reuse never fired, and the measured plan read + exploded
+    // the corpus FIVE times. This spelling doesn't depend on exchange
+    // reuse at all:
+    //  - dl rides tf as a doc-keyed window (no second corpus pass);
+    //  - df is a (qid,tok) window over the POST-JOIN candidate set —
+    //    equal to global df because the broadcast join keeps every tf
+    //    row of a query term — so it's computed on the tiny sliver;
+    //  - qterms/stats are direct document-table scans (no explode;
+    //    stats counts tokens with size(split(..)), vectorized).
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).cast("long").as("toktot"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val qterms = tf.where(col("doc_id") % 125 === 0 && length(col("tok")) >= 6)
-      .select(col("doc_id").as("qid"), col("tok"))
+    val tfdl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy("doc_id")))
+    val qterms = Tables.documents(s, d).where(col("doc_id") % 125 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .where(length(col("tok")) >= 6)
+    val stats = Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(lower(col("text")), " "))).cast("long").as("toktot"))
 
     val avgdl = col("toktot").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -55,9 +71,8 @@ object RankOps {
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     val contrib = round(idf * tfn, 6).cast(DecimalType(18, 6))
 
-    val scored = tf.join(broadcast(qterms), "tok")
-      .join(dl, "doc_id")
-      .join(broadcast(df), "tok")
+    val scored = tfdl.join(broadcast(qterms), "tok")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("qid", "tok")))
       .crossJoin(broadcast(stats))
       .groupBy("qid", "doc_id")
       .agg(sum(contrib).cast(DecimalType(38, 6)).cast("double").as("score"))

@@ -181,10 +181,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("j35 BM25: query terms and df broadcast — corpus tf never shuffles for the match") {
+  test("j35 BM25: one corpus explode, query terms broadcast, df on the candidate sliver") {
     val plan = physical(SparkEntry.queries("j35_bm25_topk")(spark, sf))
-    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(bhj >= 2, s"expected qterms + df as broadcast joins\n$plan")
+    // exactly 3 scans — the tf explode plus the two explode-free
+    // qterms/stats branches — and the corpus is exploded once (the
+    // second Generate is the tiny probe-doc qterms explode)
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 3, plan)
+    assert(plan.linesIterator.count(_.contains("Generate")) == 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
