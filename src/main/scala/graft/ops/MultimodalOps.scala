@@ -252,9 +252,13 @@ object MultimodalOps {
 
   val j25_media_pixels: Q = (s, d) => {
     val dir = graft.Tables.appTmpDir(s, "graft_media_px", d)
-    grayPngFiles(s, graft.Tables.documents(s, d))
+    // fanOut both codec passes: the fixture's single-row-group scan (and
+    // the one-file parquet it would otherwise produce) serializes ~1.5 s
+    // of per-image ImageIO work onto one core; identity at production
+    // split counts (see ScaleOps.fanOut)
+    grayPngFiles(s, ScaleOps.fanOut(graft.Tables.documents(s, d)))
       .write.mode("overwrite").parquet(dir)
-    decodePixels(s, s.read.parquet(dir)).toDF()
+    decodePixels(s, ScaleOps.fanOut(s.read.parquet(dir))).toDF()
       .select(col("media_id"), col("width").as("w"), col("height").as("h"),
         col("gray_sum"))
       .orderBy(col("media_id").asc_nulls_last)
