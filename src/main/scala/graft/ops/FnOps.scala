@@ -147,7 +147,10 @@ object FnOps {
     * exact).
     */
   def h12_fn_cast: Q = (s, d) =>
-    Tables.orders(s, d)
+    // fanOut: try_cast of a never-parseable priority string pays Spark's
+    // exception-path cost (~13 µs/row); on the fixture's single-split
+    // scan that ran serial — identity at production split counts
+    ScaleOps.fanOut(Tables.orders(s, d))
       .select(col("o_orderkey"),
         floor(col("o_totalprice")).cast("long").as("ip"),
         col("o_orderkey").cast("string").as("s"),
