@@ -16,6 +16,7 @@ ratios from single-shot timings of 100-500 ms shapes with a documented
 ±0.7x spread — the 2x gate is evaluated on medians since r10.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -28,6 +29,10 @@ K = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
 spark = (
     SparkSession.builder.master(f"local[{CPUS}]")
+    # pyspark's default 1g driver heap OOMs the battery at sf1 (10x);
+    # graft.Bench runs under sbt's forked JVM with a real heap, so the
+    # stock side gets the same courtesy — must be set before JVM launch
+    .config("spark.driver.memory", os.environ.get("BASELINE_DRIVER_MEM", "16g"))
     .config("spark.sql.shuffle.partitions", CPUS)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
@@ -116,17 +121,27 @@ Q = {
     "B15_anti_join": "SELECT count(*) n FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey",
 }
 
+# Evaluate each shape AS DECLARED, mirroring graft.Bench's r10 protocol:
+# DataFrame .count() plants an aggregate above the query and lets Catalyst
+# prune for that consumer — B10's JSON parse (an aggregate VALUE under a
+# count-over-groupBy) was eliminated entirely, timing 0.096 s for a 1M-row
+# parse and turning the twin ratios into honest-vs-vacuous comparisons
+# (three shapes read >5x while both engines ran the same plan shape).
+# toRdd preserves the declared output schema; nothing reaches the driver.
+def evaluate(sql):
+    spark.sql(sql)._jdf.queryExecution().toRdd().count()
+
 # untimed warmup pass, then k timed passes per shape (same protocol as
 # graft.Bench with SPARK_GRAFT_REPEAT=k): median kills the single-shot
 # wobble that dominates sub-second shapes
 for name, sql in Q.items():
-    spark.sql(sql).count()
+    evaluate(sql)
 res, spread = {}, {}
 for name, sql in Q.items():
     times = []
     for _ in range(K):
         t0 = time.time()
-        spark.sql(sql).count()
+        evaluate(sql)
         times.append(time.time() - t0)
     res[name] = round(statistics.median(times), 4)
     spread[name] = [round(min(times), 4), round(max(times), 4)]
