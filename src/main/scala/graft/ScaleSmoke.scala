@@ -51,7 +51,12 @@ object ScaleSmoke {
     // eliminated and the whole splice prunes away (measured 0.4 s of
     // pure scan) — it runs as a pipelines entry that consumes the md5.
     "j28_dup_substrings",
-    "j29_decontaminate")
+    "j29_decontaminate",
+    // ranked retrieval + sketch-path passes (round 10): one-pass BM25,
+    // bloom-prefiltered decontamination, CMS-thresholded heavy hitters
+    "j35_bm25_topk",
+    "j36_decontaminate_bloom",
+    "j37_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -268,8 +273,12 @@ object ScaleSmoke {
 
     // SPARK_GRAFT_SMOKE_ONLY=a,b restricts the run for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(',').toSet)
+    // heavies evaluate AS DECLARED (toRdd, the r10 graft.Bench protocol):
+    // .count() planted an aggregate that let Catalyst prune aggregate
+    // VALUES and join-eliminate subtrees — the j31 vacuity, generalized
     val runs: Seq[(String, () => Long)] =
-      (heavies.map(n => n -> (() => SparkEntry.queries(n)(spark, dir).count())) ++ pipelines)
+      (heavies.map(n => n -> (() =>
+        SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count())) ++ pipelines)
         .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val results = runs.map { case (name, fn) =>

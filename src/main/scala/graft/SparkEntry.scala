@@ -20,7 +20,8 @@ object SparkEntry {
       ops.AggOps.queries ++ ops.SortSetOps.queries ++ ops.WindowOps.queries ++
       ops.FnOps.queries ++ ops.TextOps.queries ++ ops.SampleOps.queries ++
       ops.UdxOps.queries ++ ops.MultimodalOps.queries ++ ops.BpeOps.queries ++
-      ops.RepetitionOps.queries ++ ops.RankOps.queries ++ ops.SketchOps.queries
+      ops.RepetitionOps.queries ++ ops.RankOps.queries ++
+      ops.SketchOps.queries ++ ops.DedupOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

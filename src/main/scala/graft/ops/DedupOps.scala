@@ -342,4 +342,41 @@ object DedupOps {
     assigned.unpersist()
     out
   }
+
+  /** j38: [[clusters]] under the cross-engine gate — the dedup stack's
+    * graph-resolution core (min-label connected components), previously
+    * only spec-gated, pinned against a DuckDB recursive-CTE transitive
+    * closure computing min(reachable) per vertex. The edge set is a real
+    * pipeline artifact: documents sharing a duplicated 30-char window
+    * held by 2–4 docs corpus-wide (j28's duplicated-window machinery;
+    * the 2–4 band keeps components small so both engines' fixpoints are
+    * cheap). doc_id < 2000 caps the subgraph so the ORACLE side's
+    * closure stays bounded at every fixture SF — the Spark side is the
+    * scale path (label propagation = one doc_id-keyed shuffle per round,
+    * the standard large-graph CC pattern).
+    */
+  def j38_connected_components: Q = (s, d) => {
+    graft.functions.Shingles.register(s)
+    val L = 30
+    val dw = Tables.documents(s, d).where(col("doc_id") < 2000)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) >= L)
+      .select(col("doc_id"), explode(expr(s"graft_shingles(t, $L)")).as("w"))
+      .distinct()
+    val sel = dw.groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c").between(2, 4)).select("w")
+    val dsel = dw.join(sel, "w")
+    val e0 = dsel.select(col("w"), col("doc_id").as("a"))
+      .join(dsel.select(col("w"), col("doc_id").as("b")), "w")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val verts = e0.select(col("a").as("doc_id"))
+      .union(e0.select(col("b").as("doc_id"))).distinct()
+    clusters(e0, verts, maxIter = 30)
+      .select(col("doc_id"), col("cluster_id").as("component"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j38_connected_components" -> j38_connected_components)
 }

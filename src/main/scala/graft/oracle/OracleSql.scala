@@ -1033,6 +1033,27 @@ object OracleSql {
         |FROM g JOIN eg USING (g)
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY hits DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    "j38_connected_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
+        |w AS (
+        |  SELECT doc_id, substr(t, i, 30) AS w
+        |  FROM d, unnest(generate_series(1, length(t)-29)) AS u(i)
+        |  WHERE length(t) >= 30),
+        |dw AS (SELECT DISTINCT doc_id, w FROM w),
+        |wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+        |sel AS (SELECT w FROM wc WHERE c BETWEEN 2 AND 4),
+        |e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |       FROM dw a JOIN dw b USING (w) JOIN sel USING (w)
+        |       WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  SELECT v AS a, v AS b FROM verts
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+        |ORDER BY doc_id NULLS LAST""".stripMargin,
     "j37_heavy_hitters" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (
