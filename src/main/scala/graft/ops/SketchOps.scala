@@ -57,13 +57,21 @@ object SketchOps {
       .agg(call_function(graft.functions.SketchFns.bloomAggName,
         col("g"), lit(65536L), lit(1048576L)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val corpus = wordGrams(words.where(col("doc_id") % 97 =!= 0), n)
-    corpus
-      .where(call_function(graft.functions.SketchFns.bloomMightName,
-        lit(bloomBytes), col("g")))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count_distinct(col("g")).as("hits"))
-      .orderBy(desc("hits"), asc_nulls_last("doc_id")).limit(100)
+    if (bloomBytes == null) {
+      // empty eval set: the aggregate yields a null sketch, and a null
+      // literal would type as NullType and fail might_contain's analysis
+      // — the contamination answer is simply "no hits"
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "hits")
+    } else {
+      val corpus = wordGrams(words.where(col("doc_id") % 97 =!= 0), n)
+      corpus
+        .where(call_function(graft.functions.SketchFns.bloomMightName,
+          lit(bloomBytes), col("g")))
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count_distinct(col("g")).as("hits"))
+        .orderBy(desc("hits"), asc_nulls_last("doc_id")).limit(100)
+    }
   }
 
   /** j37: threshold heavy hitters over corpus word bigrams, EXACTLY, via
