@@ -377,6 +377,69 @@ object DedupOps {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
+  /** j39: the SimHash fingerprint (Charikar 2002 / Manku et al. WWW'07,
+    * public) under the cross-engine gate, via the established PORTABLE
+    * token hash (top 60 bits of md5 — the j33 convention, so DuckDB can
+    * recompute it): bit b of the fingerprint is set iff at least half of
+    * the document's token hashes have bit b set (the sign of the ±1
+    * bit-vote sum, ties set). 60 bits sidesteps the engines' differing
+    * sign-bit shift behavior. The PRODUCTION family
+    * ([[simhash]]/[[simhashHof]], xxhash64-based, codegen'd) stays the
+    * scale path and remains spec-gated; this twin pins the ALGORITHM —
+    * bit votes, majority threshold, packing — against an independent
+    * relational spelling, the way j33 gated winnowing.
+    *
+    * doc_id < 2000 caps the oracle's rowwise list work at large SF; the
+    * Spark side is one explode + one groupBy — the corpus shape.
+    */
+  def j39_simhash_portable: Q = (s, d) => {
+    val toks = Tables.documents(s, d).where(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val th = toks.select(col("doc_id"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    th.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  transform(sequence(0, 59),
+                    b -> IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs),
+                            shiftleft(1L, b), 0L)),
+                  0L, (a, x) -> a + x)""").as("simhash"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  /** j40: the MinHash signature algorithm (Broder 1997, public) under
+    * the cross-engine gate, like j39 for SimHash: position i of a
+    * document's 16-long signature is the minimum over its DISTINCT
+    * tokens of a seed-i portable rehash (top 60 bits of
+    * md5(i || ':' || token) — recomputable in DuckDB, unlike the
+    * production xxhash64/byteswap64 family in [[minhashSig]]/
+    * [[MinHashAgg]], which stays the scale path and spec-gated). The
+    * gate pins min-per-seed over the token set and the signature
+    * assembly; output is the j24-style ordered digest (md5 of the
+    * comma-joined signature — ordered string_agg ≡ sorted
+    * collect_list(struct)).
+    */
+  def j40_minhash_portable: Q = (s, d) => {
+    val nSeeds = 16
+    val toks = Tables.documents(s, d).where(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .distinct()
+    val th = toks
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), lit(nSeeds - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("tok"))), 1, 15),
+          16, 10).cast("long").as("h"))
+    val mh = th.groupBy("doc_id", "i").agg(min(col("h")).as("m"))
+    mh.groupBy("doc_id")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          e => e.getField("m").cast("string")))).as("sig_md5"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "j38_connected_components" -> j38_connected_components)
+    "j38_connected_components" -> j38_connected_components,
+    "j39_simhash_portable" -> j39_simhash_portable,
+    "j40_minhash_portable" -> j40_minhash_portable)
 }

@@ -1054,6 +1054,30 @@ object OracleSql {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
         |ORDER BY doc_id NULLS LAST""".stripMargin,
+    "j39_simhash_portable" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE doc_id < 2000),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |hl AS (SELECT doc_id, list(h) AS hs FROM th GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 59),
+        |    b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) >= len(hs)
+        |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM hl ORDER BY doc_id NULLS LAST""".stripMargin,
+    "j40_minhash_portable" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents WHERE doc_id < 2000)),
+        |th AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 15))::BIGINT AS h
+        |  FROM toks, unnest(generate_series(0, 15)) AS u(i)),
+        |mh AS (SELECT doc_id, i, min(h) AS m FROM th GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig_md5
+        |FROM mh GROUP BY doc_id ORDER BY doc_id NULLS LAST""".stripMargin,
     "j37_heavy_hitters" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (
