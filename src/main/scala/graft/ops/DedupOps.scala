@@ -392,20 +392,38 @@ object DedupOps {
     * doc_id < 2000 caps the oracle's rowwise list work at large SF; the
     * Spark side is one explode + one groupBy — the corpus shape.
     */
-  def j39_simhash_portable: Q = (s, d) => {
-    val toks = Tables.documents(s, d).where(col("doc_id") < 2000)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-    val th = toks.select(col("doc_id"),
-      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    th.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"),
+  def j39_simhash_portable: Q = (s, d) =>
+    simhashPortableFrame(ScaleOps.fanOut(
+        Tables.documents(s, d).where(col("doc_id") < 2000)))
+      .orderBy(asc_nulls_last("doc_id"))
+
+  /** The j39 fingerprint as a ROW-LOCAL projection (batch ≡ streaming —
+    * the I20 twin applies it to a document stream unchanged): token
+    * hashes, 60 bit votes and the packing all happen inside the
+    * document's own row, so the operator is a map-only scan (j33's
+    * shape, PlanSpec-pinned) — no explode, no corpus-wide (doc, hash)
+    * shuffle. The hash array binds in its own projection so the 60-bit
+    * loop references a computed column instead of inlining 60 copies of
+    * the md5 transform (CollapseProject leaves multiply-referenced
+    * non-cheap producers alone).
+    */
+  def simhashPortableFrame(docs: DataFrame): DataFrame =
+    withSimhashPortable(docs).select(col("doc_id"), col("simhash"))
+
+  /** Column-adding form (keeps the input schema, so the I20 stream twin
+    * chains it with [[withMinhashPortable]] in one row-local pass).
+    */
+  def withSimhashPortable(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hs", transform(split(lower(col("text")), " "),
+        tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))
+      .withColumn("simhash",
         expr("""aggregate(
                   transform(sequence(0, 59),
                     b -> IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs),
                             shiftleft(1L, b), 0L)),
-                  0L, (a, x) -> a + x)""").as("simhash"))
-      .orderBy(asc_nulls_last("doc_id"))
-  }
+                  0L, (a, x) -> a + x)"""))
+      .drop("hs")
 
   /** j40: the MinHash signature algorithm (Broder 1997, public) under
     * the cross-engine gate, like j39 for SimHash: position i of a
@@ -419,24 +437,36 @@ object DedupOps {
     * comma-joined signature — ordered string_agg ≡ sorted
     * collect_list(struct)).
     */
-  def j40_minhash_portable: Q = (s, d) => {
-    val nSeeds = 16
-    val toks = Tables.documents(s, d).where(col("doc_id") < 2000)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .distinct()
-    val th = toks
-      .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(0), lit(nSeeds - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("tok"))), 1, 15),
-          16, 10).cast("long").as("h"))
-    val mh = th.groupBy("doc_id", "i").agg(min(col("h")).as("m"))
-    mh.groupBy("doc_id")
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          e => e.getField("m").cast("string")))).as("sig_md5"))
+  def j40_minhash_portable: Q = (s, d) =>
+    // fanOut: 16 md5s per distinct token all inside the row — serial on
+    // the fixture's one-split scan without it; identity at scale
+    minhashPortableFrame(ScaleOps.fanOut(
+        Tables.documents(s, d).where(col("doc_id") < 2000)))
       .orderBy(asc_nulls_last("doc_id"))
-  }
+
+  /** The j40 signature digest as a ROW-LOCAL projection (batch ≡
+    * streaming, the I20 twin): position i = min over the document's
+    * DISTINCT tokens of the seed-i portable rehash, all inside the row —
+    * the 16-seed loop over a bound `ws` column replaces the
+    * explode(tok)×explode(seed) + two-groupBy spelling (which shuffled
+    * 16 hash rows per token corpus-wide; map-only is the shape a 100 TB
+    * fingerprint pass needs).
+    */
+  def minhashPortableFrame(docs: DataFrame): DataFrame =
+    withMinhashPortable(docs).select(col("doc_id"), col("sig_md5"))
+
+  /** Column-adding form — see [[withSimhashPortable]]. */
+  def withMinhashPortable(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", array_distinct(split(lower(col("text")), " ")))
+      .withColumn("sig",
+        expr("""transform(sequence(0, 15), i ->
+                  array_min(transform(ws, tok ->
+                    CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', tok)), 1, 15),
+                              16, 10) AS BIGINT))))"""))
+      .withColumn("sig_md5",
+        md5(concat_ws(",", expr("transform(sig, m -> CAST(m AS STRING))"))))
+      .drop("ws", "sig")
 
   val queries: Map[String, Q] = Map(
     "j38_connected_components" -> j38_connected_components,

@@ -322,6 +322,16 @@ object StreamOps {
   def scrubFingerprintStream(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysisOps.scrubFingerprint(docs)
 
+  /** I20: the portable SimHash + MinHash fingerprints (j39/j40) applied
+    * to a document stream — both are row-local projections (the batch
+    * plans are map-only scans), so continuous ingestion equals batch
+    * backfill row-for-row (StreamingSpec I20).
+    */
+  def fingerprintSketchStream(docs: DataFrame): DataFrame =
+    graft.ops.DedupOps.withMinhashPortable(
+        graft.ops.DedupOps.withSimhashPortable(docs))
+      .select("doc_id", "simhash", "sig_md5")
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -209,6 +209,17 @@ class PlanSpec extends SparkSuite {
       s"bloom probe should be under (after, in tree print order) the agg exchange\n$plan")
   }
 
+  test("j39/j40 portable fingerprints are map-only (row-local, j33's shape)") {
+    for (q <- Seq("j39_simhash_portable", "j40_minhash_portable")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf))
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2 && plan.contains("rangepartitioning"),
+        s"$q: expected only fanOut + the output-order range exchange\n$plan")
+      assert(!plan.contains("hashpartitioning"), plan)
+      assert(!plan.contains("Join"), plan)
+    }
+  }
+
   test("j37 heavy hitters: CMS prefilter leaves one (gram,count) exchange and no join") {
     val plan = physical(SparkEntry.queries("j37_heavy_hitters")(spark, sf))
     val hashExchanges = plan.linesIterator

@@ -118,6 +118,20 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I20: portable SimHash + MinHash fingerprints are micro-batch invariant (stream equals batch)") {
+    // j39/j40 as continuous ingestion: both fingerprints are row-local
+    // projections, so the stream reproduces the batch exactly
+    val streamed = runStream(
+      StreamOps.fingerprintSketchStream(StreamOps.documentsStream(spark, sf)),
+      "append", "t_fpsketch")
+    val batch = graft.ops.DedupOps.withMinhashPortable(
+        graft.ops.DedupOps.withSimhashPortable(Tables.documents(spark, sf)))
+      .select("doc_id", "simhash", "sig_md5")
+    assert(streamed.count() == Tables.documents(spark, sf).count())
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
     // j22's twin of I11: the per-language mix coins are stateless hash
     // decisions, so streaming ingestion and a batch recompute keep the
