@@ -161,6 +161,18 @@ object DedupOps {
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .cache()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // convergence probe: labels only ever DECREASE (least of self and
+    // neighbor minima), so Σ cluster_id is strictly monotone across a
+    // round with any change — equal consecutive sums ⟺ fixpoint. One
+    // cheap scalar aggregate per round instead of the previous
+    // join-labels-against-previous + limit(1) count (a second join over
+    // the label table every round).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      // DECIMAL, not LONG: at extreme vertex counts a long Σ id would
+      // overflow (and ANSI sum throws); decimal(38,0) is exact
+      df.agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s")).head().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -181,10 +193,10 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old")).limit(1).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       i += 1
     }
     edges.unpersist(); p.unpersist() // final labels stay checkpointed

@@ -332,6 +332,47 @@ object StreamOps {
         graft.ops.DedupOps.withSimhashPortable(docs))
       .select("doc_id", "simhash", "sig_md5")
 
+  /** I21: BM25 retrieval with a STREAMING probe feed against a static
+    * corpus — the serving shape of j35 (queries arrive continuously; the
+    * index is fixed). tf/dl/df ride the static side (dl/df as windows
+    * over the batch tf — non-time windows aren't stream-legal), the
+    * 1-row corpus stats are collected once at stream setup and inlined
+    * as literals, and the probe side is a stateless row-local explode,
+    * so the plan is a stream-static equi-join + a streaming (qid,doc)
+    * aggregation. Works unchanged on a batch probe frame — StreamingSpec
+    * I21 pins stream ≡ batch through exactly that substitution.
+    */
+  def bm25ScoreStream(spark: SparkSession, sfDir: String,
+                      probeDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val tfdl = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val st = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(lower(col("text")), " "))).cast("long").as("toktot")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = lit(st.getLong(1).toDouble / nDocs.toDouble)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val tfn = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val probes = probeDocs.where(col("doc_id") % 125 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .where(length(col("tok")) >= 6)
+    probes.join(tfdl, "tok")
+      .select(col("qid"), col("doc_id"),
+        round(idf * tfn, 6).cast(DecimalType(18, 6)).as("c"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("c")).cast(DecimalType(38, 6)).cast("double").as("score"))
+  }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

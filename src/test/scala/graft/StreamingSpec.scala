@@ -132,6 +132,18 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I21: BM25 scoring of a streaming probe feed equals the batch run") {
+    // the serving shape of j35: probes stream in, the corpus index is
+    // static — same function on a batch probe frame must agree exactly
+    val streamed = runStream(
+      StreamOps.bm25ScoreStream(spark, sf, StreamOps.documentsStream(spark, sf)),
+      "complete", "t_bm25")
+    val batch = StreamOps.bm25ScoreStream(spark, sf, Tables.documents(spark, sf))
+    assert(streamed.count() > 0, "no probe docs scored on this fixture")
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+  }
+
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
     // j22's twin of I11: the per-language mix coins are stateless hash
     // decisions, so streaming ingestion and a batch recompute keep the
