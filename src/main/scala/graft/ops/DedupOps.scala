@@ -200,6 +200,14 @@ object DedupOps {
       i += 1
     }
     edges.unpersist(); p.unpersist() // final labels stay checkpointed
+    // LOUD on truncation: exiting at the iteration cap without a stable
+    // fixpoint means a component wider than maxIter hops still carries
+    // multiple labels — silently returning those labels corrupts every
+    // downstream canonical-doc choice (and the j38 oracle computes the
+    // exact closure, so the gate would read as a mystery hash mismatch)
+    require(converged,
+      s"connected components did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds the cap; raise maxIter")
     labels
   }
 

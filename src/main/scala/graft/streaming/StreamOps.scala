@@ -349,12 +349,22 @@ object StreamOps {
     val docs = graft.Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("tok"))
-    val tfdl = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tfdl0 = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    // serving: the index is FIXED across triggers — cache it so each
+    // micro-batch probes materialized partitions instead of re-running
+    // the corpus explode + aggregation + both windows per trigger
+    val tfdl = if (probeDocs.isStreaming) tfdl0.cache() else tfdl0
     val st = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(lower(col("text")), " "))).cast("long").as("toktot")).head()
     val nDocs = st.getLong(0)
+    if (nDocs == 0) {
+      // degenerate empty corpus: avgdl is undefined (batch j35 stays
+      // lazy and yields no rows) — answer "no scores" with the schema
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "doc_id", "score")
+    }
     val avgdl = lit(st.getLong(1).toDouble / nDocs.toDouble)
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /

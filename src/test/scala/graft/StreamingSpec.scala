@@ -142,6 +142,14 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() > 0, "no probe docs scored on this fixture")
     assert(streamed.collect().map(_.toString).sorted
       .sameElements(batch.collect().map(_.toString).sorted))
+    // and the serving path IS j35: every ranked row of the declared
+    // batch operator appears in the serving scores bit-identically, so
+    // a retune of j35's constants/probe rule can't silently diverge the
+    // twin (the two spell the same formula over the same probe carve)
+    val j35 = SparkEntry.queries("j35_bm25_topk")(spark, sf)
+      .select("qid", "doc_id", "score")
+    assert(j35.exceptAll(batch.select("qid", "doc_id", "score")).count() == 0,
+      "j35 top-k rows diverge from the serving-path scores")
   }
 
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {

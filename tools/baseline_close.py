@@ -93,11 +93,21 @@ def shape_table(stock, graft):
     return shapes
 
 
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
 def ensure_sf1(repo, sf):
     """Generate the 10x key-shifted fixture if it isn't there (same layout
-    round_close.sh uses, so the two tools share one generation)."""
+    round_close.sh uses, so the two tools share one generation). A
+    PARTIAL fixture (interrupted gen_sf1 run — it writes table by table,
+    no tmp-then-rename) is regenerated rather than silently reused."""
     sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
-    if not os.path.isdir(sf1) or not os.listdir(sf1):
+    complete = all(os.path.isfile(os.path.join(sf1, f"{t}.parquet"))
+                   for t in TABLES)
+    if not complete:
+        if os.path.isdir(sf1) and os.listdir(sf1):
+            print(f"  sf1 fixture at {sf1} is incomplete — regenerating")
         subprocess.run([sys.executable,
                         os.path.join(repo, "tools", "gen_sf1.py"), sf, sf1, "10"],
                        check=True, capture_output=True, text=True)
@@ -132,9 +142,16 @@ def main():
         graft1 = measure_twins(repo, sf1_dir, cpus, K_SF1, rnd)
         stock1 = measure_stock(sf1_dir, cpus, K_SF1)
         shapes1 = shape_table(stock1, graft1)
-        s_tot = sum(s["stock_sec"] for s in shapes1 if s["stock_sec"])
-        g_tot = sum(s["graft_sec"] for s in shapes1
-                    if s["graft_sec"] and s["graft_sec"] > 0)
+        # totals over shapes measured on BOTH sides only — summing a
+        # shape's stock time while dropping its missing graft time would
+        # silently deflate the aggregate exactly when a twin failed
+        both1 = [s for s in shapes1 if s["ratio"] is not None]
+        missing1 = [s["twin"] for s in shapes1 if s["ratio"] is None]
+        if missing1:
+            print("  WARNING: sf1 shapes missing a measurement (excluded "
+                  "from BOTH totals): " + ", ".join(missing1))
+        s_tot = sum(s["stock_sec"] for s in both1)
+        g_tot = sum(s["graft_sec"] for s in both1)
         sf1_block = {
             "sf": sf1_dir, "k": K_SF1,
             "stock_total_sec": round(s_tot, 3),
@@ -143,9 +160,13 @@ def main():
             "shapes": shapes1,
         }
 
-    stock_total = sum(s["stock_sec"] for s in shapes if s["stock_sec"])
-    graft_total = sum(s["graft_sec"] for s in shapes
-                      if s["graft_sec"] and s["graft_sec"] > 0)
+    both = [s for s in shapes if s["ratio"] is not None]
+    missing = [s["twin"] for s in shapes if s["ratio"] is None]
+    if missing:
+        print("  WARNING: shapes missing a measurement (excluded from BOTH "
+              "totals): " + ", ".join(missing))
+    stock_total = sum(s["stock_sec"] for s in both)
+    graft_total = sum(s["graft_sec"] for s in both)
     result = {
         "round": rnd,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
