@@ -433,17 +433,14 @@ object DedupOps {
   /** Column-adding form (keeps the input schema, so the I20 stream twin
     * chains it with [[withMinhashPortable]] in one row-local pass).
     */
-  def withSimhashPortable(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("hs", transform(split(lower(col("text")), " "),
-        tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))
-      .withColumn("simhash",
-        expr("""aggregate(
-                  transform(sequence(0, 59),
-                    b -> IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs),
-                            shiftleft(1L, b), 0L)),
-                  0L, (a, x) -> a + x)"""))
-      .drop("hs")
+  def withSimhashPortable(docs: DataFrame): DataFrame = {
+    // fused native bit-vote pass ([[graft.functions.PortableFpMd5]]) —
+    // bit-identical to the declarative md5/conv + 60-bit HOF loop
+    // (PortableFpSpec pins it) at a fraction of its per-token allocation
+    graft.functions.PortableFpMd5.register(docs.sparkSession)
+    docs.withColumn("simhash",
+      expr("graft_simhash_md5(split(lower(text), ' '))"))
+  }
 
   /** j40: the MinHash signature algorithm (Broder 1997, public) under
     * the cross-engine gate, like j39 for SimHash: position i of a
@@ -476,17 +473,15 @@ object DedupOps {
     withMinhashPortable(docs).select(col("doc_id"), col("sig_md5"))
 
   /** Column-adding form — see [[withSimhashPortable]]. */
-  def withMinhashPortable(docs: DataFrame): DataFrame =
+  def withMinhashPortable(docs: DataFrame): DataFrame = {
+    graft.functions.PortableFpMd5.register(docs.sparkSession)
     docs
-      .withColumn("ws", array_distinct(split(lower(col("text")), " ")))
       .withColumn("sig",
-        expr("""transform(sequence(0, 15), i ->
-                  array_min(transform(ws, tok ->
-                    CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', tok)), 1, 15),
-                              16, 10) AS BIGINT))))"""))
+        expr("graft_minhash_md5(array_distinct(split(lower(text), ' ')), 16)"))
       .withColumn("sig_md5",
         md5(concat_ws(",", expr("transform(sig, m -> CAST(m AS STRING))"))))
-      .drop("ws", "sig")
+      .drop("sig")
+  }
 
   val queries: Map[String, Q] = Map(
     "j38_connected_components" -> j38_connected_components,
