@@ -258,6 +258,23 @@ object ScaleSmoke {
         require(removed > 0, "planted semantic dups not removed — smoke is vacuous")
         removed
       }),
+      "j38_cc_uncapped" -> (() => {
+        // VERDICT r10 task 4: the declared j38 caps its subgraph
+        // (doc_id < 2000) so the DuckDB recursive-CTE oracle stays cheap;
+        // this entry runs the SAME shingle-edge construction + CC over
+        // the FULL scaled corpus (50k docs at the 100x smoke) — the
+        // convergence probe, per-round localCheckpoint cadence, and the
+        // loud iteration cap all at real width (rounds logged by
+        // clusters() itself). The planted every-100th near-dups make the
+        // component set non-vacuous by construction.
+        val edges = ops.DedupOps.shingleEdges(Tables.documents(spark, dir))
+        val verts = edges.select(col("a").as("doc_id"))
+          .union(edges.select(col("b").as("doc_id"))).distinct()
+        val labels = ops.DedupOps.clusters(edges, verts)
+        val merged = labels.where(col("cluster_id") =!= col("doc_id")).count()
+        require(merged > 0, "planted dup components not found — smoke is vacuous")
+        merged
+      }),
       "curate_pipeline_e2e" -> (() =>
         // quality gate -> exact dedup -> near-dup dedup, one composition
         ops.CurateOps.curate(Tables.documents(spark, dir)).count()),

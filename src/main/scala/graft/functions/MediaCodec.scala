@@ -296,6 +296,87 @@ object MediaCodec {
       if (lastGranule >= 0) lastGranule * 1000L / rate else -1L))
   }
 
+  /** Parsed Vorbis comment header (Vorbis I §5): the vendor string and
+    * the KEY=value user comment list — field names uppercased per the
+    * spec's case-insensitive rule.
+    */
+  final case class VorbisComments(vendor: String,
+                                  comments: Seq[(String, String)])
+
+  /** Ogg/Vorbis COMMENT-header walk (r11) — the metadata a curation
+    * pipeline reads from an audio container (artist/title/language tags)
+    * without any payload decode. Pages are walked per RFC 3533 and the
+    * logical packets REASSEMBLED from the lacing values (255-byte
+    * segments continue a packet; packets may span pages), because unlike
+    * the identification header the comment packet routinely exceeds one
+    * segment. Reassembly stops after the first 3 packets (the Vorbis
+    * header set) or a 1 MiB cap, so hostile lacing can neither spin nor
+    * mega-allocate; any malformed structure yields None, never a throw.
+    * [public: RFC 3533 §5-6; Vorbis I spec §4.2.3, §5]
+    */
+  def oggVorbisComments(b: Array[Byte]): Option[VorbisComments] = {
+    val cap = 1 << 20
+    val buf = new java.io.ByteArrayOutputStream()
+    var packets = List.empty[Array[Byte]]
+    var i = 0
+    var pages = 0
+    while (i + 27 <= b.length && packets.size < 3 && buf.size <= cap &&
+      pages < 64 && b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+      b(i + 3) == 'S' && b(i + 4) == 0) {
+      val nseg = b(i + 26) & 0xff
+      if (i + 27 + nseg > b.length) i = b.length // truncated segment table
+      else {
+        var off = i + 27 + nseg
+        var s = 0
+        var ok = true
+        while (s < nseg && ok) {
+          val l = b(i + 27 + s) & 0xff
+          if (off + l > b.length) ok = false
+          else {
+            buf.write(b, off, l)
+            off += l
+            if (l < 255) { packets = buf.toByteArray :: packets; buf.reset() }
+          }
+          s += 1
+        }
+        if (!ok || off <= i) i = b.length else i = off
+        pages += 1
+      }
+    }
+    packets.reverse
+      .find(p => p.length >= 7 && p(0) == 3 && p(1) == 'v' && p(2) == 'o' &&
+        p(3) == 'r' && p(4) == 'b' && p(5) == 'i' && p(6) == 's')
+      .flatMap(parseVorbisComments)
+  }
+
+  private def parseVorbisComments(p: Array[Byte]): Option[VorbisComments] = {
+    var o = 7
+    def u32(): Long =
+      if (o + 4 > p.length) -1L
+      else { val v = leU32(p, o); o += 4; v }
+    val vlen = u32()
+    if (vlen < 0 || o + vlen > p.length) return None
+    val vendor = new String(p, o, vlen.toInt,
+      java.nio.charset.StandardCharsets.UTF_8)
+    o += vlen.toInt
+    val n = u32()
+    if (n < 0 || n > 65536) return None // sane tag-count bound
+    val out = Seq.newBuilder[(String, String)]
+    var k = 0L
+    while (k < n) {
+      val l = u32()
+      if (l < 0 || o + l > p.length) return None
+      val s = new String(p, o, l.toInt, java.nio.charset.StandardCharsets.UTF_8)
+      o += l.toInt
+      val eq = s.indexOf('=')
+      if (eq <= 0) return None // spec: non-empty field name before '='
+      out += ((s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+        s.substring(eq + 1)))
+      k += 1
+    }
+    Some(VorbisComments(vendor, out.result()))
+  }
+
   /** Exact MP3 frame-sequence facts (r10): everything the header walk can
     * know without a Layer III decoder — per-file frame count, exact
     * sample-accurate duration, min/max/mean bitrate, and whether the
@@ -649,12 +730,29 @@ object MediaGen {
     * container.
     */
   def oggVorbis(channels: Int, rate: Int, totalSamples: Long,
-                audioPages: Int): Array[Byte] = {
+                audioPages: Int): Array[Byte] =
+    oggVorbis(channels, rate, totalSamples, audioPages, Nil)
+
+  /** [[oggVorbis]] with a comment header (packet type 3) between the BOS
+    * identification page and the audio pages — the Vorbis I §5 metadata
+    * layout real encoders emit (vendor string + KEY=value user comments).
+    */
+  def oggVorbis(channels: Int, rate: Int, totalSamples: Long,
+                audioPages: Int, comments: Seq[(String, String)],
+                vendor: String = "graft codec"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def page(granule: Long, headerType: Int, seq: Int,
              payload: Array[Byte]): Unit = {
-      require(payload.length < 255, "single-segment pages only")
-      val p = new Array[Byte](27 + 1 + payload.length)
+      // RFC 3533 lacing: 255-byte segments continue a packet, the final
+      // < 255 segment (0 allowed) ends it — a payload of any size < ~64 KB
+      // emits as ONE packet on one page (the comment-header test needs
+      // packets past the old single-segment cap)
+      val segs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var rem = payload.length
+      while (rem >= 255) { segs += 255; rem -= 255 }
+      segs += rem
+      require(segs.size <= 255, "payload exceeds one page's segment table")
+      val p = new Array[Byte](27 + segs.size + payload.length)
       p(0) = 'O'; p(1) = 'g'; p(2) = 'g'; p(3) = 'S'
       p(5) = headerType.toByte
       var g = granule
@@ -664,9 +762,9 @@ object MediaGen {
       var sq = seq
       i = 0
       while (i < 4) { p(18 + i) = (sq & 0xff).toByte; sq >>>= 8; i += 1 }
-      p(26) = 1 // one segment
-      p(27) = payload.length.toByte
-      System.arraycopy(payload, 0, p, 28, payload.length)
+      p(26) = segs.size.toByte
+      segs.zipWithIndex.foreach { case (l, s) => p(27 + s) = l.toByte }
+      System.arraycopy(payload, 0, p, 27 + segs.size, payload.length)
       val crc = oggCrc(p)
       p(22) = (crc & 0xff).toByte; p(23) = ((crc >>> 8) & 0xff).toByte
       p(24) = ((crc >>> 16) & 0xff).toByte; p(25) = ((crc >>> 24) & 0xff).toByte
@@ -684,11 +782,34 @@ object MediaGen {
     id(28) = 0x66 // blocksizes 64/1024 (not parsed by the walk)
     id(29) = 1    // framing bit
     page(0L, 0x02, 0, id) // BOS
+    var seq = 1
+    if (comments.nonEmpty) {
+      // comment packet: type 3 | "vorbis" | vendor_len:4 LE | vendor |
+      // n:4 LE | (len:4 LE | "KEY=value")* | framing bit 1
+      val cm = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        cm.write(v & 0xff); cm.write((v >>> 8) & 0xff)
+        cm.write((v >>> 16) & 0xff); cm.write((v >>> 24) & 0xff)
+      }
+      cm.write(3)
+      cm.write("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val vb = vendor.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      le32(vb.length); cm.write(vb)
+      le32(comments.size)
+      comments.foreach { case (k, v) =>
+        val kv = s"$k=$v".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        le32(kv.length); cm.write(kv)
+      }
+      cm.write(1) // framing bit
+      page(0L, 0x00, seq, cm.toByteArray)
+      seq += 1
+    }
     var p = 1
     while (p <= audioPages) {
       val granule = totalSamples * p / audioPages
-      page(granule, if (p == audioPages) 0x04 else 0x00, p,
+      page(granule, if (p == audioPages) 0x04 else 0x00, seq,
         Array.fill(20)((p % 127).toByte))
+      seq += 1
       p += 1
     }
     out.toByteArray

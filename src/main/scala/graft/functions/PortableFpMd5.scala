@@ -53,12 +53,18 @@ object PortableFpMd5 {
     val n = ws.numElements()
     var t = 0
     while (t < n) {
-      val tok = ws.getUTF8String(t).getBytes
-      var i = 0
-      while (i < nSeeds) {
-        val h = top60(md, prefixes(i), tok)
-        if (h < out(i)) out(i) = h
-        i += 1
+      // null elements are skipped, not hashed: the declarative twin's
+      // md5(concat(seed, ':', tok)) is NULL for a null token, and a NULL
+      // never wins a min — a session-registered function must not NPE on
+      // array('a', NULL) (ADVICE r10)
+      if (!ws.isNullAt(t)) {
+        val tok = ws.getUTF8String(t).getBytes
+        var i = 0
+        while (i < nSeeds) {
+          val h = top60(md, prefixes(i), tok)
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
       }
       t += 1
     }
@@ -73,20 +79,24 @@ object PortableFpMd5 {
     val md = mdPool.get()
     val votes = new Array[Int](60)
     val n = ws.numElements()
+    var nz = 0 // non-null tokens actually voting (null skip, ADVICE r10)
     var t = 0
     while (t < n) {
-      val h = top60(md, null, ws.getUTF8String(t).getBytes)
-      var b = 0
-      while (b < 60) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1
-        b += 1
+      if (!ws.isNullAt(t)) {
+        nz += 1
+        val h = top60(md, null, ws.getUTF8String(t).getBytes)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
       }
       t += 1
     }
     var fp = 0L
     var b = 0
     while (b < 60) {
-      if (2 * votes(b) >= n) fp |= (1L << b)
+      if (2 * votes(b) >= nz) fp |= (1L << b)
       b += 1
     }
     fp

@@ -31,6 +31,16 @@ case class ShingleMd5(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = ShingleMd5.name
 
+  // session-registered temp function: a non-string argument must fail at
+  // ANALYSIS with a typed message, not ClassCastException at eval (ADVICE r10)
+  override def checkInputDataTypes() = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${ShingleMd5.name} expects STRING, got $other")
+  }
+
   override def nullSafeEval(input: Any): Any =
     ShingleMd5.hashes(input.asInstanceOf[UTF8String], k)
 

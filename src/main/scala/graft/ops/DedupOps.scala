@@ -146,12 +146,16 @@ object DedupOps {
   }
 
   /** Connected components over the duplicate-pair graph by iterative
-    * min-label propagation (converges in O(log n) rounds on near-dup
-    * clusters, which are small by construction). Each round is one
-    * shuffle keyed on doc_id; at scale this is the standard large-graph
-    * CC pattern (hash-partitioned label exchange).
+    * min-label propagation. One-hop propagation needs DIAMETER rounds
+    * (a chain of d duplicate pairs takes d rounds, not O(log n) — the
+    * docstring used to overclaim); near-dup components are usually
+    * shallow stars, but shingle-chained corpora do produce chains, and
+    * since r10 the iteration cap fails LOUDLY, so the default is sized
+    * for the pathological chain, not the typical star (ADVICE r10).
+    * Each round is one shuffle keyed on doc_id; at scale this is the
+    * standard large-graph CC pattern (hash-partitioned label exchange).
     */
-  def clusters(pairs: DataFrame, vertices: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, vertices: DataFrame, maxIter: Int = 30): DataFrame = {
     // materialize the candidate DAG exactly once: the union reads `pairs`
     // in both branches and every iteration reuses the edge set — uncached,
     // each reference re-ran the whole upstream LSH candidate computation
@@ -160,6 +164,12 @@ object DedupOps {
     val edges = p.select(col("a"), col("b"))
       .union(p.select(col("b").as("a"), col("a").as("b")))
       .cache()
+    // no edges ⟹ every vertex is its own component — skip the loop (and
+    // its two aggregate rounds) entirely; a clean corpus hits this path
+    if (edges.isEmpty) {
+      edges.unpersist(); p.unpersist()
+      return vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    }
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
     // convergence probe: labels only ever DECREASE (least of self and
     // neighbor minima), so Σ cluster_id is strictly monotone across a
@@ -172,7 +182,10 @@ object DedupOps {
       // overflow (and ANSI sum throws); decimal(38,0) is exact
       df.agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as("s")).head().getDecimal(0)
-    var prevSum: java.math.BigDecimal = null
+    // seed with the INITIAL label sum (one cheap aggregate over the
+    // vertex set) so an already-converged graph exits after round 1's
+    // equal sum instead of paying a second confirming round (ADVICE r10)
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -200,6 +213,10 @@ object DedupOps {
       i += 1
     }
     edges.unpersist(); p.unpersist() // final labels stay checkpointed
+    // one line per CC run: rounds used vs cap — the number a scale
+    // operator (and the smoke log) needs to size maxIter from evidence
+    System.err.println(s"[graft cc] ${if (converged) "converged" else "CAP HIT"} " +
+      s"after $i/$maxIter rounds")
     // LOUD on truncation: exiting at the iteration cap without a stable
     // fixpoint means a component wider than maxIter hops still carries
     // multiple labels — silently returning those labels corrupts every
@@ -375,10 +392,14 @@ object DedupOps {
     * scale path (label propagation = one doc_id-keyed shuffle per round,
     * the standard large-graph CC pattern).
     */
-  def j38_connected_components: Q = (s, d) => {
-    graft.functions.Shingles.register(s)
-    val L = 30
-    val dw = Tables.documents(s, d).where(col("doc_id") < 2000)
+  /** Shingle-overlap duplicate edges — the j38 graph, reusable uncapped
+    * (ScaleSmoke runs it over the full scaled corpus): docs pairwise
+    * linked through a length-L character shingle occurring in 2..4 docs
+    * (the 2..4 band keeps boilerplate shingles from minting hub stars).
+    */
+  def shingleEdges(docs: DataFrame, L: Int = 30): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    val dw = docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .where(length(col("t")) >= L)
       .select(col("doc_id"), explode(expr(s"graft_shingles(t, $L)")).as("w"))
@@ -386,10 +407,17 @@ object DedupOps {
     val sel = dw.groupBy("w").agg(count(lit(1)).as("c"))
       .where(col("c").between(2, 4)).select("w")
     val dsel = dw.join(sel, "w")
-    val e0 = dsel.select(col("w"), col("doc_id").as("a"))
+    dsel.select(col("w"), col("doc_id").as("a"))
       .join(dsel.select(col("w"), col("doc_id").as("b")), "w")
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def j38_connected_components: Q = (s, d) => {
+    // doc_id < 2000 bounds the SUBGRAPH for the oracle's sake (DuckDB's
+    // recursive-CTE closure); the uncapped construction is exercised by
+    // ScaleSmoke's j38_cc_uncapped entry over the full scaled corpus
+    val e0 = shingleEdges(Tables.documents(s, d).where(col("doc_id") < 2000))
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
     clusters(e0, verts, maxIter = 30)

@@ -249,7 +249,61 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** b21 — reversed scan (HBase `Scan#setReversed`, the "closest row
+    * at-or-before" / last-N-rows idiom): the last 50 cells at-or-before a
+    * mid-keyspace rowkey, descending, served off bulk-written region
+    * files through [[graft.sources.HFileOps.rangeScan]]'s reversed mode.
+    * The per-region block walk runs back to front and stops at the limit,
+    * so bytes read scale with K (and regions whose whole range sorts
+    * above the bound are rejected from the index alone); the global K
+    * across regions is the final orderBy+limit — TakeOrderedAndProject
+    * over ≤ 50 candidates per region. The from-key's user prefix (7)
+    * exists at every SF. Oracle: ORDER BY rowkey DESC LIMIT 50 over the
+    * cells view — rowkeys are unique (user:event), so the order is total.
+    */
+  val b21_reverse_scan: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_rev", d)
+    val nCells = Tables.events(s, d).count()
+    HFileOps.bulkWrite(Tables.cells(s, d), dir,
+      regions = HFileOps.regionCountFor(nCells),
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    HFileOps.rangeScan(s, dir,
+      startRow = "000000000007:999999999999", stopRow = "",
+      reversed = true, limit = 50)
+      .select(col("rowkey"), col("qualifier"), col("ts").as("ts_us"),
+        col("value"), col("op"))
+      .orderBy(col("rowkey").desc_nulls_last)
+      .limit(50)
+  }
+
+  /** b22 — FilterList composition (HBase `FilterList` with
+    * MUST_PASS_ONE/MUST_PASS_ALL operators, arbitrarily nested): an
+    * AND(OR(prefix, qualifier-regex), value-threshold, NOT(tombstone))
+    * tree over the cells view — each leaf is a filter family already
+    * gated on its own (b4 prefix, b5 regex, b11 qualifier, b15
+    * tombstone); this query gates the COMBINATOR. Spelled as one
+    * Catalyst boolean expression, the whole tree stays a single
+    * codegen'd predicate evaluated in the scan stage — at 100 TB the OR
+    * branch keeps the simple conjuncts (value, op) pushable while the
+    * disjunction evaluates post-scan, exactly how a RegionServer runs a
+    * FilterList.
+    */
+  val b22_filter_list: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(
+        (col("rowkey").startsWith("00000000004")
+          || col("qualifier").rlike("^(click|view)$"))
+          && col("value") > 50.0
+          && !(col("op") === "delete"))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+
   val queries: Map[String, Q] = Map(
+    "b22_filter_list" -> b22_filter_list,
+    "b21_reverse_scan" -> b21_reverse_scan,
     "b18_multi_range" -> b18_multi_range,
     "b20_column_pagination" -> b20_column_pagination,
     "b19_fuzzy_rowkey" -> b19_fuzzy_rowkey,

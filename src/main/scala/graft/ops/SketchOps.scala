@@ -44,8 +44,9 @@ object SketchOps {
     * spelling (the oracle IS the sketch-free spelling): the bloom has no
     * false negatives, the confirm join no false positives.
     *
-    * Driver materialization: ONE row, the serialized filter (128 KiB
-    * here), bounded by the numBits argument at any corpus size.
+    * Driver materialization: ONE row, the serialized filter — sized from
+    * the distinct eval-gram count at ~10 bits/item, floor 128 KiB, hard
+    * cap 8 MiB — bounded by the numBits argument at any corpus size.
     */
   def j36_decontaminate_bloom: Q = (s, d) => {
     graft.functions.SketchFns.register(s)
@@ -53,9 +54,22 @@ object SketchOps {
     val words = docWords(s, d)
     val evalGrams = wordGrams(words.where(col("doc_id") % 97 === 0), n)
       .select("g").distinct()
+    // size the filter from the ACTUAL distinct eval-gram count (one cheap
+    // aggregate over the small eval side) instead of a frozen 65536/2^20:
+    // a frozen size silently saturated toward pass-through once the eval
+    // set outgrew it — selectivity degraded with no signal (ADVICE r10).
+    // ~10 bits/item ≈ 1% fpp at the optimal hash count; floor 2^20 keeps
+    // the common case's layout, cap 2^26 bits (8 MiB, a sane broadcast)
+    // with a LOUD note when the cap binds, since fpp then grows with n.
+    val nEval = evalGrams.count()
+    val numBits = math.min(1L << 26, math.max(1L << 20, nEval * 10L))
+    if (nEval * 10L > (1L << 26))
+      System.err.println(s"graft j36: bloom capped at 2^26 bits for $nEval " +
+        s"eval grams (~${(1L << 26) / math.max(nEval, 1L)} bits/item) — " +
+        "prefilter selectivity degraded; raise the cap for this eval set")
     val bloomBytes = evalGrams
       .agg(call_function(graft.functions.SketchFns.bloomAggName,
-        col("g"), lit(65536L), lit(1048576L)).as("bf"))
+        col("g"), lit(math.max(nEval, 1L)), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     if (bloomBytes == null) {
       // empty eval set: the aggregate yields a null sketch, and a null

@@ -165,6 +165,20 @@ object OracleSql {
         """SELECT qualifier, count(*) AS n FROM cells
           |WHERE rowkey LIKE '0000000000_7:%'
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    "b22_filter_list" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM cells
+          |WHERE (starts_with(rowkey, '00000000004')
+          |       OR regexp_matches(qualifier, '^(click|view)$'))
+          |  AND value > 50.0 AND NOT (op = 'delete')
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    "b21_reverse_scan" ->
+      (cellsCte +
+        """SELECT rowkey, qualifier, ts AS ts_us, value, op FROM cells
+          |WHERE rowkey <= '000000000007:999999999999'
+          |ORDER BY rowkey DESC LIMIT 50""".stripMargin),
     "b20_column_pagination" ->
       (cellsCte +
         """SELECT qualifier, count(*) AS n FROM

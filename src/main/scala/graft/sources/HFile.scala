@@ -2183,6 +2183,26 @@ object HFileCodec {
     }
   }
 
+  /** Index entries whose blocks can hold a key in the REVERSED-scan range
+    * `(stopExc, startInc]` — HBase `Scan#setReversed` bounds: start row
+    * inclusive (the seek origin, the HIGH end), stop row exclusive (the
+    * LOW end). Block-level selection only; the caller's key filter
+    * enforces the exact bounds. An empty `stopExc` means "no lower
+    * bound". Upper cut uses `strict = false`: a block whose FIRST key
+    * equals the start row still contains in-range keys.
+    */
+  private[sources] def entriesInRevRange(entries: Seq[(Long, Int, Array[Byte])],
+      stopExc: Array[Byte], startInc: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    val rows = indexRows(entries)
+    val hi = lastBefore(rows, startInc, strict = false)
+    if (hi < 0) Seq.empty
+    else {
+      // block lo-1 covers keys < rows(lo) <= stopExc — nothing > stopExc
+      val lo = math.max(0, lastBefore(rows, stopExc, strict = false))
+      entries.slice(lo, hi + 1)
+    }
+  }
+
   /** [[entriesInRange]] with an open upper bound — the last merge range
     * of a generational read has no stop row.
     */

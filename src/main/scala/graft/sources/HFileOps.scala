@@ -393,27 +393,79 @@ object HFileOps {
     * region whose index excludes the whole range reads index blocks only).
     */
   def rangeScan(spark: SparkSession, dir: String,
-                startRow: String, stopRow: String): DataFrame = {
+                startRow: String, stopRow: String): DataFrame =
+    rangeScan(spark, dir, startRow, stopRow, reversed = false)
+
+  /** [[rangeScan]] with HBase `Scan#setReversed` + `Scan#setLimit`
+    * semantics. Forward: `[startRow, stopRow)` ascending. Reversed: the
+    * start row is the seek origin (HIGH end, inclusive), the stop row the
+    * exclusive LOW end — keys in `(stopRow, startRow]`, produced newest-key
+    * first, the "closest row at-or-before" / last-N-rows idiom. `limit`
+    * bounds the CELLS RETURNED PER REGION in scan direction, and the block
+    * walk stops as soon as it is satisfied: a reversed limit-K scan against
+    * a large region reads O(K/cellsPerBlock) data blocks off the back of
+    * the selected range, not the range — the property that makes "last K"
+    * affordable on a 100 TB keyspace (plus index-only rejection of every
+    * region whose range misses the bound entirely). The global K across
+    * regions is the caller's `orderBy(...).limit(k)` —
+    * TakeOrderedAndProject over ≤ limit rows per region.
+    */
+  def rangeScan(spark: SparkSession, dir: String,
+                startRow: String, stopRow: String,
+                reversed: Boolean, limit: Int = Int.MaxValue): DataFrame = {
     val start = startRow.getBytes(UTF_8)
     val stop = stopRow.getBytes(UTF_8)
     seekScan(spark, dir) { (in, loo) =>
       val root = HFileCodec.parseIndexEntriesWithKeys(
         readBlockAt(in, loo.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
-      val dataOffsets = HFileCodec.entriesInRange(root, start, stop)
-        .flatMap { case (off, _, _) =>
+      def leaves(entries: Seq[(Long, Int, Array[Byte])]): Seq[Long] =
+        entries.flatMap { case (off, _, _) =>
           val blk = readBlockAt(in, off)
-          if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
-            HFileCodec.entriesInRange(
-              HFileCodec.parseIndexEntriesWithKeys(blk, 0,
-                HFileCodec.IntermediateIndexMagic), start, stop).map(_._1)
-          else Seq(off)
+          if (magicAt(blk, HFileCodec.IntermediateIndexMagic)) {
+            val inner = HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+              HFileCodec.IntermediateIndexMagic)
+            (if (reversed) HFileCodec.entriesInRevRange(inner, stop, start)
+             else HFileCodec.entriesInRange(inner, start, stop)).map(_._1)
+          } else Seq(off)
         }
       val extras = extrasAt(readBlockAt(in, _), loo.fileInfoOffset)
-      dataOffsets.flatMap { off =>
-        decodeBlockRows(readBlockAt(in, off), row =>
+      if (!reversed) {
+        val keep = (row: Array[Byte]) =>
           java.util.Arrays.compareUnsigned(row, start) >= 0 &&
-            java.util.Arrays.compareUnsigned(row, stop) < 0,
-          seekFrom = Some(start), extras = extras)
+            java.util.Arrays.compareUnsigned(row, stop) < 0
+        // stop pulling blocks once `limit` cells have matched — cells are
+        // in file order, so the first `limit` of the concatenation is exact
+        var n = 0
+        val taken = leaves(HFileCodec.entriesInRange(root, start, stop))
+          .iterator.takeWhile(_ => n < limit).map { off =>
+            val rows = decodeBlockRows(readBlockAt(in, off), keep,
+              seekFrom = Some(start), extras = extras)
+            n += rows.size
+            rows
+          }.toSeq
+        val flat = taken.flatten
+        if (limit < flat.size) flat.take(limit) else flat
+      } else {
+        val keep = (row: Array[Byte]) =>
+          java.util.Arrays.compareUnsigned(row, start) <= 0 &&
+            (stop.isEmpty || java.util.Arrays.compareUnsigned(row, stop) > 0)
+        // walk the selected blocks BACK TO FRONT; each block still decodes
+        // forward (the delta encodings are front-anchored — same constraint
+        // HBase's reversed StoreFileScanner has: seek to the previous
+        // block, decode it, serve its cells in reverse). Walking one block
+        // past `limit` can only ADD earlier cells, never change the last K.
+        var blocks = List.empty[Seq[Row]]
+        var n = 0
+        val it = leaves(HFileCodec.entriesInRevRange(root, stop, start))
+          .reverseIterator
+        while (n < limit && it.hasNext) {
+          val rows = decodeBlockRows(readBlockAt(in, it.next()), keep,
+            extras = extras)
+          blocks = rows :: blocks
+          n += rows.size
+        }
+        val flat = blocks.flatten // ascending file order
+        flat.takeRight(math.min(limit, flat.size)).reverse
       }
     }
   }

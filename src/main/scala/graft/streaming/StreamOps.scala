@@ -28,6 +28,40 @@ object StreamOps {
   val DefaultProvider =
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
+  /** Serving-index caches (e.g. [[bm25ScoreStream]]'s tf/dl/df frame)
+    * keyed by session, dropped when the session's LAST streaming query
+    * terminates — the serving caches exist only to amortize work across
+    * a stream's triggers, so "no active streams" is their end of life.
+    * One listener per session (installed on first registration); without
+    * this the cached index outlived the stream for the whole session and
+    * repeated serving setups accumulated copies (ADVICE r10).
+    */
+  private val servingCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Set[DataFrame]]()
+
+  private[streaming] def registerServingCache(spark: SparkSession, df: DataFrame): Unit = {
+    val set = servingCaches.computeIfAbsent(spark, s => {
+      s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (s.streams.active.isEmpty) {
+            val caches = servingCaches.get(s)
+            if (caches != null) {
+              caches.forEach(c => { c.unpersist(); () })
+              caches.clear()
+            }
+          }
+      })
+      java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    })
+    set.add(df)
+    ()
+  }
+
   /** State-store provider toggle — the 100 TB knob for the I-series. The
     * default HDFSBackedStateStoreProvider keeps every maintained version of
     * every partition's state map in executor HEAP; fine for bounded session
@@ -354,8 +388,16 @@ object StreamOps {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
     // serving: the index is FIXED across triggers — cache it so each
     // micro-batch probes materialized partitions instead of re-running
-    // the corpus explode + aggregation + both windows per trigger
-    val tfdl = if (probeDocs.isStreaming) tfdl0.cache() else tfdl0
+    // the corpus explode + aggregation + both windows per trigger. The
+    // cache is registered for end-of-serving cleanup (ADVICE r10: it
+    // used to outlive the stream for the session's lifetime, and
+    // repeated serving setups accumulated index copies).
+    val tfdl =
+      if (probeDocs.isStreaming) {
+        val cached = tfdl0.cache()
+        registerServingCache(spark, cached)
+        cached
+      } else tfdl0
     val st = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(split(lower(col("text")), " "))).cast("long").as("toktot")).head()
     val nDocs = st.getLong(0)

@@ -102,6 +102,31 @@ class AnnSpec extends SparkSuite {
     assert(multi.groupBy("pid").count().where(col("count") > 5).count() == 0)
   }
 
+  test("IVF recall-vs-cost curve: recall@5 monotone in nProbe, exact at nProbe = nlist") {
+    // VERDICT r10 task 6 — the sizing table a 100 TB user reads to pick
+    // nProbe: candidate work scales ~nProbe/nlist of the corpus per
+    // probe, recall climbs with it. The per-call centroids are seeded and
+    // deterministic, so the probed-cell sets are NESTED across nProbe —
+    // recall is provably monotone — and probing every cell re-ranks the
+    // whole corpus exactly (recall 1.0), anchoring the curve's top.
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = TextOps.j8_sim_topk(spark, sf).select("pid", "vec_id")
+    val nlist = 16
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      val ivf = AnnOps.ivfTopK(spark, emb, probes, k = 5, nlist = nlist, nProbe = np)
+      val r = AnnOps.recallAtK(ivf.select("pid", "vec_id"), exact)
+      System.err.println(f"[ivf curve] nProbe=$np%2d  ~corpus-fraction=${np.toDouble / nlist}%.3f  recall@5=$r%.3f")
+      np -> r
+    }
+    curve.sliding(2).foreach {
+      case Seq((n1, r1), (n2, r2)) =>
+        assert(r2 >= r1 - 1e-9, s"recall fell from $r1 (nProbe=$n1) to $r2 (nProbe=$n2)")
+      case _ => ()
+    }
+    assert(curve.last._2 >= 0.999,
+      s"nProbe = nlist must equal brute force, got recall ${curve.last._2}")
+  }
+
   test("margin-ranked multi-probe beats positional first-m at equal fan-out") {
     // r3 item #5 done-criterion. Setup where the margin knob has a
     // structural (not luck-of-the-fixture) effect: probes are small

@@ -1171,6 +1171,35 @@ class HFileSpec extends SparkSuite {
       .sorted.sameElements(before))
   }
 
+  test("reversed scan: equals sorted-forward-scan reversed, every encoding") {
+    val src = Tables.cells(spark, sf)
+    val keys = src.select("rowkey").orderBy("rowkey").collect().map(_.getString(0))
+    val from = keys(keys.length / 2) // mid-keyspace seek origin
+    val lo = keys(keys.length / 2 - 60) // exclusive low bound for the bounded case
+    for ((enc, tag) <- Seq(HFileCodec.EncodingNone -> "none",
+                           HFileCodec.EncodingFastDiff -> "fd",
+                           HFileCodec.EncodingRowIndexV1 -> "ri")) {
+      val dir = tmpDir(s"rev$tag").toString
+      HFileOps.bulkWrite(src, dir, regions = 4, encoding = enc)
+      // last-K at-or-before: per-region limited backward walk + global top-K
+      val rev = HFileOps.rangeScan(spark, dir, from, "", reversed = true, limit = 40)
+        .orderBy(col("rowkey").desc).limit(40).collect().map(_.toString)
+      val expect = HFileOps.read(spark, dir).where(col("rowkey") <= from)
+        .orderBy(col("rowkey").desc).limit(40).collect().map(_.toString)
+      assert(rev.nonEmpty && rev.sameElements(expect), s"limited reversed ($tag)")
+      // bounded reversed range (stop exclusive, start inclusive) covers the
+      // same multiset as the forward filter over (lo, from]
+      val revRange = HFileOps.rangeScan(spark, dir, from, lo, reversed = true)
+        .collect().map(_.toString).sorted
+      val fwd = HFileOps.read(spark, dir)
+        .where(col("rowkey") > lo && col("rowkey") <= from)
+        .collect().map(_.toString).sorted
+      assert(revRange.nonEmpty && revRange.sameElements(fwd), s"bounded reversed ($tag)")
+      // a seek origin below every key selects nothing — index-only rejection
+      assert(HFileOps.rangeScan(spark, dir, "!", "", reversed = true, limit = 5).isEmpty)
+    }
+  }
+
   test("a9 oracle query: round-trip aggregate equals the same aggregate on the source") {
     val viaHfile = ops.ScanOps.a9_hfile_roundtrip(spark, sf)
     val direct = Tables.cells(spark, sf)

@@ -306,6 +306,42 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.decodeOgg(MediaGen.png(4, 4)).isEmpty)
   }
 
+  test("Ogg/Vorbis comment header: tags round-trip, lacing-spanning packets, malformed -> None") {
+    val tags = Seq("ARTIST" -> "graft", "TITLE" -> "scale smoke",
+      "LANGUAGE" -> "en", "note" -> "k=v with = inside")
+    val ogg = MediaGen.oggVorbis(2, 48000, 144000L, 3, tags, vendor = "graft codec r11")
+    // the comment page must not disturb the id-header facts
+    val d = MediaCodec.decodeOgg(ogg).get
+    assert(d.channels == 2 && d.sampleRate == 48000 && d.durationMs == 3000L)
+    val vc = MediaCodec.oggVorbisComments(ogg).get
+    assert(vc.vendor == "graft codec r11")
+    // field names uppercase (Vorbis I §5 case-insensitive rule), values verbatim
+    assert(vc.comments == Seq("ARTIST" -> "graft", "TITLE" -> "scale smoke",
+      "LANGUAGE" -> "en", "NOTE" -> "k=v with = inside"))
+    // a comment packet past 255 bytes spans lacing segments — reassembly,
+    // not single-segment luck; exact value equality proves byte-true joins
+    val big = "x" * 700
+    val vcBig = MediaCodec.oggVorbisComments(
+      MediaGen.oggVorbis(1, 44100, 1000L, 1, Seq("BIG" -> big))).get
+    assert(vcBig.comments == Seq("BIG" -> big))
+    // no comment header at all (the plain generator): None, no throw
+    assert(MediaCodec.oggVorbisComments(
+      MediaGen.oggVorbis(1, 44100, 1000L, 1)).isEmpty)
+    // truncated mid-comment-packet: None, no throw
+    val cut = ogg.take(28 + 30 + 40)
+    assert(MediaCodec.oggVorbisComments(cut).isEmpty)
+    // a tag with no '=' separator is malformed per spec: None
+    val bad = MediaGen.oggVorbis(1, 44100, 1000L, 1, Seq("NOEQUALS" -> ""))
+    // NOEQUALS= is legal (empty value); corrupt the '=' byte instead
+    val eqIdx = {
+      val pat = "NOEQUALS=".getBytes("UTF-8")
+      (0 until bad.length - pat.length).find(i =>
+        pat.indices.forall(j => bad(i + j) == pat(j))).get + pat.length - 1
+    }
+    bad(eqIdx) = '_'
+    assert(MediaCodec.oggVorbisComments(bad).isEmpty)
+  }
+
   test("j25 fixture: decodePixels over a parquet round-trip matches per-row closed form") {
     import org.apache.spark.sql.functions.col
     val out = graft.ops.MultimodalOps.j25_media_pixels(spark, sf).collect()

@@ -15,6 +15,17 @@ class PlanSpec extends SparkSuite {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The exchange-bearing physical tree for structural walks: sparkPlan
+    * predates EnsureRequirements (no exchanges yet), and under AQE the
+    * executedPlan root is an adaptive wrapper whose children are hidden
+    * from collect — unwrap to its current (initial, pre-execution) plan.
+    */
+  private def planTree(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
   private def scanLine(df: DataFrame): String =
     physical(df).linesIterator.filter(_.contains("FileScan")).mkString("\n")
 
@@ -182,31 +193,46 @@ class PlanSpec extends SparkSuite {
   }
 
   test("j35 BM25: one corpus explode, query terms broadcast, df on the candidate sliver") {
-    val plan = physical(SparkEntry.queries("j35_bm25_topk")(spark, sf))
-    // exactly 3 scans — the tf explode plus the two explode-free
-    // qterms/stats branches — and the corpus is exploded once (the
-    // second Generate is the tiny probe-doc qterms explode)
-    assert(plan.linesIterator.count(_.contains("FileScan")) == 3, plan)
-    assert(plan.linesIterator.count(_.contains("Generate")) == 2, plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // tree-walk instead of exact FileScan/Generate line counts (ADVICE
+    // r10: exact counts break on planner-version plan-shape changes that
+    // are not regressions). The load-bearing properties: the CORPUS is
+    // exploded exactly once (every other Generate sits above the tiny
+    // %125-filtered probe branch), the join is broadcast, and nothing is
+    // sort-merge or cartesian.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, GenerateExec, SparkPlan}
+    val plan: SparkPlan = planTree(SparkEntry.queries("j35_bm25_topk")(spark, sf))
+    def isProbeBranch(p: SparkPlan): Boolean = p.collect {
+      case f: FilterExec if f.condition.toString.contains("125") => f
+    }.nonEmpty
+    val corpusExplodes = plan.collect {
+      case g: GenerateExec
+        if g.collect { case s: FileSourceScanExec => s }.nonEmpty && !isProbeBranch(g) => g
+    }
+    assert(corpusExplodes.size == 1,
+      s"expected exactly one corpus explode, got ${corpusExplodes.size}\n$plan")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
   }
 
   test("j36 bloom decontamination: might_contain prefilter sits map-side, confirm join broadcast") {
-    val plan = physical(SparkEntry.queries("j36_decontaminate_bloom")(spark, sf))
-    // the bloom probe must be a plain filter predicate over the corpus
-    // scan (pre-shuffle), not anything join-shaped
-    assert(plan.contains("might_contain"), plan)
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    // the filter appears strictly below the distinct-count aggregation's
-    // exchange: everything before the first Exchange line must include it
-    val lines = plan.linesIterator.toVector
-    val firstExchange = lines.indexWhere(_.contains("Exchange"))
-    val probeLine = lines.indexWhere(_.contains("might_contain"))
-    assert(probeLine > firstExchange,
-      s"bloom probe should be under (after, in tree print order) the agg exchange\n$plan")
+    // tree-walk, not tree-print line ordering (ADVICE r10): the property
+    // is that the bloom probe filter executes BELOW a shuffle — i.e. the
+    // corpus is dropped map-side before any exchange moves it.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan: SparkPlan = planTree(SparkEntry.queries("j36_decontaminate_bloom")(spark, sf))
+    val s = plan.toString
+    assert(s.contains("might_contain"), s)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    val probeBelowShuffle = plan.collect { case sh: ShuffleExchangeExec => sh }
+      .exists(sh => sh.child.collect {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }.nonEmpty)
+    assert(probeBelowShuffle,
+      s"bloom probe filter must sit in a shuffle's subtree (map-side)\n$plan")
   }
 
   test("j39/j40 portable fingerprints are map-only (row-local, j33's shape)") {

@@ -113,21 +113,37 @@ if [ -f bench_detail.json ]; then
      && [ "$(stat -c %Y bench_detail.json)" -lt "$(git log -1 --format=%ct)" ]; then
     echo "round_close: bench_detail.json predates the last commit — re-run graft.Bench before snapshotting (skipped $snap)"
   else
-    cp bench_detail.json "$snap"
-    echo "round_close: snapshotted bench_detail.json -> $snap (git add it with the round commit)"
-    if [ -n "${bench_line:-}" ]; then
-      python3 - "$snap" "$bench_line" <<'PYEOF'
-import json, sys
-snap = json.load(open(sys.argv[1]))
-line = json.loads(sys.argv[2])
-if abs(snap["value"] - line["value"]) > 0.011:
-    sys.exit(f"ROUND CLOSE BLOCKED: {sys.argv[1]} total {snap['value']:.3f}s "
-             f"disagrees with the bench stdout total {line['value']:.3f}s — "
-             "the snapshot is not the detail of the recorded run")
-print(f"round_close: detail/stdout totals agree ({line['value']:.2f}s, "
-      f"{len(snap['queries'])} queries)")
+    # VERDICT r10 missing-item 3: the committed snapshot must say WHICH
+    # run it describes — the r10 snapshot (77.81 s) was not the detail of
+    # the driver's post-close 86.19 s run, and nothing in the file said
+    # so. Embed a source_run stamp (wall-clock of the close run + its
+    # stdout total) so any later artifact with a different total is
+    # self-evidently a DIFFERENT run (host drift, driver re-run), not a
+    # misattributed one. The totals-agreement gate rides the same step.
+    python3 - bench_detail.json "$snap" "${bench_line:-}" <<'PYEOF'
+import datetime, json, os, sys
+detail_f, snap_f, line_s = sys.argv[1], sys.argv[2], sys.argv[3]
+snap = json.load(open(detail_f))
+mtime = os.stat(detail_f).st_mtime
+snap["source_run"] = {
+    "measured_utc": datetime.datetime.fromtimestamp(
+        mtime, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+    "total_sec": round(snap["value"], 3),
+    "producer": "round_close.sh full-battery run on the tree being closed",
+}
+if line_s:
+    line = json.loads(line_s)
+    if abs(snap["value"] - line["value"]) > 0.011:
+        sys.exit(f"ROUND CLOSE BLOCKED: {detail_f} total {snap['value']:.3f}s "
+                 f"disagrees with the bench stdout total {line['value']:.3f}s — "
+                 "the snapshot is not the detail of the recorded run")
+    print(f"round_close: detail/stdout totals agree ({line['value']:.2f}s, "
+          f"{len(snap['queries'])} queries)")
+json.dump(snap, open(snap_f, "w"), indent=1)
+print(f"round_close: snapshotted {detail_f} -> {snap_f} with source_run "
+      f"stamp {snap['source_run']['measured_utc']} / "
+      f"{snap['source_run']['total_sec']}s (git add it with the round commit)")
 PYEOF
-    fi
     # VERDICT r7 task 1: same-session stock baseline. The r7 audit showed
     # the host drifts +-30% BETWEEN rounds, so ratios against BASELINE.md's
     # fixed numbers conflate drift with regression; re-measure the stock
