@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -132,6 +133,37 @@ object AggOps {
       .orderBy(col("rowkey").asc_nulls_last)
       .limit(300)
 
+  /** d17 — HBase CheckAndPut (atomic conditional mutation), batch
+    * analog: per USER-keyed row, IF the current latest 'click' cell's
+    * value exceeds 30 THEN append a new version of that cell (value+1
+    * at ts+1s); the query returns the post-mutation latest view's
+    * per-qualifier aggregate, so both the condition evaluation (a
+    * latest-version read, HBase's check) and the applied mutation (a
+    * newer version winning the next read) are inside the gate. Scale
+    * shape: two window passes over the SAME (rowkey, cf, qualifier)
+    * coordinate key — one shuffle partitioning reused — plus a union of
+    * the mutation sliver; no join, no driver round-trip (a real
+    * RegionServer does the check and put server-side for this reason).
+    */
+  val d17_check_and_put: Q = (s, d) => {
+    val cells = Tables.events(s, d).select(
+      Tables.pad(col("user_id")).as("rowkey"), lit("e").as("cf"),
+      col("event_type").as("qualifier"), Tables.tsMicros(col("ts")).as("ts"),
+      col("value"))
+    val w = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("value").asc)
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val muts = latest(cells)
+      .where(col("qualifier") === "click" && col("value") > 30.0)
+      .select(col("rowkey"), col("cf"), col("qualifier"),
+        (col("ts") + 1000000L).as("ts"), (col("value") + 1.0).as("value"))
+    latest(cells.unionByName(muts))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   /** d16 — boolean aggregates (every/any). */
   val d16_agg_bool: Q = (s, d) =>
     Tables.orders(s, d)
@@ -144,6 +176,7 @@ object AggOps {
 
   val queries: Map[String, Q] = Map(
     "d16_agg_bool" -> d16_agg_bool,
+    "d17_check_and_put" -> d17_check_and_put,
     "d1_agg_basic" -> d1_agg_basic,
     "d2_agg_avg" -> d2_agg_avg,
     "d3_agg_distinct" -> d3_agg_distinct,

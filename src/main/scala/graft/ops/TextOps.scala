@@ -291,6 +291,35 @@ object TextOps {
       .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
   }
 
+  /** j41: bigram conditional-probability table — the n-gram LM TRAINING
+    * pass (the count-and-normalize step KenLM/SRILM run before smoothing;
+    * Heafield, WMT 2011, public): P(w2|w1) = c(w1,w2) / Σ_w c(w1,w).
+    *
+    * Scale design: ONE corpus explode produces the adjacent word pairs
+    * positionally; counts are one (w1,w2) groupBy; the denominator is a
+    * window sum partitioned by w1 over the COUNTS table — vocabulary²-
+    * bounded, not corpus-bounded — so the conditional table costs one
+    * corpus gram shuffle plus one vocab-sized w1 shuffle, with no second
+    * corpus pass for the context counts. Determinism (R2/R7): both
+    * counts are exact longs; p is ONE IEEE division round(,6)'d — the
+    * j30/j32 recipe. Output bounded to the top-100 bigrams by count.
+    */
+  def j41_ngram_lm: Q = (s, d) => {
+    val ws = Tables.documents(s, d)
+      .select(split(lower(col("text")), " ").as("ws"))
+    val pairs = ws.where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    cnt.withColumn("ctx", sum(col("c")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"), col("c"),
+        round(col("c").cast("double") / col("ctx").cast("double"), 6).as("p"))
+      .orderBy(desc("c"), asc_nulls_last("w1"), asc_nulls_last("w2"))
+      .limit(100)
+  }
+
   /** j33: winnowing document fingerprint under the cross-engine gate —
     * the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD '03, public):
     * hash every k-char gram, keep the minimum hash of each sliding window
@@ -412,5 +441,6 @@ object TextOps {
     "j15_dedup_cosine" -> j15_dedup_cosine,
     "j32_lm_score" -> j32_lm_score,
     "j33_winnow_fingerprint" -> j33_winnow_fingerprint,
+    "j41_ngram_lm" -> j41_ngram_lm,
     "j34_pii_scrub" -> j34_pii_scrub)
 }

@@ -334,6 +334,25 @@ object OracleSql {
         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS spend,
         |       count(*) FILTER (WHERE event_type='error') AS errors
         |FROM events GROUP BY user_id ORDER BY user_id NULLS LAST LIMIT 200""".stripMargin,
+    "d17_check_and_put" ->
+      """WITH uc AS (
+        |  SELECT lpad(CAST(user_id AS VARCHAR), 12, '0') AS rowkey, 'e' AS cf,
+        |         event_type AS qualifier, CAST(epoch_us(ts) AS BIGINT) AS ts, value
+        |  FROM events),
+        |l1 AS (SELECT rowkey, cf, qualifier, ts, value FROM (
+        |  SELECT rowkey, cf, qualifier, ts, value,
+        |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |                            ORDER BY ts DESC, value) AS rn FROM uc) WHERE rn = 1),
+        |muts AS (SELECT rowkey, cf, qualifier, ts + 1000000 AS ts, value + 1.0 AS value
+        |         FROM l1 WHERE qualifier = 'click' AND value > 30.0),
+        |allc AS (SELECT * FROM uc UNION ALL SELECT * FROM muts),
+        |l2 AS (SELECT rowkey, cf, qualifier, ts, value FROM (
+        |  SELECT rowkey, cf, qualifier, ts, value,
+        |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |                            ORDER BY ts DESC, value) AS rn FROM allc) WHERE rn = 1)
+        |SELECT qualifier, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM l2 GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,
     "d13_hbase_increment" ->
       (cellsCte +
         s"""SELECT rowkey, ${dsum("value")} AS counter
@@ -608,6 +627,17 @@ object OracleSql {
     // p <= max(n-w+1, 1) select a fingerprint), then distinct + ordered
     // digest. n < w degenerates to one window over all n grams — exactly
     // graft_winnow's contract.
+    "j41_ngram_lm" ->
+      """WITH ws AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |pairs AS (
+        |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM ws, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2)
+        |SELECT w1, w2, c,
+        |       round(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+        |FROM cnt
+        |ORDER BY c DESC, w1 NULLS LAST, w2 NULLS LAST LIMIT 100""".stripMargin,
     "j33_winnow_fingerprint" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 7),
