@@ -418,15 +418,21 @@ object HFileOps {
     seekScan(spark, dir) { (in, loo) =>
       val root = HFileCodec.parseIndexEntriesWithKeys(
         readBlockAt(in, loo.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
-      def leaves(entries: Seq[(Long, Int, Array[Byte])]): Seq[Long] =
+      // LAZY leaf expansion (Iterator.flatMap): an intermediate index
+      // block is only read when the walk actually reaches its root entry,
+      // so a limit-K scan's INDEX reads scale with K too, not with the
+      // selected range — in either direction
+      def leaves(entries: Iterator[(Long, Int, Array[Byte])],
+                 backward: Boolean): Iterator[Long] =
         entries.flatMap { case (off, _, _) =>
           val blk = readBlockAt(in, off)
           if (magicAt(blk, HFileCodec.IntermediateIndexMagic)) {
             val inner = HFileCodec.parseIndexEntriesWithKeys(blk, 0,
               HFileCodec.IntermediateIndexMagic)
-            (if (reversed) HFileCodec.entriesInRevRange(inner, stop, start)
-             else HFileCodec.entriesInRange(inner, start, stop)).map(_._1)
-          } else Seq(off)
+            val sel = if (reversed) HFileCodec.entriesInRevRange(inner, stop, start)
+                      else HFileCodec.entriesInRange(inner, start, stop)
+            if (backward) sel.reverseIterator.map(_._1) else sel.iterator.map(_._1)
+          } else Iterator.single(off)
         }
       val extras = extrasAt(readBlockAt(in, _), loo.fileInfoOffset)
       if (!reversed) {
@@ -436,8 +442,9 @@ object HFileOps {
         // stop pulling blocks once `limit` cells have matched — cells are
         // in file order, so the first `limit` of the concatenation is exact
         var n = 0
-        val taken = leaves(HFileCodec.entriesInRange(root, start, stop))
-          .iterator.takeWhile(_ => n < limit).map { off =>
+        val taken = leaves(
+          HFileCodec.entriesInRange(root, start, stop).iterator, backward = false)
+          .takeWhile(_ => n < limit).map { off =>
             val rows = decodeBlockRows(readBlockAt(in, off), keep,
               seekFrom = Some(start), extras = extras)
             n += rows.size
@@ -456,8 +463,9 @@ object HFileOps {
         // past `limit` can only ADD earlier cells, never change the last K.
         var blocks = List.empty[Seq[Row]]
         var n = 0
-        val it = leaves(HFileCodec.entriesInRevRange(root, stop, start))
-          .reverseIterator
+        val it = leaves(
+          HFileCodec.entriesInRevRange(root, stop, start).reverseIterator,
+          backward = true)
         while (n < limit && it.hasNext) {
           val rows = decodeBlockRows(readBlockAt(in, it.next()), keep,
             extras = extras)
