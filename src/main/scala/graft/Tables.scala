@@ -42,9 +42,15 @@ object Tables {
     * the life of a run, so the cached plan can never go stale; queries
     * that write-then-read scratch data use their own direct reads.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // bounded: a long-lived JVM cycling per-job sessions must not pin
+    // every dead session through its cached plans (r11 review). The cache
+    // is an epoch cache, not an LRU — blowing it away wholesale is fine
+    // because entries cost one footer read to rebuild.
+    if (relCache.size > 256) relCache.clear()
     relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       kv => kv._1.read.parquet(kv._2))
+  }
 
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -52,12 +52,14 @@ object PortableFpMd5 {
     val out = Array.fill(nSeeds)(Long.MaxValue)
     val n = ws.numElements()
     var t = 0
+    var any = false
     while (t < n) {
       // null elements are skipped, not hashed: the declarative twin's
-      // md5(concat(seed, ':', tok)) is NULL for a null token, and a NULL
-      // never wins a min — a session-registered function must not NPE on
-      // array('a', NULL) (ADVICE r10)
+      // md5(concat(seed, ':', tok)) is NULL for a null token, and
+      // array_min ignores NULLs — a session-registered function must not
+      // NPE on array('a', NULL) (ADVICE r10)
       if (!ws.isNullAt(t)) {
+        any = true
         val tok = ws.getUTF8String(t).getBytes
         var i = 0
         while (i < nSeeds) {
@@ -68,7 +70,11 @@ object PortableFpMd5 {
       }
       t += 1
     }
-    new GenericArrayData(out)
+    // no non-null token: the declarative array_min over an all-NULL list
+    // is NULL per seed — match it rather than leak the Long.MaxValue
+    // sentinel (r11 review)
+    if (!any) new GenericArrayData(Array.fill[Any](nSeeds)(null))
+    else new GenericArrayData(out)
   }
 
   /** j39's portable SimHash: bit b of the result is set iff at least half
@@ -79,11 +85,13 @@ object PortableFpMd5 {
     val md = mdPool.get()
     val votes = new Array[Int](60)
     val n = ws.numElements()
-    var nz = 0 // non-null tokens actually voting (null skip, ADVICE r10)
     var t = 0
     while (t < n) {
+      // a null token casts NO votes (the declarative filter() drops its
+      // NULL hash) but still counts in the majority DENOMINATOR — the
+      // pinned twin divides by size(array), nulls included (r11 review:
+      // an nz denominator diverged from the bit-identity contract)
       if (!ws.isNullAt(t)) {
-        nz += 1
         val h = top60(md, null, ws.getUTF8String(t).getBytes)
         var b = 0
         while (b < 60) {
@@ -96,7 +104,7 @@ object PortableFpMd5 {
     var fp = 0L
     var b = 0
     while (b < 60) {
-      if (2 * votes(b) >= nz) fp |= (1L << b)
+      if (2 * votes(b) >= n) fp |= (1L << b)
       b += 1
     }
     fp
@@ -116,7 +124,9 @@ object PortableFpMd5 {
 
 case class MinHashMd5(child: Expression, nSeeds: Int) extends UnaryExpression {
   require(nSeeds > 0 && nSeeds <= 64, s"nSeeds must be in [1, 64], got $nSeeds")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an all-null/empty token array yields null positions
+  // (array_min semantics); the gated corpus path (split tokens) never does
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = PortableFpMd5.minhashName
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -32,9 +32,12 @@ case class ShingleMd5(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = ShingleMd5.name
 
   // session-registered temp function: a non-string argument must fail at
-  // ANALYSIS with a typed message, not ClassCastException at eval (ADVICE r10)
+  // ANALYSIS with a typed message, not ClassCastException at eval (ADVICE
+  // r10). NullType stays legal — a bare NULL literal evaluates to NULL
+  // through nullSafeEval, as it always did (r11 review).
   override def checkInputDataTypes() = child.dataType match {
-    case org.apache.spark.sql.types.StringType =>
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.NullType =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -182,10 +182,13 @@ object DedupOps {
       // overflow (and ANSI sum throws); decimal(38,0) is exact
       df.agg(sum(col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as("s")).head().getDecimal(0)
-    // seed with the INITIAL label sum (one cheap aggregate over the
-    // vertex set) so an already-converged graph exits after round 1's
-    // equal sum instead of paying a second confirming round (ADVICE r10)
-    var prevSum: java.math.BigDecimal = labelSum(labels)
+    // prevSum deliberately NOT seeded with the initial label sum: with a
+    // non-empty edge set round 1 always strictly decreases the sum (every
+    // edge's larger endpoint drops to a smaller label), so the seed could
+    // never match and only added a full-vertex aggregate per call; the
+    // genuinely-converged-at-start case is the edges.isEmpty short-circuit
+    // above (r11 review)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

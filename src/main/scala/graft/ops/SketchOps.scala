@@ -52,8 +52,16 @@ object SketchOps {
     graft.functions.SketchFns.register(s)
     val n = 4
     val words = docWords(s, d)
+    // localCheckpoint: the eval-gram set is consumed THREE times (the
+    // sizing count, the bloom aggregate, the broadcast confirm join) —
+    // uncached, each consumer re-ran the corpus scan + explode + distinct
+    // (r11 review). Eager materialization truncates lineage to the
+    // (small, benchmark-sized) gram partitions; the blocks are released
+    // by the ContextCleaner when the query's RDDs go out of scope, so
+    // repeated invocations don't accumulate session-lifetime cache
+    // entries the way .cache() would.
     val evalGrams = wordGrams(words.where(col("doc_id") % 97 === 0), n)
-      .select("g").distinct()
+      .select("g").distinct().localCheckpoint()
     // size the filter from the ACTUAL distinct eval-gram count (one cheap
     // aggregate over the small eval side) instead of a frozen 65536/2^20:
     // a frozen size silently saturated toward pass-through once the eval

@@ -35,30 +35,43 @@ object StreamOps {
     * One listener per session (installed on first registration); without
     * this the cached index outlived the stream for the whole session and
     * repeated serving setups accumulated copies (ADVICE r10).
+    *
+    * Two generations guard the register-then-start race (r11 review): a
+    * cache registers at PLAN time, before its stream starts, and the
+    * terminated-event of a PREVIOUS stream arrives asynchronously — it
+    * must not unpersist the newcomer. Registration lands in `pending`;
+    * the next onQueryStarted promotes pending → live; the no-active-
+    * streams cleanup unpersists only LIVE caches (ones some started
+    * query could have consumed), never pending ones.
     */
+  private final class ServingCaches {
+    val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    val live = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  }
   private val servingCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Set[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, ServingCaches]()
 
   private[streaming] def registerServingCache(spark: SparkSession, df: DataFrame): Unit = {
-    val set = servingCaches.computeIfAbsent(spark, s => {
+    val caches = servingCaches.computeIfAbsent(spark, s => {
+      val cs = new ServingCaches
       s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
+          cs.pending.forEach(c => { cs.live.add(c); () })
+          cs.pending.clear()
+        }
         override def onQueryProgress(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
           if (s.streams.active.isEmpty) {
-            val caches = servingCaches.get(s)
-            if (caches != null) {
-              caches.forEach(c => { c.unpersist(); () })
-              caches.clear()
-            }
+            cs.live.forEach(c => { c.unpersist(); () })
+            cs.live.clear()
           }
       })
-      java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+      cs
     })
-    set.add(df)
+    caches.pending.add(df)
     ()
   }
 
