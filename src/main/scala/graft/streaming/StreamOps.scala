@@ -283,6 +283,54 @@ object StreamOps {
   // ---- I7: arbitrary stateful sessionizer (flatMapGroupsWithState) ----
 
   case class Ev(user_id: Long, event_id: Long, etsMicros: Long)
+
+  case class CellLatest(rowkey: String, qualifier: String, ts: Long, value: Double)
+
+  /** I22: streaming CheckAndPut serving state — the d17 semantics as
+    * continuous ingestion. [[latestCellsStream]] maintains the latest
+    * (ts desc, value asc) cell per (rowkey, qualifier) coordinate in
+    * mapGroupsWithState — an HBase memstore's read view — re-emitting a
+    * coordinate whenever a micro-batch touches it (Update mode). The
+    * conditional put itself is the stateless [[checkAndPutOverlay]]
+    * projection over that view: the mutation's newer ts always wins the
+    * next read, so the post-mutation latest view ≡ a conditional
+    * projection of the latest view — no second state pass. Per-coordinate
+    * latest is MONOTONE (ts never decreases; equal-ts re-emissions only
+    * lower value), so the final serving state is reconstructible from the
+    * update log; StreamingSpec I22 pins final streamed state + overlay ≡
+    * the batch d17 view. State is hash-partitioned by coordinate — the
+    * same linear sharding story as the sessionizer.
+    */
+  def latestCellsStream(spark: SparkSession, events: DataFrame): Dataset[CellLatest] = {
+    import spark.implicits._
+    val typed = events.select(
+        Tables.pad(col("user_id")).as("rowkey"),
+        col("event_type").as("qualifier"),
+        unix_micros(col("ets")).as("ts"),
+        col("value")).as[CellLatest]
+    typed.groupByKey(c => (c.rowkey, c.qualifier))
+      .mapGroupsWithState[(Long, Double), CellLatest](GroupStateTimeout.NoTimeout) {
+        case ((rk, q), cells, state: GroupState[(Long, Double)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, Double.MaxValue))
+          cells.foreach { c =>
+            if (c.ts > cur._1 || (c.ts == cur._1 && c.value < cur._2))
+              cur = (c.ts, c.value)
+          }
+          state.update(cur)
+          CellLatest(rk, q, cur._1, cur._2)
+      }
+  }
+
+  /** The CheckAndPut overlay: where the latest 'click' exceeds the
+    * threshold, the applied put (value+1 at ts+1s) is what the next read
+    * returns. Works on any latest-view frame, batch or streamed.
+    */
+  def checkAndPutOverlay(latest: DataFrame, threshold: Double = 30.0): DataFrame = {
+    val cond = col("qualifier") === "click" && col("value") > threshold
+    latest.select(col("rowkey"), col("qualifier"),
+      when(cond, col("ts") + 1000000L).otherwise(col("ts")).as("ts"),
+      when(cond, col("value") + 1.0).otherwise(col("value")).as("value"))
+  }
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Long, n: Long)
 

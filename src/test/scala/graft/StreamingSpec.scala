@@ -275,6 +275,28 @@ class StreamingSpec extends SparkSuite {
       && batch.exceptAll(streamedRows).isEmpty)
   }
 
+  test("I22: streaming CheckAndPut state + overlay equals the batch d17 view") {
+    val streamed = runStream(
+      StreamOps.latestCellsStream(spark, StreamOps.eventsStream(spark, sf)).toDF(),
+      "update", "t_cap")
+    // reconstruct the FINAL serving state from the update log: per
+    // coordinate the latest is monotone (ts never decreases, equal-ts
+    // re-emissions only lower value), so the final state row is the
+    // (ts desc, value asc) head — the same rule the state itself applies
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rowkey", "qualifier")
+      .orderBy(col("ts").desc, col("value").asc)
+    val finalLatest = streamed.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    val streamedAgg = StreamOps.checkAndPutOverlay(finalLatest)
+      .groupBy("qualifier")
+      .agg(count(lit(1)).as("n"), ops.dsum(col("value")).as("vsum"))
+    val batch = ops.AggOps.d17_check_and_put(spark, sf)
+    assert(streamedAgg.exceptAll(batch).isEmpty
+      && batch.exceptAll(streamedAgg).isEmpty,
+      "streamed CheckAndPut view diverged from the batch d17 query")
+  }
+
   test("I7 under RocksDB state store: sessionizer equivalence is provider-independent") {
     // The 100 TB state path (StreamOps.withStateStore): same sessionizer,
     // same replay, state held in RocksDB instead of executor heap. The
