@@ -298,6 +298,45 @@ object MediaCodecProps extends Properties("MediaCodec") {
   property("unmutated encoder output always decodes") = forAll(validGen) { b =>
     MediaCodec.decode(b).isDefined
   }
+
+  // the r11 comment-header walk shares the malformed-input posture: any
+  // bytes (random, OggS-prefixed, or a one-byte-mutated valid stream)
+  // must return an Option, never throw, hang, or mega-allocate
+  private val tagGen: Gen[Seq[(String, String)]] =
+    Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.alphaStr.map(s => if (s.isEmpty) "K" else s.take(12)),
+        Gen.alphaNumStr.map(_.take(600))))) // past-255 values span lacing
+
+  private val commentedOggGen: Gen[Array[Byte]] =
+    Gen.zip(Gen.chooseNum(1, 2), Gen.chooseNum(1, 8), tagGen)
+      .map { case (ch, pages, tags) =>
+        MediaGen.oggVorbis(ch, 48000, 48000L * pages, pages, tags) }
+
+  property("vorbis comments: random bytes never throw") = forAll(rawGen) { b =>
+    MediaCodec.oggVorbisComments(b); true
+  }
+
+  property("vorbis comments: OggS-prefixed garbage never throws") =
+    forAll(rawGen) { tail =>
+      MediaCodec.oggVorbisComments("OggS".getBytes(UTF_8) ++ tail); true
+    }
+
+  property("vorbis comments: generated tags round-trip (names uppercased)") =
+    forAll(Gen.zip(Gen.chooseNum(1, 2), tagGen)) { case (ch, tags) =>
+      val got = MediaCodec.oggVorbisComments(
+        MediaGen.oggVorbis(ch, 48000, 48000L, 1, tags))
+      if (tags.isEmpty) got.isEmpty
+      else got.exists(_.comments ==
+        tags.map { case (k, v) => (k.toUpperCase(java.util.Locale.ROOT), v) })
+    }
+
+  property("vorbis comments: one-byte-mutated commented streams never throw") =
+    forAll(commentedOggGen, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)) {
+      (file, posSeed, v) =>
+        val b = file.clone()
+        b(posSeed % b.length) = v.toByte
+        MediaCodec.oggVorbisComments(b); true
+    }
 }
 
 /** Hostile-input fuzz for the HFile READ paths (VERDICT r5 item #6, same
