@@ -20,7 +20,14 @@ object Verify {
     spark.experimental.extraOptimizations = Seq(graft.plans.RewriteWindowTopK)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the dump for targeted local
+    // iteration (pair with tools/compare.py --partial, which then skips
+    // queries with no result dir instead of failing them); the driver
+    // never sets it, so graded runs always dump the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -36,6 +36,18 @@ object RankOps {
     * row_number window per query.
     */
   def j35_bm25_topk: Q = (s, d) => {
+    val scored = bm25Scored(s, d)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("score"))
+      .orderBy(asc_nulls_last("qid"), asc_nulls_last("rnk"))
+  }
+
+  /** BM25 per-(query, doc) scores for the ≡0 mod 125 probe workload —
+    * shared by j35 (ranked list) and j42 (lexical leg of the fusion).
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
     // ONE corpus explode by construction. A first cut derived dl/df/
     // stats as separate aggregations over a shared tf frame — but each
     // consumer pushed a different inferred IsNotNull set into its copy
@@ -71,17 +83,75 @@ object RankOps {
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     val contrib = round(idf * tfn, 6).cast(DecimalType(18, 6))
 
-    val scored = tfdl.join(broadcast(qterms), "tok")
+    tfdl.join(broadcast(qterms), "tok")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("qid", "tok")))
       .crossJoin(broadcast(stats))
       .groupBy("qid", "doc_id")
       .agg(sum(contrib).cast(DecimalType(38, 6)).cast("double").as("score"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
-        col("score"))
-      .orderBy(asc_nulls_last("qid"), asc_nulls_last("rnk"))
   }
 
-  val queries: Map[String, Q] = Map("j35_bm25_topk" -> j35_bm25_topk)
+  /** j42: hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/
+    * Buettcher, SIGIR 2009, public; k = 60): the BM25 lexical top-20 and
+    * the embedding-cosine semantic top-20 per probe are fused by
+    * rrf = Σ_lists 1/(60 + rank), and the fused top-10 is returned.
+    * This is the retrieval shape curation stacks actually serve — a
+    * lexical index and a vector index answering the same query, merged
+    * by rank so neither scale dominates.
+    *
+    * Probe workload: the j35 convention (docs ≡ 0 mod 125); the semantic
+    * leg exists only for probes whose doc_id has a row in `embeddings`
+    * (vec_id ≡ doc_id by fixture construction), so a probe without an
+    * embedding degrades to lexical-only — exactly RRF's missing-list
+    * semantics (a full outer join on (qid, doc_id)). Self-matches are
+    * excluded from both legs.
+    *
+    * Determinism: both legs rank with row_number over (score DESC,
+    * doc_id) from scores already proven bit-equal cross-engine (BM25 =
+    * j35's decimal-sum recipe; cosine = j8's R7 left fold); the fused
+    * score is two IEEE divisions and ONE fixed-order addition of exact
+    * rank integers — identical AST both engines.
+    *
+    * Scale shape: the lexical leg is j35's (corpus never reshuffles for
+    * the match; candidate sliver only); the semantic leg broadcasts only
+    * the probe vectors and streams the corpus embeddings (j8's shape —
+    * at 100 TB the probe set is a bounded query workload, the fixture
+    * derives it from doc_id only for SF-stable determinism); the fusion
+    * join touches ≤ 40 rows per probe.
+    */
+  def j42_rrf_fusion: Q = (s, d) => {
+    val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(s, d)
+      .where(col("doc_id") =!= col("qid"))
+      .withColumn("lrnk", row_number().over(wq)).where(col("lrnk") <= 20)
+      .select(col("qid"), col("doc_id"), col("lrnk"))
+
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        TextOps.l2Col(col("embedding")).as("e_norm"))
+    val probes = emb.where(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("p_emb"),
+        col("e_norm").as("p_norm"))
+    val ws = Window.partitionBy("qid").orderBy(col("sim").desc, col("doc_id"))
+    val sem = broadcast(probes).crossJoin(emb)
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        (TextOps.dotCol(col("p_emb"), col("embedding"))
+          / (col("p_norm") * col("e_norm"))).as("sim"))
+      .withColumn("srnk", row_number().over(ws)).where(col("srnk") <= 20)
+      .select(col("qid"), col("doc_id"), col("srnk"))
+
+    val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("lrnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("srnk")), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("frnk", row_number().over(wf)).where(col("frnk") <= 10)
+      .select(col("qid"), col("frnk").cast("long").as("frnk"), col("doc_id"),
+        col("rrf"))
+      .orderBy(asc_nulls_last("qid"), asc_nulls_last("frnk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j35_bm25_topk" -> j35_bm25_topk,
+    "j42_rrf_fusion" -> j42_rrf_fusion)
 }

@@ -320,6 +320,53 @@ object TextOps {
       .limit(100)
   }
 
+  /** j43: per-document bigram perplexity against the corpus-trained j41
+    * model — the LM-based quality filter closed end to end: j41 is the
+    * TRAINING pass (count-and-normalize), this is the SCORING pass
+    * (CCNet-style mean negative log-probability, arXiv:1911.00359, over
+    * bigrams instead of j32's unigrams). The model is trained on the
+    * corpus being scored, so every document bigram is in-vocabulary by
+    * construction — no smoothing term to pin cross-engine.
+    *
+    * Determinism (the j32 recipe): counts are exact longs; each distinct
+    * (doc, w1, w2)'s -ln(c/ctx) is ONE IEEE chain round(,6)'d into
+    * DECIMAL(18,6), weighted by the exact per-doc bigram multiplicity,
+    * summed exactly, ONE final division.
+    *
+    * Scale shape: the corpus is exploded ONCE — the per-doc bigram
+    * support `dtf` (map-side-combined groupBy) is localCheckpointed and
+    * feeds BOTH the model build (c(w1,w2) = Σ_doc k — an aggregation
+    * rollup over the already-reduced support, never a second corpus
+    * pass) and the scoring join; the model is vocabulary²-bounded with
+    * one vocab-sized w1 window for the context sums; then one doc_id
+    * aggregation.
+    */
+  def j43_lm_perplexity: Q = (s, d) => {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // tokenize/explode once: both consumers (model rollup + scoring
+    // join) read the materialized support, not a re-derived corpus pass
+    val dtf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val model = dtf.groupBy("w1", "w2").agg(sum(col("k")).as("c"))
+      .withColumn("ctx", sum(col("c")).over(Window.partitionBy("w1")))
+    dtf.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"), col("k"),
+        round(-log(col("c").cast("double") / col("ctx").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("t"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).cast("long").as("nbi"),
+        (sum(col("t") * col("k")).cast(DecimalType(38, 6)).cast("double")
+          / sum(col("k")).cast("double")).as("nll"))
+      .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
+  }
+
   /** j33: winnowing document fingerprint under the cross-engine gate —
     * the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD '03, public):
     * hash every k-char gram, keep the minimum hash of each sliding window
@@ -442,5 +489,6 @@ object TextOps {
     "j32_lm_score" -> j32_lm_score,
     "j33_winnow_fingerprint" -> j33_winnow_fingerprint,
     "j41_ngram_lm" -> j41_ngram_lm,
+    "j43_lm_perplexity" -> j43_lm_perplexity,
     "j34_pii_scrub" -> j34_pii_scrub)
 }

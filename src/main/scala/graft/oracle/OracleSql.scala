@@ -638,6 +638,29 @@ object OracleSql {
         |       round(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
         |FROM cnt
         |ORDER BY c DESC, w1 NULLS LAST, w2 NULLS LAST LIMIT 100""".stripMargin,
+    // j43 recomputes the j41 bigram model, then scores every document's
+    // bigram stream against it: per distinct (doc, w1, w2) ONE rounded
+    // -ln(c/ctx) term weighted by its exact multiplicity, exact decimal
+    // sum, one final division (the j32 recipe over bigrams)
+    "j43_lm_perplexity" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM ws, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+        |model AS (SELECT w1, w2, c, sum(c) OVER (PARTITION BY w1) AS ctx FROM cnt),
+        |dtf AS (SELECT doc_id, w1, w2, count(*) AS k FROM pairs GROUP BY doc_id, w1, w2),
+        |sc AS (
+        |  SELECT doc_id, k,
+        |         CAST(round(-ln(CAST(c AS DOUBLE) / CAST(ctx AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6)) AS t
+        |  FROM dtf JOIN model USING (w1, w2))
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS nbi,
+        |       CAST(CAST(sum(t * k) AS DECIMAL(38,6)) AS DOUBLE)
+        |         / CAST(sum(k) AS DOUBLE) AS nll
+        |FROM sc GROUP BY doc_id
+        |ORDER BY nll DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
     "j33_winnow_fingerprint" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 7),
@@ -1066,6 +1089,62 @@ object OracleSql {
         |      FROM scored)
         |SELECT qid, rnk, doc_id, score FROM r WHERE rnk <= 10
         |ORDER BY qid NULLS LAST, rnk NULLS LAST""".stripMargin,
+    // j42 recomputes both legs independently: the j35 BM25 chain (self-
+    // excluded, top-20) and the j8 cosine fold over embeddings (probes
+    // ≡ 0 mod 125, self-excluded, top-20), fused by 1/(60+rank) with a
+    // FULL JOIN carrying single-list rows (USING coalesces the keys)
+    "j42_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id % 125 = 0 AND length(tok) >= 6),
+        |terms AS (
+        |  SELECT q.qid, tf.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |                    / (CAST(df.df AS DOUBLE) + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |                          / (CAST(s.toktot AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))),
+        |           6) AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN q USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+        |       JOIN df USING (tok) CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT qid, doc_id, CAST(CAST(sum(contrib) AS DECIMAL(38,6)) AS DOUBLE) AS score
+        |  FROM terms WHERE doc_id <> qid GROUP BY qid, doc_id),
+        |lex AS (
+        |  SELECT qid, doc_id, lrnk FROM (
+        |    SELECT qid, doc_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrnk
+        |    FROM scored) WHERE lrnk <= 20),
+        |sims AS (
+        |  SELECT p.vec_id AS qid, e.vec_id AS doc_id,
+        |         list_reduce(list_transform(generate_series(1, len(p.embedding)),
+        |             i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |             (a,x) -> a+x)
+        |         / (sqrt(list_reduce(list_transform(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,x) -> a+x))
+        |            * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,x) -> a+x))) AS sim
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 125 = 0) p
+        |  CROSS JOIN embeddings e WHERE e.vec_id <> p.vec_id),
+        |sem AS (
+        |  SELECT qid, doc_id, srnk FROM (
+        |    SELECT qid, doc_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS srnk
+        |    FROM sims) WHERE srnk <= 20),
+        |fused AS (
+        |  SELECT qid, doc_id,
+        |         coalesce(CAST(1.0 AS DOUBLE) / (60 + lrnk), CAST(0.0 AS DOUBLE))
+        |           + coalesce(CAST(1.0 AS DOUBLE) / (60 + srnk), CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM lex FULL JOIN sem USING (qid, doc_id)),
+        |r AS (SELECT qid, doc_id, rrf,
+        |             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frnk
+        |      FROM fused)
+        |SELECT qid, frnk, doc_id, rrf FROM r WHERE frnk <= 10
+        |ORDER BY qid NULLS LAST, frnk NULLS LAST""".stripMargin,
     "j36_decontaminate_bloom" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (

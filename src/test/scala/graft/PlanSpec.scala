@@ -246,6 +246,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("j42 RRF fusion: probe vectors broadcast (corpus embeddings never shuffle), no cartesian") {
+    val plan = physical(SparkEntry.queries("j42_rrf_fusion")(spark, sf))
+    // the semantic leg must keep j8's shape: only the tiny probe set
+    // crosses a broadcast, the corpus embedding scan streams through it
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("j43 perplexity scores off the materialized bigram support — no second corpus explode") {
+    val plan = physical(SparkEntry.queries("j43_lm_perplexity")(spark, sf))
+    // dtf is localCheckpointed: both consumers (model rollup + scoring
+    // join) must read the checkpointed RDD, so the final plan carries
+    // ZERO Generate (the one corpus explode happened at checkpoint
+    // materialization) and no cartesian/nested-loop join
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.linesIterator.count(_.contains("Scan ExistingRDD")) == 2
+      || plan.linesIterator.count(_.contains("LogicalRDD")) == 2
+      || plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("j37 heavy hitters: CMS prefilter leaves one (gram,count) exchange and no join") {
     val plan = physical(SparkEntry.queries("j37_heavy_hitters")(spark, sf))
     val hashExchanges = plan.linesIterator

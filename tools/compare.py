@@ -77,6 +77,10 @@ def type_mismatches(con, oracle_sql, spark_files):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # --partial: tolerate a Verify dump restricted with SPARK_GRAFT_ONLY —
+    # queries with no result dir are skipped, not failed. Never used by
+    # the round-close gate (which requires the full dump).
+    partial = "--partial" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
@@ -93,6 +97,9 @@ def main():
             continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
+            if partial:
+                print(f"SKIP {name}: no spark output (partial dump)")
+                continue
             print(f"FAIL {name}: no spark output")
             nfail += 1
             continue
