@@ -56,7 +56,12 @@ object ScaleSmoke {
     // bloom-prefiltered decontamination, CMS-thresholded heavy hitters
     "j35_bm25_topk",
     "j36_decontaminate_bloom",
-    "j37_heavy_hitters")
+    "j37_heavy_hitters",
+    // round 11: hybrid retrieval fusion (BM25 + cosine legs per probe)
+    // and bigram-LM train→score (one corpus explode, checkpointed
+    // support feeding model rollup + scoring join)
+    "j42_rrf_fusion",
+    "j43_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

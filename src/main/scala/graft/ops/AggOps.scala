@@ -164,6 +164,38 @@ object AggOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** d18 — HBase CheckAndDelete (the conditional-mutation family's other
+    * half, beside d17): per coordinate, IF the current latest 'error'
+    * cell's value is below 200 THEN place a DeleteColumn tombstone at
+    * that latest ts — which, under HBase's equal-ts-delete-wins rule
+    * (the a14/b15 semantics), masks the whole column at the next read.
+    * The query returns the post-mutation latest view's per-qualifier
+    * aggregate, so the condition read, the tombstone placement, AND the
+    * masked re-read are all inside the gate. Scale shape: d17's — two
+    * window passes over the same (rowkey, cf, qualifier) partitioning
+    * plus a union of the tombstone sliver; the tombstone is resolved in
+    * the version window (del DESC at equal ts), never by a join.
+    */
+  val d18_check_and_delete: Q = (s, d) => {
+    val cells = Tables.events(s, d).select(
+      Tables.pad(col("user_id")).as("rowkey"), lit("e").as("cf"),
+      col("event_type").as("qualifier"), Tables.tsMicros(col("ts")).as("ts"),
+      col("value"), lit(0).as("del"))
+    val w = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("del").desc, col("value").asc)
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val tombs = latest(cells)
+      .where(col("qualifier") === "error" && col("value") < 200.0)
+      .select(col("rowkey"), col("cf"), col("qualifier"), col("ts"),
+        col("value"), lit(1).as("del"))
+    latest(cells.unionByName(tombs))
+      .where(col("del") === 0)
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   /** d16 — boolean aggregates (every/any). */
   val d16_agg_bool: Q = (s, d) =>
     Tables.orders(s, d)
@@ -177,6 +209,7 @@ object AggOps {
   val queries: Map[String, Q] = Map(
     "d16_agg_bool" -> d16_agg_bool,
     "d17_check_and_put" -> d17_check_and_put,
+    "d18_check_and_delete" -> d18_check_and_delete,
     "d1_agg_basic" -> d1_agg_basic,
     "d2_agg_avg" -> d2_agg_avg,
     "d3_agg_distinct" -> d3_agg_distinct,

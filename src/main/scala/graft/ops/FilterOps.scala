@@ -301,7 +301,27 @@ object FilterOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
       .orderBy(col("qualifier").asc_nulls_last)
 
+  /** b23 — TimestampsFilter (`Scan#setTimestamps`): keep only cells
+    * written at EXACTLY the requested version timestamps — the
+    * version-dimension point selection beside b10's range. The requested
+    * list is carved deterministically from the fixture (the distinct ts
+    * of user 1's row) — the "correlate one row's write batch across the
+    * whole table" forensics idiom. Scale shape: the wanted-ts list is
+    * one row's versions (bounded), broadcast into a left-semi join, so
+    * the table side streams map-side with no shuffle.
+    */
+  val b23_timestamps_filter: Q = (s, d) => {
+    val cells = Tables.cells(s, d)
+    val wanted = cells.where(col("rowkey").startsWith("000000000001:"))
+      .select(col("ts")).distinct()
+    cells.join(broadcast(wanted), Seq("ts"), "left_semi")
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("rowkey")).as("nrows"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b23_timestamps_filter" -> b23_timestamps_filter,
     "b22_filter_list" -> b22_filter_list,
     "b21_reverse_scan" -> b21_reverse_scan,
     "b18_multi_range" -> b18_multi_range,

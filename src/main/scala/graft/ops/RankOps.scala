@@ -35,8 +35,21 @@ object RankOps {
     * per-(query,doc) scoring shuffle; the final top-k is a bounded
     * row_number window per query.
     */
+  /** Probe selection over an id column: the declared queries carve the
+    * deterministic ≡ 0 mod 125 workload from the corpus; the serving
+    * path ([[rrfServe]], StreamOps I23) selects the EXPLICIT probe ids
+    * of the arriving request batch via a broadcast semi-join (never a
+    * driver-side isin).
+    */
+  private type ProbeSel = (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame
+
+  private val mod125: ProbeSel = (df, idCol) => df.where(col(idCol) % 125 === 0)
+
+  private def idsSel(ids: org.apache.spark.sql.DataFrame): ProbeSel = (df, idCol) =>
+    df.join(broadcast(ids.select(col("qid"))), col(idCol) === col("qid"), "left_semi")
+
   def j35_bm25_topk: Q = (s, d) => {
-    val scored = bm25Scored(s, d)
+    val scored = bm25Scored(s, d, mod125)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
@@ -47,7 +60,8 @@ object RankOps {
   /** BM25 per-(query, doc) scores for the ≡0 mod 125 probe workload —
     * shared by j35 (ranked list) and j42 (lexical leg of the fusion).
     */
-  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String,
+                         sel: ProbeSel) = {
     // ONE corpus explode by construction. A first cut derived dl/df/
     // stats as separate aggregations over a shared tf frame — but each
     // consumer pushed a different inferred IsNotNull set into its copy
@@ -66,7 +80,7 @@ object RankOps {
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val tfdl = tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy("doc_id")))
-    val qterms = Tables.documents(s, d).where(col("doc_id") % 125 === 0)
+    val qterms = sel(Tables.documents(s, d), "doc_id")
       .select(col("doc_id").as("qid"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .where(length(col("tok")) >= 6)
@@ -118,9 +132,23 @@ object RankOps {
     * derives it from doc_id only for SF-stable determinism); the fusion
     * join touches ≤ 40 rows per probe.
     */
-  def j42_rrf_fusion: Q = (s, d) => {
+  def j42_rrf_fusion: Q = (s, d) => rrfFused(s, d, mod125)
+
+  /** The serving entry: fused top-10 for an EXPLICIT batch of probe ids
+    * (one `qid` column) — what each trigger of the I23 streaming twin
+    * computes for its arriving requests. Identical formula and output
+    * shape to j42; only the probe selection differs (broadcast semi-join
+    * on the request ids instead of the deterministic mod rule), so
+    * StreamingSpec can pin serve(ids of j42's probes) ≡ j42 row-for-row.
+    */
+  def rrfServe(s: org.apache.spark.sql.SparkSession, d: String,
+               probeIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rrfFused(s, d, idsSel(probeIds))
+
+  private def rrfFused(s: org.apache.spark.sql.SparkSession, d: String,
+                       sel: ProbeSel): org.apache.spark.sql.DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Scored(s, d)
+    val lex = bm25Scored(s, d, sel)
       .where(col("doc_id") =!= col("qid"))
       .withColumn("lrnk", row_number().over(wq)).where(col("lrnk") <= 20)
       .select(col("qid"), col("doc_id"), col("lrnk"))
@@ -128,7 +156,7 @@ object RankOps {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         TextOps.l2Col(col("embedding")).as("e_norm"))
-    val probes = emb.where(col("vec_id") % 125 === 0)
+    val probes = sel(emb, "vec_id")
       .select(col("vec_id").as("qid"), col("embedding").as("p_emb"),
         col("e_norm").as("p_norm"))
     val ws = Window.partitionBy("qid").orderBy(col("sim").desc, col("doc_id"))

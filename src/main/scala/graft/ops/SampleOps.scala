@@ -158,6 +158,37 @@ object SampleOps {
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
       .orderBy(asc_nulls_last("lang"))
 
+  /** j44: temperature-scaled language sampling weights — the multilingual
+    * corpus-balancing rule (Conneau et al., XLM-R, arXiv:1911.02116 §3.1,
+    * itself from Lample/Conneau 2019): q_l ∝ p_l^α with α = 0.3, which
+    * up-samples low-resource languages relative to their natural share
+    * p_l = n_l / N. This is the RECIPE step that feeds weights like
+    * j22's; j22 applies fixed weights, j44 derives them from the corpus.
+    *
+    * Determinism: n_l and N are exact longs; p_l is ONE IEEE division;
+    * w_l = round(p_l^0.3, 6) caps the last-ulp pow() divergence (the
+    * j32 ln recipe applied to pow) and is CAST to DECIMAL(18,6) so the
+    * normalizer Σ w_l is an EXACT sum — order-independent across 5 rows
+    * on both engines — and q_l is one final division of exactly-agreed
+    * values. Scale shape: one per-lang count (map-side combined), a
+    * language-cardinality-sized window for the normalizer — the corpus
+    * is touched once.
+    */
+  def j44_temperature_mix: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val byLang = Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("ntot", sum(col("n")).over(Window.partitionBy()))
+    byLang
+      .withColumn("p", col("n").cast("double") / col("ntot").cast("double"))
+      .withColumn("w", round(pow(col("p"), 0.3), 6).cast(DecimalType(18, 6)))
+      .withColumn("wtot", sum(col("w")).over(Window.partitionBy())
+        .cast(DecimalType(38, 6)))
+      .select(col("lang"), col("n"), col("p"),
+        (col("w").cast("double") / col("wtot").cast("double")).as("q"))
+      .orderBy(asc_nulls_last("lang"))
+  }
+
   /** j23: stratified exact-k sample — exactly 10 docs per language, chosen
     * by hash order (deterministic reservoir equivalent: the "reservoir" is
     * the k smallest hash values per stratum, so membership is stable under
@@ -181,5 +212,6 @@ object SampleOps {
     "j21_pack_shards" -> j21_pack_shards,
     "j22_mix_domains" -> j22_mix_domains,
     "j23_sample_stratified" -> j23_sample_stratified,
-    "j24_pack_payload" -> j24_pack_payload)
+    "j24_pack_payload" -> j24_pack_payload,
+    "j44_temperature_mix" -> j44_temperature_mix)
 }

@@ -235,6 +235,13 @@ object OracleSql {
         |GROUP BY event_type ORDER BY event_type NULLS LAST""".stripMargin,
     "b11_qualifier_filter" ->
       (cellsCte + "SELECT count(*) AS n FROM cells WHERE qualifier LIKE 'c%'"),
+    "b23_timestamps_filter" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n, count(DISTINCT rowkey) AS nrows
+          |FROM cells
+          |WHERE ts IN (SELECT DISTINCT ts FROM cells
+          |             WHERE rowkey LIKE '000000000001:%')
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     "b12_scvf_exists" ->
       """SELECT count(DISTINCT user_id) AS n FROM events e
         |WHERE EXISTS (SELECT 1 FROM events e2 WHERE e2.user_id = e.user_id
@@ -353,6 +360,26 @@ object OracleSql {
         |SELECT qualifier, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
         |FROM l2 GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,
+    "d18_check_and_delete" ->
+      """WITH uc AS (
+        |  SELECT lpad(CAST(user_id AS VARCHAR), 12, '0') AS rowkey, 'e' AS cf,
+        |         event_type AS qualifier, CAST(epoch_us(ts) AS BIGINT) AS ts, value,
+        |         0 AS del
+        |  FROM events),
+        |l1 AS (SELECT rowkey, cf, qualifier, ts, value FROM (
+        |  SELECT rowkey, cf, qualifier, ts, value,
+        |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |                            ORDER BY ts DESC, del DESC, value) AS rn FROM uc) WHERE rn = 1),
+        |tombs AS (SELECT rowkey, cf, qualifier, ts, value, 1 AS del
+        |          FROM l1 WHERE qualifier = 'error' AND value < 200.0),
+        |allc AS (SELECT * FROM uc UNION ALL SELECT * FROM tombs),
+        |l2 AS (SELECT rowkey, cf, qualifier, ts, value, del FROM (
+        |  SELECT rowkey, cf, qualifier, ts, value, del,
+        |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |                            ORDER BY ts DESC, del DESC, value) AS rn FROM allc) WHERE rn = 1)
+        |SELECT qualifier, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM l2 WHERE del = 0 GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,
     "d13_hbase_increment" ->
       (cellsCte +
         s"""SELECT rowkey, ${dsum("value")} AS counter
@@ -917,6 +944,20 @@ object OracleSql {
         |WHERE ${mixSql("(doc_id + 9176)")} % 1000 <
         |      CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300 ELSE 1000 END
         |GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin,
+    // j44: n and N exact longs; p one IEEE division; w rounded-at-6dp pow
+    // frozen into DECIMAL so the 5-row normalizer sum is exact and
+    // order-independent; q one final division of exactly-agreed values
+    "j44_temperature_mix" ->
+      """WITH byl AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n,
+        |             CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS p
+        |      FROM byl),
+        |w AS (SELECT lang, n, p,
+        |             CAST(round(pow(p, 0.3), 6) AS DECIMAL(18,6)) AS w FROM t)
+        |SELECT lang, CAST(n AS BIGINT) AS n, p,
+        |       CAST(w AS DOUBLE)
+        |         / CAST(CAST(sum(w) OVER () AS DECIMAL(38,6)) AS DOUBLE) AS q
+        |FROM w ORDER BY lang NULLS LAST""".stripMargin,
     "j23_sample_stratified" ->
       s"""SELECT lang, doc_id, rn FROM
         |  (SELECT lang, doc_id,

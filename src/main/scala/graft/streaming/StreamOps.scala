@@ -486,6 +486,30 @@ object StreamOps {
       .agg(sum(col("c")).cast(DecimalType(38, 6)).cast("double").as("score"))
   }
 
+  /** I23: hybrid-retrieval serving — each arriving micro-batch of probe
+    * REQUESTS is answered with the j42 RRF fused top-10 against the two
+    * static indexes (BM25 lexical + embedding-cosine semantic). Fused
+    * ranking needs window functions, which a streaming aggregation
+    * cannot express, so the serving shape is per-trigger batch ranking
+    * over exactly the request sliver ([[graft.ops.RankOps.rrfServe]],
+    * a broadcast semi-join on the arriving ids) — the standard
+    * request/response foreachBatch idiom. Each request id is answered
+    * once per arrival and batches are independent, so results over
+    * disjoint request batches union to the batch j42 run — StreamingSpec
+    * I23 pins streamed ≡ j42 row-for-row for the same ids.
+    */
+  def rrfServeSink(spark: SparkSession, sfDir: String, probeIds: DataFrame,
+                   checkpointDir: String)(sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    probeIds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(graft.ops.RankOps.rrfServe(spark, sfDir, batch))
+        ()
+      }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -152,6 +152,29 @@ class StreamingSpec extends SparkSuite {
       "j35 top-k rows diverge from the serving-path scores")
   }
 
+  test("I23: RRF hybrid serving over a streaming request feed equals batch j42") {
+    // the serving shape of j42: probe REQUEST ids stream in, both
+    // indexes are static; each trigger answers its request sliver with
+    // full fused ranking (foreachBatch — window ranks are inexpressible
+    // as a streaming aggregation), and disjoint request batches must
+    // union to exactly the batch j42 table
+    val answered = scala.collection.mutable.ArrayBuffer.empty[String]
+    var triggers = 0
+    val requests = StreamOps.documentsStream(spark, sf)
+      .where(col("doc_id") % 125 === 0).select(col("doc_id").as("qid"))
+    val ckpt = Files.createTempDirectory("rrf_serve_ckpt").toString
+    val q = StreamOps.rrfServeSink(spark, sf, requests, ckpt) { out =>
+      answered ++= out.collect().map(_.toString); triggers += 1
+    }.start()
+    q.awaitTermination()
+    assert(triggers >= 2, s"replay must be multi-micro-batch, got $triggers")
+    val batch = SparkEntry.queries("j42_rrf_fusion")(spark, sf)
+      .collect().map(_.toString)
+    assert(answered.nonEmpty && answered.sorted.sameElements(batch.sorted),
+      s"streamed RRF serving diverges from batch j42 " +
+        s"(${answered.size} streamed vs ${batch.length} batch rows)")
+  }
+
   test("I12: domain-mix sample is micro-batch invariant (stream equals batch)") {
     // j22's twin of I11: the per-language mix coins are stateless hash
     // decisions, so streaming ingestion and a batch recompute keep the
