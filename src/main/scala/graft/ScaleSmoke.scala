@@ -28,6 +28,8 @@ object ScaleSmoke {
     "b12_scvf_exists",        // EXISTS semi-join back to whole rows
     "i4_window_session_batch",// lag + running-sum sessionization
     "d13_hbase_increment",    // counter aggregation per rowkey
+    "d18_check_and_delete",   // conditional tombstone: two version windows over all cells (r11)
+    "b23_timestamps_filter",  // broadcast semi-join version selection (r11)
     "a9_hfile_roundtrip",     // full HFile bulk write + read back
     "a13_hfile_merge_read",   // LSM generations + exchange-free heap merge (r10)
     // LLM-pipeline families over the scaled documents/embeddings tables
