@@ -24,7 +24,15 @@ object Verify {
     // iteration (pair with tools/compare.py --partial, which then skips
     // queries with no result dir instead of failing them); the driver
     // never sets it, so graded runs always dump the full set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name silently dumping nothing would read as a green
+    // --partial compare downstream — fail loudly here instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

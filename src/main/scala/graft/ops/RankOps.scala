@@ -49,7 +49,8 @@ object RankOps {
     df.join(broadcast(ids.select(col("qid"))), col(idCol) === col("qid"), "left_semi")
 
   def j35_bm25_topk: Q = (s, d) => {
-    val scored = bm25Scored(s, d, mod125)
+    val idx = rrfIndex(s, d)
+    val scored = bm25Scored(s, d, mod125, idx.tfdl, idx.stats)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
@@ -60,8 +61,19 @@ object RankOps {
   /** BM25 per-(query, doc) scores for the ≡0 mod 125 probe workload —
     * shared by j35 (ranked list) and j42 (lexical leg of the fusion).
     */
-  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String,
-                         sel: ProbeSel) = {
+  /** The probe-INDEPENDENT halves of the retrieval state, so a serving
+    * caller (StreamOps I23) can build them once, cache them, and answer
+    * every request batch against the materialized indexes instead of
+    * re-running the corpus explode + aggregations per trigger (the same
+    * lifecycle bm25ScoreStream gives its lexical index). The declared
+    * batch queries build them fresh — one run, nothing to reuse.
+    */
+  final case class RrfIndex(
+      tfdl: org.apache.spark.sql.DataFrame,   // per-(doc, tok) tf + doc length
+      stats: org.apache.spark.sql.DataFrame,  // 1 row: n_docs, toktot
+      emb: org.apache.spark.sql.DataFrame)    // vec_id, embedding, e_norm
+
+  def rrfIndex(s: org.apache.spark.sql.SparkSession, d: String): RrfIndex = {
     // ONE corpus explode by construction. A first cut derived dl/df/
     // stats as separate aggregations over a shared tf frame — but each
     // consumer pushed a different inferred IsNotNull set into its copy
@@ -77,16 +89,25 @@ object RankOps {
     //    stats counts tokens with size(split(..)), vectorized).
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val tfdl = tf.withColumn("dl",
-      sum(col("tf")).over(Window.partitionBy("doc_id")))
+    val tfdl = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+    val stats = Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(lower(col("text")), " "))).cast("long").as("toktot"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        TextOps.l2Col(col("embedding")).as("e_norm"))
+    RrfIndex(tfdl, stats, emb)
+  }
+
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String,
+                         sel: ProbeSel,
+                         tfdl: org.apache.spark.sql.DataFrame,
+                         stats: org.apache.spark.sql.DataFrame) = {
     val qterms = sel(Tables.documents(s, d), "doc_id")
       .select(col("doc_id").as("qid"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .where(length(col("tok")) >= 6)
-    val stats = Tables.documents(s, d).agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(split(lower(col("text")), " "))).cast("long").as("toktot"))
 
     val avgdl = col("toktot").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -132,7 +153,7 @@ object RankOps {
     * derives it from doc_id only for SF-stable determinism); the fusion
     * join touches ≤ 40 rows per probe.
     */
-  def j42_rrf_fusion: Q = (s, d) => rrfFused(s, d, mod125)
+  def j42_rrf_fusion: Q = (s, d) => rrfFused(s, d, mod125, rrfIndex(s, d))
 
   /** The serving entry: fused top-10 for an EXPLICIT batch of probe ids
     * (one `qid` column) — what each trigger of the I23 streaming twin
@@ -140,22 +161,28 @@ object RankOps {
     * shape to j42; only the probe selection differs (broadcast semi-join
     * on the request ids instead of the deterministic mod rule), so
     * StreamingSpec can pin serve(ids of j42's probes) ≡ j42 row-for-row.
+    * The `idx` overload answers against a CALLER-CACHED [[RrfIndex]] —
+    * the serving sink builds + caches it once so per-trigger work is
+    * O(request sliver), not O(corpus).
     */
   def rrfServe(s: org.apache.spark.sql.SparkSession, d: String,
                probeIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    rrfFused(s, d, idsSel(probeIds))
+    rrfServe(s, d, probeIds, rrfIndex(s, d))
+
+  def rrfServe(s: org.apache.spark.sql.SparkSession, d: String,
+               probeIds: org.apache.spark.sql.DataFrame,
+               idx: RrfIndex): org.apache.spark.sql.DataFrame =
+    rrfFused(s, d, idsSel(probeIds), idx)
 
   private def rrfFused(s: org.apache.spark.sql.SparkSession, d: String,
-                       sel: ProbeSel): org.apache.spark.sql.DataFrame = {
+                       sel: ProbeSel, idx: RrfIndex): org.apache.spark.sql.DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Scored(s, d, sel)
+    val lex = bm25Scored(s, d, sel, idx.tfdl, idx.stats)
       .where(col("doc_id") =!= col("qid"))
       .withColumn("lrnk", row_number().over(wq)).where(col("lrnk") <= 20)
       .select(col("qid"), col("doc_id"), col("lrnk"))
 
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        TextOps.l2Col(col("embedding")).as("e_norm"))
+    val emb = idx.emb
     val probes = sel(emb, "vec_id")
       .select(col("vec_id").as("qid"), col("embedding").as("p_emb"),
         col("e_norm").as("p_norm"))

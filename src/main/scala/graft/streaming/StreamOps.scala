@@ -500,15 +500,26 @@ object StreamOps {
     */
   def rrfServeSink(spark: SparkSession, sfDir: String, probeIds: DataFrame,
                    checkpointDir: String)(sink: DataFrame => Unit)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // both static indexes (BM25 tf/dl, corpus stats, normalized
+    // embeddings) are FIXED across triggers — build + cache them ONCE so
+    // a trigger's cost is the request sliver, not a per-batch corpus
+    // explode/aggregation/norm pass (the bm25ScoreStream lifecycle; the
+    // caches unpersist when the session's last stream terminates)
+    val idx0 = graft.ops.RankOps.rrfIndex(spark, sfDir)
+    val idx = idx0.copy(tfdl = idx0.tfdl.cache(), stats = idx0.stats.cache(),
+      emb = idx0.emb.cache())
+    Seq(idx.tfdl, idx.stats, idx.emb).foreach(registerServingCache(spark, _))
     probeIds.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink(graft.ops.RankOps.rrfServe(spark, sfDir, batch))
+        if (!batch.isEmpty)
+          sink(graft.ops.RankOps.rrfServe(spark, sfDir, batch, idx))
         ()
       }
+  }
 
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a

@@ -256,14 +256,15 @@ class PlanSpec extends SparkSuite {
 
   test("j43 perplexity scores off the materialized bigram support — no second corpus explode") {
     val plan = physical(SparkEntry.queries("j43_lm_perplexity")(spark, sf))
-    // dtf is localCheckpointed: both consumers (model rollup + scoring
+    // dtf is localCheckpointed: BOTH consumers (model rollup + scoring
     // join) must read the checkpointed RDD, so the final plan carries
     // ZERO Generate (the one corpus explode happened at checkpoint
-    // materialization) and no cartesian/nested-loop join
+    // materialization) and exactly two checkpoint scans — one per
+    // consumer, nothing re-derived from the corpus
     assert(!plan.contains("Generate"), plan)
-    assert(plan.linesIterator.count(_.contains("Scan ExistingRDD")) == 2
-      || plan.linesIterator.count(_.contains("LogicalRDD")) == 2
-      || plan.contains("ExistingRDD"), plan)
+    val rddScans = plan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans == 2,
+      s"expected both consumers to read the checkpointed support (2 scans), got $rddScans\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
 

@@ -87,20 +87,22 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
     for name in sorted(oracle):
+        # resolve the spark output FIRST: a --partial run must not execute
+        # the whole ~140-query DuckDB battery (or fail on a query outside
+        # the restricted set) just to discover there is nothing to compare
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            if partial:
+                continue
+            print(f"FAIL {name}: no spark output")
+            nfail += 1
+            continue
         try:
             duck = con.execute(oracle[name])
             dcols = [c[0] for c in duck.description]
             drows = duck.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
-            nfail += 1
-            continue
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            if partial:
-                print(f"SKIP {name}: no spark output (partial dump)")
-                continue
-            print(f"FAIL {name}: no spark output")
             nfail += 1
             continue
         sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
@@ -131,6 +133,11 @@ def main():
         print(f"PASS {name} ({len(sr)} rows)")
         npass += 1
     print(f"== {npass} pass, {nfail} fail ==")
+    # a run that compared NOTHING must not read as green — e.g. a typo'd
+    # SPARK_GRAFT_ONLY produced an empty dump and --partial skipped it all
+    if npass == 0 and nfail == 0:
+        print("FAIL: zero queries compared (empty or fully-skipped dump)")
+        sys.exit(1)
     sys.exit(1 if nfail else 0)
 
 
