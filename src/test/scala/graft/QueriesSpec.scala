@@ -98,4 +98,60 @@ class QueriesSpec extends SparkSuite {
     assert(a.union(a).distinct().count() == a.distinct().count())
     assert(a.except(a).count() == 0)
   }
+
+  test("law: j44 temperature weights form a distribution that up-samples low-resource languages") {
+    val rows = SparkEntry.queries("j44_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "q must normalize to 1")
+    assert(rows.forall(r => r._4 > 0), "every language keeps positive mass")
+    // α < 1 ⟹ the up-sampling factor q/p strictly decreases in p: the
+    // rarer language always gains relative to its natural share
+    for (a <- rows; b <- rows if a._3 < b._3)
+      assert(a._4 / a._3 > b._4 / b._3,
+        s"${a._1} (p=${a._3}) must be up-sampled more than ${b._1} (p=${b._3})")
+  }
+
+  test("law: d18 deletes exactly the condition-matched error columns, touches nothing else") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // d18 builds its cells straight from events (no op column); recompute
+    // the pre-mutation latest view from the same projection (all del=0,
+    // so the tie-order reduces to d18's ts desc, value asc)
+    val base = Tables.events(spark, sf).select(
+      Tables.pad(col("user_id")).as("rowkey"), col("event_type").as("qualifier"),
+      Tables.tsMicros(col("ts")).as("ts"), col("value"))
+    val w = Window.partitionBy("rowkey", "qualifier")
+      .orderBy(col("ts").desc, col("value").asc)
+    val latest = base.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    val plain = latest.groupBy("qualifier")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d18 = SparkEntry.queries("d18_check_and_delete")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val survivors = latest.where(col("qualifier") === "error" && col("value") >= 200.0).count()
+    // non-error qualifiers are untouched; error keeps exactly the
+    // latest cells whose value fails the delete condition
+    plain.foreach { case (q, n) =>
+      if (q != "error") assert(d18.get(q).contains(n), s"$q changed: ${d18.get(q)} vs $n")
+    }
+    assert(d18.getOrElse("error", 0L) == survivors,
+      s"error survivors ${d18.get("error")} != condition-computed $survivors")
+  }
+
+  test("law: j42 fused ranking is contiguous, ordered, and never self-matching") {
+    val rows = SparkEntry.queries("j42_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"qid=$qid ranks not contiguous")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true
+      }, s"qid=$qid rrf not non-increasing in rank")
+      assert(rs.forall(_._3 != qid), s"qid=$qid fused its own document")
+    }
+  }
 }
