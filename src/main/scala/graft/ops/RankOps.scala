@@ -175,26 +175,61 @@ object RankOps {
     rrfFused(s, d, idsSel(probeIds), idx)
 
   private def rrfFused(s: org.apache.spark.sql.SparkSession, d: String,
-                       sel: ProbeSel, idx: RrfIndex): org.apache.spark.sql.DataFrame = {
+                       sel: ProbeSel, idx: RrfIndex): org.apache.spark.sql.DataFrame =
+    fuseLegs(lexLeg(s, d, sel, idx), bruteSemLeg(sel, idx))
+
+  /** The 100 TB semantic-leg swap: the SAME fusion with the IVF ANN list
+    * ([[AnnOps.ivfTopK]]) in place of the brute-force cosine leg, so a
+    * corpus too large to scan per probe serves fused results off the
+    * coarse-quantized index. At nProbe = nlist IVF probing is exhaustive
+    * and its exact `graft_cosine` re-rank bit-matches the brute leg
+    * (k5/AnnSpec pins), so the fused output EQUALS j42's — AnnSpec pins
+    * that equality; at production nProbe the recall-vs-cost curve in
+    * docs/SCALE.md sizes the knob and the fusion itself still touches
+    * ≤ 40 rows per probe.
+    */
+  def rrfFuseAnn(s: org.apache.spark.sql.SparkSession, d: String,
+                 probeIds: org.apache.spark.sql.DataFrame,
+                 nlist: Int = 16, nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
+    val idx = rrfIndex(s, d)
+    val corpus = Tables.embeddings(s, d)
+    val probes = idsSel(probeIds)(corpus, "vec_id")
+    val sem = AnnOps.ivfTopK(s, corpus, probes, k = 20, nlist = nlist,
+        nProbe = nProbe)
+      .select(col("pid").as("qid"), col("vec_id").as("doc_id"),
+        col("rn").as("srnk"))
+    fuseLegs(lexLeg(s, d, idsSel(probeIds), idx), sem)
+  }
+
+  private def lexLeg(s: org.apache.spark.sql.SparkSession, d: String,
+                     sel: ProbeSel, idx: RrfIndex): org.apache.spark.sql.DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Scored(s, d, sel, idx.tfdl, idx.stats)
+    bm25Scored(s, d, sel, idx.tfdl, idx.stats)
       .where(col("doc_id") =!= col("qid"))
       .withColumn("lrnk", row_number().over(wq)).where(col("lrnk") <= 20)
       .select(col("qid"), col("doc_id"), col("lrnk"))
+  }
 
+  private def bruteSemLeg(sel: ProbeSel, idx: RrfIndex): org.apache.spark.sql.DataFrame = {
     val emb = idx.emb
     val probes = sel(emb, "vec_id")
       .select(col("vec_id").as("qid"), col("embedding").as("p_emb"),
         col("e_norm").as("p_norm"))
     val ws = Window.partitionBy("qid").orderBy(col("sim").desc, col("doc_id"))
-    val sem = broadcast(probes).crossJoin(emb)
+    broadcast(probes).crossJoin(emb)
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("doc_id"),
         (TextOps.dotCol(col("p_emb"), col("embedding"))
           / (col("p_norm") * col("e_norm"))).as("sim"))
       .withColumn("srnk", row_number().over(ws)).where(col("srnk") <= 20)
       .select(col("qid"), col("doc_id"), col("srnk"))
+  }
 
+  /** Fuse two (qid, doc_id, rank) lists by rrf = Σ 1/(60 + rank); a row
+    * present in one list only keeps that list's term (FULL OUTER).
+    */
+  private def fuseLegs(lex: org.apache.spark.sql.DataFrame,
+                       sem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"),
         (coalesce(lit(1.0) / (lit(60) + col("lrnk")), lit(0.0))

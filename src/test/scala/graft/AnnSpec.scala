@@ -304,4 +304,22 @@ class AnnSpec extends SparkSuite {
     val b2 = AnnOps.bucketed(emb.limit(50)).select("vec_id", "tbl", "key").collect()
     assert(b1.map(_.toString).sorted.sameElements(b2.map(_.toString).sorted))
   }
+
+  test("RRF with the IVF semantic leg equals j42 at exhaustive probing") {
+    // the production swap for the fusion's semantic leg: at
+    // nProbe = nlist every cell is probed, the candidate set is the full
+    // corpus, and the graft_cosine re-rank bit-matches the brute leg
+    // (k5 pin) with the same (sim DESC, id) tie order — so the fused
+    // table must equal the declared j42 row-for-row. At production
+    // nProbe the same code path trades recall on the curve above.
+    val probeIds = Tables.documents(spark, sf)
+      .where(col("doc_id") % 125 === 0).select(col("doc_id").as("qid"))
+    val ann = graft.ops.RankOps.rrfFuseAnn(spark, sf, probeIds,
+      nlist = 8, nProbe = 8).collect().map(_.toString).sorted
+    val batch = SparkEntry.queries("j42_rrf_fusion")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(ann.nonEmpty && ann.sameElements(batch),
+      s"ANN-leg fusion diverges from j42 at full probing " +
+        s"(${ann.length} vs ${batch.length} rows)")
+  }
 }
