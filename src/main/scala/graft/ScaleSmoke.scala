@@ -54,6 +54,7 @@ object ScaleSmoke {
     // pure scan) — it runs as a pipelines entry that consumes the md5.
     "j28_dup_substrings",
     "j29_decontaminate",
+    "j45_dedup_paragraphs",   // chunk-keyed keep-first + reassembly (r11)
     // ranked retrieval + sketch-path passes (round 10): one-pass BM25,
     // bloom-prefiltered decontamination, CMS-thresholded heavy hitters
     "j35_bm25_topk",

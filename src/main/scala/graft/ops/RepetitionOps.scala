@@ -248,9 +248,48 @@ object RepetitionOps {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
+  /** j45: paragraph-level dedup — CCNet's pass (Wenzek et al.,
+    * arXiv:1911.00359 §2: hash each paragraph, drop duplicated
+    * paragraphs corpus-wide before LM scoring). The fixture text has no
+    * paragraph marks, so the segmentation rule is deterministic
+    * fixed-width chunks (8 consecutive words); an occurrence is kept iff
+    * it is the GLOBAL first (min (doc_id, seg)) of its chunk text — the
+    * j31 keep-first convention at paragraph granularity, without j31's
+    * overlapping-window interval machinery (chunks tile the document, so
+    * surgery is plain filter + ordered reassembly). The gate pins counts
+    * AND the md5 of every reassembled document (null when nothing
+    * survives, e.g. an exact-duplicate document).
+    *
+    * Scale shape: one corpus chunk explode → ONE chunk-keyed window
+    * (carrying (doc_id, seg) only — ~16 B/row beside the chunk text) →
+    * one doc_id re-aggregation. No pairwise compare, no join;
+    * structurally the j31 exchange pattern minus the interval union.
+    */
+  def j45_dedup_paragraphs: Q = (s, d) => {
+    val seg = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("ws")) / lit(8.0)).cast("int") - 1),
+        i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg"),
+        col("col").as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("seg"))
+    seg.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+        when(sum(when(col("rn") === 1, 1).otherwise(0)) > 0,
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("seg"), col("chunk"))))),
+            x => x.getField("chunk"))))).as("clean_md5"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "j28_dup_substrings" -> j28_dup_substrings,
     "j29_decontaminate" -> j29_decontaminate,
     "j30_rep_quality" -> j30_rep_quality,
-    "j31_dedup_cut" -> j31_dedup_cut)
+    "j31_dedup_cut" -> j31_dedup_cut,
+    "j45_dedup_paragraphs" -> j45_dedup_paragraphs)
 }

@@ -1056,6 +1056,23 @@ object OracleSql {
         |       dup5_chars, CAST(dup5_chars AS DOUBLE)/length(t) AS dup5_frac
         |FROM d LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
         |ORDER BY doc_id NULLS LAST""".stripMargin,
+    // j45: fixed-width 8-word chunks tile each document; keep the global
+    // first occurrence of each chunk text ((doc_id, seg) order); the md5
+    // pins the reassembled text, NULL when nothing survives
+    "j45_dedup_paragraphs" ->
+      """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST((i-1)//8 AS BIGINT) AS seg,
+        |         array_to_string(list_slice(ws, ((i-1)//8)*8+1, ((i-1)//8)*8+8), ' ') AS chunk
+        |  FROM ws, unnest(generate_series(1, len(ws))) AS u(i)
+        |  WHERE (i-1) % 8 = 0),
+        |r AS (SELECT doc_id, seg, chunk,
+        |             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, seg) AS rn
+        |      FROM seg)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |       md5(string_agg(chunk, ' ' ORDER BY seg) FILTER (WHERE rn = 1)) AS clean_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id NULLS LAST""".stripMargin,
     "j31_dedup_cut" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
         |w AS (
