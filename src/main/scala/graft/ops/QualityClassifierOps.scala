@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classifier-based quality filtering — the curated-vs-crawl filter of
@@ -47,16 +47,24 @@ object QualityClassifierOps {
     * standardized for the optimizer's sake, then the scaler is folded
     * into the returned raw-space weights.
     */
-  def train(spark: SparkSession, docs: DataFrame, labelCol: String = "label",
+  def train(docs: DataFrame, labelCol: String = "label",
             cap: Int = 20000, seed: Long = 42L): QualityModel = {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.classification.LogisticRegressionModel
     import org.apache.spark.ml.feature.{StandardScalerModel, VectorAssembler, StandardScaler}
 
+    // the bounded-selection sort key must carry the LABEL too: two rows
+    // with identical text but different labels (a curated doc also
+    // present in the crawl — exactly the overlap this classifier
+    // handles) would otherwise tie in (hash(text), text) order, and a
+    // cap boundary inside the tie group would keep a partition-order-
+    // dependent label multiset, breaking deterministic refit
     val labeled = featurize(docs)
       .join(docs.select(col("doc_id"), col(labelCol).cast("double").as("label"),
         col("text")), "doc_id")
-    val bounded = AnnOps.boundedTrainSet(labeled, "text", cap,
+      .withColumn("sort_key",
+        concat(col("text"), lit("\u0001"), col("label").cast("string")))
+    val bounded = AnnOps.boundedTrainSet(labeled, "sort_key", cap,
       trainFraction = 1.0, minRows = 10, seed = seed)
 
     val va = new VectorAssembler().setInputCols(featureCols.toArray)
@@ -96,11 +104,18 @@ object QualityClassifierOps {
     featurize(docs).select(col("doc_id"), scoreCol(m).as("q_score"))
 
   /** Keep documents whose classifier score clears the threshold (the
-    * deterministic analog of GPT-3's Pareto lottery on the score) —
-    * expressed as a semi-join so the corpus row stays intact.
+    * deterministic analog of GPT-3's Pareto lottery on the score).
+    * ONE map-only pass: the feature expressions and the sigmoid are
+    * computed inline on each row and dropped after the predicate — no
+    * second corpus scan, no semi-join shuffle, full row preserved.
     */
   def classifierFilter(docs: DataFrame, m: QualityModel,
-                       threshold: Double = 0.5): DataFrame =
-    docs.join(score(docs, m).where(col("q_score") >= threshold)
-      .select("doc_id"), Seq("doc_id"), "left_semi")
+                       threshold: Double = 0.5): DataFrame = {
+    val exprs = TextAnalysisOps.qualityFeatureExprs.toMap
+    val withFeats = m.featureNames.foldLeft(docs) {
+      case (df, f) => df.withColumn(f, exprs(f))
+    }
+    withFeats.where(scoreCol(m) >= threshold)
+      .drop(m.featureNames: _*)
+  }
 }

@@ -273,7 +273,11 @@ object RepetitionOps {
         i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
       .select(col("doc_id"), col("pos").cast("long").as("seg"),
         col("col").as("chunk"))
-    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("seg"))
+    // null ordering pinned explicitly (Spark defaults NULLS FIRST,
+    // DuckDB NULLS LAST — R4): "first occurrence" must mean the same
+    // row on both engines even if a null doc_id ever enters the fixture
+    val w = Window.partitionBy("chunk")
+      .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("seg"))
     seg.withColumn("rn", row_number().over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),

@@ -63,20 +63,27 @@ object TextAnalysisOps {
   /** Heuristic quality features: length, alpha ratio, punctuation ratio,
     * stopword ratio, mean token length, repetition (distinct/total token
     * ratio) — the standard pre-training quality-filter feature set.
+    * Exposed as named EXPRESSIONS so callers can compute them inline on
+    * a full row (a map-only filter) as well as via the projected frame.
     */
-  def qualityFeatures(docs: DataFrame): DataFrame = {
+  def qualityFeatureExprs: Seq[(String, Column)] = {
     val toks = split(lower(col("text")), wsClass)
-    docs.select(col("doc_id"),
-      length(col("text")).as("n_chars2"),
-      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-        / greatest(length(col("text")), lit(1))).as("alpha_ratio"),
-      (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
-        / greatest(length(col("text")), lit(1))).as("punct_ratio"),
-      stopwordRatio(col("text"), stopwordProfiles("en")).as("stop_ratio"),
-      (size(array_distinct(toks)).cast("double")
-        / greatest(size(toks), lit(1))).as("distinct_ratio"),
-      size(toks).as("n_tokens"))
+    Seq(
+      "n_chars2" -> length(col("text")),
+      "alpha_ratio" -> (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+        / greatest(length(col("text")), lit(1))),
+      "punct_ratio" -> (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+        / greatest(length(col("text")), lit(1))),
+      "stop_ratio" -> stopwordRatio(col("text"), stopwordProfiles("en")),
+      "distinct_ratio" -> (size(array_distinct(toks)).cast("double")
+        / greatest(size(toks), lit(1))),
+      "n_tokens" -> size(toks))
   }
+
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: qualityFeatureExprs.map {
+      case (n, e) => e.as(n)
+    }: _*)
 
   /** Composite [0,1] quality score + keep/drop flag, tunable bounds. */
   def qualityScore(docs: DataFrame, minChars: Int = 50, maxChars: Int = 100000): DataFrame =

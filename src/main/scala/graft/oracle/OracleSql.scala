@@ -1067,7 +1067,8 @@ object OracleSql {
         |  FROM ws, unnest(generate_series(1, len(ws))) AS u(i)
         |  WHERE (i-1) % 8 = 0),
         |r AS (SELECT doc_id, seg, chunk,
-        |             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, seg) AS rn
+        |             row_number() OVER (PARTITION BY chunk
+        |                 ORDER BY doc_id NULLS LAST, seg NULLS LAST) AS rn
         |      FROM seg)
         |SELECT doc_id, count(*) AS n_chunks,
         |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,

@@ -27,7 +27,7 @@ class QualityClassifierSpec extends SparkSuite {
   test("planted curated-vs-degraded signal is recovered on held-out docs") {
     val train = labeled.where(col("doc_id") % 10 < 8)
     val heldOut = labeled.where(col("doc_id") % 10 >= 8)
-    val m = QualityClassifierOps.train(spark, train)
+    val m = QualityClassifierOps.train(train)
     val scored = QualityClassifierOps.score(heldOut, m)
       .join(heldOut.select("doc_id", "label"), "doc_id")
     val n = scored.count()
@@ -40,17 +40,17 @@ class QualityClassifierSpec extends SparkSuite {
   }
 
   test("fit is deterministic (bounded content-hash training set, no RNG)") {
-    val m1 = QualityClassifierOps.train(spark, labeled)
-    val m2 = QualityClassifierOps.train(spark, labeled)
+    val m1 = QualityClassifierOps.train(labeled)
+    val m2 = QualityClassifierOps.train(labeled)
     assert(m1.intercept == m2.intercept)
     assert(m1.weights.sameElements(m2.weights))
   }
 
   test("scores are probabilities and degraded docs score lower; the filter keeps the clean side") {
-    val m = QualityClassifierOps.train(spark, labeled)
+    val m = QualityClassifierOps.train(labeled)
     val scored = QualityClassifierOps.score(labeled, m)
       .join(labeled.select("doc_id", "label"), "doc_id").cache()
-    assert(scored.where(col("q_score") <= 0.0 || col("q_score") >= 1.0).count() == 0)
+    assert(scored.where(col("q_score") < 0.0 || col("q_score") > 1.0).count() == 0)
     val means = scored.groupBy("label").agg(avg("q_score").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(means(1) > means(0),
