@@ -55,6 +55,7 @@ object ScaleSmoke {
     "j28_dup_substrings",
     "j29_decontaminate",
     "j45_dedup_paragraphs",   // chunk-keyed keep-first + reassembly (r11)
+    "j46_dedup_incremental",  // bloom-prefiltered crawl-vs-corpus admit (r11)
     // ranked retrieval + sketch-path passes (round 10): one-pass BM25,
     // bloom-prefiltered decontamination, CMS-thresholded heavy hitters
     "j35_bm25_topk",

@@ -514,8 +514,67 @@ object DedupOps {
       .drop("sig")
   }
 
+  /** j46: INCREMENTAL exact dedup — the recurring-crawl shape: an
+    * incoming batch is deduplicated against an EXISTING corpus (keep all
+    * existing; admit only incoming docs whose content hash is new, one
+    * survivor per within-batch duplicate group). The fixture plants the
+    * three operational paths deterministically: a re-crawl slice
+    * (docs ≡ 0 mod 7 resubmitted verbatim under new ids — all must be
+    * rejected), genuinely new docs (≡ 3 mod 7 with a derived suffix —
+    * all must be admitted), and a within-batch duplicate of half of them
+    * (≡ 3 mod 14 — keep-first must drop the higher id).
+    *
+    * Scale shape (the j36 asymmetry applied to dedup): the existing
+    * corpus' hash set feeds a distributed bloom aggregate (ONE row to
+    * the driver, size capped); incoming rows the bloom rejects are
+    * DEFINITELY new (no false negatives) and never shuffle — only bloom
+    * candidates reach the exact anti-join that kills false positives.
+    * In production the bloom/hash index is persisted state maintained
+    * across crawls; the query rebuilds it inline to stay
+    * self-contained. The oracle is the sketch-free spelling, so the
+    * hash gate proves the bloom layer semantically transparent.
+    */
+  def j46_dedup_incremental: Q = (s, d) => {
+    graft.functions.SketchFns.register(s)
+    val docs = Tables.documents(s, d)
+    def h(c: Column): Column = md5(lower(trim(c)))
+    val existing = docs.select(h(col("text")).as("h")).distinct()
+      .localCheckpoint() // three consumers: count, bloom agg, confirm join
+    val incoming = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh "), col("doc_id")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 14 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh "), col("doc_id")).as("text")))
+      .select(col("doc_id"), h(col("text")).as("h"))
+    val nExist = existing.count()
+    val numBits = math.min(1L << 26, math.max(1L << 20, nExist * 10L))
+    val bloomBytes = existing
+      .agg(call_function(graft.functions.SketchFns.bloomAggName,
+        col("h"), lit(math.max(nExist, 1L)), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val surv =
+      if (bloomBytes == null) incoming // empty existing corpus: all new
+      else {
+        val mc = call_function(graft.functions.SketchFns.bloomMightName,
+          lit(bloomBytes), col("h"))
+        val flagged = incoming.withColumn("mc", mc)
+        flagged.where(!col("mc")).drop("mc")
+          .unionByName(flagged.where(col("mc")).drop("mc")
+            .join(existing, Seq("h"), "left_anti"))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(asc_nulls_last("doc_id"))
+    surv.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("h"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "j38_connected_components" -> j38_connected_components,
     "j39_simhash_portable" -> j39_simhash_portable,
-    "j40_minhash_portable" -> j40_minhash_portable)
+    "j40_minhash_portable" -> j40_minhash_portable,
+    "j46_dedup_incremental" -> j46_dedup_incremental)
 }

@@ -1215,6 +1215,28 @@ object OracleSql {
         |FROM g JOIN eg USING (g)
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY hits DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    // j46: the sketch-free spelling of the incremental dedup — the bloom
+    // layer must be semantically transparent (no false negatives; the
+    // anti-join kills false positives), so the oracle never mentions it
+    "j46_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 14 = 3),
+        |ex AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM d),
+        |ih AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM inc),
+        |surv AS (SELECT doc_id, h FROM ih
+        |         WHERE h NOT IN (SELECT h FROM ex)),
+        |f AS (SELECT doc_id, h,
+        |             row_number() OVER (PARTITION BY h
+        |                 ORDER BY doc_id NULLS LAST) AS rn
+        |      FROM surv)
+        |SELECT doc_id, h FROM f WHERE rn = 1 ORDER BY doc_id NULLS LAST""".stripMargin,
     "j38_connected_components" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
