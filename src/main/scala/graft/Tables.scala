@@ -46,10 +46,26 @@ object Tables {
     // bounded: a long-lived JVM cycling per-job sessions must not pin
     // every dead session through its cached plans (r11 review). The cache
     // is an epoch cache, not an LRU — blowing it away wholesale is fine
-    // because entries cost one footer read to rebuild.
+    // because entries cost one footer read to rebuild. (The clear can
+    // race a concurrent computeIfAbsent and momentarily exceed the
+    // bound — benign: the next load re-clears.)
     if (relCache.size > 256) relCache.clear()
     relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       kv => kv._1.read.parquet(kv._2))
+  }
+
+  /** Drop every cached relation rooted under `path` (all sessions). The
+    * memoized DataFrame captures the analyzed relation INCLUDING its file
+    * listing, so any writer that regenerates a previously-loaded fixture
+    * path in-session MUST call this or queries silently read the stale
+    * listing (ADVICE r11). The shipped fixtures are immutable for the
+    * life of a run — today's only writers target [[appTmpDir]] scratch
+    * dirs, which never flow through [[load]] — so this is the safety
+    * hook for future flows, exercised by MiscSpec.
+    */
+  def invalidate(path: String): Unit = {
+    val it = relCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(path)) it.remove()
   }
 
   private val relCache =

@@ -525,8 +525,8 @@ object DedupOps {
     * (≡ 3 mod 14 — keep-first must drop the higher id).
     *
     * Scale shape (the j36 asymmetry applied to dedup): the existing
-    * corpus' hash set feeds a distributed bloom aggregate (ONE row to
-    * the driver, size capped); incoming rows the bloom rejects are
+    * corpus' hash set feeds the BANDED bloom index of
+    * [[incrementalAdmit]]; incoming rows the blooms reject are
     * DEFINITELY new (no false negatives) and never shuffle — only bloom
     * candidates reach the exact anti-join that kills false positives.
     * In production the bloom/hash index is persisted state maintained
@@ -535,7 +535,6 @@ object DedupOps {
     * hash gate proves the bloom layer semantically transparent.
     */
   def j46_dedup_incremental: Q = (s, d) => {
-    graft.functions.SketchFns.register(s)
     val docs = Tables.documents(s, d)
     def h(c: Column): Column = md5(lower(trim(c)))
     val existing = docs.select(h(col("text")).as("h")).distinct()
@@ -549,27 +548,111 @@ object DedupOps {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" fresh "), col("doc_id")).as("text")))
       .select(col("doc_id"), h(col("text")).as("h"))
-    val nExist = existing.count()
-    val numBits = math.min(1L << 26, math.max(1L << 20, nExist * 10L))
-    val bloomBytes = existing
-      .agg(call_function(graft.functions.SketchFns.bloomAggName,
-        col("h"), lit(math.max(nExist, 1L)), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val surv =
-      if (bloomBytes == null) incoming // empty existing corpus: all new
-      else {
-        val mc = call_function(graft.functions.SketchFns.bloomMightName,
-          lit(bloomBytes), col("h"))
-        val flagged = incoming.withColumn("mc", mc)
-        flagged.where(!col("mc")).drop("mc")
-          .unionByName(flagged.where(col("mc")).drop("mc")
-            .join(existing, Seq("h"), "left_anti"))
-      }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy(asc_nulls_last("doc_id"))
-    surv.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("doc_id"), col("h"))
+    incrementalAdmit(existing, incoming)
       .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  /** The incremental-admit core behind j46: admit the incoming rows whose
+    * content hash `h` is absent from `existing` (one column `h`,
+    * pre-distinct'd), keeping the min-doc_id survivor per within-batch
+    * duplicate group. Returns `(doc_id, h)`.
+    *
+    * NULL contract (ADVICE r11): an incoming row with a NULL hash is
+    * rejected on EVERY path — the oracle's `NOT IN` semantics (a NULL
+    * never satisfies it) — including the empty-corpus short-circuit; NULL
+    * existing hashes are likewise dropped before sizing/building.
+    *
+    * Scale design — the bloom index is BANDED, not capped (ADVICE/VERDICT
+    * r11): Spark's native `BloomFilterAggregate` bounds one filter at
+    * 2²⁶ bits (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * default), which at 10 bits/key saturates near 6.7 M keys — beyond
+    * that the old single filter silently degraded to FPR → 1 and the
+    * "bloom prefilter" became a no-op in front of a full anti-join. Here
+    * the key space splits into `nBands = ⌈nExist·bitsPerKey / 2²⁶⌉`
+    * bands by a second hash of `h`; each band builds its own ≤ 2²⁶-bit
+    * filter (one groupBy over the existing hash set), so the aggregate
+    * index holds ~`bitsPerKey` bits per key at ANY corpus size. The
+    * band filters are a tiny table (nBands rows) broadcast against the
+    * incoming batch and probed via the column-valued
+    * [[graft.functions.BloomMightContainCol]]; incoming rows never
+    * shuffle to be classified. The index is broadcast-bounded by
+    * `maxIndexBytes` (default 512 MB ≈ 3.4 B existing keys at 10
+    * bits/key); past that the method logs and degrades to the exact
+    * anti-join — at that corpus size the right production structure is a
+    * persisted, bucketed hash-index table, not a bigger broadcast.
+    *
+    * Effective FPR is measured and logged per call (`logStats`) from the
+    * materialized classification: candidates that survive the confirm
+    * anti-join are exactly the false positives, so
+    * `effFpr = fp / (rejected + fp)` — the number SketchOpsSpec pins
+    * against the analytic `(1 − e^(−kn/m))^k` prediction at a forced-
+    * small filter, proving candidate-set size tracks FPR, not corpus
+    * size.
+    */
+  def incrementalAdmit(existing: DataFrame, incoming: DataFrame,
+                       bitsPerKey: Int = 10,
+                       maxBandBits: Long = 1L << 26,
+                       maxIndexBytes: Long = 512L << 20,
+                       logStats: Boolean = true): DataFrame = {
+    val s = incoming.sparkSession
+    graft.functions.SketchFns.register(s)
+    def keepFirst(surv: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(asc_nulls_last("doc_id"))
+      surv.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("h"))
+    }
+    val ex = existing.select(col("h")).where(col("h").isNotNull)
+    val inc = incoming.select(col("doc_id"), col("h"))
+      .where(col("h").isNotNull)
+    val nExist = ex.count()
+    if (nExist == 0) return keepFirst(inc) // empty corpus: all admitted
+    val totalBits = math.max(1L << 20, nExist * bitsPerKey.toLong)
+    val nBands = ((totalBits + maxBandBits - 1) / maxBandBits).toInt
+    val perBandBits = math.min(maxBandBits, (totalBits + nBands - 1) / nBands)
+    if (nBands.toLong * (perBandBits / 8) > maxIndexBytes) {
+      System.err.println(s"[graft dedup] incremental-admit: bloom index " +
+        s"($nBands bands x ${perBandBits / 8} B) exceeds broadcast budget " +
+        s"$maxIndexBytes B - using the exact anti-join (persisted " +
+        "hash-index territory)")
+      return keepFirst(inc.join(ex, Seq("h"), "left_anti"))
+    }
+    val perBandEst = math.max(1L, nExist / nBands)
+    val band = pmod(xxhash64(col("h")), lit(nBands.toLong))
+    val bloomTable = ex.groupBy(band.as("__band"))
+      .agg(call_function(graft.functions.SketchFns.bloomAggName,
+        col("h"), lit(perBandEst), lit(perBandBits)).as("__bf"))
+    // one classification pass over the incoming batch, materialized so the
+    // two admit branches and the FPR stats all read it instead of
+    // re-probing (the incoming batch is the SMALL side of a crawl by
+    // construction; the corpus-sized frame here is `ex`, touched only by
+    // the groupBy build and the candidate-sliver anti-join)
+    val flagged = inc
+      .withColumn("__band", band)
+      .join(broadcast(bloomTable), Seq("__band"), "left")
+      // a band with no existing keys has no filter row: definitely new
+      .withColumn("__mc", coalesce(call_function(
+        graft.functions.SketchFns.bloomMightColName, col("__bf"), col("h")),
+        lit(false)))
+      .select(col("doc_id"), col("h"), col("__mc"))
+      .localCheckpoint()
+    val defNew = flagged.where(!col("__mc")).drop("__mc")
+    val candAdmitted = flagged.where(col("__mc")).drop("__mc")
+      .join(ex, Seq("h"), "left_anti")
+      .localCheckpoint() // consumed by the admit union AND the FPR stats
+    if (logStats) {
+      val nRej = defNew.count()
+      val nCand = flagged.count() - nRej
+      val nFp = candAdmitted.count()
+      val k = math.max(1, math.round(perBandBits.toDouble / perBandEst * math.log(2)))
+      val predicted = math.pow(
+        1.0 - math.exp(-k.toDouble * perBandEst / perBandBits), k.toDouble)
+      val effFpr = if (nRej + nFp == 0) 0.0 else nFp.toDouble / (nRej + nFp)
+      System.err.println(f"[graft dedup] incremental-admit: bands=$nBands " +
+        f"perBandBits=$perBandBits predictedFpr=$predicted%.6f " +
+        f"rejected=$nRej candidates=$nCand falsePos=$nFp effFpr=$effFpr%.6f")
+    }
+    keepFirst(defNew.unionByName(candAdmitted))
   }
 
   val queries: Map[String, Q] = Map(

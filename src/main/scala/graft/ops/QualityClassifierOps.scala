@@ -92,9 +92,15 @@ object QualityClassifierOps {
   /** The scoring expression over the feature columns: σ(w·x + b) as a
     * single codegen'd arithmetic chain of literals.
     */
-  def scoreCol(m: QualityModel): Column = {
+  def scoreCol(m: QualityModel): Column = scoreCol(m, col)
+
+  /** [[scoreCol]] with an explicit feature-name resolver, so callers that
+    * bind the feature expressions under collision-proof temp names (see
+    * [[classifierFilter]]) can score off those.
+    */
+  private def scoreCol(m: QualityModel, feature: String => Column): Column = {
     val z = m.featureNames.zip(m.weights)
-      .map { case (f, w) => col(f).cast("double") * lit(w) }
+      .map { case (f, w) => feature(f).cast("double") * lit(w) }
       .foldLeft(lit(m.intercept): Column)(_ + _)
     lit(1.0) / (lit(1.0) + exp(-z))
   }
@@ -107,15 +113,22 @@ object QualityClassifierOps {
     * deterministic analog of GPT-3's Pareto lottery on the score).
     * ONE map-only pass: the feature expressions and the sigmoid are
     * computed inline on each row and dropped after the predicate — no
-    * second corpus scan, no semi-join shuffle, full row preserved.
+    * second corpus scan, no semi-join shuffle, full row preserved. The
+    * inline features bind under `__qc_`-prefixed temp names so a caller
+    * frame that already carries a column named `n_tokens`/`alpha_ratio`/…
+    * keeps it untouched (ADVICE r11 — the bare names silently overwrote
+    * and then dropped it).
     */
   def classifierFilter(docs: DataFrame, m: QualityModel,
                        threshold: Double = 0.5): DataFrame = {
     val exprs = TextAnalysisOps.qualityFeatureExprs.toMap
+    def tmp(f: String): String = s"__qc_$f"
+    require(!docs.columns.exists(_.startsWith("__qc_")),
+      "classifierFilter: input already carries __qc_-prefixed columns")
     val withFeats = m.featureNames.foldLeft(docs) {
-      case (df, f) => df.withColumn(f, exprs(f))
+      case (df, f) => df.withColumn(tmp(f), exprs(f))
     }
-    withFeats.where(scoreCol(m) >= threshold)
-      .drop(m.featureNames: _*)
+    withFeats.where(scoreCol(m, f => col(tmp(f))) >= threshold)
+      .drop(m.featureNames.map(tmp): _*)
   }
 }

@@ -29,51 +29,86 @@ object StreamOps {
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
   /** Serving-index caches (e.g. [[bm25ScoreStream]]'s tf/dl/df frame)
-    * keyed by session, dropped when the session's LAST streaming query
-    * terminates — the serving caches exist only to amortize work across
-    * a stream's triggers, so "no active streams" is their end of life.
-    * One listener per session (installed on first registration); without
-    * this the cached index outlived the stream for the whole session and
-    * repeated serving setups accumulated copies (ADVICE r10).
+    * keyed by session, each cache owned by the streaming query that
+    * adopted it — the serving caches exist only to amortize work across
+    * that one stream's triggers, so ITS termination is their end of
+    * life. One listener per session (installed on first registration,
+    * removed with the last cache); without per-owner tracking two
+    * overlapping serving sinks interfered — any termination with no
+    * active streams unpersisted ALL live caches, including the second
+    * sink's freshly built index, silently degrading it to per-trigger
+    * recompute (ADVICE r11) — and the session-keyed map pinned stopped
+    * sessions forever.
     *
-    * Two generations guard the register-then-start race (r11 review): a
-    * cache registers at PLAN time, before its stream starts, and the
-    * terminated-event of a PREVIOUS stream arrives asynchronously — it
-    * must not unpersist the newcomer. Registration lands in `pending`;
-    * the next onQueryStarted promotes pending → live; the no-active-
-    * streams cleanup unpersists only LIVE caches (ones some started
-    * query could have consumed), never pending ones.
+    * Ownership protocol: a cache registers at PLAN time (before any
+    * query id exists) into `pending`; the NEXT onQueryStarted adopts
+    * everything pending as that query's own (QueryStartedEvent is posted
+    * from within `start()`, so on a single setup thread the adopter is
+    * exactly the stream built from those frames); onQueryTerminated
+    * unpersists only the terminated query's adopted caches. Residual
+    * race, documented: two serving setups planned CONCURRENTLY on
+    * different threads before either starts can cross-adopt — bounded
+    * misattribution, strictly narrower than the old all-or-nothing
+    * lifecycle. When the last adopted cache is released and nothing is
+    * pending, the listener and the session's map entry are dropped so a
+    * stopped session is not strongly pinned.
     */
   private final class ServingCaches {
-    val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
-    val live = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    val pending = new java.util.LinkedHashSet[DataFrame]()
+    val byQuery = new java.util.HashMap[java.util.UUID, java.util.Set[DataFrame]]()
+    var listener: org.apache.spark.sql.streaming.StreamingQueryListener = _
   }
+  // All mutations serialize on `servingCaches` itself: registration,
+  // adoption and teardown each run once per stream setup/termination —
+  // far off any hot path — and the monitor closes the check-then-act
+  // races a lock-free spelling leaves open (register landing in a cs
+  // whose listener a concurrent teardown just removed).
   private val servingCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, ServingCaches]()
+    new java.util.HashMap[SparkSession, ServingCaches]()
 
-  private[streaming] def registerServingCache(spark: SparkSession, df: DataFrame): Unit = {
-    val caches = servingCaches.computeIfAbsent(spark, s => {
-      val cs = new ServingCaches
-      s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
-          cs.pending.forEach(c => { cs.live.add(c); () })
-          cs.pending.clear()
-        }
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (s.streams.active.isEmpty) {
-            cs.live.forEach(c => { c.unpersist(); () })
-            cs.live.clear()
+  /** Test-only introspection: number of live session entries. */
+  private[graft] def servingCacheSessions: Int =
+    servingCaches.synchronized(servingCaches.size)
+
+  private[streaming] def registerServingCache(spark: SparkSession, df: DataFrame): Unit =
+    servingCaches.synchronized {
+      var cs = servingCaches.get(spark)
+      if (cs == null) {
+        val ncs = new ServingCaches
+        ncs.listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+            servingCaches.synchronized {
+              if (!ncs.pending.isEmpty) {
+                val owned = ncs.byQuery.computeIfAbsent(e.id,
+                  _ => new java.util.LinkedHashSet[DataFrame]())
+                owned.addAll(ncs.pending)
+                ncs.pending.clear()
+              }
+            }
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+            val owned = servingCaches.synchronized {
+              val o = ncs.byQuery.remove(e.id)
+              if (ncs.byQuery.isEmpty && ncs.pending.isEmpty) {
+                spark.streams.removeListener(ncs.listener)
+                servingCaches.remove(spark)
+              }
+              o
+            }
+            // unpersist outside the monitor: it can trigger Spark-side work
+            if (owned != null) owned.forEach(c => { c.unpersist(); () })
           }
-      })
-      cs
-    })
-    caches.pending.add(df)
-    ()
-  }
+        }
+        spark.streams.addListener(ncs.listener)
+        servingCaches.put(spark, ncs)
+        cs = ncs
+      }
+      cs.pending.add(df)
+      ()
+    }
 
   /** State-store provider toggle — the 100 TB knob for the I-series. The
     * default HDFSBackedStateStoreProvider keeps every maintained version of

@@ -175,6 +175,18 @@ class MiscSpec extends SparkSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("Tables.invalidate drops cached relations so a regenerated path re-lists") {
+    val dir = Files.createTempDirectory("graft_inval").toString
+    def write(n: Int): Unit = spark.range(n).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    write(3)
+    assert(Tables.load(spark, dir, "t").count() == 3)
+    write(7) // regenerate in place: the memoized relation holds the OLD file listing
+    Tables.invalidate(dir)
+    assert(Tables.load(spark, dir, "t").count() == 7,
+      "invalidate did not drop the stale cached relation")
+  }
+
   test("J11: seeded KMeans recovers planted blobs; deterministic on fixture") {
     import spark.implicits._
     // fixture labels are not embedding-derived (measured purity ≈ chance),

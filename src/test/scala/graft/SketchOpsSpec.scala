@@ -45,6 +45,104 @@ class SketchOpsSpec extends SparkSuite {
     assert(falsePositives < 50, s"$falsePositives/5000 false positives")
   }
 
+  test("incrementalAdmit banded bloom == exact anti-join (forced multi-band)") {
+    import spark.implicits._
+    // 20k existing keys with maxBandBits forced to 2^14 → ~13 bands at 10
+    // bits/key: every band boundary, the per-band build, the broadcast
+    // probe join and the confirm anti-join all exercise for real.
+    val existing = (0 until 20000).map(i => s"h-$i").toDF("h")
+    val incoming = ((0 until 1000).map(i => (i.toLong, s"h-${i * 7}")) ++ // dups of existing
+      (0 until 1000).map(i => (10000L + i, s"new-$i")) ++                 // genuinely new
+      (0 until 500).map(i => (20000L + i, s"new-${i * 2}")))              // within-batch dups
+      .toDF("doc_id", "h")
+    val got = graft.ops.DedupOps.incrementalAdmit(existing, incoming,
+        maxBandBits = 1L << 14, logStats = false)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(asc_nulls_last("doc_id"))
+      incoming.join(existing, Seq("h"), "left_anti")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("h"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    assert(got.sameElements(want),
+      s"banded admit diverged: got ${got.length} rows, want ${want.length}")
+  }
+
+  test("incrementalAdmit NULL contract: NULL-hash rows rejected on every path") {
+    import spark.implicits._
+    val incoming = Seq((1L, Some("h-a")), (2L, None), (3L, Some("h-b")))
+      .toDF("doc_id", "h")
+    // empty corpus path
+    val emptyEx = Seq.empty[String].toDF("h")
+    val adm0 = graft.ops.DedupOps.incrementalAdmit(emptyEx, incoming,
+      logStats = false).select("doc_id").as[Long].collect().sorted
+    assert(adm0.sameElements(Array(1L, 3L)), s"empty-corpus path admitted ${adm0.toSeq}")
+    // bloom path
+    val ex = Seq("h-a").toDF("h")
+    val adm1 = graft.ops.DedupOps.incrementalAdmit(ex, incoming,
+      logStats = false).select("doc_id").as[Long].collect().sorted
+    assert(adm1.sameElements(Array(3L)), s"bloom path admitted ${adm1.toSeq}")
+  }
+
+  test("incrementalAdmit candidate-set size tracks FPR, not corpus size (planted-FPR)") {
+    import spark.implicits._
+    graft.functions.SketchFns.register(spark)
+    // Same corpus, two filter sizings: bitsPerKey=10 (production) and a
+    // forced-small bitsPerKey=1 (the 2^20-bit floor over 300k keys →
+    // analytic FPR ~0.19 vs ~0.008). The candidate counts must track the
+    // analytic prediction of the SIZED filter — i.e. FPR, not corpus
+    // size — which is exactly the property the old 2^26-bit cap broke
+    // past ~6.7M keys (FPR drifting to 1 with corpus growth).
+    val nExist = 300000
+    val existing = (0 until nExist).map(i => s"h-$i").toDF("h")
+    val nProbe = 20000
+    val absent = (0 until nProbe).map(i => (i.toLong, s"zz-$i")).toDF("doc_id", "h")
+    def candidateCount(bitsPerKey: Int): (Long, Double) = {
+      // replicate the sizing the production path computes
+      val totalBits = math.max(1L << 20, nExist.toLong * bitsPerKey)
+      val maxBandBits = 1L << 26
+      val nBands = ((totalBits + maxBandBits - 1) / maxBandBits).toInt
+      val perBandBits = math.min(maxBandBits, (totalBits + nBands - 1) / nBands)
+      val perBandEst = math.max(1L, nExist.toLong / nBands)
+      val k = math.max(1, math.round(perBandBits.toDouble / perBandEst * math.log(2)))
+      val predicted = math.pow(
+        1.0 - math.exp(-k.toDouble * perBandEst / perBandBits), k.toDouble)
+      val admitted = graft.ops.DedupOps.incrementalAdmit(existing, absent,
+        bitsPerKey = bitsPerKey, logStats = false).count()
+      // every probe is absent, so candidates = probes NOT admitted... no:
+      // ALL absent probes are admitted (anti-join kills false positives).
+      // The candidate count is what the bloom flagged; recover it by
+      // probing the same banded index directly.
+      val band = pmod(xxhash64(col("h")), lit(nBands.toLong))
+      val bloomTable = existing.groupBy(band.as("__band"))
+        .agg(call_function(graft.functions.SketchFns.bloomAggName,
+          col("h"), lit(perBandEst), lit(perBandBits)).as("__bf"))
+      val cand = absent.withColumn("__band", band)
+        .join(broadcast(bloomTable), Seq("__band"), "left")
+        .where(coalesce(call_function(
+          graft.functions.SketchFns.bloomMightColName, col("__bf"), col("h")),
+          lit(false)))
+        .count()
+      assert(admitted == nProbe, s"admit lost rows: $admitted/$nProbe")
+      (cand, predicted)
+    }
+    val (candTight, predTight) = candidateCount(10) // ~10 bits/key: tiny FPR
+    val (candLoose, predLoose) = candidateCount(1)  // ~3.5 bits/key eff: real FPR
+    // candidate-set size tracks the analytic FPR of the SIZED filter —
+    // not the corpus size (same corpus both runs, ~20x candidate gap)
+    assert(predLoose > 5 * predTight, s"test setup: $predTight vs $predLoose")
+    def within3x(observed: Long, predicted: Double): Boolean = {
+      val exp = predicted * nProbe
+      observed <= exp * 3 + 20 && observed + 20 >= exp / 3
+    }
+    assert(within3x(candTight, predTight),
+      s"tight filter: $candTight candidates vs predicted ${predTight * nProbe}")
+    assert(within3x(candLoose, predLoose),
+      s"loose filter: $candLoose candidates vs predicted ${predLoose * nProbe}")
+  }
+
   test("count-min estimates never underestimate (threshold filter keeps a superset)") {
     import spark.implicits._
     // zipf-ish: token i appears 5000/(i+1) times
