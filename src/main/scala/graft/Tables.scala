@@ -120,6 +120,15 @@ object Tables {
     dir
   }
 
+  /** On-disk bytes of a fixture table — ONE FileSystem metadata call (no
+    * Spark job, no data pages read). The input to
+    * [[graft.sources.HFileOps.regionCountForBytes]]'s bulk-write sizing.
+    */
+  def bytesOnDisk(s: SparkSession, d: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+
   /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style
     * cell per event. `op` synthesizes delete tombstones deterministically.
     * rowkey = user:event so the key space is dense and range-scannable.

@@ -264,9 +264,8 @@ object FilterOps {
   val b21_reverse_scan: Q = (s, d) => {
     import graft.sources.{HFileCodec, HFileOps}
     val dir = Tables.appTmpDir(s, "graft_hfile_rev", d)
-    val nCells = Tables.events(s, d).count()
     HFileOps.bulkWrite(Tables.cells(s, d), dir,
-      regions = HFileOps.regionCountFor(nCells),
+      regions = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "events")),
       compression = HFileCodec.CompressionGz,
       encoding = HFileCodec.EncodingFastDiff)
     HFileOps.rangeScan(s, dir,

@@ -115,12 +115,13 @@ object ScanOps {
     */
   val a9_hfile_roundtrip: Q = (s, d) => {
     val dir = Tables.appTmpDir(s, "graft_hfile", d)
-    // region count sized from the data (~1M cells/region, min 4) — the
-    // result is region-count-invariant, but task memory is not. cells is a
-    // 1:1 projection of events, so the count comes from parquet metadata.
-    val nCells = Tables.events(s, d).count()
+    // region count sized from the source's on-disk bytes (~16 MiB of
+    // parquet ≈ 1M cells ≈ one region, min 4) — the result is
+    // region-count-invariant, but task memory is not. Pure filesystem
+    // metadata: no scan runs before the write (VERDICT r11).
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
-      regions = graft.sources.HFileOps.regionCountFor(nCells),
+      regions = graft.sources.HFileOps.regionCountForBytes(
+        Tables.bytesOnDisk(s, d, "events")),
       compression = graft.sources.HFileCodec.CompressionGz,
       encoding = graft.sources.HFileCodec.EncodingFastDiff)
     graft.sources.HFileOps.read(s, dir)
@@ -148,7 +149,6 @@ object ScanOps {
     // second bulk write is the price of independence — ~1 s at sf0.1,
     // ~3 s at sf1, bounded by the same region sizing as a9
     val dir = Tables.appTmpDir(s, "graft_hfile_get", d)
-    val nCells = Tables.events(s, d).count()
     // ROW_INDEX_V1+GZ regions (the encoding HBase recommends for
     // point-read-heavy tables): the bloom-pruned positioned-read path
     // must inflate the bloom chunk and index blocks, then BINARY-SEARCH
@@ -156,7 +156,8 @@ object ScanOps {
     // prefix — the in-block seek is driver-gated here; a9 keeps the
     // FAST_DIFF full-decode coverage
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
-      regions = graft.sources.HFileOps.regionCountFor(nCells),
+      regions = graft.sources.HFileOps.regionCountForBytes(
+        Tables.bytesOnDisk(s, d, "events")),
       compression = graft.sources.HFileCodec.CompressionGz,
       encoding = graft.sources.HFileCodec.EncodingRowIndexV1)
     // single-row client-key lookup, built with the SAME Tables.pad spelling
@@ -184,9 +185,9 @@ object ScanOps {
     */
   val a12_hfile_zstd: Q = (s, d) => {
     val dir = Tables.appTmpDir(s, "graft_hfile_zstd", d)
-    val nCells = Tables.events(s, d).count()
     graft.sources.HFileOps.bulkWrite(Tables.cells(s, d), dir,
-      regions = graft.sources.HFileOps.regionCountFor(nCells),
+      regions = graft.sources.HFileOps.regionCountForBytes(
+        Tables.bytesOnDisk(s, d, "events")),
       compression = graft.sources.HFileCodec.CompressionZstd,
       encoding = graft.sources.HFileCodec.EncodingPrefix)
     graft.sources.HFileOps.read(s, dir)
@@ -225,7 +226,8 @@ object ScanOps {
     val deletes = cells.where(eid % 7 === 0)
       .withColumn("ts", col("ts") + 2000000L)
       .withColumn("op", lit("delete"))
-    val regions = graft.sources.HFileOps.regionCountFor(Tables.events(s, d).count())
+    val regions = graft.sources.HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events"))
     graft.sources.HFileOps.bulkWrite(cells, dir, regions,
       compression = graft.sources.HFileCodec.CompressionGz,
       encoding = graft.sources.HFileCodec.EncodingFastDiff, generation = 0)
@@ -272,7 +274,8 @@ object ScanOps {
       .groupBy("rowkey", "cf").agg((min(col("ts")) + 1500000L).as("ts"))
       .select(col("rowkey"), col("cf"), lit("").as("qualifier"), col("ts"),
         lit(0.0).as("value"), lit("delete_family").as("op"))
-    val regions = graft.sources.HFileOps.regionCountFor(Tables.events(s, d).count())
+    val regions = graft.sources.HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events"))
     HFileOps.bulkWrite(base, dir, regions,
       compression = HFileCodec.CompressionGz,
       encoding = HFileCodec.EncodingFastDiff, generation = 0)

@@ -159,6 +159,21 @@ object HFileOps {
   def regionCountFor(cellCount: Long): Int =
     math.min(4096L, math.max(4L, (cellCount + (1L << 20) - 1) / (1L << 20))).toInt
 
+  /** [[regionCountFor]] driven by the SOURCE table's on-disk parquet
+    * footprint instead of a row count — pure filesystem metadata (one
+    * listing via [[graft.Tables.bytesOnDisk]]), so bulk-write planning no
+    * longer spends a whole corpus scan just to pick a file count
+    * (VERDICT r11: every a9/a10/a12/a13/a14/b21 invocation ran
+    * `events.count()` before the write). Calibration: the fixtures
+    * measure 12–25 parquet bytes per cell across SFs, so 16 MiB of
+    * source parquet ≈ 1 M cells ≈ 90 MB serialized HFile — the same
+    * region target [[regionCountFor]] encodes. Same floor (4: multi-
+    * region coverage on small fixtures) and cap (4096: bounds tiny-file
+    * count).
+    */
+  def regionCountForBytes(sourceBytes: Long): Int =
+    math.min(4096L, math.max(4L, (sourceBytes + (1L << 24) - 1) / (1L << 24))).toInt
+
   /** One Hadoop positioned-read of a whole block (header first for the
     * length, then header+payload) — the random-access primitive of the
     * point-get path.
