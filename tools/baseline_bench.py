@@ -66,11 +66,21 @@ Q = {
     "B4_join_bcast": """
         SELECT /*+ BROADCAST(nation) */ n_name, count(*) n
         FROM nation JOIN customer ON n_nationkey = c_nationkey GROUP BY n_name""",
+    # B5/B9/B11 are IDENTICAL-WORK twins of e9/g4/i2 (VERDICT r11 task 1):
+    # the original generic shapes computed strictly less (no pre-aggregate,
+    # no DECIMAL sum, no ordered output), so every close re-litigated a
+    # workload mismatch instead of measuring plan quality. Each now spells
+    # exactly what its graft twin computes, in stock Spark SQL.
     "B5_win_topk": """
-        SELECT * FROM (SELECT o_custkey, o_orderkey,
-            row_number() OVER (PARTITION BY o_custkey
-                               ORDER BY o_totalprice DESC, o_orderkey) rn
-          FROM orders) WHERE rn <= 3""",
+        SELECT event_type, user_id, spend FROM (
+          SELECT event_type, user_id, spend,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY spend DESC, user_id) rn
+          FROM (SELECT event_type, user_id,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) spend
+                FROM events GROUP BY event_type, user_id))
+        WHERE rn <= 3
+        ORDER BY event_type NULLS LAST, spend DESC, user_id NULLS LAST""",
     "B6_global_topk": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
@@ -79,14 +89,20 @@ Q = {
         SELECT l_returnflag, l_linestatus, count(*) n FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "B9_except": """
-        SELECT count(*) n FROM
-          (SELECT n_nationkey k FROM nation EXCEPT SELECT c_nationkey FROM customer)""",
+        SELECT k FROM (
+          SELECT p_partkey k FROM part
+          EXCEPT
+          SELECT l_partkey FROM lineitem WHERE l_quantity <= 1)
+        ORDER BY k NULLS LAST LIMIT 100""",
     "B10_json": """
         SELECT event_type, sum(CAST(get_json_object(props,'$.k') AS DECIMAL(18,0))) ksum
         FROM events GROUP BY event_type""",
     "B11_timebucket": """
-        SELECT unix_micros(cast(ts as timestamp)) div 3600000000 hb, event_type, count(*) n
-        FROM events GROUP BY 1, 2""",
+        SELECT unix_micros(cast(ts as timestamp)) div 3600000000 hour_bucket,
+               event_type, count(*) n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) v
+        FROM events GROUP BY 1, 2
+        ORDER BY hour_bucket NULLS LAST, event_type NULLS LAST""",
     "B12_lag_sessionize": """
         SELECT user_id, session_id, count(*) n FROM
           (SELECT user_id, event_id,
