@@ -319,7 +319,44 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** b24 — WhileMatchFilter + InclusiveStopFilter (HBase scan
+    * early-termination): forward scan from user 2's first key, bounded
+    * inclusively at user 8's last key, emitting cells WHILE
+    * `value > 1.0` holds and stopping the whole scan at the first cell
+    * that fails (a NULL value fails too — `SingleColumnValueFilter`
+    * would not match it). Served off bulk-written region files through
+    * [[graft.sources.HFileOps.whileMatchScan]]: each region's block walk
+    * terminates at its local first failure (bytes read stop with the
+    * match run — HFileSpec pins the block-read count), and the global
+    * HBase semantics — the CLIENT scan stops at the first failing row in
+    * key order — resolve declaratively: stop key = min failing rowkey
+    * across regions (a 1-row aggregate over the bounded tagged output,
+    * broadcast back over it). Oracle: rows below the first failing
+    * rowkey in the selected range.
+    */
+  val b24_while_match: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_wm", d)
+    HFileOps.bulkWrite(Tables.cells(s, d), dir,
+      regions = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "events")),
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    val tagged = HFileOps.whileMatchScan(s, dir,
+        startRow = "000000000002:000000000000",
+        stopRowInclusive = "000000000008:999999999999")(
+        r => !r.isNullAt(4) && r.getDouble(4) > 1.0)
+      .localCheckpoint() // two consumers: stop-key aggregate + row filter;
+                         // bounded by the per-region match runs, not the table
+    val stop = tagged.where(!col("matched")).agg(min(col("rowkey")).as("stopkey"))
+    tagged.where(col("matched")).crossJoin(broadcast(stop))
+      .where(col("stopkey").isNull || col("rowkey") < col("stopkey"))
+      .select(col("rowkey"), col("qualifier"), col("ts").as("ts_us"),
+        col("value"), col("op"))
+      .orderBy(col("rowkey").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b24_while_match" -> b24_while_match,
     "b23_timestamps_filter" -> b23_timestamps_filter,
     "b22_filter_list" -> b22_filter_list,
     "b21_reverse_scan" -> b21_reverse_scan,

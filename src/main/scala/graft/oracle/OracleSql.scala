@@ -174,6 +174,19 @@ object OracleSql {
           |       OR regexp_matches(qualifier, '^(click|view)$'))
           |  AND value > 50.0 AND NOT (op = 'delete')
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // b24: early-termination scan — rows of the inclusive range strictly
+    // below the FIRST failing rowkey (value NULL or <= 1.0); the Spark
+    // side resolves the same stop key from per-region terminators
+    "b24_while_match" ->
+      (cellsCte +
+        """SELECT rowkey, qualifier, ts AS ts_us, value, op FROM cells
+          |WHERE rowkey >= '000000000002:000000000000'
+          |  AND rowkey <= '000000000008:999999999999'
+          |  AND rowkey < coalesce((SELECT min(rowkey) FROM cells
+          |       WHERE rowkey >= '000000000002:000000000000'
+          |         AND rowkey <= '000000000008:999999999999'
+          |         AND (value IS NULL OR value <= 1.0)), 'zzz')
+          |ORDER BY rowkey NULLS LAST""".stripMargin),
     "b21_reverse_scan" ->
       (cellsCte +
         """SELECT rowkey, qualifier, ts AS ts_us, value, op FROM cells

@@ -228,40 +228,50 @@ object HFileOps {
     * (from the file name, like [[readWithGen]]) — the seam that lets the
     * seek paths participate in merge-on-read version resolution.
     */
+  /** Open one region file, run the trailer → load-on-open walk, hand `f`
+    * the positioned stream + absolute section offsets, close on return.
+    * `f` MUST evaluate eagerly — nothing it returns may read the stream
+    * lazily. The shared skeleton of every positioned reader.
+    */
+  private def openRegion[A](p: String, conf: org.apache.hadoop.conf.Configuration)(
+      f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => A): A = {
+    val path = new HPath(p)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      val tail = new Array[Byte](HFileCodec.TrailerLen)
+      in.readFully(len - HFileCodec.TrailerLen, tail)
+      val trailer = HFileCodec.readTrailer(tail)
+      val looStart = trailer.loadOnOpenOffset
+      val looLen = len - HFileCodec.TrailerLen - looStart
+      // index + file info + bloom meta: ~100s of KB at most under the
+      // two-level index invariant; a hostile offset claiming more than
+      // one block's worth may only throw, never mega-allocate
+      require(looStart >= 0 && looLen > 0 && looLen <= HFileCodec.MaxBlockBytes,
+        s"implausible load-on-open section [$looStart, ${len - HFileCodec.TrailerLen})")
+      val loo = new Array[Byte](looLen.toInt)
+      in.readFully(looStart, loo)
+      val sect = HFileCodec.walkLoadOnOpen(loo, 0, loo.length)
+      def abs(rel: Long): Long = if (rel < 0) -1L else looStart + rel
+      f(in, HFileCodec.LoadOnOpen(abs(sect.rootIndexOffset),
+        abs(sect.metaIndexOffset), abs(sect.fileInfoOffset),
+        abs(sect.bloomMetaOffset)))
+    } finally in.close()
+  }
+
   private def seekScanWithGen(spark: SparkSession, dir: String)(
       f: (org.apache.hadoop.fs.FSDataInputStream, HFileCodec.LoadOnOpen) => Seq[Row]): DataFrame = {
     val (paths, serConf) = regionFiles(spark, dir)
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
-        val path = new HPath(p)
         val gen = {
-          val m = GenFilePattern.matcher(path.getName)
+          val m = GenFilePattern.matcher(new HPath(p).getName)
           if (m.matches()) m.group(1).toInt else 0
         }
-        val fs = path.getFileSystem(serConf.value)
-        val len = fs.getFileStatus(path).getLen
-        val in = fs.open(path)
-        try {
-          val tail = new Array[Byte](HFileCodec.TrailerLen)
-          in.readFully(len - HFileCodec.TrailerLen, tail)
-          val trailer = HFileCodec.readTrailer(tail)
-          val looStart = trailer.loadOnOpenOffset
-          val looLen = len - HFileCodec.TrailerLen - looStart
-          // index + file info + bloom meta: ~100s of KB at most under the
-          // two-level index invariant; a hostile offset claiming more than
-          // one block's worth may only throw, never mega-allocate
-          require(looStart >= 0 && looLen > 0 && looLen <= HFileCodec.MaxBlockBytes,
-            s"implausible load-on-open section [$looStart, ${len - HFileCodec.TrailerLen})")
-          val loo = new Array[Byte](looLen.toInt)
-          in.readFully(looStart, loo)
-          val sect = HFileCodec.walkLoadOnOpen(loo, 0, loo.length)
-          def abs(rel: Long): Long = if (rel < 0) -1L else looStart + rel
-          f(in, HFileCodec.LoadOnOpen(abs(sect.rootIndexOffset),
-            abs(sect.metaIndexOffset), abs(sect.fileInfoOffset),
-            abs(sect.bloomMetaOffset)))
-            .map(r => Row.fromSeq(r.toSeq :+ gen))
-        } finally in.close()
+        openRegion(p, serConf.value)((in, loo) =>
+          f(in, loo).map(r => Row.fromSeq(r.toSeq :+ gen)))
       }
     spark.createDataFrame(rows, cellsWithGenSchema)
   }
@@ -436,9 +446,13 @@ object HFileOps {
       // LAZY leaf expansion (Iterator.flatMap): an intermediate index
       // block is only read when the walk actually reaches its root entry,
       // so a limit-K scan's INDEX reads scale with K too, not with the
-      // selected range — in either direction
+      // selected range — in either direction. Yields block BYTES, not
+      // offsets: the magic check already read the block, and re-reading
+      // by offset doubled the positioned reads of every single-level
+      // region (≤16k blocks — the common case; caught by the b24
+      // block-count spec).
       def leaves(entries: Iterator[(Long, Int, Array[Byte])],
-                 backward: Boolean): Iterator[Long] =
+                 backward: Boolean): Iterator[Array[Byte]] =
         entries.flatMap { case (off, _, _) =>
           val blk = readBlockAt(in, off)
           if (magicAt(blk, HFileCodec.IntermediateIndexMagic)) {
@@ -446,8 +460,11 @@ object HFileOps {
               HFileCodec.IntermediateIndexMagic)
             val sel = if (reversed) HFileCodec.entriesInRevRange(inner, stop, start)
                       else HFileCodec.entriesInRange(inner, start, stop)
-            if (backward) sel.reverseIterator.map(_._1) else sel.iterator.map(_._1)
-          } else Iterator.single(off)
+            // iterator-map stays lazy: each child block is read only when
+            // the walk actually pulls it
+            if (backward) sel.reverseIterator.map(e => readBlockAt(in, e._1))
+            else sel.iterator.map(e => readBlockAt(in, e._1))
+          } else Iterator.single(blk)
         }
       val extras = extrasAt(readBlockAt(in, _), loo.fileInfoOffset)
       if (!reversed) {
@@ -459,8 +476,8 @@ object HFileOps {
         var n = 0
         val taken = leaves(
           HFileCodec.entriesInRange(root, start, stop).iterator, backward = false)
-          .takeWhile(_ => n < limit).map { off =>
-            val rows = decodeBlockRows(readBlockAt(in, off), keep,
+          .takeWhile(_ => n < limit).map { blk =>
+            val rows = decodeBlockRows(blk, keep,
               seekFrom = Some(start), extras = extras)
             n += rows.size
             rows
@@ -482,8 +499,7 @@ object HFileOps {
           HFileCodec.entriesInRevRange(root, stop, start).reverseIterator,
           backward = true)
         while (n < limit && it.hasNext) {
-          val rows = decodeBlockRows(readBlockAt(in, it.next()), keep,
-            extras = extras)
+          val rows = decodeBlockRows(it.next(), keep, extras = extras)
           blocks = rows :: blocks
           n += rows.size
         }
@@ -491,6 +507,93 @@ object HFileOps {
         flat.takeRight(math.min(limit, flat.size)).reverse
       }
     }
+  }
+
+  /** One region file's WhileMatch walk (HBase `WhileMatchFilter` wrapped
+    * around an `InclusiveStopFilter`-bounded forward scan): decode cells
+    * ascending from `start` through `stopInclusive`, emit them while
+    * `matches` holds, and STOP THE WALK at the first non-matching cell —
+    * no further data block is pulled, so bytes read stop with the match
+    * run (HFileSpec pins the block-read count through the counting
+    * `blockAt`). Returns the matched prefix plus the terminating cell
+    * (None if the whole selected range matched) — the terminator is what
+    * lets the multi-region caller resolve the GLOBAL stop key.
+    *
+    * Pure over `blockAt` so the spec can count reads; the distributed
+    * entry point is [[whileMatchScan]].
+    */
+  private[graft] def whileMatchWalk(
+      blockAt: Long => Array[Byte],
+      loo: HFileCodec.LoadOnOpen,
+      start: Array[Byte], stopInclusive: Array[Byte],
+      matches: Row => Boolean): (Seq[Row], Option[Row]) = {
+    val stopExcl = stopInclusive :+ 0.toByte // inclusive stop as [start, stop+0x00)
+    val root = HFileCodec.parseIndexEntriesWithKeys(
+      blockAt(loo.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
+    // LAZY leaf expansion, same discipline as rangeScan: index blocks are
+    // read only when the walk reaches them, so index reads stop early
+    // too; yields block BYTES so each block is read exactly once
+    def leaves(entries: Iterator[(Long, Int, Array[Byte])]): Iterator[Array[Byte]] =
+      entries.flatMap { case (off, _, _) =>
+        val blk = blockAt(off)
+        if (magicAt(blk, HFileCodec.IntermediateIndexMagic))
+          HFileCodec.entriesInRange(
+            HFileCodec.parseIndexEntriesWithKeys(blk, 0,
+              HFileCodec.IntermediateIndexMagic), start, stopExcl)
+            .iterator.map(e => blockAt(e._1))
+        else Iterator.single(blk)
+      }
+    val extras = extrasAt(blockAt, loo.fileInfoOffset)
+    val keep = (row: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(row, start) >= 0 &&
+        java.util.Arrays.compareUnsigned(row, stopInclusive) <= 0
+    val out = Seq.newBuilder[Row]
+    var failed: Option[Row] = None
+    val offs = leaves(HFileCodec.entriesInRange(root, start, stopExcl).iterator)
+    while (failed.isEmpty && offs.hasNext) {
+      val rows = decodeBlockRows(offs.next(), keep,
+        seekFrom = Some(start), extras = extras)
+      val it = rows.iterator
+      while (failed.isEmpty && it.hasNext) {
+        val r = it.next()
+        if (matches(r)) out += r else failed = Some(r)
+      }
+    }
+    (out.result(), failed)
+  }
+
+  /** Distributed WhileMatch + InclusiveStop scan: per region file, the
+    * cells in `[startRow, stopRowInclusive]` ascending UNTIL the first
+    * cell failing `matches`, which terminates that region's block walk
+    * ([[whileMatchWalk]]). Output carries a `matched` flag: true rows are
+    * the region-local match run; the (≤1 per region) false row is the
+    * region's terminating cell. Per-region runs are NOT the global
+    * WhileMatch answer on their own — HBase stops the whole client scan
+    * at the first failing row in KEY order, and regions are scanned in
+    * parallel here — so the caller resolves the global stop key as
+    * `min(rowkey) WHERE NOT matched` and keeps matched rows below it
+    * (the b24 spelling). Work and bytes stay bounded by each region's
+    * local match run: a region whose very first selected cell fails
+    * reads exactly one data block.
+    */
+  def whileMatchScan(spark: SparkSession, dir: String,
+                     startRow: String, stopRowInclusive: String)(
+      matches: Row => Boolean): DataFrame = {
+    val start = startRow.getBytes(UTF_8)
+    val stopI = stopRowInclusive.getBytes(UTF_8)
+    val (paths, serConf) = regionFiles(spark, dir)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        openRegion(p, serConf.value) { (in, loo) =>
+          val (matched, failedAt) =
+            whileMatchWalk(readBlockAt(in, _), loo, start, stopI, matches)
+          matched.map(r => Row.fromSeq(r.toSeq :+ true)) ++
+            failedAt.map(r => Row.fromSeq(r.toSeq :+ false))
+        }
+      }
+    spark.createDataFrame(rows, StructType(
+      cellsSchema.fields :+ StructField("matched", BooleanType, nullable = false)))
   }
 
   /** Read every region file under `dir` back into the cells schema —

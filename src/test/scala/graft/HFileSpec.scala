@@ -1171,6 +1171,71 @@ class HFileSpec extends SparkSuite {
       .sorted.sameElements(before))
   }
 
+  test("b24 WhileMatch walk: block reads STOP at the first failing cell") {
+    // 2000 one-cell blocks; every value matches (>1) except row 120 —
+    // the terminator sits 121 blocks into a 2000-block file
+    val cells = (0 until 2000).map { i =>
+      cell(f"row$i%05d", "q", 1L, if (i == 120) 0.5 else 100.0)
+    }
+    val file = HFileCodec.write(cells.iterator, blockSize = 1)
+    val tr = HFileCodec.readTrailer(file)
+    val loo = HFileCodec.walkLoadOnOpen(file,
+      tr.loadOnOpenOffset.toInt, file.length - HFileCodec.TrailerLen)
+    var reads = 0
+    def countingBlockAt(off: Long): Array[Byte] = {
+      reads += 1
+      val payloadLen =
+        java.nio.ByteBuffer.wrap(file, off.toInt + 8, 4).getInt
+      java.util.Arrays.copyOfRange(file, off.toInt,
+        off.toInt + HFileCodec.HeaderSize + payloadLen)
+    }
+    val matches = (r: org.apache.spark.sql.Row) =>
+      !r.isNullAt(4) && r.getDouble(4) > 1.0
+    val (matched, failedAt) = HFileOps.whileMatchWalk(countingBlockAt, loo,
+      "row00000".getBytes(UTF_8), "row01999".getBytes(UTF_8), matches)
+    assert(matched.size == 120 &&
+      matched.last.getString(0) == "row00119", "match run wrong")
+    assert(failedAt.exists(_.getString(0) == "row00120"), "terminator wrong")
+    // reads = root + file-info + expanded intermediate chunks + the 121
+    // data blocks the run actually touched — NOT the 2000-block range.
+    // 121 data + 1 root + 1 file-info + <=2 intermediate chunks (128
+    // entries each) = 125; allow slack but pin the order of magnitude
+    assert(reads <= 130, s"walk read $reads blocks for a 121-cell match run")
+    // no-terminator case: the whole selected range matches -> all cells,
+    // no failing row (the global-stop caller then keeps everything)
+    reads = 0
+    val (all, none) = HFileOps.whileMatchWalk(countingBlockAt, loo,
+      "row00000".getBytes(UTF_8), "row00099".getBytes(UTF_8),
+      r => r.getDouble(4) > 0.0)
+    assert(all.size == 100 && none.isEmpty)
+    assert(reads <= 110, s"bounded range read $reads blocks")
+  }
+
+  test("whileMatchScan: global stop-key composition equals the relational spelling") {
+    val src = Tables.cells(spark, sf)
+    val dir = tmpDir("wm").toString
+    HFileOps.bulkWrite(src, dir, regions = 4,
+      encoding = HFileCodec.EncodingFastDiff)
+    val lo = "000000000002:000000000000"
+    val hi = "000000000008:999999999999"
+    val tagged = HFileOps.whileMatchScan(spark, dir, lo, hi)(
+      r => !r.isNullAt(4) && r.getDouble(4) > 1.0).localCheckpoint()
+    val stop = tagged.where(!col("matched")).agg(min(col("rowkey")).as("sk"))
+    val got = tagged.where(col("matched")).crossJoin(broadcast(stop))
+      .where(col("sk").isNull || col("rowkey") < col("sk"))
+      .select("rowkey", "ts", "value").collect().map(_.toString).sorted
+    // relational truth: rows of the range strictly below the first
+    // failing rowkey (the b24 oracle's shape)
+    val inRange = src.where(col("rowkey") >= lo && col("rowkey") <= hi)
+    val firstFail = inRange
+      .where(col("value").isNull || col("value") <= 1.0)
+      .agg(min(col("rowkey"))).head().getString(0)
+    val want = (if (firstFail == null) inRange
+                else inRange.where(col("rowkey") < firstFail))
+      .select("rowkey", "ts", "value").collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("reversed scan: equals sorted-forward-scan reversed, every encoding") {
     val src = Tables.cells(spark, sf)
     val keys = src.select("rowkey").orderBy("rowkey").collect().map(_.getString(0))
