@@ -355,7 +355,66 @@ object FilterOps {
       .orderBy(col("rowkey").asc_nulls_last)
   }
 
+  /** b25 — DependentColumnFilter [public: o.a.h.hbase.filter
+    * .DependentColumnFilter]: keep the cells of a row whose timestamp
+    * equals the timestamp of that row's REFERENCE column cell (here
+    * qualifier `purchase` passing `value > 100`), i.e. "give me
+    * everything written in the same batch as a qualifying purchase".
+    * The logical row is the user entity (12-char rowkey prefix, the b20
+    * convention) and the write timestamp is the DAY-truncated cell ts —
+    * the daily bulk-ingest model where each day's load stamps its cells
+    * with the batch timestamp, which is exactly the write-batch
+    * correlation this filter exists for (at µs grain the fixture's
+    * timestamps are all distinct and the filter would only ever
+    * self-match). dropDependentColumn=false: reference cells stay.
+    * Scale shape: ONE shuffle on the natural (row, batch-ts) key — a
+    * boolean max over the coordinate window, no join, mirroring the
+    * RegionServer's row-local evaluation; the per-partition state is one
+    * user-day.
+    */
+  val b25_dependent_column: Q = (s, d) => {
+    val batch = Window.partitionBy(substring(col("rowkey"), 1, 12), col("bts"))
+    Tables.cells(s, d)
+      .withColumn("bts", (col("ts") - pmod(col("ts"), lit(86400000000L))).cast("long"))
+      .withColumn("ref", max(
+        when(col("qualifier") === "purchase" && col("value") > 100, 1)
+          .otherwise(0)).over(batch))
+      .where(col("ref") === 1)
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(substring(col("rowkey"), 1, 12)).as("nusers"),
+        dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
+  /** b26 — ColumnCountGetFilter(2) [public: o.a.h.hbase.filter
+    * .ColumnCountGetFilter]: a Get that returns at most N columns per
+    * row — the RegionServer stops the row after the Nth column. Per
+    * logical row (the 12-char user prefix, b20's grain) after the
+    * standard latest-version read: the first 2 columns in qualifier
+    * order, rowkey tie-breaking for determinism. Same two-window shape
+    * as b20 (version window on the full cell coordinate, count window on
+    * the user prefix) with the page anchored at the row start — offset 0
+    * limit 2 vs b20's offset 1 limit 2.
+    */
+  val b26_column_count: Q = (s, d) => {
+    val latest = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("value"))
+    val page = Window.partitionBy(substring(col("rowkey"), 1, 12))
+      .orderBy(col("qualifier"), col("rowkey"))
+    Tables.cells(s, d)
+      .withColumn("rnv", row_number().over(latest)).where(col("rnv") === 1)
+      .withColumn("cpos", row_number().over(page))
+      .where(col("cpos") <= 2)
+      .select(substring(col("rowkey"), 1, 12).as("row_prefix"),
+        col("cpos"), col("rowkey"), col("qualifier"), col("value"))
+      .orderBy(col("rowkey").asc_nulls_last)
+      .limit(400)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b26_column_count" -> b26_column_count,
+    "b25_dependent_column" -> b25_dependent_column,
     "b24_while_match" -> b24_while_match,
     "b23_timestamps_filter" -> b23_timestamps_filter,
     "b22_filter_list" -> b22_filter_list,

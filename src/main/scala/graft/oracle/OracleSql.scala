@@ -187,6 +187,37 @@ object OracleSql {
           |         AND rowkey <= '000000000008:999999999999'
           |         AND (value IS NULL OR value <= 1.0)), 'zzz')
           |ORDER BY rowkey NULLS LAST""".stripMargin),
+    // b25: DependentColumnFilter — cells sharing the day-batch write ts
+    // of a qualifying purchase cell in the same logical row (12-char
+    // user prefix); EXISTS spelling vs the Spark side's window flag
+    "b25_dependent_column" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       count(DISTINCT substr(rowkey, 1, 12)) AS nusers,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM cells c
+          |WHERE EXISTS (SELECT 1 FROM cells r
+          |  WHERE substr(r.rowkey, 1, 12) = substr(c.rowkey, 1, 12)
+          |    AND r.qualifier = 'purchase' AND r.value > 100
+          |    AND r.ts - r.ts % 86400000000 = c.ts - c.ts % 86400000000)
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // b26: ColumnCountGetFilter(2) — first 2 columns per logical row
+    // after the latest-version read (b20's machinery, page anchored at
+    // the row start)
+    "b26_column_count" ->
+      (cellsCte +
+        """SELECT substr(rowkey, 1, 12) AS row_prefix, cpos, rowkey,
+          |       qualifier, value FROM
+          |  (SELECT rowkey, qualifier, value,
+          |          row_number() OVER (PARTITION BY substr(rowkey, 1, 12)
+          |                             ORDER BY qualifier, rowkey) AS cpos
+          |   FROM (SELECT rowkey, cf, qualifier, value,
+          |                row_number() OVER (PARTITION BY rowkey, cf, qualifier
+          |                                   ORDER BY ts DESC, value) AS rnv
+          |         FROM cells)
+          |   WHERE rnv = 1)
+          |WHERE cpos <= 2
+          |ORDER BY rowkey NULLS LAST LIMIT 400""".stripMargin),
     "b21_reverse_scan" ->
       (cellsCte +
         """SELECT rowkey, qualifier, ts AS ts_us, value, op FROM cells
