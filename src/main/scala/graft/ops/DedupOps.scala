@@ -208,7 +208,7 @@ object DedupOps {
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+        .graftCkpt()
       val s = labelSum(next)
       labels = next
       converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
@@ -538,7 +538,7 @@ object DedupOps {
     val docs = Tables.documents(s, d)
     def h(c: Column): Column = md5(lower(trim(c)))
     val existing = docs.select(h(col("text")).as("h")).distinct()
-      .localCheckpoint() // three consumers: count, bloom agg, confirm join
+      .graftCkpt() // three consumers: count, bloom agg, confirm join
     val incoming = docs.where(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") % 7 === 3)
@@ -635,11 +635,11 @@ object DedupOps {
         graft.functions.SketchFns.bloomMightColName, col("__bf"), col("h")),
         lit(false)))
       .select(col("doc_id"), col("h"), col("__mc"))
-      .localCheckpoint()
+      .graftCkpt()
     val defNew = flagged.where(!col("__mc")).drop("__mc")
     val candAdmitted = flagged.where(col("__mc")).drop("__mc")
       .join(ex, Seq("h"), "left_anti")
-      .localCheckpoint() // consumed by the admit union AND the FPR stats
+      .graftCkpt() // consumed by the admit union AND the FPR stats
     if (logStats) {
       val nRej = defNew.count()
       val nCand = flagged.count() - nRej

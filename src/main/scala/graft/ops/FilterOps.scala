@@ -345,7 +345,7 @@ object FilterOps {
         startRow = "000000000002:000000000000",
         stopRowInclusive = "000000000008:999999999999")(
         r => !r.isNullAt(4) && r.getDouble(4) > 1.0)
-      .localCheckpoint() // two consumers: stop-key aggregate + row filter;
+      .graftCkpt() // two consumers: stop-key aggregate + row filter;
                          // bounded by the per-region match runs, not the table
     val stop = tagged.where(!col("matched")).agg(min(col("rowkey")).as("stopkey"))
     tagged.where(col("matched")).crossJoin(broadcast(stop))

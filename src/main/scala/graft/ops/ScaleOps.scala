@@ -300,7 +300,7 @@ object ScaleOps {
       }
     val withPid0 = df.withColumn("_pid",
       bucketOf(sortCols, boundaries.take(pids.length - 1), pids))
-    val withPid = if (materialize) withPid0.localCheckpoint() else withPid0
+    val withPid = if (materialize) graft.ops.ckpt(withPid0) else withPid0
     // isNullAt guard: an all-null sum() bucket must contribute 0 to the
     // offsets (matching window-sum semantics), not NPE on getLong
     val byPid = withPid.groupBy("_pid").agg(perPartition.as("_t")).collect()

@@ -61,7 +61,7 @@ object SketchOps {
     // repeated invocations don't accumulate session-lifetime cache
     // entries the way .cache() would.
     val evalGrams = wordGrams(words.where(col("doc_id") % 97 === 0), n)
-      .select("g").distinct().localCheckpoint()
+      .select("g").distinct().graftCkpt()
     // size the filter from the ACTUAL distinct eval-gram count (one cheap
     // aggregate over the small eval side) instead of a frozen 65536/2^20:
     // a frozen size silently saturated toward pass-through once the eval

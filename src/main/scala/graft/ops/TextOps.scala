@@ -218,7 +218,7 @@ object TextOps {
       .select(col("h.pid").as("pid"), col("doc_id"), col("h.c").as("c"),
         col("h.pn").as("pn"), col("h.dn").as("dn"))
       .where(col("doc_id") =!= col("pid"))
-      .localCheckpoint()
+      .graftCkpt()
     // same IEEE division as the grid spelling (c ≥ 1 here, so > 0)
     val pos = inter.select(col("pid"), col("doc_id"),
       (col("c").cast("double")
@@ -353,7 +353,7 @@ object TextOps {
     // tokenize/explode once: both consumers (model rollup + scoring
     // join) read the materialized support, not a re-derived corpus pass
     val dtf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+      .graftCkpt()
     val model = dtf.groupBy("w1", "w2").agg(sum(col("k")).as("c"))
       .withColumn("ctx", sum(col("c")).over(Window.partitionBy("w1")))
     dtf.join(model, Seq("w1", "w2"))

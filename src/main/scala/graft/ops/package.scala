@@ -42,6 +42,43 @@ package object ops {
   def lsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 0))).cast("long")
 
+  /** Materialize an intermediate consumed more than once (or whose
+    * lineage must be truncated), with cluster-selectable durability.
+    *
+    * Default is `localCheckpoint(eager)`: blocks live on executor
+    * local storage only — fast, no HDFS round-trip, the right call on
+    * local[32] and for fixture-scale intermediates. The trade
+    * (docs/SCALE.md "Checkpoint durability"): localCheckpoint is NOT
+    * fault-tolerant — losing an executor loses its blocks AND the
+    * truncated lineage, failing the job where reliable `checkpoint`
+    * would recompute. On a real cluster set
+    * `spark.graft.reliableCheckpoint=true` (plus
+    * `spark.graft.checkpointDir=<fault-tolerant path>` if no
+    * `sparkContext.setCheckpointDir` was issued) and every graft
+    * materialization point switches to reliable `checkpoint` — same
+    * plans, executor-loss survivable.
+    */
+  def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        spark.conf.getOption("spark.graft.checkpointDir")
+          .foreach(sc.setCheckpointDir)
+      require(sc.getCheckpointDir.nonEmpty,
+        "spark.graft.reliableCheckpoint=true needs a checkpoint dir " +
+          "(sparkContext.setCheckpointDir or spark.graft.checkpointDir)")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Postfix spelling of [[ckpt]] for fluent chains. */
+  implicit class GraftCkpt(private val df: DataFrame) {
+    def graftCkpt(eager: Boolean = true): DataFrame = ckpt(df, eager)
+  }
+
   /** DuckDB spelling of [[dsum]]. */
   def dsumSql(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 

