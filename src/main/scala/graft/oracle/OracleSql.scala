@@ -1040,6 +1040,16 @@ object OracleSql {
         |  md5(array_to_string(
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
         |    '')) AS rt_md5
+        |FROM documents ORDER BY doc_id NULLS LAST""".stripMargin,
+    // j48: same reconstruction target as j27 — the unigram tokenizer's
+    // decode∘encode must reproduce the concatenated normalized words;
+    // the tokenizer itself has no SQL spelling, the hash gate proves it
+    // lossless and covering
+    "j48_unigram_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+        |    '')) AS rt_md5
         |FROM documents ORDER BY doc_id NULLS LAST""".stripMargin)
 
   /** j28–j30 (graft.ops.RepetitionOps): substring-level dedup coverage,
