@@ -29,7 +29,8 @@ object PlanDump {
     "b21_reverse_scan" -> "reversed HFile scan: per-region limited backward block walk feeds a tiny candidate RDD; the global last-K is TakeOrderedAndProject over <= limit rows per region — no sort exchange",
     "j41_ngram_lm" -> "bigram LM table: one corpus gram exchange for the (w1,w2) counts, then a vocabulary-sized w1 window for the context sums — the conditional probabilities never re-touch the corpus",
     "j42_rrf_fusion" -> "hybrid retrieval: the BM25 leg keeps j35's candidate-sliver shape, the cosine leg broadcasts only probe vectors, and the fusion joins two <= 20-rows-per-probe lists — neither corpus side reshuffles for the merge",
-    "j43_lm_perplexity" -> "bigram perplexity: zero Generate in the scoring plan — the localCheckpointed per-doc bigram support feeds both the model rollup and the scoring join, so the corpus explodes exactly once at materialization")
+    "j43_lm_perplexity" -> "bigram perplexity: zero Generate in the scoring plan — the localCheckpointed per-doc bigram support feeds both the model rollup and the scoring join, so the corpus explodes exactly once at materialization",
+    "j47_curate_e2e" -> "end-to-end curation (admit→paragraph-dedup→scrub→LM-filter→mix→pack): each stage keeps its gated operator's shape — the corpus explodes once per text-granularity stage (the chunk Generate over the admit union, the bigram Generate over the CHECKPOINTED scrub output — never re-derived; the LM stage's support feeds model and scoring from one materialization), scrub is map-only, the mix table is a broadcast 5-row join, and the two global orders are the distributed ntile/cumsum range-exchange forms; no stage re-explodes or re-reads an earlier stage's input")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -20,7 +20,7 @@ object SparkEntry {
       ops.AggOps.queries ++ ops.SortSetOps.queries ++ ops.WindowOps.queries ++
       ops.FnOps.queries ++ ops.TextOps.queries ++ ops.SampleOps.queries ++
       ops.UdxOps.queries ++ ops.MultimodalOps.queries ++ ops.BpeOps.queries ++
-      ops.UnigramOps.queries ++
+      ops.UnigramOps.queries ++ ops.CurateOps.queries ++
       ops.RepetitionOps.queries ++ ops.RankOps.queries ++
       ops.SketchOps.queries ++ ops.DedupOps.queries
 

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the J-family operators composed the
@@ -79,4 +81,127 @@ object CurateOps {
     kept1.unpersist(); kept2.unpersist()
     rows.toDF("stage", "docs")
   }
+
+  /** j47 — the gated stages composed into ONE oracle-checked pipeline,
+    * the DAG a recurring pre-training data run actually executes:
+    *
+    *   1. ADMIT (j46): the planted crawl batch (verbatim re-crawl slice,
+    *      fresh docs, within-batch dup) admitted against the corpus
+    *      through [[DedupOps.incrementalAdmit]]'s banded bloom; admitted
+    *      docs arrive DIRTY — the j34 synthetic-PII tail is planted on
+    *      them (crawl reality), corpus docs stay clean.
+    *   2. PARAGRAPH DEDUP (j45): corpus ∪ admitted through
+    *      [[RepetitionOps.paragraphDedupText]] — global keep-first at
+    *      chunk grain, per-doc reassembly; fully-duplicated docs drop.
+    *      (The fresh docs' bodies duplicate their source docs chunk for
+    *      chunk, so this stage really cuts: they survive as their
+    *      unique tails.)
+    *   3. SCRUB (j34): [[TextOps.piiScrub]] over the cleaned text.
+    *   4. LM FILTER (j43 → CCNet's use of it): bigram model trained on
+    *      the scrubbed corpus itself, per-doc nll, DROP the worst
+    *      decile — rank via [[ScaleOps.distributedNtile]] (no
+    *      single-partition window), tile 10 = highest nll out. Docs
+    *      with no bigram (<2 words) cannot be scored and drop too.
+    *   5. MIX (j44 + j22): temperature-scaled target shares q_l ∝
+    *      p_l^0.3 derived from the SURVIVING distribution, applied as
+    *      deterministic per-lang subsampling at rate (q_l/p_l) /
+    *      max_m(q_m/p_m) through the j20/j22 hash coin (salt 4242) —
+    *      the dominant language downsamples, the rarest passes whole.
+    *   6. PACK (j21 + j24): whitespace token counts, distributed
+    *      exclusive prefix sum in doc_id order, ~4096-token shards,
+    *      per-shard payload md5.
+    *
+    * The DuckDB twin recomputes the ENTIRE DAG sketch-free, so the gate
+    * proves every stage boundary (which docs survive, with which bytes)
+    * cross-engine — the bloom layer, the distributed ntile, and the
+    * distributed cumsum must all be semantically invisible.
+    *
+    * Scale shape: each stage is the gated operator's own shape — the
+    * corpus explodes once per text-granularity stage (chunks in 2,
+    * bigrams in 4, nothing in 3/5, token count in 6), every join is
+    * keyed on doc_id or broadcast (the 5-row mix table, the band
+    * blooms), and the only global orders are the two distributed
+    * range-partition forms. Determinism: every floating value the
+    * pipeline BRANCHES on is either the j43 nll recipe (round-into-
+    * DECIMAL, exact sum, one division) or a floor of a product of
+    * bit-equal doubles (mix cut) — both engines agree exactly.
+    */
+  def j47_curate_e2e: Q = (s, d) => {
+    def h(c: Column): Column = md5(lower(trim(c)))
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+
+    // -- 1. admit ---------------------------------------------------
+    val incoming = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" fresh "), col("doc_id")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 14 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" fresh "), col("doc_id")).as("text")))
+      .graftCkpt() // consumed by the admit classify AND the join-back
+    val admittedIds = DedupOps.incrementalAdmit(
+      docs.select(h(col("text")).as("h")).distinct(),
+      incoming.select(col("doc_id"), h(col("text")).as("h")),
+      logStats = false)
+    val piiTail = concat(
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or admin@test.org from "),
+      (col("doc_id") % 256).cast("string"), lit(".10."),
+      (col("doc_id") % 100).cast("string"), lit(".7 call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val admitted = incoming
+      .join(admittedIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), concat(col("text"), piiTail).as("text"))
+    val input = docs.unionByName(admitted)
+
+    // -- 2. paragraph dedup -----------------------------------------
+    val clean = RepetitionOps.paragraphDedupText(input)
+      .join(input.select("doc_id", "lang"), Seq("doc_id"))
+
+    // -- 3. scrub ---------------------------------------------------
+    val scrubbed = clean.withColumn("text", TextOps.piiScrub(col("text")))
+      .graftCkpt() // consumed by the LM scorer AND the post-filter join
+
+    // -- 4. LM filter: drop the worst decile by nll -----------------
+    val scored = TextOps.bigramNll(scrubbed)
+    // plain columns (never SortOrder): distributedNtile builds range
+    // comparisons from these; nll/doc_id are non-null so asc ≡ the
+    // oracle's NULLS LAST
+    val kept = ScaleOps.distributedNtile(scored,
+        Seq(col("nll"), col("doc_id")), 10, 32)
+      .where(col("tile") <= 9)
+      .select("doc_id")
+      .join(scrubbed, Seq("doc_id"))
+
+    // -- 5. temperature mix -----------------------------------------
+    val cuts = kept.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("w", round(pow(col("p"), 0.3), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("q", col("w").cast("double")
+        / sum(col("w")).over(Window.partitionBy())
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double"))
+      .withColumn("rate", col("q") / col("p"))
+      .withColumn("cut", floor(col("rate")
+        / max(col("rate")).over(Window.partitionBy()) * 1000000L))
+      .select("lang", "cut")
+    val mixed = kept.join(broadcast(cuts), Seq("lang"))
+      .where(SampleOps.mixBucket(col("doc_id") + 4242L) % 1000000L < col("cut"))
+
+    // -- 6. pack ----------------------------------------------------
+    val toks = mixed.select(col("doc_id"), col("text"),
+      TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
+    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
+      .withColumn("shard", expr(s"(cum - tok) DIV ${SampleOps.ShardTokens}"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("toks"),
+        md5(concat_ws("<DOC>", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")))).as("payload_md5"))
+      .orderBy(asc_nulls_last("shard"))
+  }
+
+  val queries: Map[String, Q] = Map("j47_curate_e2e" -> j47_curate_e2e)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -265,8 +266,14 @@ object RepetitionOps {
     * one doc_id re-aggregation. No pairwise compare, no join;
     * structurally the j31 exchange pattern minus the interval union.
     */
-  def j45_dedup_paragraphs: Q = (s, d) => {
-    val seg = Tables.documents(s, d)
+  /** The j45/j47 core over any (doc_id, text) frame: lowercase
+    * fixed-width 8-word chunk explode with the GLOBAL keep-first rank
+    * per chunk text — (doc_id, seg, chunk, rn), rn = 1 iff this
+    * occurrence is the corpus-wide first of its chunk. One explode, ONE
+    * chunk-keyed window.
+    */
+  private[ops] def chunkKeepFirst(docs: DataFrame): DataFrame = {
+    val seg = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), ceil(size(col("ws")) / lit(8.0)).cast("int") - 1),
@@ -279,6 +286,22 @@ object RepetitionOps {
     val w = Window.partitionBy("chunk")
       .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("seg"))
     seg.withColumn("rn", row_number().over(w))
+  }
+
+  /** Paragraph-dedup SURGERY for j47: each document's kept chunks
+    * reassembled in seg order as its cleaned (lowercase) text; documents
+    * whose every chunk is a later duplicate get NO row (fully
+    * deduplicated away).
+    */
+  def paragraphDedupText(docs: DataFrame): DataFrame =
+    chunkKeepFirst(docs).where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg"), col("chunk")))),
+        x => x.getField("chunk"))).as("text"))
+
+  def j45_dedup_paragraphs: Q = (s, d) =>
+    chunkKeepFirst(Tables.documents(s, d))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
@@ -288,7 +311,6 @@ object RepetitionOps {
               struct(col("seg"), col("chunk"))))),
             x => x.getField("chunk"))))).as("clean_md5"))
       .orderBy(asc_nulls_last("doc_id"))
-  }
 
   def queries: Map[String, Q] = Map(
     "j28_dup_substrings" -> j28_dup_substrings,

@@ -341,8 +341,15 @@ object TextOps {
     * one vocab-sized w1 window for the context sums; then one doc_id
     * aggregation.
     */
-  def j43_lm_perplexity: Q = (s, d) => {
-    val pairs = Tables.documents(s, d)
+  /** The j43 core, reusable over any (doc_id, text) frame (j47 runs it
+    * on the curated corpus): per-doc bigram count `nbi` and
+    * length-normalized negative log likelihood `nll` against the bigram
+    * model trained on the SAME frame. Docs with no bigram (<2 words)
+    * get no row. Explodes its input exactly once (checkpointed support
+    * feeds model and scoring).
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val pairs = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"),
@@ -364,8 +371,11 @@ object TextOps {
       .agg(sum(col("k")).cast("long").as("nbi"),
         (sum(col("t") * col("k")).cast(DecimalType(38, 6)).cast("double")
           / sum(col("k")).cast("double")).as("nll"))
-      .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
   }
+
+  def j43_lm_perplexity: Q = (s, d) =>
+    bigramNll(Tables.documents(s, d))
+      .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
 
   /** j33: winnowing document fingerprint under the cross-engine gate —
     * the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD '03, public):

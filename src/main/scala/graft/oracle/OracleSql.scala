@@ -1347,7 +1347,116 @@ object OracleSql {
         |HAVING count(*) >= greatest(2, (SELECT total FROM tot) // 2000)
         |ORDER BY c DESC, g NULLS LAST LIMIT 100""".stripMargin)
 
+  /** j47: the WHOLE curation DAG recomputed sketch-free — admit (j46's
+    * NOT IN + keep-first), paragraph dedup (j45's chunk keep-first +
+    * reassembly), PII scrub (j34's redaction chain over the planted
+    * dirty tails), LM filter (j43's nll recipe + ANSI ntile decile
+    * drop), temperature mix (j44's q over the survivor distribution,
+    * applied at rate (q/p)/max(q/p) through the shared hash coin), pack
+    * (j21/j24's cumsum shards + payload digests). Every stage boundary
+    * the Spark side crosses with a sketch/distributed form (banded
+    * bloom, distributedNtile, distributedCumsum) must be invisible
+    * here.
+    */
+  val curate: Map[String, String] = Map(
+    "j47_curate_e2e" ->
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, lang, text FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, lang, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+        |  FROM d WHERE doc_id % 14 = 3),
+        |ex AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM d),
+        |ih AS (SELECT doc_id, lang, text, md5(lower(trim(text))) AS h FROM inc),
+        |sv AS (SELECT doc_id, lang, text, h,
+        |              row_number() OVER (PARTITION BY h
+        |                  ORDER BY doc_id NULLS LAST) AS rn
+        |       FROM ih WHERE h NOT IN (SELECT h FROM ex)),
+        |adm AS (SELECT doc_id, lang,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or admin@test.org from '
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.10.'
+        |    || CAST(doc_id % 100 AS VARCHAR) || '.7 call +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM sv WHERE rn = 1),
+        |u AS (SELECT * FROM d UNION ALL SELECT * FROM adm),
+        |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM u),
+        |seg AS (
+        |  SELECT doc_id, CAST((i-1)//8 AS BIGINT) AS seg,
+        |         array_to_string(list_slice(ws, ((i-1)//8)*8+1, ((i-1)//8)*8+8), ' ') AS chunk
+        |  FROM ws, unnest(generate_series(1, len(ws))) AS t1(i)
+        |  WHERE (i-1) % 8 = 0),
+        |r AS (SELECT doc_id, seg, chunk,
+        |             row_number() OVER (PARTITION BY chunk
+        |                 ORDER BY doc_id NULLS LAST, seg NULLS LAST) AS rn
+        |      FROM seg),
+        |scr AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |        string_agg(chunk, ' ' ORDER BY seg),
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |        '\\+1-555-\\d{4}', '<PHONE>', 'g') AS text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id),
+        |ws2 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM scr),
+        |pairs AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM ws2, unnest(generate_series(1, len(ws) - 1)) AS t2(i)
+        |  WHERE len(ws) >= 2),
+        |cnt AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+        |model AS (SELECT w1, w2, c, sum(c) OVER (PARTITION BY w1) AS ctx FROM cnt),
+        |dtf AS (SELECT doc_id, w1, w2, count(*) AS k FROM pairs GROUP BY doc_id, w1, w2),
+        |sc AS (
+        |  SELECT doc_id, k,
+        |         CAST(round(-ln(CAST(c AS DOUBLE) / CAST(ctx AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6)) AS t
+        |  FROM dtf JOIN model USING (w1, w2)),
+        |nl AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(sum(t * k) AS DECIMAL(38,6)) AS DOUBLE)
+        |           / CAST(sum(k) AS DOUBLE) AS nll
+        |  FROM sc GROUP BY doc_id),
+        |bk AS (SELECT doc_id,
+        |              ntile(10) OVER (ORDER BY nll NULLS LAST, doc_id NULLS LAST) AS tile
+        |       FROM nl),
+        |kept AS (
+        |  SELECT s.doc_id, s.text, u.lang
+        |  FROM bk JOIN scr s USING (doc_id) JOIN u USING (doc_id)
+        |  WHERE tile <= 9),
+        |byl AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+        |pt AS (SELECT lang, CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS p FROM byl),
+        |wt AS (SELECT lang, p, CAST(round(pow(p, 0.3), 6) AS DECIMAL(18,6)) AS w FROM pt),
+        |qt AS (SELECT lang, p,
+        |              CAST(w AS DOUBLE)
+        |                / CAST(CAST(sum(w) OVER () AS DECIMAL(38,6)) AS DOUBLE) AS q
+        |       FROM wt),
+        |rt AS (SELECT lang, q / p AS rate FROM qt),
+        |cutt AS (SELECT lang,
+        |                CAST(floor(rate / max(rate) OVER () * 1000000) AS BIGINT) AS cut
+        |         FROM rt),
+        |mixed AS (
+        |  SELECT k.doc_id, k.text FROM kept k JOIN cutt USING (lang)
+        |  WHERE ${mixSql("(k.doc_id + 4242)")} % 1000000 < cut),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS tok
+        |  FROM mixed),
+        |cm AS (
+        |  SELECT doc_id, text, tok,
+        |         CAST(sum(tok) OVER (ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum
+        |  FROM tok)
+        |SELECT (cum - tok) // 4096 AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok) AS BIGINT) AS toks,
+        |       md5(string_agg(text, '<DOC>' ORDER BY doc_id)) AS payload_md5
+        |FROM cm GROUP BY shard ORDER BY shard NULLS LAST""".stripMargin)
+
   def all: Map[String, String] =
     scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
-      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch
+      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch ++ curate
 }
