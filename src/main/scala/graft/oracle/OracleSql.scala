@@ -54,6 +54,18 @@ object OracleSql {
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a15: the WAL-free spelling of the durability cycle — recovery
+    // (flushed HFile generation ∪ replayed log suffix) must equal the
+    // plain cells view no matter where the flush point fell, so the
+    // oracle is a9's roundtrip aggregate verbatim
+    "a15_wal_replay" ->
+      (cellsCte +
+        """SELECT cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
+          |  count(*) FILTER (WHERE op = 'delete') AS dels
+          |FROM cells GROUP BY cf, qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a12: same oracle as a9 — the round-trip aggregate is
     // codec-independent; only the Spark side's write options differ
     // (ZSTD + PREFIX vs a9's GZ + FAST_DIFF)
