@@ -291,7 +291,39 @@ object ScanOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** a16 — per-column-family store layout + family-level I/O pruning
+    * (the `Scan#addFamily` fast path): the cells view re-familied the
+    * way real schemas split hot access paths from cold metadata
+    * (`hot` = the click/view columns, `meta` = the rest), bulk-written
+    * through [[graft.sources.HFileOps.bulkWriteFamilies]] — ONE pass,
+    * each range partition writing one store file per family it holds,
+    * exactly HBase's one-store-per-family-per-region layout — then read
+    * back family-selectively: [[graft.sources.HFileOps.readFamilies]]
+    * opens ONLY the `cf=hot` store directory, so the meta family's
+    * bytes are never touched (MultiCfSpec pins the layout, the
+    * round-trip, and structurally that pruning selects no meta path).
+    * Oracle: the derived-family filter over the cells view.
+    */
+  val a16_multi_cf_prune: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_mcf", d)
+    val recf = Tables.cells(s, d).withColumn("cf",
+      when(col("qualifier").isin("click", "view"), "hot").otherwise("meta"))
+    HFileOps.bulkWriteFamilies(recf, dir,
+      regions = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "events")),
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    HFileOps.readFamilies(s, dir, Seq("hot"))
+      .groupBy(col("cf"), col("qualifier"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        sum((col("ts") % 1000003L).cast("decimal(18,0)")).cast("long").as("tsum"),
+        count_if(col("op") === "delete").as("dels"))
+      .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a16_multi_cf_prune" -> a16_multi_cf_prune,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a12_hfile_zstd" -> a12_hfile_zstd,
     "a13_hfile_merge_read" -> a13_hfile_merge_read,

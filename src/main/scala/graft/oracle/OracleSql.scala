@@ -66,6 +66,19 @@ object OracleSql {
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a16: the family-pruned read of the re-familied cells view —
+    // family selection must behave exactly like the cf filter the
+    // oracle spells, even though the Spark side prunes whole store
+    // directories and never opens the meta family's bytes
+    "a16_multi_cf_prune" ->
+      (cellsCte +
+        """SELECT 'hot' AS cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
+          |  count(*) FILTER (WHERE op = 'delete') AS dels
+          |FROM cells WHERE qualifier IN ('click', 'view')
+          |GROUP BY qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a12: same oracle as a9 — the round-trip aggregate is
     // codec-independent; only the Spark side's write options differ
     // (ZSTD + PREFIX vs a9's GZ + FAST_DIFF)

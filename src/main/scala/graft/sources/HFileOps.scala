@@ -609,6 +609,14 @@ object HFileOps {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (paths, serConf) = regionFiles(spark, dir)
+    readPaths(spark, paths, serConf)
+  }
+
+  /** The streaming read core over an explicit file list — shared by
+    * [[read]] (whole directory) and [[readFamilies]] (store-pruned).
+    */
+  private def readPaths(spark: SparkSession, paths: Seq[String],
+                        serConf: SerializableConfiguration): DataFrame = {
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
@@ -629,6 +637,96 @@ object HFileOps {
         }
       }
     spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** Bulk-write with the PER-COLUMN-FAMILY store layout a real HBase
+    * region keeps (one store per family per region; HFileOutputFormat2
+    * writes exactly this for bulk loads): region files land under
+    * `dir/cf=<family>/region-NNNNN.hfile`. ONE pass over the input —
+    * each range partition sorts (cf, rowkey, qualifier, ts DESC, type
+    * DESC) and the task writes its cf-runs sequentially, closing one
+    * store file as the next family begins (within a fixed cf the sort
+    * is the standard KeyValue order, so every file keeps the HFile
+    * invariant). O(blockSize) task memory, never a per-family buffer.
+    *
+    * The point of the layout is FAMILY-LEVEL I/O PRUNING: a read that
+    * wants one family ([[readFamilies]]) selects whole store
+    * directories and the other families' bytes are never opened — the
+    * `Scan#addFamily` fast path, pinned structurally by MultiCfSpec.
+    */
+  def bulkWriteFamilies(cells: DataFrame, dir: String, regions: Int,
+                        blockSize: Int = 64 * 1024,
+                        compression: Int = HFileCodec.CompressionNone,
+                        encoding: Int = HFileCodec.EncodingNone): Seq[String] = {
+    val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    dfs.mkdirs(dirPath)
+    Option(dfs.globStatus(new HPath(dirPath, "cf=*/*.hfile")))
+      .getOrElse(Array.empty)
+      .foreach(st => dfs.delete(st.getPath, false))
+    val serConf = new SerializableConfiguration(hadoopConf)
+    val typeRank = expr(
+      "CASE op WHEN 'delete_family' THEN 14 WHEN 'delete' THEN 12 " +
+        "WHEN 'delete_version' THEN 8 ELSE 4 END")
+    val sorted = cells
+      .repartitionByRange(regions, col("rowkey"))
+      .sortWithinPartitions(col("cf").asc, col("rowkey").asc,
+        col("qualifier").asc, col("ts").desc, typeRank.desc)
+      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
+    sorted.rdd.mapPartitions { it0 =>
+      val pid = TaskContext.getPartitionId()
+      val it = it0.buffered
+      val written = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val cf = it.head.getString(1)
+        // iterator view over this family's run — hands the codec a
+        // stream that ends at the next family, consuming nothing extra
+        val run: Iterator[HFileCodec.HCell] = new Iterator[HFileCodec.HCell] {
+          def hasNext: Boolean = it.hasNext && it.head.getString(1) == cf
+          def next(): HFileCodec.HCell = {
+            val r = it.next()
+            HFileCodec.HCell(
+              r.getString(0).getBytes(UTF_8), r.getString(1).getBytes(UTF_8),
+              r.getString(2).getBytes(UTF_8), r.getLong(3),
+              typOf(r.getString(5)),
+              java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
+          }
+        }
+        val fs = new HPath(dir).getFileSystem(serConf.value)
+        val name = f"cf=$cf/region-$pid%05d.hfile"
+        val tmp = new HPath(dir, s"cf=$cf/.region-$pid%05d" +
+          s".${TaskContext.get().taskAttemptId()}.tmp")
+        fs.mkdirs(new HPath(dir, s"cf=$cf"))
+        val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+        try HFileCodec.write(run, os, blockSize,
+          HFileCodec.DefaultIndexChunkEntries, HFileCodec.DefaultBloomChunkKeys,
+          compression, encoding)
+        finally os.close()
+        val dst = new HPath(dir, name)
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, serConf.value)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        written += name
+      }
+      written.result().iterator
+    }.collect().toSeq.sorted
+  }
+
+  /** Read ONLY the requested families from a [[bulkWriteFamilies]]
+    * layout: path selection picks the matching `cf=<family>` store
+    * directories, so the other families' files are never opened — the
+    * bytes read scale with the families asked for, not the table.
+    */
+  def readFamilies(spark: SparkSession, dir: String,
+                   families: Seq[String]): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new HPath(dir)
+    val dfs = dirPath.getFileSystem(hadoopConf)
+    val paths = families.sorted.flatMap { f =>
+      Option(dfs.globStatus(new HPath(dirPath, s"cf=$f/*.hfile")))
+        .getOrElse(Array.empty).map(_.getPath.toString).sorted
+    }
+    readPaths(spark, paths, new SerializableConfiguration(hadoopConf))
   }
 
   /** Open-time postfix-flag resolution for the forward-streaming readers:
