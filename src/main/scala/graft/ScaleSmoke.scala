@@ -32,6 +32,12 @@ object ScaleSmoke {
     "b23_timestamps_filter",  // broadcast semi-join version selection (r11)
     "a9_hfile_roundtrip",     // full HFile bulk write + read back
     "a13_hfile_merge_read",   // LSM generations + exchange-free heap merge (r10)
+    // round 12: WAL durability cycle, per-cf store pruning, scan
+    // early-termination, the reference-column filter
+    "a15_wal_replay",         // log append + delta flush + recovery union
+    "a16_multi_cf_prune",     // one-pass per-family stores, family-pruned read
+    "b24_while_match",        // per-region early-stop walk + global stop key
+    "b25_dependent_column",   // (row, batch-ts) window correlation
     // LLM-pipeline families over the scaled documents/embeddings tables
     "j1_dedup_exact",         // corpus-wide hash dedup
     "j4_text_tokens",         // tokenize + global top-k
@@ -65,7 +71,11 @@ object ScaleSmoke {
     // and bigram-LM train→score (one corpus explode, checkpointed
     // support feeding model rollup + scoring join)
     "j42_rrf_fusion",
-    "j43_lm_perplexity")
+    "j43_lm_perplexity",
+    // round 12: the composed curation DAG and the unigram tokenizer
+    // (train on the bounded dictionary + distributed Viterbi encode)
+    "j47_curate_e2e",
+    "j48_unigram_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
