@@ -629,6 +629,35 @@ object StreamOps {
     * generation's files ([[graft.sources.HFileOps.bulkWrite]] generation
     * mode) and touches nothing else.
     */
+  /** I24: streaming WAL ingest — each micro-batch appends its own WAL
+    * segment group ([[graft.sources.WalOps.writeWal]] with a per-batch
+    * prefix), so the log accrues exactly the way a RegionServer's WAL
+    * does under continuous writes: durable before visible, and a
+    * REPLAYED batch overwrites precisely its own segments (the I17
+    * generation discipline — exactly-once without a transactional
+    * sink). [[graft.sources.WalOps.flush]]/[[graft.sources.WalOps
+    * .recover]] then run against the accrued log unchanged: flush
+    * persists the delta at a sequence point, recovery = flushed
+    * generations ∪ post-marker replay — StreamingSpec I24 pins
+    * streamed-log recovery ≡ the batch cells view, including after a
+    * simulated batch replay.
+    */
+  def walIngestSink(cells: DataFrame, walDir: String, checkpointDir: String,
+                    segmentsPerBatch: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    cells.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.WalOps.writeWal(batch, walDir, segmentsPerBatch,
+            prefix = f"wal-b$batchId%04d")
+          ()
+        }
+        ()
+      }
+
   def hfileGenerationalSink(cells: DataFrame, outDir: String, checkpointDir: String,
                             compression: Int = graft.sources.HFileCodec.CompressionNone,
                             encoding: Int = graft.sources.HFileCodec.EncodingNone)
