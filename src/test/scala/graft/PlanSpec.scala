@@ -304,4 +304,38 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("b25 dependent-column: ONE (row, batch-ts) window exchange, no join") {
+    // the write-batch correlation is a boolean max over the coordinate
+    // window — the RegionServer's row-local evaluation; a join spelling
+    // would shuffle the table twice
+    val plan = physical(SparkEntry.queries("b25_dependent_column")(spark, sf))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    val windowExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bts"))
+    assert(windowExchanges == 1,
+      s"expected exactly the (row-prefix, bts) window exchange\n$plan")
+  }
+
+  test("b26 column-count pages with b20's two window exchanges and no join") {
+    val plan = physical(SparkEntry.queries("b26_column_count")(spark, sf))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Window")) >= 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("j48 unigram roundtrip: one word-count exchange feeds training; encode is map-side") {
+    // the ONLY corpus-scale shuffle is the wordCounts groupBy — the
+    // broadcast Viterbi encode/decode adds no exchange of the corpus
+    val df = SparkEntry.queries("j48_unigram_roundtrip")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Join"), plan)
+    // encode/decode run as DeserializeToObject → MapPartitions chains
+    assert(plan.contains("MapPartitions"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0,
+      s"the declared plan (post-training) must not reshuffle the corpus\n$plan")
+  }
 }
