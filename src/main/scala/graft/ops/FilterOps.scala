@@ -412,7 +412,45 @@ object FilterOps {
       .limit(400)
   }
 
+  /** b27 — SkipFilter [public: o.a.h.hbase.filter.SkipFilter]: the
+    * row-scope INVERSION combinator — if ANY cell of a row fails the
+    * wrapped filter, the WHOLE row is skipped (vs the per-cell filters,
+    * which drop only the failing cells). Wrapped filter here: value is
+    * non-NULL and ≥ 1.0 (a ValueFilter). The logical row is the user
+    * entity (b20's grain). Spelled as a row-scope boolean min over the
+    * user window — ONE shuffle on the row key, no join; the oracle is
+    * the NOT EXISTS spelling.
+    */
+  val b27_skip_filter: Q = (s, d) => {
+    val row = Window.partitionBy(substring(col("rowkey"), 1, 12))
+    Tables.cells(s, d)
+      .withColumn("ok", min(
+        when(col("value").isNotNull && col("value") >= 1.0, 1).otherwise(0))
+        .over(row))
+      .where(col("ok") === 1)
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(substring(col("rowkey"), 1, 12)).as("nusers"),
+        dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
+  /** b28 — ColumnRangeFilter [public: o.a.h.hbase.filter
+    * .ColumnRangeFilter]: cells whose qualifier falls in a range —
+    * min inclusive, max EXCLUSIVE, the filter's default contract — the
+    * column-dimension analog of b9's rowkey range. A raw string
+    * predicate, so it pushes to the scan like b2's conjuncts.
+    */
+  val b28_column_range: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("qualifier") >= "click" && col("qualifier") < "signup")
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+
   val queries: Map[String, Q] = Map(
+    "b28_column_range" -> b28_column_range,
+    "b27_skip_filter" -> b27_skip_filter,
     "b26_column_count" -> b26_column_count,
     "b25_dependent_column" -> b25_dependent_column,
     "b24_while_match" -> b24_while_match,

@@ -226,6 +226,28 @@ object OracleSql {
           |    AND r.qualifier = 'purchase' AND r.value > 100
           |    AND r.ts - r.ts % 86400000000 = c.ts - c.ts % 86400000000)
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // b27: SkipFilter — drop the WHOLE logical row when any of its
+    // cells fails the wrapped value filter; NOT EXISTS spelling vs the
+    // Spark side's row-scope boolean min window
+    "b27_skip_filter" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       count(DISTINCT substr(rowkey, 1, 12)) AS nusers,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM cells c
+          |WHERE NOT EXISTS (SELECT 1 FROM cells f
+          |  WHERE substr(f.rowkey, 1, 12) = substr(c.rowkey, 1, 12)
+          |    AND (f.value IS NULL OR f.value < 1.0))
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // b28: ColumnRangeFilter — qualifier in [min, max), the
+    // column-dimension range scan
+    "b28_column_range" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM cells
+          |WHERE qualifier >= 'click' AND qualifier < 'signup'
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     // b26: ColumnCountGetFilter(2) — first 2 columns per logical row
     // after the latest-version read (b20's machinery, page anchored at
     // the row start)
