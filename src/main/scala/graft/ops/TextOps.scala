@@ -482,7 +482,98 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_last("label"), asc_nulls_last("lang"))
 
+  /** j49: stupid-backoff trigram scoring of a HELD-OUT slice (Brants et
+    * al., EMNLP 2007 "Large Language Models in Machine Translation",
+    * §4: S(w₃|w₁w₂) = c₃/c₂ if the trigram was seen, else
+    * 0.4·S(w₃|w₂), recursing to 0.4²·c₁/N and an OOV floor 0.4²/N) —
+    * the LM family's real evaluation shape: j41/j43 train and score the
+    * SAME corpus (every n-gram in-vocabulary by construction); here the
+    * model trains on doc_id % 5 ≠ 0 and scores the held-out % 5 = 0
+    * slice, so unseen trigrams/bigrams/unigrams genuinely occur and the
+    * backoff chain is exercised at every level (the per-level hit
+    * counts are part of the gated output — exact longs, so the
+    * branch decision ITSELF is hash-pinned cross-engine, not just the
+    * blended score).
+    *
+    * Determinism (the j43 recipe, extended): every count is an exact
+    * long; each distinct (doc, w₁, w₂, w₃)'s S is one CASE of short
+    * IEEE chains over literals both engines parse to identical doubles
+    * (0.4, 0.16), its -ln round(,6)'d into DECIMAL(18,6), weighted by
+    * the exact multiplicity, summed exactly, ONE final division.
+    *
+    * Scale shape: the train slice explodes once per order (three
+    * n-gram count tables, all train-corpus-bounded and
+    * map-side-combined); the held-out slice explodes ONCE into its
+    * per-doc trigram support; scoring is five keyed left joins of the
+    * support against the bounded model tables (AQE broadcasts the
+    * small sides at fixture scale; at 100 TB they are vocab-bounded
+    * builds); N is a one-value scalar.
+    */
+  def j49_lm_backoff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def toks(df: DataFrame) =
+      df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    def grams(df: DataFrame, n: Int): DataFrame = {
+      val fields = (0 until n).map(j =>
+        (i: Column) => element_at(col("ws"), i + j).as(s"w${j + 1}"))
+      df.where(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => struct(fields.map(f => f(i)): _*))).as("g"))
+        .select(col("doc_id") +: (1 to n).map(j => col(s"g.w$j")): _*)
+    }
+    val tr = toks(docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+    // planted OOV tail (the j34 fixture pattern): ' zzqN scan' appends
+    // one never-trained token then a guaranteed-trained one, so the
+    // unigram-backoff and OOV-floor branches fire deterministically at
+    // every SF (without it the fixture's shared vocabulary never
+    // reaches below the bigram backoff and levels 3/4 would be
+    // gate-dead)
+    val he = toks(docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(" zzq"),
+        pmod(col("doc_id"), lit(50)).cast("string"), lit(" scan"))))
+    val t1 = tr.select(explode(col("ws")).as("w"))
+    val c1 = t1.groupBy("w").agg(count(lit(1)).as("cu"))
+    val nTok = t1.count() // one bounded scalar: the train token total
+    val c2 = grams(tr, 2).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c3 = grams(tr, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val dtf = grams(he, 3).groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("k"))
+    val joined = dtf
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1"), col("w2"), col("cb").as("cp")),
+        Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cbo")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+    val sCase =
+      when(col("ct").isNotNull,
+        col("ct").cast("double") / col("cp").cast("double"))
+        .when(col("cbo").isNotNull,
+          lit(0.4) * col("cbo").cast("double") / col("cu2").cast("double"))
+        .when(col("cu3").isNotNull,
+          lit(0.16) * col("cu3").cast("double") / lit(nTok).cast("double"))
+        .otherwise(lit(0.16) / lit(nTok).cast("double"))
+    val lvl = when(col("ct").isNotNull, 1)
+      .when(col("cbo").isNotNull, 2)
+      .when(col("cu3").isNotNull, 3).otherwise(4)
+    joined
+      .join(c1.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .select(col("doc_id"), col("k"), lvl.as("lvl"),
+        round(-log(sCase), 6).cast(DecimalType(18, 6)).as("t"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).cast("long").as("ntri"),
+        sum(when(col("lvl") === 1, col("k")).otherwise(0)).cast("long").as("n_hit"),
+        sum(when(col("lvl") === 2, col("k")).otherwise(0)).cast("long").as("n_bo2"),
+        sum(when(col("lvl") === 3, col("k")).otherwise(0)).cast("long").as("n_bo1"),
+        sum(when(col("lvl") === 4, col("k")).otherwise(0)).cast("long").as("n_oov"),
+        (sum(col("t") * col("k")).cast(DecimalType(38, 6)).cast("double")
+          / sum(col("k")).cast("double")).as("nll"))
+      .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
+  }
+
   def queries: Map[String, Q] = Map(
+    "j49_lm_backoff" -> j49_lm_backoff,
     "j1_dedup_exact" -> j1_dedup_exact,
     "j16_token_stats" -> j16_token_stats,
     "j17_quality_features" -> j17_quality_features,

@@ -779,6 +779,61 @@ object OracleSql {
         |         / CAST(sum(k) AS DOUBLE) AS nll
         |FROM sc GROUP BY doc_id
         |ORDER BY nll DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    // j49: stupid-backoff trigram scoring of the held-out doc_id%5=0
+    // slice against models trained on the rest; per-level hit counts
+    // are exact longs so the branch decisions themselves are gated
+    "j49_lm_backoff" ->
+      """WITH tr AS (SELECT string_split(lower(text), ' ') AS ws
+        |            FROM documents WHERE doc_id % 5 <> 0),
+        |he AS (SELECT doc_id,
+        |              string_split(lower(text || ' zzq'
+        |                || CAST(doc_id % 50 AS VARCHAR) || ' scan'), ' ') AS ws
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |t1 AS (SELECT unnest(ws) AS w FROM tr),
+        |c1 AS (SELECT w, count(*) AS cu FROM t1 GROUP BY w),
+        |ntok AS (SELECT count(*) AS n FROM t1),
+        |c2 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS cb
+        |       FROM tr, unnest(generate_series(1, len(ws)-1)) AS u(i)
+        |       WHERE len(ws) >= 2 GROUP BY 1, 2),
+        |c3 AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, count(*) AS ct
+        |       FROM tr, unnest(generate_series(1, len(ws)-2)) AS u(i)
+        |       WHERE len(ws) >= 3 GROUP BY 1, 2, 3),
+        |dtf AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+        |               count(*) AS k
+        |        FROM he, unnest(generate_series(1, len(ws)-2)) AS u(i)
+        |        WHERE len(ws) >= 3 GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT d.doc_id, d.k,
+        |    CASE WHEN t.ct IS NOT NULL THEN 1
+        |         WHEN b.cb IS NOT NULL THEN 2
+        |         WHEN u3.cu IS NOT NULL THEN 3 ELSE 4 END AS lvl,
+        |    CAST(round(-ln(
+        |      CASE WHEN t.ct IS NOT NULL
+        |             THEN CAST(t.ct AS DOUBLE) / CAST(p.cb AS DOUBLE)
+        |           WHEN b.cb IS NOT NULL
+        |             THEN CAST(0.4 AS DOUBLE) * CAST(b.cb AS DOUBLE)
+        |                    / CAST(u2.cu AS DOUBLE)
+        |           WHEN u3.cu IS NOT NULL
+        |             THEN CAST(0.16 AS DOUBLE) * CAST(u3.cu AS DOUBLE)
+        |                    / CAST(ntok.n AS DOUBLE)
+        |           ELSE CAST(0.16 AS DOUBLE) / CAST(ntok.n AS DOUBLE)
+        |      END), 6) AS DECIMAL(18,6)) AS t
+        |  FROM dtf d
+        |  LEFT JOIN c3 t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+        |  LEFT JOIN c2 p ON d.w1 = p.w1 AND d.w2 = p.w2
+        |  LEFT JOIN c2 b ON d.w2 = b.w1 AND d.w3 = b.w2
+        |  LEFT JOIN c1 u2 ON d.w2 = u2.w
+        |  LEFT JOIN c1 u3 ON d.w3 = u3.w
+        |  CROSS JOIN ntok)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS ntri,
+        |  CAST(sum(CASE WHEN lvl = 1 THEN k ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN lvl = 2 THEN k ELSE 0 END) AS BIGINT) AS n_bo2,
+        |  CAST(sum(CASE WHEN lvl = 3 THEN k ELSE 0 END) AS BIGINT) AS n_bo1,
+        |  CAST(sum(CASE WHEN lvl = 4 THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(CAST(sum(t * k) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(sum(k) AS DOUBLE) AS nll
+        |FROM sc GROUP BY doc_id
+        |ORDER BY nll DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
     "j33_winnow_fingerprint" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 7),
