@@ -448,7 +448,46 @@ object FilterOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
       .orderBy(col("qualifier").asc_nulls_last)
 
+  /** b29 — MultipleColumnPrefixFilter [public: o.a.h.hbase.filter
+    * .MultipleColumnPrefixFilter]: cells whose qualifier starts with ANY
+    * of a prefix list — the column-dimension analog of b18's
+    * multi-range row scan. The OR of startsWith stays one codegen'd
+    * scan predicate.
+    */
+  val b29_multi_col_prefix: Q = (s, d) =>
+    Tables.cells(s, d)
+      .filter(col("qualifier").startsWith("cl")
+        || col("qualifier").startsWith("si")
+        || col("qualifier").startsWith("e"))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+
+  /** b30 — SingleColumnValueExcludeFilter [public: o.a.h.hbase.filter
+    * .SingleColumnValueExcludeFilter]: b12's whole-row value gate, but
+    * the TESTED column itself is excluded from the emitted row — "give
+    * me the rest of the rows that had a qualifying purchase". Same
+    * left-semi shape as b12 (the matching side is small → broadcast),
+    * plus the exclusion predicate on the probe side.
+    */
+  val b30_scv_exclude: Q = (s, d) => {
+    val cells = Tables.cells(s, d)
+    val matching = cells
+      .filter(col("qualifier") === "purchase" && col("value") > 200)
+      .select(substring(col("rowkey"), 1, 12).as("m_user"))
+    cells
+      .join(broadcast(matching.distinct()),
+        substring(col("rowkey"), 1, 12) === col("m_user"), "left_semi")
+      .filter(!(col("qualifier") === "purchase"))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(substring(col("rowkey"), 1, 12)).as("nusers"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b30_scv_exclude" -> b30_scv_exclude,
+    "b29_multi_col_prefix" -> b29_multi_col_prefix,
     "b28_column_range" -> b28_column_range,
     "b27_skip_filter" -> b27_skip_filter,
     "b26_column_count" -> b26_column_count,

@@ -207,7 +207,48 @@ object SampleOps {
       .orderBy(asc_nulls_last("lang"), asc_nulls_last("rn"))
   }
 
+  /** Tokens per packed training sequence (j50). */
+  val SeqTokens = 2048
+
+  /** j50: fixed-length sequence packing — the layout step BELOW j21's
+    * whole-document sharding: a pre-training run packs the token stream
+    * into fixed 2048-token sequences, SPLITTING documents at sequence
+    * boundaries (GPT-style concatenate-then-chunk, the standard
+    * alternative to padding). Each doc occupies the token interval
+    * [start, start+tok) of the corpus stream (start = exclusive prefix
+    * sum in doc_id order — the j21 distributed cumsum); the sequences
+    * it touches are start/2048 .. (start+tok-1)/2048, a tiny per-doc
+    * explode (a doc usually spans 1–2 sequences). The gated output per
+    * sequence: how many docs overlap it, exactly how many of its token
+    * slots each contributes (n_tokens = 2048 except the tail), how
+    * many docs were CARRIED across its left boundary (the split
+    * count), and the first/last doc ids — all exact integer
+    * arithmetic, no floating point anywhere.
+    */
+  def j50_pack_sequences: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(null))
+          .otherwise(TextAnalysisOps.wsTokenCount(col("text")))
+          .cast("long").as("tok"))
+    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
+      .withColumn("start", col("cum") - col("tok"))
+      .where(col("tok") > 0)
+      .select(col("doc_id"), col("tok"), col("start"),
+        explode(sequence(expr(s"start DIV $SeqTokens"),
+          expr(s"(start + tok - 1) DIV $SeqTokens"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("start") + col("tok"), (col("seq_id") + 1) * SeqTokens)
+          - greatest(col("start"), col("seq_id") * SeqTokens))
+          .cast("long").as("n_tokens"),
+        count_if(col("start") < col("seq_id") * SeqTokens).as("n_carried"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy(asc_nulls_last("seq_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j50_pack_sequences" -> j50_pack_sequences,
     "j20_sample_hash" -> j20_sample_hash,
     "j21_pack_shards" -> j21_pack_shards,
     "j22_mix_domains" -> j22_mix_domains,

@@ -248,6 +248,27 @@ object OracleSql {
           |FROM cells
           |WHERE qualifier >= 'click' AND qualifier < 'signup'
           |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // b29: MultipleColumnPrefixFilter — OR of qualifier prefixes
+    "b29_multi_col_prefix" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |FROM cells
+          |WHERE qualifier LIKE 'cl%' OR qualifier LIKE 'si%'
+          |   OR qualifier LIKE 'e%'
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // b30: SingleColumnValueExcludeFilter — b12's row gate with the
+    // tested column excluded from the output
+    "b30_scv_exclude" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       count(DISTINCT substr(rowkey, 1, 12)) AS nusers
+          |FROM cells c
+          |WHERE EXISTS (SELECT 1 FROM cells m
+          |  WHERE substr(m.rowkey, 1, 12) = substr(c.rowkey, 1, 12)
+          |    AND m.qualifier = 'purchase' AND m.value > 200)
+          |  AND NOT (qualifier = 'purchase')
+          |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     // b26: ColumnCountGetFilter(2) — first 2 columns per logical row
     // after the latest-version read (b20's machinery, page anchored at
     // the row start)
@@ -1104,6 +1125,29 @@ object OracleSql {
         |       CAST(w AS DOUBLE)
         |         / CAST(CAST(sum(w) OVER () AS DECIMAL(38,6)) AS DOUBLE) AS q
         |FROM w ORDER BY lang NULLS LAST""".stripMargin,
+    // j50: fixed 2048-token sequence packing with document splitting —
+    // pure integer arithmetic over the exclusive token prefix sum
+    "j50_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |         CAST(sum(tok) OVER (ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) - tok AS start
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, tok, start,
+        |         unnest(generate_series(start // 2048, (start + tok - 1) // 2048)) AS seq_id
+        |  FROM c WHERE tok > 0)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(start + tok, (seq_id + 1) * 2048)
+        |           - greatest(start, seq_id * 2048)) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE start < seq_id * 2048) AS BIGINT) AS n_carried,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY seq_id ORDER BY seq_id NULLS LAST""".stripMargin,
     "j23_sample_stratified" ->
       s"""SELECT lang, doc_id, rn FROM
         |  (SELECT lang, doc_id,
