@@ -75,7 +75,12 @@ object ScaleSmoke {
     // round 12: the composed curation DAG and the unigram tokenizer
     // (train on the bounded dictionary + distributed Viterbi encode)
     "j47_curate_e2e",
-    "j48_unigram_roundtrip")
+    "j48_unigram_roundtrip",
+    // round 12 late: held-out backoff LM scoring (three n-gram count
+    // tables + five keyed joins), fixed-length sequence packing (pure
+    // integer arithmetic over the distributed prefix sum)
+    "j49_lm_backoff",
+    "j50_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
