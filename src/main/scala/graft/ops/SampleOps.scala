@@ -207,6 +207,29 @@ object SampleOps {
       .orderBy(asc_nulls_last("lang"), asc_nulls_last("rn"))
   }
 
+  /** j56: seeded epoch shuffle + trainer sharding — the training-order
+    * step after packing: a deterministic global permutation (an
+    * independently-salted [[mixBucket]] — reproducible, resumable,
+    * auditable, unlike rand(seed) which reshuffles with partition
+    * layout), each doc assigned to one of 8 trainer shards by hash, and
+    * each trainer's read head (its first 25 docs in shuffle order)
+    * materialized. The row_number ≤ k form is the RewriteWindowTopK
+    * shape: per-shard state is a bounded heap of k, not the shard — at
+    * 100 TB each trainer's head is O(k) memory on one pass, and the
+    * FULL per-shard order needs no materialization at all (trainers
+    * stream their shard sorted by the same hash).
+    */
+  def j56_seeded_shuffle: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), mixBucket(col("doc_id") + 271829).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= 25)
+      .withColumn("pos", col("pos").cast("long")) // DuckDB row_number is BIGINT
+      .orderBy(asc_nulls_last("shard"), asc_nulls_last("pos"))
+  }
+
   /** Tokens per packed training sequence (j50). */
   val SeqTokens = 2048
 
@@ -253,6 +276,7 @@ object SampleOps {
     "j21_pack_shards" -> j21_pack_shards,
     "j22_mix_domains" -> j22_mix_domains,
     "j23_sample_stratified" -> j23_sample_stratified,
+    "j56_seeded_shuffle" -> j56_seeded_shuffle,
     "j24_pack_payload" -> j24_pack_payload,
     "j44_temperature_mix" -> j44_temperature_mix)
 }

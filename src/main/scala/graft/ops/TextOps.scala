@@ -572,8 +572,171 @@ object TextOps {
       .orderBy(desc("nll"), asc_nulls_last("doc_id")).limit(100)
   }
 
+  /** j51: DSIR data selection (hashed n-gram importance resampling, the
+    * public recipe of Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): word bigrams hash into B=1024
+    * buckets (portable top-60-bits-of-md5, the j33/j39 convention, so
+    * DuckDB computes identical buckets); the target distribution is the
+    * English subset (the stand-in for "formal target domain" at fixture
+    * scale), the raw distribution the whole corpus; each doc scores the
+    * sum over its grams of log(p_target/p_raw) with add-one smoothing,
+    * and the top-100 by importance weight are selected.
+    *
+    * Scale shape: ONE corpus explode reduced immediately to per-(doc,
+    * bucket) counts (`db`, ≤ docs×1024 rows, checkpointed once for its
+    * two consumers); bucket marginals are a 1024-row aggregate; the
+    * per-gram log-ratio table is 1024 rows broadcast back onto `db`; the
+    * final score is one doc-keyed aggregation feeding TakeOrdered. No
+    * stage is wider than the bigram explode, and nothing larger than
+    * 1024 rows ever sits on the driver or broadcasts.
+    *
+    * Determinism: the log-ratio is rounded at 6dp into DECIMAL per gram
+    * (libm `ln` drifts at the last ulp across engines — the j32/j49
+    * convention); the doc score is an exact decimal dot product
+    * `sum(k·lr)` with one final cast to DOUBLE.
+    */
+  def j51_dsir_select: Q = (s, d) => {
+    val B = 1024
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
+    val db = ws.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("g"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"), lit(B)))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("k"))
+      .graftCkpt() // two consumers: bucket marginals + the scoring join
+    val bc = db.groupBy("b").agg(
+      sum(col("k")).cast("long").as("cr"),
+      sum(when(col("lang") === "en", col("k")).otherwise(0)).cast("long").as("ct"))
+    val totals = bc.agg(sum("cr").cast("long").as("nr"), sum("ct").cast("long").as("nt"))
+    val lr = bc.crossJoin(broadcast(totals)).select(col("b"),
+      round(log((col("ct") + 1).cast("double") / (col("nt") + B).cast("double"))
+          - log((col("cr") + 1).cast("double") / (col("nr") + B).cast("double")), 6)
+        .cast(DecimalType(18, 6)).as("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("ngram"),
+        sum(col("k") * col("lr")).cast(DecimalType(38, 6)).cast("double").as("w"))
+      .orderBy(desc("w"), asc_nulls_last("doc_id"))
+      .limit(100)
+  }
+
+  /** j52: fill-in-the-middle transform (the public FIM recipe of
+    * Bavarian et al. 2022): for a deterministic half of the corpus
+    * (independently-salted hash coin, the j20/j22 mechanism), split each
+    * doc at two hash-derived character positions and re-render as
+    * `<PRE>prefix<SUF>suffix<MID>middle` (PSM order); the other half
+    * passes through raw. Wholly stateless and row-local — the transform
+    * applies unchanged to a stream and costs one map pass at any scale.
+    *
+    * The gate covers EVERY doc without shipping the corpus: per mode,
+    * the output is row counts, exact split-length sums, and an
+    * order-independent modular sum of each rendered text's portable
+    * md5 — any engine that renders any doc differently moves the sum.
+    */
+  def j52_fim_transform: Q = (s, d) => {
+    val docs = Tables.documents(s, d).where(col("text").isNotNull)
+    val L = length(col("text"))
+    val c1 = lit(1) + SampleOps.mixBucket(col("doc_id") + 40501) % greatest(L, lit(1))
+    val c2 = lit(1) + SampleOps.mixBucket(col("doc_id") + 81001) % greatest(L, lit(1))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fim = (SampleOps.mixBucket(col("doc_id") + 120011) % 100 < 50) && (L >= 2)
+    val rendered = concat(
+      lit("<PRE>"), col("text").substr(lit(1), lo - 1),
+      lit("<SUF>"), col("text").substr(hi, L),
+      lit("<MID>"), col("text").substr(lo, hi - lo))
+    val out = when(fim, rendered).otherwise(col("text"))
+    docs.select(
+        when(fim, "psm").otherwise("raw").as("mode"),
+        when(fim, lo - 1).otherwise(0).cast("long").as("plen"),
+        when(fim, hi - lo).otherwise(0).cast("long").as("mlen"),
+        when(fim, L - hi + 1).otherwise(0).cast("long").as("slen"),
+        conv(substring(md5(out), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("mode")
+      .agg(count(lit(1)).as("n"),
+        sum("plen").cast("long").as("psum"),
+        sum("mlen").cast("long").as("msum"),
+        sum("slen").cast("long").as("ssum"),
+        pmod(sum(col("h").cast(DecimalType(38, 0))), lit(1000000007))
+          .cast("long").as("hmod"))
+      .orderBy(asc_nulls_last("mode"))
+  }
+
+  /** j53: CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every doc with the corpus unigram LM (the j32 recipe), then split
+    * each language's docs into head/middle/tail terciles by score —
+    * the standard quality-stratification step before per-bucket
+    * sampling. Output is the per-(lang, bucket) volume and mean score.
+    *
+    * Scale note: the exact tercile is a per-language ntile — a window
+    * over ≤ #langs partitions, each corpus-sized at 100 TB. The scale
+    * path is the CCNet one: compute the two per-lang score thresholds
+    * from a bounded sample (or [[ScaleOps.distributedNtile]] keyed per
+    * lang), then assign buckets statelessly; this query gates the exact
+    * semantics those thresholds approximate.
+    */
+  def j53_ppl_buckets: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").cast("long").as("n"))
+    // per-doc: exact decimal term sum + token count; the per-doc mean nll
+    // exists only as the (bit-identical) ordering key — re-rounding a
+    // DERIVED double at 6dp is engine-divergent at half-way boundaries
+    // (Spark rounds the exact binary expansion, DuckDB multiply-rounds),
+    // so the bucket metric below re-aggregates the EXACT sums instead
+    val nll = toks.join(cnt, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        round(-log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("term").cast(DecimalType(38, 6)).as("ts"),
+        count(lit(1)).as("ntok"))
+      .withColumn("nll", col("ts").cast("double") / col("ntok"))
+    val w = Window.partitionBy("lang").orderBy(col("nll").asc, col("doc_id").asc)
+    nll.withColumn("bucket", ntile(3).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum("ts").cast(DecimalType(38, 6)).cast("double")
+          / sum("ntok").cast("double")).as("tw_nll"))
+      .orderBy(asc_nulls_last("lang"), asc_nulls_last("bucket"))
+  }
+
+  /** j55: per-doc token entropy — the Shannon entropy of each doc's
+    * within-doc token distribution, a standard repetition/diversity
+    * quality signal (low entropy ⇒ template or repeated-phrase text).
+    * One corpus explode → (doc, token) counts → doc-keyed finish; the
+    * doc total rides a window over the already-(doc,token)-clustered
+    * counts. Per-term -p·ln(p) rounds at 6dp into DECIMAL (libm ulp,
+    * the j32 convention); the doc sum is exact.
+    */
+  def j55_token_entropy: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .withColumn("term", round(-p * log(p), 6).cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(max("n").cast("long").as("ntok"),
+        count(lit(1)).as("nuniq"),
+        sum("term").cast(DecimalType(38, 6)).cast("double").as("entropy"))
+      .orderBy(desc("entropy"), asc_nulls_last("doc_id"))
+      .limit(100)
+  }
+
   def queries: Map[String, Q] = Map(
     "j49_lm_backoff" -> j49_lm_backoff,
+    "j51_dsir_select" -> j51_dsir_select,
+    "j52_fim_transform" -> j52_fim_transform,
+    "j53_ppl_buckets" -> j53_ppl_buckets,
+    "j55_token_entropy" -> j55_token_entropy,
     "j1_dedup_exact" -> j1_dedup_exact,
     "j16_token_stats" -> j16_token_stats,
     "j17_quality_features" -> j17_quality_features,

@@ -758,6 +758,96 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 100""".stripMargin)
 
   val texts: Map[String, String] = Map(
+    // j51: bucket hash is the portable top-60-bits-of-md5; the log-ratio
+    // rounds at 6dp into DECIMAL (libm ln ulp); doc score is the exact
+    // decimal dot product sum(k*lr), one final DOUBLE cast
+    "j51_dsir_select" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+        |      FROM ws, unnest(generate_series(1, len(ws)-1)) AS u(i)
+        |      WHERE len(ws) >= 2),
+        |db AS (SELECT doc_id, lang, ('0x' || substr(md5(g),1,15))::BIGINT % 1024 AS b, count(*) AS k
+        |       FROM g GROUP BY doc_id, lang, b),
+        |bc AS (SELECT b, CAST(sum(k) AS BIGINT) AS cr,
+        |              CAST(sum(CASE WHEN lang='en' THEN k ELSE 0 END) AS BIGINT) AS ct
+        |       FROM db GROUP BY b),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+        |lr AS (SELECT b,
+        |        CAST(round(ln(CAST(ct+1 AS DOUBLE)/CAST((SELECT nt FROM tot)+1024 AS DOUBLE))
+        |                 - ln(CAST(cr+1 AS DOUBLE)/CAST((SELECT nr FROM tot)+1024 AS DOUBLE)), 6)
+        |             AS DECIMAL(18,6)) AS lr
+        |       FROM bc)
+        |SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS ngram,
+        |       CAST(sum(db.k * lr.lr) AS DOUBLE) AS w
+        |FROM db JOIN lr USING (b)
+        |GROUP BY db.doc_id
+        |ORDER BY w DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    // j52: cut points and the apply coin are independently-salted mixSql
+    // hashes; the per-mode gate hashes EVERY rendered doc through an
+    // order-independent modular sum of portable md5s
+    "j52_fim_transform" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text, len(text) AS L,
+        |         1 + ${mixSql("(doc_id + 40501)")} % greatest(len(text), 1) AS c1,
+        |         1 + ${mixSql("(doc_id + 81001)")} % greatest(len(text), 1) AS c2,
+        |         (${mixSql("(doc_id + 120011)")} % 100 < 50) AND (len(text) >= 2) AS fim
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, fim, L,
+        |         least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+        |         CASE WHEN fim THEN
+        |           '<PRE>' || substr(text, 1, least(c1,c2) - 1) ||
+        |           '<SUF>' || substr(text, greatest(c1,c2)) ||
+        |           '<MID>' || substr(text, least(c1,c2), greatest(c1,c2) - least(c1,c2))
+        |         ELSE text END AS out
+        |  FROM t)
+        |SELECT CASE WHEN fim THEN 'psm' ELSE 'raw' END AS mode,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN fim THEN lo - 1 ELSE 0 END) AS BIGINT) AS psum,
+        |       CAST(sum(CASE WHEN fim THEN hi - lo ELSE 0 END) AS BIGINT) AS msum,
+        |       CAST(sum(CASE WHEN fim THEN L - hi + 1 ELSE 0 END) AS BIGINT) AS ssum,
+        |       CAST(sum(CAST(('0x' || substr(md5(out),1,15))::BIGINT AS HUGEINT))
+        |            % 1000000007 AS BIGINT) AS hmod
+        |FROM r GROUP BY mode ORDER BY mode NULLS LAST""".stripMargin,
+    // j53: per-doc nll is the j32 recipe (rounded-term decimal sum, one
+    // division); terciles via ntile over (nll, doc_id) per lang — both
+    // engines follow the SQL-standard larger-buckets-first contract
+    "j53_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        |nll AS (
+        |  SELECT doc_id, lang,
+        |         sum(CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6))) AS ts,
+        |         count(*) AS ntok,
+        |         CAST(sum(CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS nll
+        |  FROM toks t JOIN cnt c USING (tok)
+        |  GROUP BY doc_id, lang),
+        |bk AS (SELECT lang, ts, ntok, nll,
+        |              ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS bucket
+        |       FROM nll)
+        |SELECT lang, bucket, count(*) AS n,
+        |       CAST(sum(ts) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE) AS tw_nll
+        |FROM bk GROUP BY lang, bucket
+        |ORDER BY lang NULLS LAST, bucket NULLS LAST""".stripMargin,
+    // j55: -p·ln(p) rounds at 6dp into DECIMAL per term; doc sum exact
+    "j55_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        |tot AS (SELECT doc_id, tok, c, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cnt),
+        |terms AS (
+        |  SELECT doc_id, n,
+        |         CAST(round(-(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+        |                    * ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM tot)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS ntok, count(*) AS nuniq,
+        |       CAST(sum(term) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY doc_id
+        |ORDER BY entropy DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
     // j33 recomputes the winnowing fingerprint relationally: every 7-char
     // gram hashed to the top 60 bits of md5 (15 hex chars → BIGINT — the
     // portable spelling of the Spark side's conv(substr(md5,1,15),16,10)),
@@ -1068,6 +1158,15 @@ object OracleSql {
       s" + ((($x % 2147483587 + 2147483587) % 2147483587) * 3266489917) % 4294967296) % 4294967296"
 
   val samples: Map[String, String] = Map(
+    "j56_seeded_shuffle" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${mixSql("(doc_id + 271829)")} AS h FROM documents),
+        |s AS (SELECT doc_id, h, CAST(h % 8 AS INT) AS shard FROM t),
+        |r AS (SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS pos,
+        |             doc_id, h
+        |      FROM s)
+        |SELECT shard, pos, doc_id, h FROM r WHERE pos <= 25
+        |ORDER BY shard NULLS LAST, pos NULLS LAST""".stripMargin,
     "j20_sample_hash" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(n_chars) AS BIGINT) AS chars

@@ -325,6 +325,35 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("j51 DSIR: log-ratio table broadcasts — per-doc bucket counts never re-shuffle for scoring") {
+    // the scoring join must be a BroadcastHashJoin of the 1024-row lr
+    // table against the checkpointed (doc,bucket) counts; a sort-merge
+    // join here would reshuffle the corpus-sized count table on the
+    // bucket key (1024 distinct values — catastrophic skew at 100 TB)
+    val df = SparkEntry.queries("j51_dsir_select")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("j52 FIM transform is map-only up to the 2-row mode aggregate") {
+    // split positions, rendering, and the portable hash are all
+    // row-local; the only exchange is the partial/final agg on mode
+    val df = SparkEntry.queries("j52_fim_transform")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected exactly the mode agg exchange\n$plan")
+  }
+
+  test("j55 token entropy: no join — doc totals ride the (doc,tok)-clustered counts") {
+    val df = SparkEntry.queries("j55_token_entropy")(spark, sf)
+    val plan = physical(df)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("j48 unigram roundtrip: one word-count exchange feeds training; encode is map-side") {
     // the ONLY corpus-scale shuffle is the wordCounts groupBy — the
     // broadcast Viterbi encode/decode adds no exchange of the corpus

@@ -60,6 +60,19 @@ class TopKStrategySpec extends SparkSuite {
     }
   }
 
+  test("j56 seeded shuffle heads run the bounded-heap rewrite") {
+    // each trainer shard's read head must be O(k) state, never a full
+    // per-shard sort — the property that keeps the epoch-shuffle
+    // materialization one streaming pass at any corpus size
+    withTopK {
+      val df = graft.ops.SampleOps.j56_seeded_shuffle(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKFinal") && plan.contains("TopKPartial"), plan)
+      assert(!plan.contains("Window ["), s"stock window still present:\n$plan")
+    }
+  }
+
   test("custom top-k equals stock window top-k (k=3, desc order)") {
     val stock = topkQuery().collect().map(_.toString)
     val custom = withTopK { topkQuery().collect().map(_.toString) }
