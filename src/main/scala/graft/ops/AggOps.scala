@@ -196,6 +196,48 @@ object AggOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** d19 — HBase RowMutations via checkAndMutate (`Table#checkAndMutate`
+    * with a `RowMutations` batch — the atomic multi-mutation the client
+    * API offers beside the single-cell d17/d18): per user row, IF the
+    * latest 'purchase' cell's value exceeds 100 THEN atomically (i) put
+    * an 'audit' cell carrying that purchase value and (ii) place a
+    * DeleteColumn tombstone on 'click' — both stamped with ONE batch
+    * timestamp (the row's max ts + 1s), which is what makes the pair
+    * atomic in the version dimension: no read can observe the put
+    * without the delete. The gate reads the post-mutation latest view,
+    * so condition read, both mutations, and the masked re-read all sit
+    * inside one hash. Scale shape: d17/d18's — the condition is the
+    * coordinate version window, the batch ts a second (rowkey-grain)
+    * window over the same shuffle's data, the mutation sliver a union
+    * resolved in the version window; no join, no driver round-trip.
+    */
+  val d19_row_mutations: Q = (s, d) => {
+    val cells = Tables.events(s, d).select(
+      Tables.pad(col("user_id")).as("rowkey"), lit("e").as("cf"),
+      col("event_type").as("qualifier"), Tables.tsMicros(col("ts")).as("ts"),
+      col("value"), lit(0).as("del"))
+    val w = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("del").desc, col("value").asc)
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val withBatchTs = cells.withColumn("bts",
+      max("ts").over(Window.partitionBy("rowkey")) + 1000000L)
+    val cond = latest(withBatchTs)
+      .where(col("qualifier") === "purchase" && col("value") > 100.0)
+      .select(col("rowkey"), col("cf"), col("bts"), col("value"))
+    val puts = cond.select(col("rowkey"), col("cf"),
+      lit("audit").as("qualifier"), col("bts").as("ts"), col("value"),
+      lit(0).as("del"))
+    val dels = cond.select(col("rowkey"), col("cf"),
+      lit("click").as("qualifier"), col("bts").as("ts"),
+      lit(null).cast("double").as("value"), lit(1).as("del"))
+    latest(cells.unionByName(puts).unionByName(dels))
+      .where(col("del") === 0)
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   /** d16 — boolean aggregates (every/any). */
   val d16_agg_bool: Q = (s, d) =>
     Tables.orders(s, d)
@@ -210,6 +252,7 @@ object AggOps {
     "d16_agg_bool" -> d16_agg_bool,
     "d17_check_and_put" -> d17_check_and_put,
     "d18_check_and_delete" -> d18_check_and_delete,
+    "d19_row_mutations" -> d19_row_mutations,
     "d1_agg_basic" -> d1_agg_basic,
     "d2_agg_avg" -> d2_agg_avg,
     "d3_agg_distinct" -> d3_agg_distinct,

@@ -485,7 +485,54 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** Generic HBase visibility-expression evaluator [public:
+    * o.a.h.hbase.security.visibility]: a cell's label expression is an
+    * OR (`|`) of AND-clauses (`&`) over labels; the cell is visible to a
+    * scan iff SOME OR-alternative has ALL its labels in the scanner's
+    * authorizations. Evaluated row-local with codegen'd array HOFs
+    * (split → exists/forall) — no UDF, no shuffle.
+    */
+  def visibleUnder(labelExpr: org.apache.spark.sql.Column,
+                   auths: Seq[String]): org.apache.spark.sql.Column = {
+    val authArr = array(auths.map(lit): _*)
+    // empty expression = unlabeled cell = visible to every scan (the
+    // HBase contract); otherwise some OR-alternative must be fully held
+    (labelExpr === "") || exists(split(labelExpr, "\\|"),
+      clause => forall(split(clause, "&"), l => array_contains(authArr, l)))
+  }
+
+  /** b31 — cell visibility labels (the HBase visibility-labels
+    * coprocessor surface: `Mutation#setCellVisibility` +
+    * `Scan#setAuthorizations`): every cell carries a label expression —
+    * here assigned by a deterministic policy over the fixture (purchase
+    * cells are finance-grade, with high-value purchases escalated to
+    * exec-only; signups are PII; errors ops-or-admin; the rest public) —
+    * and a scan authorized as {internal, finance, ops} sees only the
+    * cells whose expression it satisfies. The gate reports, per
+    * qualifier, total vs visible cells and the visible value sum, so
+    * the evaluator's row-dependent decisions (the value>200 escalation
+    * splits the purchase column) are all inside the hash. Row-local
+    * predicate ⇒ scan-parallel at any scale, exactly like the
+    * RegionServer's per-cell evaluation.
+    */
+  val b31_visibility_labels: Q = (s, d) => {
+    val labeled = Tables.cells(s, d).withColumn("vis",
+      when(col("qualifier") === "purchase" && col("value") > 200, "finance&exec")
+        .when(col("qualifier") === "purchase", "finance&internal")
+        .when(col("qualifier") === "signup", "pii&internal")
+        .when(col("qualifier") === "error", "ops|admin")
+        .otherwise("")) // unlabeled: click/view are world-readable
+    labeled
+      .withColumn("ok", visibleUnder(col("vis"), Seq("internal", "finance", "ops")))
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n_total"),
+        count_if(col("ok")).as("n_visible"),
+        coalesce(dsum(when(col("ok"), col("value"))), lit(0.0)).as("vsum_visible"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b31_visibility_labels" -> b31_visibility_labels,
     "b30_scv_exclude" -> b30_scv_exclude,
     "b29_multi_col_prefix" -> b29_multi_col_prefix,
     "b28_column_range" -> b28_column_range,

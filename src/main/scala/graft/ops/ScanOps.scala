@@ -322,7 +322,66 @@ object ScanOps {
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
+  /** a17 — MOB storage (HBase Medium Object feature, `MOB_THRESHOLD`):
+    * values above a size threshold are not stored inline — the main
+    * store's cell carries a REFERENCE and the payload lands in a
+    * separate content-addressed MOB store, which is what keeps huge
+    * values out of every compaction rewrite (the feature's whole point
+    * at 100 TB: a major compaction re-sorts references, never the
+    * payload bytes). Here the documents table is the value corpus:
+    * texts over 300 chars go to the MOB store keyed by content hash
+    * (identical payloads dedup by construction, like MOB file refcounts),
+    * the rest inline; both stores are REAL text-valued HFile region sets
+    * ([[graft.sources.HFileOps.bulkWrite]] `textValue` mode), and the
+    * read path re-joins ONLY the mob-flagged sliver against the MOB
+    * store on the reference key. The gate hashes the RECONSTRUCTED
+    * corpus per storage class (counts, exact char sums, a modular sum of
+    * each text's portable md5) against the original documents table —
+    * any corruption anywhere in either binary roundtrip or the re-join
+    * moves the sum.
+    */
+  val a17_mob_storage: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_mob", d)
+    val regions = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "documents"))
+    val docs = Tables.documents(s, d).where(col("text").isNotNull)
+      .withColumn("is_mob", length(col("text")) > 300)
+    val main = docs.select(
+      Tables.pad(col("doc_id")).as("rowkey"), lit("d").as("cf"),
+      lit("text").as("qualifier"), lit(1L).as("ts"),
+      when(col("is_mob"), concat(lit("mobref:"), md5(col("text"))))
+        .otherwise(col("text")).as("value"),
+      lit("put").as("op"))
+    val mob = docs.where(col("is_mob")).select(
+        md5(col("text")).as("rowkey"), lit("m").as("cf"),
+        lit("v").as("qualifier"), lit(1L).as("ts"),
+        col("text").as("value"), lit("put").as("op"))
+      .dropDuplicates("rowkey")
+    HFileOps.bulkWrite(main, s"$dir/main", regions,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff, textValue = true)
+    HFileOps.bulkWrite(mob, s"$dir/mob", regions,
+      compression = HFileCodec.CompressionGz, textValue = true)
+    val mainRead = HFileOps.readText(s, s"$dir/main")
+      .withColumn("is_mob", col("value").startsWith("mobref:"))
+    val mobRead = HFileOps.readText(s, s"$dir/mob")
+      .select(concat(lit("mobref:"), col("rowkey")).as("ref"),
+        col("value").as("payload"))
+    mainRead
+      .join(mobRead, col("value") === col("ref"), "left")
+      .select(col("is_mob"),
+        when(col("is_mob"), col("payload")).otherwise(col("value")).as("text"))
+      .groupBy("is_mob")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("csum"),
+        pmod(sum(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(1000000007))
+          .cast("long").as("hmod"))
+      .orderBy(col("is_mob").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a17_mob_storage" -> a17_mob_storage,
     "a16_multi_cf_prune" -> a16_multi_cf_prune,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a12_hfile_zstd" -> a12_hfile_zstd,

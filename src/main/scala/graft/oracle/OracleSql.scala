@@ -22,6 +22,17 @@ object OracleSql {
     s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   val scans: Map[String, String] = Map(
+    // a17: the oracle recomputes the per-storage-class digests straight
+    // from documents — the Spark side must reconstruct the identical
+    // corpus through two binary HFile roundtrips + the reference join
+    "a17_mob_storage" ->
+      """WITH d AS (SELECT text, len(text) > 300 AS is_mob
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT is_mob, count(*) AS n,
+        |       CAST(sum(len(text)) AS BIGINT) AS csum,
+        |       CAST(sum(CAST(('0x' || substr(md5(text),1,15))::BIGINT AS HUGEINT))
+        |            % 1000000007 AS BIGINT) AS hmod
+        |FROM d GROUP BY is_mob ORDER BY is_mob NULLS LAST""".stripMargin,
     "a1_scan_parquet" ->
       s"SELECT count(*) AS n, ${dsum("l_quantity")} AS qsum FROM lineitem",
     "a2_csv_roundtrip" ->
@@ -179,6 +190,28 @@ object OracleSql {
           |FROM cells GROUP BY rowkey ORDER BY rowkey NULLS LAST LIMIT 300""".stripMargin))
 
   val filters: Map[String, String] = Map(
+    // b31: the oracle re-evaluates the OR-of-AND label expressions with
+    // list HOFs — empty expression = unlabeled = world-readable
+    "b31_visibility_labels" ->
+      (cellsCte +
+        """, lab AS (
+          |  SELECT qualifier, value,
+          |         CASE WHEN qualifier = 'purchase' AND value > 200 THEN 'finance&exec'
+          |              WHEN qualifier = 'purchase' THEN 'finance&internal'
+          |              WHEN qualifier = 'signup' THEN 'pii&internal'
+          |              WHEN qualifier = 'error' THEN 'ops|admin'
+          |              ELSE '' END AS vis
+          |  FROM cells),
+          |ev AS (
+          |  SELECT qualifier, value,
+          |         vis = '' OR len(list_filter(string_split(vis, '|'),
+          |             clause -> len(list_filter(string_split(clause, '&'),
+          |                 l -> NOT list_contains(['internal','finance','ops'], l))) = 0)) > 0 AS ok
+          |  FROM lab)
+          |SELECT qualifier, count(*) AS n_total,
+          |       CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_visible,
+          |       CAST(coalesce(sum(CAST(CASE WHEN ok THEN value END AS DECIMAL(18,2))), 0) AS DOUBLE) AS vsum_visible
+          |FROM ev GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     "b18_multi_range" ->
       (cellsCte +
         """SELECT count(*) AS n FROM cells
@@ -489,6 +522,33 @@ object OracleSql {
         |  SELECT rowkey, cf, qualifier, ts, value, del,
         |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
         |                            ORDER BY ts DESC, del DESC, value) AS rn FROM allc) WHERE rn = 1)
+        |SELECT qualifier, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM l2 WHERE del = 0 GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,
+    "d19_row_mutations" ->
+      """WITH uc AS (
+        |  SELECT lpad(CAST(user_id AS VARCHAR), 12, '0') AS rowkey, 'e' AS cf,
+        |         event_type AS qualifier, CAST(epoch_us(ts) AS BIGINT) AS ts, value,
+        |         0 AS del
+        |  FROM events),
+        |m AS (SELECT *, max(ts) OVER (PARTITION BY rowkey) + 1000000 AS bts FROM uc),
+        |l1 AS (SELECT rowkey, cf, bts, value FROM (
+        |  SELECT rowkey, cf, qualifier, bts, value,
+        |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |                            ORDER BY ts DESC, del DESC, value) AS rn FROM m)
+        |  WHERE rn = 1 AND qualifier = 'purchase' AND value > 100.0),
+        |muts AS (
+        |  SELECT rowkey, cf, 'audit' AS qualifier, bts AS ts, value, 0 AS del FROM l1
+        |  UNION ALL
+        |  SELECT rowkey, cf, 'click' AS qualifier, bts AS ts,
+        |         CAST(NULL AS DOUBLE) AS value, 1 AS del FROM l1),
+        |allc AS (SELECT rowkey, cf, qualifier, ts, value, del FROM uc
+        |         UNION ALL SELECT * FROM muts),
+        |l2 AS (SELECT qualifier, value, del FROM (
+        |  SELECT qualifier, value, del,
+        |         row_number() OVER (PARTITION BY rowkey, cf, qualifier
+        |                            ORDER BY ts DESC, del DESC, value) AS rn FROM allc)
+        |  WHERE rn = 1)
         |SELECT qualifier, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
         |FROM l2 WHERE del = 0 GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,

@@ -34,6 +34,15 @@ object HFileOps {
     StructField("qualifier", StringType), StructField("ts", LongType),
     StructField("value", DoubleType), StructField("op", StringType)))
 
+  /** Text-valued cells schema — what [[readText]] returns. The codec
+    * stores value BYTES; the double spelling above is one value codec
+    * (8-byte big-endian), this is the other (UTF-8), selected per
+    * store by the writer. */
+  val textCellsSchema: StructType = StructType(Seq(
+    StructField("rowkey", StringType), StructField("cf", StringType),
+    StructField("qualifier", StringType), StructField("ts", LongType),
+    StructField("value", StringType), StructField("op", StringType)))
+
   /** op string ⟷ KeyValue type code. The historical op string `"delete"`
     * has always carried mask-at-or-before semantics here — that IS
     * HBase's `DeleteColumn`, so it maps to code 12 (every pre-r10 query
@@ -74,7 +83,8 @@ object HFileOps {
                 blockSize: Int = 64 * 1024,
                 compression: Int = HFileCodec.CompressionNone,
                 encoding: Int = HFileCodec.EncodingNone,
-                generation: Int = -1): Seq[String] = {
+                generation: Int = -1,
+                textValue: Boolean = false): Seq[String] = {
     val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
@@ -114,7 +124,8 @@ object HFileOps {
             r.getString(0).getBytes(UTF_8), r.getString(1).getBytes(UTF_8),
             r.getString(2).getBytes(UTF_8), r.getLong(3),
             typOf(op),
-            java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
+            if (textValue) r.getString(4).getBytes(UTF_8)
+            else java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
         val name =
@@ -612,11 +623,19 @@ object HFileOps {
     readPaths(spark, paths, serConf)
   }
 
+  /** [[read]] over a store written with `textValue = true`: value bytes
+    * decode as UTF-8 instead of an 8-byte double. */
+  def readText(spark: SparkSession, dir: String): DataFrame = {
+    val (paths, serConf) = regionFiles(spark, dir)
+    readPaths(spark, paths, serConf, textValue = true)
+  }
+
   /** The streaming read core over an explicit file list — shared by
     * [[read]] (whole directory) and [[readFamilies]] (store-pruned).
     */
   private def readPaths(spark: SparkSession, paths: Seq[String],
-                        serConf: SerializableConfiguration): DataFrame = {
+                        serConf: SerializableConfiguration,
+                        textValue: Boolean = false): DataFrame = {
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
@@ -632,11 +651,12 @@ object HFileOps {
         HFileCodec.readStreaming(in, extras).map { c =>
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
             new String(c.qualifier, UTF_8), c.ts,
-            java.nio.ByteBuffer.wrap(c.value).getDouble,
+            if (textValue) new String(c.value, UTF_8)
+            else java.nio.ByteBuffer.wrap(c.value).getDouble,
             opOf(c.typ))
         }
       }
-    spark.createDataFrame(rows, cellsSchema)
+    spark.createDataFrame(rows, if (textValue) textCellsSchema else cellsSchema)
   }
 
   /** Bulk-write with the PER-COLUMN-FAMILY store layout a real HBase
