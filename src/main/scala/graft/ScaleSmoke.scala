@@ -36,8 +36,11 @@ object ScaleSmoke {
     // early-termination, the reference-column filter
     "a15_wal_replay",         // log append + delta flush + recovery union
     "a16_multi_cf_prune",     // one-pass per-family stores, family-pruned read
+    "a17_mob_storage",        // ref/payload store split, text-codec roundtrips (r12)
+    "a18_hfile_snapshot",     // manifest-pinned clone vs live merge (r12)
     "b24_while_match",        // per-region early-stop walk + global stop key
     "b25_dependent_column",   // (row, batch-ts) window correlation
+    "d19_row_mutations",      // atomic batch-ts put+delete, three version windows (r12)
     // LLM-pipeline families over the scaled documents/embeddings tables
     "j1_dedup_exact",         // corpus-wide hash dedup
     "j4_text_tokens",         // tokenize + global top-k

@@ -270,7 +270,41 @@ object SampleOps {
       .orderBy(asc_nulls_last("seq_id"))
   }
 
+  /** j57: weighted sampling without replacement (the A-Res scheme of
+    * Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): each doc draws u ∈ (0,1] and ranks by key = u^(1/w) —
+    * the top-k under that key are EXACTLY a weight-proportional sample
+    * without replacement, here with w = the doc's char length (longer
+    * docs proportionally likelier — the usual quality/size-weighted
+    * subset draw between curation and training). u comes from the
+    * deterministic integer mixer (the j20 mechanism, salt 577001), and
+    * (mix+1)/2^32 is EXACT in binary double, so u is bit-identical
+    * cross-engine; the key is computed as ln(u)/w (monotone in u^(1/w)),
+    * rounded at 7 dp into DECIMAL purely as the cross-engine gate
+    * convention (j51's libm recipe — a production run keeps the raw
+    * double key), with doc_id the total-order tiebreak.
+    *
+    * Scale shape: one stateless map pass + a bounded global top-k
+    * (TakeOrderedAndProject — O(k) heap state per partition, k-row
+    * merge, no shuffle of the corpus). Deterministic ⇒ reproducible
+    * across epochs and retries at any scale.
+    */
+  def j57_weighted_sample: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d).where(col("text").isNotNull)
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    val u = (mixBucket(col("doc_id") + 577001) + 1).cast("double") / 4294967296.0
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        round(log(u) / w, 7).cast(DecimalType(18, 7)).as("k"))
+      .orderBy(desc("k"), asc_nulls_last("doc_id"))
+      .limit(200)
+      .select(col("doc_id"), col("lang"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        col("k").cast("double").as("k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j57_weighted_sample" -> j57_weighted_sample,
     "j50_pack_sequences" -> j50_pack_sequences,
     "j20_sample_hash" -> j20_sample_hash,
     "j21_pack_shards" -> j21_pack_shards,

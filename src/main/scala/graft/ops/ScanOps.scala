@@ -380,7 +380,55 @@ object ScanOps {
       .orderBy(col("is_mob").asc_nulls_last)
   }
 
+  /** a18 — table snapshot + clone (HBase `HBaseAdmin#snapshot` /
+    * `cloneSnapshot`): a snapshot is a MANIFEST referencing the
+    * immutable store files live at snapshot time — O(files) metadata,
+    * zero data copy, the only snapshot model that works at 100 TB — and
+    * a clone READS THROUGH the manifest, so store files flushed
+    * afterwards are invisible to it while the live table merges them.
+    * Here: gen0 bulk-load → snapshot pinned to exactly the files that
+    * write returned (re-pinning gen0 on a re-run in the same app —
+    * idempotent) → a post-snapshot delta generation (updates for
+    * event_id % 4 at ts+1s, DeleteColumn tombstones for % 6 at ts+2s) →
+    * both views resolve through the SAME merge-on-read lattice
+    * ([[graft.sources.HFileOps.readSnapshot]] vs
+    * [[graft.sources.HFileOps.mergedRead]]). The gate digests the two
+    * views side by side, so clone isolation (no delta bleed-through)
+    * AND live delta resolution sit inside one hash.
+    */
+  val a18_hfile_snapshot: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_snap", d)
+    val cells = Tables.cells(s, d)
+    val eid = expr("cast(substring(rowkey, 14, 12) as bigint)")
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events"))
+    val gen0 = HFileOps.bulkWrite(cells, dir, regions,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff, generation = 0)
+    HFileOps.snapshot(s, gen0.map(n => s"$dir/$n"), s"$dir/snap0.manifest")
+    val updates = cells.where(eid % 4 === 0)
+      .withColumn("ts", col("ts") + 1000000L)
+      .withColumn("value", col("value") + 2.0)
+      .withColumn("op", lit("put"))
+    val deletes = cells.where(eid % 6 === 0)
+      .withColumn("ts", col("ts") + 2000000L)
+      .withColumn("op", lit("delete"))
+    HFileOps.bulkWrite(updates.unionByName(deletes), dir, regions,
+      compression = HFileCodec.CompressionSnappy,
+      encoding = HFileCodec.EncodingPrefix, generation = 1)
+    val clone = HFileOps.readSnapshot(s, s"$dir/snap0.manifest")
+      .withColumn("vw", lit("clone"))
+    val live = HFileOps.mergedRead(s, dir).withColumn("vw", lit("live"))
+    clone.unionByName(live)
+      .groupBy(col("vw"), col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"),
+        sum((col("ts") % 999983L).cast("decimal(18,0)")).cast("long").as("tsum"))
+      .orderBy(col("vw").asc_nulls_last, col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a18_hfile_snapshot" -> a18_hfile_snapshot,
     "a17_mob_storage" -> a17_mob_storage,
     "a16_multi_cf_prune" -> a16_multi_cf_prune,
     "a1_scan_parquet" -> a1_scan_parquet,

@@ -22,6 +22,29 @@ object OracleSql {
     s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   val scans: Map[String, String] = Map(
+    // a18: clone view = gen0 puts verbatim (a snapshot pins the pre-delta
+    // file set); live view = the a13 merge spelling over gen0 + the
+    // post-snapshot delta
+    "a18_hfile_snapshot" ->
+      (cellsCte.stripSuffix("\n") +
+        """, clone AS (SELECT qualifier, value, ts FROM cells WHERE op = 'put'),
+          |upd AS (SELECT rowkey, cf, qualifier, ts + 1000000 AS ts,
+          |               value + 2 AS value, 'put' AS op, 1 AS gen
+          |        FROM cells WHERE CAST(substring(rowkey, 14, 12) AS BIGINT) % 4 = 0),
+          |del AS (SELECT rowkey, cf, qualifier, ts + 2000000 AS ts, value,
+          |               'delete' AS op, 1 AS gen
+          |        FROM cells WHERE CAST(substring(rowkey, 14, 12) AS BIGINT) % 6 = 0),
+          |merged AS (SELECT *, row_number() OVER (PARTITION BY rowkey, cf, qualifier
+          |                                        ORDER BY ts DESC, gen DESC, value ASC) AS rn
+          |           FROM (SELECT rowkey, cf, qualifier, ts, value, op, 0 AS gen FROM cells
+          |                 UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del)),
+          |live AS (SELECT qualifier, value, ts FROM merged WHERE rn = 1 AND op = 'put'),
+          |uv AS (SELECT 'clone' AS vw, * FROM clone UNION ALL SELECT 'live', * FROM live)
+          |SELECT vw, qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       CAST(sum(CAST(ts % 999983 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+          |FROM uv GROUP BY vw, qualifier
+          |ORDER BY vw NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a17: the oracle recomputes the per-storage-class digests straight
     // from documents — the Spark side must reconstruct the identical
     // corpus through two binary HFile roundtrips + the reference join
@@ -1218,6 +1241,16 @@ object OracleSql {
       s" + ((($x % 2147483587 + 2147483587) % 2147483587) * 3266489917) % 4294967296) % 4294967296"
 
   val samples: Map[String, String] = Map(
+    // j57: u = (mix+1)/2^32 is exact in binary double (bit-identical
+    // cross-engine); ln rounds at 7dp per the j51 libm convention
+    "j57_weighted_sample" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+        |         (${mixSql("(doc_id + 577001)")} + 1) / CAST(4294967296 AS DOUBLE) AS u
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+        |       CAST(round(ln(u) / w, 7) AS DOUBLE) AS k
+        |FROM t ORDER BY round(ln(u) / w, 7) DESC, doc_id ASC LIMIT 200""".stripMargin,
     "j56_seeded_shuffle" ->
       s"""WITH t AS (
         |  SELECT doc_id, ${mixSql("(doc_id + 271829)")} AS h FROM documents),

@@ -828,8 +828,63 @@ object HFileOps {
   def mergedRead(spark: SparkSession, dir: String,
                  maxVersions: Int = 1,
                  ttlFloor: Long = Long.MinValue): DataFrame = {
+    val (paths, _) = regionFiles(spark, dir)
+    mergedReadFiles(spark, paths, maxVersions, ttlFloor)
+  }
+
+  /** Write a snapshot MANIFEST: the HBase snapshot model [public:
+    * o.a.h.hbase.snapshot.SnapshotManifest] — a snapshot is a reference
+    * list of the immutable store files live at snapshot time, never a
+    * byte copy (at 100 TB a snapshot must be O(files) metadata, not
+    * O(data) I/O; store files are immutable once written, so references
+    * stay valid until compaction archiving, which this model's callers
+    * don't run in place). One text line per absolute store-file path.
+    */
+  def snapshot(spark: SparkSession, files: Seq[String],
+               manifestPath: String): Unit = {
+    val p = new HPath(manifestPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(files.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Clone-read of a [[snapshot]]: resolve the manifest's pinned file
+    * list through the same merge-on-read lattice as the live table —
+    * the `cloneSnapshot` read path, seeing exactly the files referenced
+    * at snapshot time.
+    */
+  def readSnapshot(spark: SparkSession, manifestPath: String,
+                   maxVersions: Int = 1,
+                   ttlFloor: Long = Long.MinValue): DataFrame = {
+    val p = new HPath(manifestPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val b = new Array[Byte](len)
+        in.readFully(0, b)
+        b
+      } finally in.close()
+    val files = new String(bytes, UTF_8).split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    mergedReadFiles(spark, files, maxVersions, ttlFloor)
+  }
+
+  /** [[mergedRead]] over an EXPLICIT store-file list instead of a
+    * directory glob — the read path a snapshot clone runs: the file set
+    * is pinned by a manifest written at snapshot time, so store files
+    * added to the live table afterwards are invisible regardless of what
+    * else accumulates in the directory. Same per-range K-way heap merge,
+    * same delete-scope lattice, zero shuffle.
+    */
+  def mergedReadFiles(spark: SparkSession, paths: Seq[String],
+                      maxVersions: Int = 1,
+                      ttlFloor: Long = Long.MinValue): DataFrame = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
-    val (paths, serConf) = regionFiles(spark, dir)
+    val serConf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], cellsSchema)
