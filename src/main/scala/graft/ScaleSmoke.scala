@@ -38,6 +38,7 @@ object ScaleSmoke {
     "a16_multi_cf_prune",     // one-pass per-family stores, family-pruned read
     "a17_mob_storage",        // ref/payload store split, text-codec roundtrips (r12)
     "a18_hfile_snapshot",     // manifest-pinned clone vs live merge (r12)
+    "a19_region_split",       // reference-daughter half-range reads (r12)
     "b24_while_match",        // per-region early-stop walk + global stop key
     "b25_dependent_column",   // (row, batch-ts) window correlation
     "d19_row_mutations",      // atomic batch-ts put+delete, three version windows (r12)
@@ -63,6 +64,7 @@ object ScaleSmoke {
     // pure scan) — it runs as a pipelines entry that consumes the md5.
     "j28_dup_substrings",
     "j29_decontaminate",
+    "j58_decontaminate_fuzzy", // ratio classes over the full gram stream (r12)
     "j45_dedup_paragraphs",   // chunk-keyed keep-first + reassembly (r11)
     "j46_dedup_incremental",  // bloom-prefiltered crawl-vs-corpus admit (r11)
     // ranked retrieval + sketch-path passes (round 10): one-pass BM25,

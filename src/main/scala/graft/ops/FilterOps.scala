@@ -515,13 +515,20 @@ object FilterOps {
     * predicate ⇒ scan-parallel at any scale, exactly like the
     * RegionServer's per-cell evaluation.
     */
+  /** The fixture's deterministic label-assignment policy — shared by the
+    * batch gate (b31) and the streaming twin (I25) so one spelling pins
+    * both. */
+  def fixtureVisibility(qualifier: org.apache.spark.sql.Column,
+                        value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(qualifier === "purchase" && value > 200, "finance&exec")
+      .when(qualifier === "purchase", "finance&internal")
+      .when(qualifier === "signup", "pii&internal")
+      .when(qualifier === "error", "ops|admin")
+      .otherwise("") // unlabeled: click/view are world-readable
+
   val b31_visibility_labels: Q = (s, d) => {
     val labeled = Tables.cells(s, d).withColumn("vis",
-      when(col("qualifier") === "purchase" && col("value") > 200, "finance&exec")
-        .when(col("qualifier") === "purchase", "finance&internal")
-        .when(col("qualifier") === "signup", "pii&internal")
-        .when(col("qualifier") === "error", "ops|admin")
-        .otherwise("")) // unlabeled: click/view are world-readable
+      fixtureVisibility(col("qualifier"), col("value")))
     labeled
       .withColumn("ok", visibleUnder(col("vis"), Seq("internal", "finance", "ops")))
       .groupBy(col("qualifier"))

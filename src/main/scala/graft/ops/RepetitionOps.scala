@@ -151,6 +151,46 @@ object RepetitionOps {
     contaminationHits(Tables.documents(s, d), n = 3)
       .orderBy(desc("hits"), asc_nulls_last("doc_id")).limit(100)
 
+  /** j58: FUZZY decontamination — the published ratio-threshold recipe
+    * (GPT-3 App. C / Llama-style): a training document is contaminated
+    * when more than a θ fraction of its distinct n-grams appear in the
+    * eval set, not when ANY single gram collides (j29's form, which
+    * over-fires on common phrases at real n). Per corpus doc: distinct
+    * grams, distinct shared grams, and the three-way class split at
+    * θ = 0.5 / 0.05 — decided in EXACT integer arithmetic (hits·2 >
+    * total, hits·20 > total), no float thresholds. The gate folds every
+    * doc's class decision into per-class counts, exact gram sums, and
+    * an order-independent modular digest of doc_id² + 17 — one doc
+    * flipping class moves two digests.
+    *
+    * Scale shape: j29's — the eval-gram side broadcasts (eval suites
+    * are small by nature), the corpus gram stream never shuffles before
+    * its own doc-keyed aggregation; the class fold is a 3-row agg.
+    */
+  def j58_decontaminate_fuzzy: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val grams = wordGrams(Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws")), 3)
+    val evalG = grams.where(col("doc_id") % 97 === 0)
+      .select("g").distinct().withColumn("hit", lit(1))
+    grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalG), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("total"),
+        countDistinct(when(col("hit") === 1, col("g"))).as("hits"))
+      .withColumn("cls",
+        when(col("hits") * 2 > col("total"), "contaminated")
+          .when(col("hits") * 20 > col("total"), "partial")
+          .otherwise("clean"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        sum("total").cast("long").as("grams"),
+        sum("hits").cast("long").as("ghits"),
+        pmod(sum((col("doc_id") * col("doc_id") + 17).cast(DecimalType(38, 0))),
+          lit(1000000007)).cast("long").as("dmod"))
+      .orderBy(asc_nulls_last("cls"))
+  }
+
   /** j30: Gopher-style repetition signals per document — top-2-gram
     * character fraction and duplicated-5-gram character fraction. All
     * counts are exact integers; each fraction is one IEEE int/int→double
@@ -315,6 +355,7 @@ object RepetitionOps {
   def queries: Map[String, Q] = Map(
     "j28_dup_substrings" -> j28_dup_substrings,
     "j29_decontaminate" -> j29_decontaminate,
+    "j58_decontaminate_fuzzy" -> j58_decontaminate_fuzzy,
     "j30_rep_quality" -> j30_rep_quality,
     "j31_dedup_cut" -> j31_dedup_cut,
     "j45_dedup_paragraphs" -> j45_dedup_paragraphs)

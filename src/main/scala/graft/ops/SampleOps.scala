@@ -303,7 +303,49 @@ object SampleOps {
         col("k").cast("double").as("k"))
   }
 
+  /** j59: data-constrained epoch budgeting (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": when a domain holds
+    * fewer tokens than its budget, REPEAT it — returns stay near-fresh
+    * up to ~4 epochs, so cap there): per source, tokens = Σ whitespace
+    * token counts; the budget is the LARGEST source's token mass (repeat
+    * every smaller source toward parity); epochs = min(4,
+    * ceil(budget/tokens)) in EXACT integer arithmetic ((b+t-1) div t, no
+    * float ceil); the epoch-replicated training stream materializes as
+    * (doc, epoch=1..epochs). At 100 TB the trainer ITERATES epochs
+    * rather than materializing them — what this gates is the allocation
+    * arithmetic and the replicated-stream identity: per source, the
+    * epoch count, replicated doc/token masses, and an order-independent
+    * Σ(doc_id²·epoch) digest over every replicated row.
+    *
+    * Shape: one doc-keyed token-count pass, a source-keyed agg
+    * (|sources| rows), a broadcast allocation join back, and a ≤4-way
+    * integer explode — the corpus never shuffles beyond the source agg.
+    */
+  def j59_epoch_budget: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
+    val bySrc = toks.groupBy("source").agg(sum("tok").cast("long").as("stoks"))
+    val budget = bySrc.agg(max("stoks").as("budget"))
+    val alloc = bySrc.crossJoin(broadcast(budget))
+      .select(col("source"),
+        least(lit(4L),
+          expr("CAST((budget + stoks - 1) DIV stoks AS BIGINT)")).as("ep"))
+    toks.join(broadcast(alloc), Seq("source"))
+      .select(col("source"), col("doc_id"), col("tok"),
+        explode(sequence(lit(1L), col("ep"))).as("epoch"))
+      .groupBy("source")
+      .agg(max("epoch").cast("long").as("epochs"),
+        count(lit(1)).as("n_rows"),
+        sum("tok").cast("long").as("toks_replicated"),
+        pmod(sum((col("doc_id") * col("doc_id") * col("epoch"))
+          .cast(DecimalType(38, 0))), lit(1000000007)).cast("long").as("dmod"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j59_epoch_budget" -> j59_epoch_budget,
     "j57_weighted_sample" -> j57_weighted_sample,
     "j50_pack_sequences" -> j50_pack_sequences,
     "j20_sample_hash" -> j20_sample_hash,

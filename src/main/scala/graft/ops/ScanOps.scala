@@ -427,7 +427,50 @@ object ScanOps {
       .orderBy(col("vw").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
+  /** a19 — region split via REFERENCE daughters (HBase's split mechanic:
+    * a splitting region does NOT rewrite data — each daughter holds a
+    * reference to the parent store file restricted to its half-range
+    * [start, mid) / [mid, end), and serves reads through it until its own
+    * major compaction; at 100 TB this is why a split is a metadata
+    * operation, not an I/O storm). The split point comes from
+    * [[graft.sources.HFileOps.regionKeyRanges]] — the middle root-index
+    * entry, a data-block boundary, read from trailer + load-on-open
+    * metadata only (the master's split decision input). Each daughter is
+    * an index-directed half-range reference read
+    * ([[graft.sources.HFileOps.rangeScan]] — bytes read scale with the
+    * half, and non-owning regions index-reject); the gate digests the
+    * UNION of all daughters against the original table, so any
+    * boundary-straddling loss or duplication anywhere in the split moves
+    * the hash. HFileSpec pins the per-daughter invariants (disjoint,
+    * cover the parent, near-even block split) that the relational oracle
+    * cannot see. Small blockSize forces multi-block regions at fixture
+    * scale; production regions are always block-rich.
+    */
+  val a19_region_split: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_split", d)
+    val cells = Tables.cells(s, d)
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events"))
+    HFileOps.bulkWrite(cells, dir, regions, blockSize = 4096,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    val ranges = HFileOps.regionKeyRanges(s, dir).sortBy(_._2)
+    val daughters = ranges.zipWithIndex.flatMap {
+      case ((_, first, mid, last), i) =>
+        val stop = if (i + 1 < ranges.size) ranges(i + 1)._2 else last + " "
+        Seq(HFileOps.rangeScan(s, dir, first, mid),
+          HFileOps.rangeScan(s, dir, mid, stop))
+    }
+    daughters.reduce(_ unionByName _)
+      .groupBy(col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"),
+        sum((col("ts") % 999979L).cast("decimal(18,0)")).cast("long").as("tsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a19_region_split" -> a19_region_split,
     "a18_hfile_snapshot" -> a18_hfile_snapshot,
     "a17_mob_storage" -> a17_mob_storage,
     "a16_multi_cf_prune" -> a16_multi_cf_prune,

@@ -22,6 +22,15 @@ object OracleSql {
     s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
   val scans: Map[String, String] = Map(
+    // a19: the daughter union must reconstruct the table exactly —
+    // the oracle digests the cells view straight (all ops: a reference
+    // read serves raw cells; resolution is the reader's job)
+    "a19_region_split" ->
+      (cellsCte +
+        """SELECT qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       CAST(sum(CAST(ts % 999979 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+          |FROM cells GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
     // a18: clone view = gen0 puts verbatim (a snapshot pins the pre-delta
     // file set); live view = the a13 merge spelling over gen0 + the
     // post-snapshot delta
@@ -1241,6 +1250,20 @@ object OracleSql {
       s" + ((($x % 2147483587 + 2147483587) % 2147483587) * 3266489917) % 4294967296) % 4294967296"
 
   val samples: Map[String, String] = Map(
+    // j59: integer ceil ((b+t-1) // t) capped at 4; digest Σ(doc_id²·epoch)
+    "j59_epoch_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |              CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS tok
+        |       FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT source, sum(tok) AS stoks FROM t GROUP BY source),
+        |b AS (SELECT max(stoks) AS budget FROM s),
+        |e AS (SELECT source, CAST(least(4, (budget + stoks - 1) // stoks) AS BIGINT) AS ep FROM s, b),
+        |r AS (SELECT t.source, doc_id, tok, epoch
+        |      FROM t JOIN e USING (source), unnest(generate_series(1, e.ep)) AS u(epoch))
+        |SELECT source, CAST(max(epoch) AS BIGINT) AS epochs, count(*) AS n_rows,
+        |       CAST(sum(tok) AS BIGINT) AS toks_replicated,
+        |       CAST(sum(CAST(doc_id*doc_id*epoch AS HUGEINT)) % 1000000007 AS BIGINT) AS dmod
+        |FROM r GROUP BY source ORDER BY source NULLS LAST""".stripMargin,
     // j57: u = (mix+1)/2^32 is exact in binary double (bit-identical
     // cross-engine); ln rounds at 7dp per the j51 libm convention
     "j57_weighted_sample" ->
@@ -1428,6 +1451,28 @@ object OracleSql {
         |FROM g JOIN eg USING (g)
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY hits DESC, doc_id NULLS LAST LIMIT 100""".stripMargin,
+    // j58: ratio-threshold contamination classes decided in exact integer
+    // arithmetic; digest = Σ(doc_id²+17) mod p per class
+    "j58_decontaminate_fuzzy" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(ws, i, i+2), ' ') AS g
+        |  FROM d, unnest(generate_series(1, len(ws)-2)) AS u(i)
+        |  WHERE len(ws) >= 3),
+        |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |per AS (
+        |  SELECT doc_id, count(DISTINCT g.g) AS total,
+        |         count(DISTINCT CASE WHEN eg.g IS NOT NULL THEN g.g END) AS hits
+        |  FROM g LEFT JOIN eg ON g.g = eg.g
+        |  WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+        |c AS (SELECT *, CASE WHEN hits * 2 > total THEN 'contaminated'
+        |                     WHEN hits * 20 > total THEN 'partial'
+        |                     ELSE 'clean' END AS cls FROM per)
+        |SELECT cls, count(*) AS n,
+        |       CAST(sum(total) AS BIGINT) AS grams,
+        |       CAST(sum(hits) AS BIGINT) AS ghits,
+        |       CAST(sum(CAST(doc_id * doc_id + 17 AS HUGEINT)) % 1000000007 AS BIGINT) AS dmod
+        |FROM c GROUP BY cls ORDER BY cls NULLS LAST""".stripMargin,
     "j30_rep_quality" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS ws
         |           FROM documents WHERE doc_id < 100),

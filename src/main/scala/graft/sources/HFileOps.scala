@@ -832,6 +832,40 @@ object HFileOps {
     mergedReadFiles(spark, paths, maxVersions, ttlFloor)
   }
 
+  /** Per-region key-range metadata for split decisions — (file, first
+    * row, mid row, last row), each from trailer + load-on-open positioned
+    * reads only (never data blocks): exactly the bookkeeping an HBase
+    * master consults to pick a region's split point. `mid` is the first
+    * key of the middle root-index entry — a data-block boundary, so a
+    * split there costs zero block straddling (HBase's `midkey()` is the
+    * same block-granularity approximation). A single-block region
+    * reports mid = first (unsplittable at block granularity — the
+    * caller's signal to leave it alone).
+    */
+  def regionKeyRanges(spark: SparkSession, dir: String)
+      : Seq[(String, String, String, String)] = {
+    val (paths, _) = regionFiles(spark, dir)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val path = new HPath(p)
+      val fs = path.getFileSystem(hadoopConf)
+      val in = fs.open(path)
+      try {
+        val (loo, _, sect) = openSections(in, fs.getFileStatus(path).getLen)
+        val root = HFileCodec.parseIndexEntriesWithKeys(
+          loo, sect.rootIndexOffset.toInt, HFileCodec.RootIndexMagic)
+        val info = HFileCodec.parseFileInfoPayload(
+          HFileCodec.blockPayload(loo, sect.fileInfoOffset.toInt))
+        val lastKey = info.getOrElse("hfile.LASTKEY",
+          throw new IllegalStateException(s"$p missing hfile.LASTKEY"))
+        (p,
+          new String(HFileCodec.rowOfKey(root.head._3), UTF_8),
+          new String(HFileCodec.rowOfKey(root(root.size / 2)._3), UTF_8),
+          new String(HFileCodec.rowOfKey(lastKey), UTF_8))
+      } finally in.close()
+    }
+  }
+
   /** Write a snapshot MANIFEST: the HBase snapshot model [public:
     * o.a.h.hbase.snapshot.SnapshotManifest] — a snapshot is a reference
     * list of the immutable store files live at snapshot time, never a

@@ -570,6 +570,23 @@ object StreamOps {
       col("value"),
       when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
 
+  /** I25: visibility-labeled streaming scan — the b31 cell-visibility
+    * evaluator ([[graft.ops.FilterOps.visibleUnder]] over the shared
+    * [[graft.ops.FilterOps.fixtureVisibility]] label policy) applied to
+    * a stream of arriving cells under a scanner's authorization set. The
+    * label check is a pure row-local predicate (codegen'd array HOFs —
+    * no state, no watermark), so it is micro-batch invariant by
+    * construction: a streamed scan admits exactly the cells the batch
+    * scan admits, regardless of batch boundaries — the RegionServer's
+    * per-cell authorization check running at ingest time. StreamingSpec
+    * I25 pins stream ≡ batch row-for-row.
+    */
+  def visibilityScanStream(cells: DataFrame, auths: Seq[String]): DataFrame = {
+    val labeled = cells.withColumn("vis",
+      graft.ops.FilterOps.fixtureVisibility(col("qualifier"), col("value")))
+    labeled.where(graft.ops.FilterOps.visibleUnder(col("vis"), auths))
+  }
+
   /** I14: streaming HFile bulk-load sink — the continuous-ingest shape an
     * HBase support library actually serves: each micro-batch of cells is
     * bulk-written as a self-contained set of region files under

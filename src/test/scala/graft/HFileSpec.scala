@@ -1236,6 +1236,42 @@ class HFileSpec extends SparkSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("a19 region split: daughters are disjoint, cover the parent, split near-evenly") {
+    val src = Tables.cells(spark, sf)
+    val dir = tmpDir("split").toString
+    // small blocks force block-rich regions, like production
+    HFileOps.bulkWrite(src, dir, regions = 3, blockSize = 2048,
+      encoding = HFileCodec.EncodingFastDiff)
+    val ranges = HFileOps.regionKeyRanges(spark, dir).sortBy(_._2)
+    assert(ranges.size == 3)
+    ranges.zipWithIndex.foreach { case ((_, first, mid, last), i) =>
+      assert(first <= mid && mid <= last, s"region $i keys out of order")
+      assert(mid > first, s"region $i unsplittable (single block?) — " +
+        "fixture must be block-rich for this test")
+      val stop = if (i + 1 < ranges.size) ranges(i + 1)._2 else last + " "
+      val top = HFileOps.rangeScan(spark, dir, first, mid)
+        .select("rowkey", "cf", "qualifier", "ts").collect().map(_.toString)
+      val bottom = HFileOps.rangeScan(spark, dir, mid, stop)
+        .select("rowkey", "cf", "qualifier", "ts").collect().map(_.toString)
+      // disjoint + both non-trivial
+      assert(top.nonEmpty && bottom.nonEmpty, s"region $i: vacuous daughter")
+      assert(top.toSet.intersect(bottom.toSet).isEmpty, s"region $i: overlap")
+      // the block-boundary midkey splits near-evenly (block granularity:
+      // allow a 25/75 skew, never 0/100)
+      val frac = top.size.toDouble / (top.size + bottom.size)
+      assert(frac > 0.25 && frac < 0.75,
+        s"region $i split $frac is not a midkey split")
+    }
+    // union over all daughters reconstructs the store exactly
+    val daughters = ranges.zipWithIndex.flatMap { case ((_, first, mid, last), i) =>
+      val stop = if (i + 1 < ranges.size) ranges(i + 1)._2 else last + " "
+      Seq(HFileOps.rangeScan(spark, dir, first, mid),
+        HFileOps.rangeScan(spark, dir, mid, stop))
+    }.reduce(_ unionByName _)
+    assert(daughters.count() == src.count())
+    assert(daughters.exceptAll(HFileOps.read(spark, dir)).count() == 0)
+  }
+
   test("reversed scan: equals sorted-forward-scan reversed, every encoding") {
     val src = Tables.cells(spark, sf)
     val keys = src.select("rowkey").orderBy("rowkey").collect().map(_.getString(0))

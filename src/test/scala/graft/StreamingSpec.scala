@@ -51,6 +51,31 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I25: visibility-labeled scan is micro-batch invariant (stream equals batch)") {
+    // b31's per-cell authorization check at ingest time: the label
+    // evaluator is a row-local codegen'd predicate, so the streamed scan
+    // must admit exactly the batch scan's cells — and a different auth
+    // set must change the admitted count (non-vacuous policy)
+    val auths = Seq("internal", "finance", "ops")
+    val streamed = runStream(
+      StreamOps.visibilityScanStream(
+        StreamOps.cellsStream(StreamOps.eventsStream(spark, sf)), auths)
+        .select("rowkey", "qualifier", "value", "vis"),
+      "append", "t_vis")
+    val batch = StreamOps.visibilityScanStream(Tables.cells(spark, sf), auths)
+      .select("rowkey", "qualifier", "value", "vis")
+    assert(streamed.count() > 0, "visibility scan must admit some cells")
+    assert(streamed.count() < Tables.cells(spark, sf).count(),
+      "visibility scan must reject some cells (policy non-vacuous)")
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+    // exec-only escalation: dropping 'finance' from the auth set must
+    // hide every purchase cell (both its clauses need finance)
+    val opsOnly = StreamOps.visibilityScanStream(
+      Tables.cells(spark, sf), Seq("internal", "ops"))
+    assert(opsOnly.where(col("qualifier") === "purchase").count() == 0)
+  }
+
   test("I15: pixel decode is micro-batch invariant (stream equals batch)") {
     // the media curation step as continuous ingestion: PNG build + ImageIO
     // decode are pure per-row functions, so incremental arrival changes
