@@ -451,7 +451,41 @@ object HFileOps {
                 reversed: Boolean, limit: Int = Int.MaxValue): DataFrame = {
     val start = startRow.getBytes(UTF_8)
     val stop = stopRow.getBytes(UTF_8)
-    seekScan(spark, dir) { (in, loo) =>
+    seekScan(spark, dir)(rangeRowsInFile(_, _, start, stop, reversed, limit))
+  }
+
+  /** Reference-daughter scan — the read path of freshly-SPLIT regions:
+    * each element of `refs` is a (parent file, startRow, stopRow)
+    * REFERENCE (HBase's half-store-file Reference), and each gets ONE
+    * task that walks only its parent's index-selected half. Unlike
+    * running [[rangeScan]] once per daughter (which spawns refs×regions
+    * tasks, almost all index-rejecting), this is exactly |refs| tasks —
+    * the shape a post-split region server serves with, and what keeps a
+    * split's read path at 2 tasks per region at any region count.
+    */
+  def referenceScan(spark: SparkSession,
+                    refs: Seq[(String, String, String)]): DataFrame = {
+    val serConf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(refs, math.max(1, refs.size))
+      .flatMap { case (p, startS, stopS) =>
+        openRegion(p, serConf.value)(rangeRowsInFile(_, _,
+          startS.getBytes(UTF_8), stopS.getBytes(UTF_8),
+          reversed = false, limit = Int.MaxValue))
+      }
+    spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** One region file's index-directed range walk — the shared per-file
+    * body of [[rangeScan]] (every file of a directory) and
+    * [[referenceScan]] (an explicit half-file reference).
+    */
+  private def rangeRowsInFile(in: org.apache.hadoop.fs.FSDataInputStream,
+                              loo: HFileCodec.LoadOnOpen,
+                              start: Array[Byte], stop: Array[Byte],
+                              reversed: Boolean, limit: Int): Seq[Row] = {
+    {
       val root = HFileCodec.parseIndexEntriesWithKeys(
         readBlockAt(in, loo.rootIndexOffset), 0, HFileCodec.RootIndexMagic)
       // LAZY leaf expansion (Iterator.flatMap): an intermediate index

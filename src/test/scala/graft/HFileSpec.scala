@@ -1262,12 +1262,13 @@ class HFileSpec extends SparkSuite {
       assert(frac > 0.25 && frac < 0.75,
         s"region $i split $frac is not a midkey split")
     }
-    // union over all daughters reconstructs the store exactly
-    val daughters = ranges.zipWithIndex.flatMap { case ((_, first, mid, last), i) =>
+    // union over all daughter REFERENCES (the query's one-task-per-
+    // daughter read path) reconstructs the store exactly
+    val refs = ranges.zipWithIndex.flatMap { case ((path, first, mid, last), i) =>
       val stop = if (i + 1 < ranges.size) ranges(i + 1)._2 else last + " "
-      Seq(HFileOps.rangeScan(spark, dir, first, mid),
-        HFileOps.rangeScan(spark, dir, mid, stop))
-    }.reduce(_ unionByName _)
+      Seq((path, first, mid), (path, mid, stop))
+    }
+    val daughters = HFileOps.referenceScan(spark, refs)
     assert(daughters.count() == src.count())
     assert(daughters.exceptAll(HFileOps.read(spark, dir)).count() == 0)
   }
