@@ -340,11 +340,18 @@ object ScanOps {
     * any corruption anywhere in either binary roundtrip or the re-join
     * moves the sum.
     */
-  val a17_mob_storage: Q = (s, d) => {
+  /** a17's write half over any (doc_id, text) frame — shared by the
+    * batch gate and the I26 streaming ingest sink (which passes each
+    * micro-batch with its own store-file `generation`, the I17
+    * replay-overwrite discipline). Payloads are content-hash-keyed and
+    * deduped within the frame; across generations the hash key makes a
+    * re-delivered payload collapse at read time ([[mobReconstruct]]).
+    */
+  private[graft] def mobWrite(docs0: org.apache.spark.sql.DataFrame,
+                              dir: String, regions: Int,
+                              generation: Int = -1): Unit = {
     import graft.sources.{HFileCodec, HFileOps}
-    val dir = Tables.appTmpDir(s, "graft_hfile_mob", d)
-    val regions = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "documents"))
-    val docs = Tables.documents(s, d).where(col("text").isNotNull)
+    val docs = docs0.where(col("text").isNotNull)
       .withColumn("is_mob", length(col("text")) > 300)
     val main = docs.select(
       Tables.pad(col("doc_id")).as("rowkey"), lit("d").as("cf"),
@@ -359,18 +366,41 @@ object ScanOps {
       .dropDuplicates("rowkey")
     HFileOps.bulkWrite(main, s"$dir/main", regions,
       compression = HFileCodec.CompressionGz,
-      encoding = HFileCodec.EncodingFastDiff, textValue = true)
+      encoding = HFileCodec.EncodingFastDiff, generation = generation,
+      textValue = true)
     HFileOps.bulkWrite(mob, s"$dir/mob", regions,
-      compression = HFileCodec.CompressionGz, textValue = true)
+      compression = HFileCodec.CompressionGz, generation = generation,
+      textValue = true)
+  }
+
+  /** a17's read half: reconstruct `(is_mob, text)` from the two stores.
+    * The MOB side dedups on its content-hash key first: the same
+    * over-threshold value delivered in two ingest generations is one
+    * logical payload (identical bytes by construction — the hash IS the
+    * key), so replayed/repeated deliveries are read-time no-ops.
+    */
+  private[graft] def mobReconstruct(s: org.apache.spark.sql.SparkSession,
+                                    dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.sources.HFileOps
     val mainRead = HFileOps.readText(s, s"$dir/main")
       .withColumn("is_mob", col("value").startsWith("mobref:"))
     val mobRead = HFileOps.readText(s, s"$dir/mob")
+      .dropDuplicates("rowkey")
       .select(concat(lit("mobref:"), col("rowkey")).as("ref"),
         col("value").as("payload"))
     mainRead
       .join(mobRead, col("value") === col("ref"), "left")
       .select(col("is_mob"),
         when(col("is_mob"), col("payload")).otherwise(col("value")).as("text"))
+  }
+
+  val a17_mob_storage: Q = (s, d) => {
+    import graft.sources.HFileOps
+    val dir = Tables.appTmpDir(s, "graft_hfile_mob", d)
+    val regions = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "documents"))
+    mobWrite(Tables.documents(s, d), dir, regions)
+    mobReconstruct(s, dir)
       .groupBy("is_mob")
       .agg(count(lit(1)).as("n"),
         sum(length(col("text"))).cast("long").as("csum"),

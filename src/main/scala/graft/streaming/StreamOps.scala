@@ -587,6 +587,36 @@ object StreamOps {
     labeled.where(graft.ops.FilterOps.visibleUnder(col("vis"), auths))
   }
 
+  /** I26: streaming MOB ingest — each arriving micro-batch of documents
+    * splits at the MOB threshold exactly like the batch bulk-load (the
+    * a17 core, [[graft.ops.ScanOps.mobWrite]]): reference cells and
+    * under-threshold values into the main store, over-threshold payloads
+    * into the content-addressed MOB store, each batch as its own
+    * store-file generation (the I17 discipline — a replayed batch
+    * overwrites precisely its own files, exactly-once without a
+    * transactional sink). Payload identity rides the content hash, so
+    * the same large value arriving in two batches lands under ONE key
+    * and reconstruction collapses it — the MOB refcount property, which
+    * is what makes payload re-delivery a read-time no-op. StreamingSpec
+    * I26 pins streamed reconstruction ≡ the a17 batch reconstruction,
+    * including after a replayed write.
+    */
+  def mobIngestSink(docs: DataFrame, outDir: String, checkpointDir: String,
+                    regionsPerBatch: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.ScanOps.mobWrite(batch, outDir, regionsPerBatch,
+            generation = batchId.toInt)
+          ()
+        }
+        ()
+      }
+
   /** I14: streaming HFile bulk-load sink — the continuous-ingest shape an
     * HBase support library actually serves: each micro-batch of cells is
     * bulk-written as a self-contained set of region files under
