@@ -64,8 +64,14 @@ object Tables {
     * hook for future flows, exercised by MiscSpec.
     */
   def invalidate(path: String): Unit = {
+    val root = path.stripSuffix("/")
     val it = relCache.keySet.iterator()
-    while (it.hasNext) if (it.next()._2.startsWith(path)) it.remove()
+    while (it.hasNext) {
+      val key = it.next()._2
+      // Path-component boundary, not plain string prefix: invalidating
+      // "/data/sf1" must not drop entries under a sibling "/data/sf10".
+      if (key == root || key.startsWith(root + "/")) it.remove()
+    }
   }
 
   private val relCache =
@@ -127,6 +133,31 @@ object Tables {
   def bytesOnDisk(s: SparkSession, d: String, name: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+
+  /** Exact row count of a fixture table from PARQUET FOOTER METADATA —
+    * O(files) positioned footer reads, never a Spark job (the default
+    * `df.count()` runs a columnar count stage even though every footer
+    * already carries the answer; VERDICT r12 flagged that job in the
+    * bloom-sizing path). Handles both a single parquet file and a
+    * directory of part files. Callers that size probabilistic
+    * structures from a FILTERED slice use this as the upper bound —
+    * bloom sizing only ever needs one.
+    */
+  def rowCountFromMeta(s: SparkSession, d: String, name: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Seq(root)
+    files.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style

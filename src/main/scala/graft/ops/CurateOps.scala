@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the J-family operators composed the
@@ -143,7 +142,9 @@ object CurateOps {
     val admittedIds = DedupOps.incrementalAdmit(
       docs.select(h(col("text")).as("h")).distinct(),
       incoming.select(col("doc_id"), h(col("text")).as("h")),
-      logStats = false)
+      logStats = false,
+      // footer-metadata upper bound on |distinct hashes| — no count() job
+      nExistHint = Some(Tables.rowCountFromMeta(s, d, "documents")))
     val piiTail = concat(
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail.example.com or admin@test.org from "),
@@ -175,17 +176,24 @@ object CurateOps {
       .join(scrubbed, Seq("doc_id"))
 
     // -- 5. temperature mix -----------------------------------------
-    val cuts = kept.groupBy("lang").agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n").cast("double")
-        / sum(col("n")).over(Window.partitionBy()).cast("double"))
+    // ≤|languages|-row frame, materialized once; the three normalizers
+    // (ntot, wtot, rmax) are crossJoin(broadcast(agg)) over it —
+    // identical exact sums/max to the former empty-partitionBy windows,
+    // without WindowExec's single-partition warning storm (VERDICT r12)
+    val byLang = kept.groupBy("lang").agg(count(lit(1)).as("n")).graftCkpt()
+    val withP = byLang
+      .crossJoin(broadcast(byLang.agg(sum(col("n")).as("ntot"))))
+      .withColumn("p", col("n").cast("double") / col("ntot").cast("double"))
       .withColumn("w", round(pow(col("p"), 0.3), 6)
         .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-      .withColumn("q", col("w").cast("double")
-        / sum(col("w")).over(Window.partitionBy())
-            .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double"))
+    val withRate = withP
+      .crossJoin(broadcast(withP.agg(sum(col("w"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("wtot"))))
+      .withColumn("q", col("w").cast("double") / col("wtot").cast("double"))
       .withColumn("rate", col("q") / col("p"))
-      .withColumn("cut", floor(col("rate")
-        / max(col("rate")).over(Window.partitionBy()) * 1000000L))
+    val cuts = withRate
+      .crossJoin(broadcast(withRate.agg(max(col("rate")).as("rmax"))))
+      .withColumn("cut", floor(col("rate") / col("rmax") * 1000000L))
       .select("lang", "cut")
     val mixed = kept.join(broadcast(cuts), Seq("lang"))
       .where(SampleOps.mixBucket(col("doc_id") + 4242L) % 1000000L < col("cut"))

@@ -176,14 +176,20 @@ object SampleOps {
     */
   def j44_temperature_mix: Q = (s, d) => {
     import org.apache.spark.sql.types.DecimalType
+    // the ≤|languages|-row count frame, materialized once; the two
+    // normalizers are crossJoin(broadcast(agg)) over it — identical
+    // exact sums to the former empty-partitionBy windows, without
+    // WindowExec's "moving all data to a single partition" storm in
+    // every bench log (VERDICT r12 finding 3)
     val byLang = Tables.documents(s, d)
-      .groupBy("lang").agg(count(lit(1)).as("n"))
-      .withColumn("ntot", sum(col("n")).over(Window.partitionBy()))
-    byLang
+      .groupBy("lang").agg(count(lit(1)).as("n")).graftCkpt()
+    val withP = byLang
+      .crossJoin(broadcast(byLang.agg(sum(col("n")).as("ntot"))))
       .withColumn("p", col("n").cast("double") / col("ntot").cast("double"))
       .withColumn("w", round(pow(col("p"), 0.3), 6).cast(DecimalType(18, 6)))
-      .withColumn("wtot", sum(col("w")).over(Window.partitionBy())
-        .cast(DecimalType(38, 6)))
+    withP
+      .crossJoin(broadcast(withP.agg(
+        sum(col("w")).cast(DecimalType(38, 6)).as("wtot"))))
       .select(col("lang"), col("n"), col("p"),
         (col("w").cast("double") / col("wtot").cast("double")).as("q"))
       .orderBy(asc_nulls_last("lang"))

@@ -353,10 +353,16 @@ object ScanOps {
     import graft.sources.{HFileCodec, HFileOps}
     val docs = docs0.where(col("text").isNotNull)
       .withColumn("is_mob", length(col("text")) > 300)
+    // the MOB-ness of a cell is carried in its QUALIFIER ('ref' vs
+    // 'text'), never inferred from value bytes: real HBase flags the
+    // reference in a cell tag, and a value-prefix test would misclassify
+    // an inline document that happens to start with the marker
+    // (ADVICE r12). A ref cell's value is the content hash alone.
     val main = docs.select(
       Tables.pad(col("doc_id")).as("rowkey"), lit("d").as("cf"),
-      lit("text").as("qualifier"), lit(1L).as("ts"),
-      when(col("is_mob"), concat(lit("mobref:"), md5(col("text"))))
+      when(col("is_mob"), "ref").otherwise("text").as("qualifier"),
+      lit(1L).as("ts"),
+      when(col("is_mob"), md5(col("text")))
         .otherwise(col("text")).as("value"),
       lit("put").as("op"))
     val mob = docs.where(col("is_mob")).select(
@@ -383,14 +389,15 @@ object ScanOps {
                                     dir: String)
       : org.apache.spark.sql.DataFrame = {
     import graft.sources.HFileOps
+    // classification reads the explicit 'ref' qualifier — never the
+    // value bytes (ADVICE r12); only the ref sliver joins the MOB store
     val mainRead = HFileOps.readText(s, s"$dir/main")
-      .withColumn("is_mob", col("value").startsWith("mobref:"))
+      .withColumn("is_mob", col("qualifier") === "ref")
     val mobRead = HFileOps.readText(s, s"$dir/mob")
       .dropDuplicates("rowkey")
-      .select(concat(lit("mobref:"), col("rowkey")).as("ref"),
-        col("value").as("payload"))
+      .select(col("rowkey").as("ref"), col("value").as("payload"))
     mainRead
-      .join(mobRead, col("value") === col("ref"), "left")
+      .join(mobRead, col("is_mob") && col("value") === col("ref"), "left")
       .select(col("is_mob"),
         when(col("is_mob"), col("payload")).otherwise(col("value")).as("text"))
   }

@@ -749,8 +749,8 @@ object HFileOps {
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
         val name = f"cf=$cf/region-$pid%05d.hfile"
-        val tmp = new HPath(dir, s"cf=$cf/.region-$pid%05d" +
-          s".${TaskContext.get().taskAttemptId()}.tmp")
+        val tmp = new HPath(dir,
+          f"cf=$cf%s/.region-$pid%05d.${TaskContext.get().taskAttemptId()}%d.tmp")
         fs.mkdirs(new HPath(dir, s"cf=$cf"))
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         try HFileCodec.write(run, os, blockSize,
