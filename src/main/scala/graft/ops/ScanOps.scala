@@ -508,7 +508,54 @@ object ScanOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** a20 — region MERGE via served parents + post-merge compaction (the
+    * inverse of a19's split [public: o.a.h.hbase.client
+    * .Admin#mergeRegionsAsync]): adjacent regions are paired and each
+    * pair is served as ONE merged region over BOTH parents' store files
+    * ([[graft.sources.HFileOps.mergedRegionScan]] — one task per merged
+    * region in one RDD, no data rewrite: at 100 TB a merge must be a
+    * metadata operation exactly like the split), then the post-merge
+    * compaction rewrites each merged region as ONE store file
+    * ([[graft.sources.HFileOps.compactRegions]] — streaming, zero
+    * shuffle, deliberately a DIFFERENT codec/encoding than the parents:
+    * a compaction may change the family's compression settings). The
+    * gate digests BOTH views side by side against the original table,
+    * so any boundary loss/duplication in the merge AND any corruption
+    * in the compaction rewrite move the hash; HFileSpec pins the
+    * structural invariants (parent adjacency, one file per merged
+    * region, merged key ranges spanning exactly the parents) the
+    * relational oracle cannot see.
+    */
+  val a20_region_merge: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_rmerge", d)
+    val cells = Tables.cells(s, d)
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events"))
+    HFileOps.bulkWrite(cells, dir, regions, blockSize = 16384,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    // adjacent pairing off the master's metadata view (trailer +
+    // load-on-open reads only); an odd region count leaves the last
+    // region a singleton group — served and compacted as itself
+    val ranges = HFileOps.regionKeyRanges(s, dir).sortBy(_._2)
+    val groups = ranges.map(_._1).grouped(2).map(_.toSeq).toSeq
+    val merged = HFileOps.mergedRegionScan(s, groups)
+      .withColumn("vw", lit("merged"))
+    val cdir = Tables.appTmpDir(s, "graft_hfile_rmerge_c", d)
+    HFileOps.compactRegions(s, groups, cdir,
+      compression = HFileCodec.CompressionZstd,
+      encoding = HFileCodec.EncodingPrefix)
+    val compacted = HFileOps.read(s, cdir).withColumn("vw", lit("compacted"))
+    merged.unionByName(compacted)
+      .groupBy(col("vw"), col("qualifier"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"),
+        sum((col("ts") % 999961L).cast("decimal(18,0)")).cast("long").as("tsum"))
+      .orderBy(col("vw").asc_nulls_last, col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a20_region_merge" -> a20_region_merge,
     "a19_region_split" -> a19_region_split,
     "a18_hfile_snapshot" -> a18_hfile_snapshot,
     "a17_mob_storage" -> a17_mob_storage,

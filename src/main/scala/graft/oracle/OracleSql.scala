@@ -31,6 +31,20 @@ object OracleSql {
           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
           |       CAST(sum(CAST(ts % 999979 AS DECIMAL(18,0))) AS BIGINT) AS tsum
           |FROM cells GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin),
+    // a20: neither serving a merged region over its parents' files nor
+    // the post-merge compaction rewrite may change a single cell — both
+    // views digest as the cells view straight (raw cells, all ops;
+    // resolution is the reader's job, as in a19)
+    "a20_region_merge" ->
+      (cellsCte.stripSuffix("\n") +
+        """, uv AS (SELECT 'compacted' AS vw, qualifier, value, ts FROM cells
+          |         UNION ALL
+          |         SELECT 'merged' AS vw, qualifier, value, ts FROM cells)
+          |SELECT vw, qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       CAST(sum(CAST(ts % 999961 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+          |FROM uv GROUP BY vw, qualifier
+          |ORDER BY vw NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a18: clone view = gen0 puts verbatim (a snapshot pins the pre-delta
     // file set); live view = the a13 merge spelling over gen0 + the
     // post-snapshot delta

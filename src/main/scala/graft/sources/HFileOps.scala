@@ -673,16 +673,7 @@ object HFileOps {
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
       .flatMap { p =>
-        val path = new HPath(p)
-        val fs = path.getFileSystem(serConf.value)
-        val raw = fs.open(path)
-        // one positioned read of trailer + file-info resolves the
-        // per-file mvcc/tags postfix flags BEFORE the forward stream —
-        // positioned reads don't move the stream's own position
-        val extras = streamExtras(raw, fs.getFileStatus(path).getLen)
-        val in = new java.io.BufferedInputStream(raw, 1 << 16)
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        HFileCodec.readStreaming(in, extras).map { c =>
+        streamFileCells(p, serConf.value).map { c =>
           Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
             new String(c.qualifier, UTF_8), c.ts,
             if (textValue) new String(c.value, UTF_8)
@@ -691,6 +682,105 @@ object HFileOps {
         }
       }
     spark.createDataFrame(rows, if (textValue) textCellsSchema else cellsSchema)
+  }
+
+  /** One region file's full forward cell stream (O(blockSize) memory) —
+    * the executor-side body shared by [[readPaths]], the merged-region
+    * scan, and the merge compaction. One positioned read of trailer +
+    * file-info resolves the per-file mvcc/tags postfix flags BEFORE the
+    * forward stream (positioned reads don't move the stream's own
+    * position); the stream closes on task completion.
+    */
+  private def streamFileCells(p: String,
+                              conf: org.apache.hadoop.conf.Configuration)
+      : Iterator[HFileCodec.HCell] = {
+    val path = new HPath(p)
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    val extras = streamExtras(raw, fs.getFileStatus(path).getLen)
+    val in = new java.io.BufferedInputStream(raw, 1 << 16)
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    HFileCodec.readStreaming(in, extras)
+  }
+
+  /** Region MERGE read path — the inverse of [[referenceScan]]'s split
+    * [public: o.a.h.hbase.client.Admin#mergeRegionsAsync]: merging does
+    * NOT rewrite data — the merged region simply serves ALL of its
+    * parents' store files under ONE region (HBase relocates the parent
+    * files into the merged region's directory and serves them with one
+    * store scanner) until its next major compaction. `groups` lists each
+    * merged region's parent files in ascending rowkey-range order; the
+    * scan is ONE task per merged region in ONE RDD — never a union of
+    * per-parent DataFrame legs, which wave-serializes the heavy tasks in
+    * the scheduler (the measured-14× a19 lesson, docs/SCALE.md r12).
+    * Parents are internally KeyValue-sorted and mutually disjoint-
+    * adjacent, so streaming them sequentially IS the merged region's
+    * sort order — no heap, no buffering beyond a block.
+    */
+  def mergedRegionScan(spark: SparkSession,
+                       groups: Seq[Seq[String]]): DataFrame = {
+    val serConf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(groups, math.max(1, groups.size))
+      .flatMap { parents =>
+        parents.iterator.flatMap(p =>
+          streamFileCells(p, serConf.value).map { c =>
+            Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+              new String(c.qualifier, UTF_8), c.ts,
+              java.nio.ByteBuffer.wrap(c.value).getDouble, opOf(c.typ))
+          })
+      }
+    spark.createDataFrame(rows, cellsSchema)
+  }
+
+  /** The compaction that FOLLOWS a region merge: rewrite each merged
+    * region's parent store files as ONE new store file under `outDir`
+    * (`region-NNNNN.hfile` by group index). One task per merged region
+    * streams its parents' cells in range order straight into
+    * [[HFileCodec.write]] — zero shuffle, O(blockSize) task memory, the
+    * shape a region server's post-merge compaction has at any region
+    * size. The rewrite is RAW (every version and tombstone kept — minor-
+    * compaction semantics); version/tombstone resolution stays the read
+    * lattice's job ([[mergedRead]]), exactly as before the merge.
+    * Returns the file names written.
+    */
+  def compactRegions(spark: SparkSession, groups: Seq[Seq[String]],
+                     outDir: String, blockSize: Int = 64 * 1024,
+                     compression: Int = HFileCodec.CompressionNone,
+                     encoding: Int = HFileCodec.EncodingNone): Seq[String] = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val outPath = new HPath(outDir)
+    val dfs = outPath.getFileSystem(hadoopConf)
+    dfs.mkdirs(outPath)
+    Option(dfs.globStatus(new HPath(outPath, "*.hfile")))
+      .getOrElse(Array.empty)
+      .foreach(st => dfs.delete(st.getPath, false))
+    val serConf = new SerializableConfiguration(hadoopConf)
+    spark.sparkContext
+      .parallelize(groups.zipWithIndex, math.max(1, groups.size))
+      .map { case (parents, i) =>
+        val cellsIt = parents.iterator.flatMap(p =>
+          streamFileCells(p, serConf.value))
+        val fs = new HPath(outDir).getFileSystem(serConf.value)
+        val name = f"region-$i%05d.hfile"
+        val tmp = new HPath(outDir,
+          s".$name.${TaskContext.get().taskAttemptId()}.tmp")
+        val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+        try HFileCodec.write(cellsIt, os, blockSize,
+          HFileCodec.DefaultIndexChunkEntries, HFileCodec.DefaultBloomChunkKeys,
+          compression, encoding)
+        finally os.close()
+        val dst = new HPath(outDir, name)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, serConf.value)
+        try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"compactRegions: failed to commit $tmp -> $dst", e)
+        }
+        name
+      }.collect().toSeq.sorted
   }
 
   /** Bulk-write with the PER-COLUMN-FAMILY store layout a real HBase

@@ -1273,6 +1273,43 @@ class HFileSpec extends SparkSuite {
     assert(daughters.exceptAll(HFileOps.read(spark, dir)).count() == 0)
   }
 
+  test("a20 region merge: parents adjacent, one compacted file per group spanning exactly its parents, lossless") {
+    val src = Tables.cells(spark, sf)
+    val dir = tmpDir("merge").toString
+    HFileOps.bulkWrite(src, dir, regions = 4, blockSize = 2048,
+      encoding = HFileCodec.EncodingFastDiff)
+    val ranges = HFileOps.regionKeyRanges(spark, dir).sortBy(_._2)
+    assert(ranges.size == 4)
+    // merge precondition: regions are range-disjoint and in order
+    ranges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 < b._2, s"regions not adjacent-disjoint: ${a._4} vs ${b._2}")
+    }
+    val groups = ranges.map(_._1).grouped(2).map(_.toSeq).toSeq
+    // the merged-region scan (no rewrite) reconstructs the store exactly
+    val mergedScan = HFileOps.mergedRegionScan(spark, groups).localCheckpoint()
+    assert(mergedScan.count() == src.count())
+    assert(mergedScan.exceptAll(HFileOps.read(spark, dir)).count() == 0)
+    // post-merge compaction: ONE store file per merged region, each
+    // spanning exactly its parents' united key range, cross-codec rewrite
+    val cdir = tmpDir("mergec").toString
+    val names = HFileOps.compactRegions(spark, groups, cdir,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingPrefix)
+    assert(names.size == groups.size)
+    val cranges = HFileOps.regionKeyRanges(spark, cdir).sortBy(_._2)
+    assert(cranges.size == groups.size)
+    cranges.zip(ranges.grouped(2).toSeq).foreach {
+      case ((_, cFirst, _, cLast), grp) =>
+        assert(cFirst == grp.head._2,
+          s"compacted first $cFirst != parent first ${grp.head._2}")
+        assert(cLast == grp.last._4,
+          s"compacted last $cLast != parent last ${grp.last._4}")
+    }
+    val compacted = HFileOps.read(spark, cdir).localCheckpoint()
+    assert(compacted.count() == src.count())
+    assert(compacted.exceptAll(HFileOps.read(spark, dir)).count() == 0)
+  }
+
   test("reversed scan: equals sorted-forward-scan reversed, every encoding") {
     val src = Tables.cells(spark, sf)
     val keys = src.select("rowkey").orderBy("rowkey").collect().map(_.getString(0))
