@@ -123,6 +123,17 @@ object OracleSql {
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a21: the replication-free spelling — a double-shipped replica log
+    // must read as the plain cells view (seq = ts), so the transport and
+    // its idempotence both sit inside one hash
+    "a21_wal_replicate" ->
+      (cellsCte +
+        """SELECT cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST(ts % 999953 AS DECIMAL(18,0))) AS BIGINT) AS ssum,
+          |  count(*) FILTER (WHERE op = 'delete') AS dels
+          |FROM cells GROUP BY cf, qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a16: the family-pruned read of the re-familied cells view —
     // family selection must behave exactly like the cf filter the
     // oracle spells, even though the Spark side prunes whole store

@@ -83,14 +83,9 @@ object WalOps {
         try {
           os.write(Magic)
           it.foreach { r =>
-            val rec = encodeRecord(r.getLong(0), r.getString(1), r.getString(2),
-              r.getString(3), r.getLong(4),
-              if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getString(6))
-            val crc = new CRC32C
-            crc.update(rec)
-            writeInt(os, rec.length)
-            writeInt(os, crc.getValue.toInt)
-            os.write(rec)
+            writeRecord(os, encodeRecord(r.getLong(0), r.getString(1),
+              r.getString(2), r.getString(3), r.getLong(4),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getString(6)))
           }
         } finally os.close()
         val dst = new HPath(dir, name)
@@ -103,6 +98,17 @@ object WalOps {
 
   private def writeInt(os: java.io.OutputStream, v: Int): Unit = {
     os.write(v >>> 24); os.write(v >>> 16); os.write(v >>> 8); os.write(v)
+  }
+
+  /** One length-prefixed, CRC-framed record — the segment wire unit
+    * shared by [[writeWal]] and [[replicate]]'s re-encode.
+    */
+  private def writeRecord(os: java.io.OutputStream, rec: Array[Byte]): Unit = {
+    val crc = new CRC32C
+    crc.update(rec)
+    writeInt(os, rec.length)
+    writeInt(os, crc.getValue.toInt)
+    os.write(rec)
   }
 
   private[graft] def encodeRecord(seq: Long, rowkey: String, cf: String,
@@ -194,6 +200,75 @@ object WalOps {
         } finally in.close()
       }
     spark.createDataFrame(rows, walSchema)
+  }
+
+  /** WAL-SHIPPING REPLICATION — the second consumer of a RegionServer
+    * WAL [public: o.a.h.hbase.replication.ReplicationEndpoint]: a
+    * replication source tails the primary's log and ships its ENTRIES
+    * to a replica cluster, which applies them idempotently keyed on
+    * sequence identity; the replica converges to the primary wherever
+    * shipping has reached a segment boundary. Batch twin: ONE task per
+    * shipped segment — the task decodes the primary segment's VERIFIED
+    * records (a torn tail ships nothing past the last intact record: an
+    * edit replicates iff it is durable, the same contract replay has),
+    * re-encodes them through the identical wire framing, and commits
+    * the replica segment under the SAME NAME via tmp-write + atomic
+    * rename. Apply is therefore keyed on (segment, seq) by
+    * construction: re-shipping a segment rewrites byte-identical
+    * content over itself — re-delivery is a no-op, never a duplicate
+    * (WalSpec pins bytes-equal after a double ship).
+    *
+    * `glob` selects which segments ship (default: every segment) — a
+    * partial ship stopped at a segment boundary leaves the replica
+    * equal to exactly the shipped segments' rows. Returns the number
+    * of segments shipped.
+    *
+    * Scale shape: shipping is embarrassingly parallel over segments,
+    * streams O(record) per task, and moves only verified bytes; the
+    * driver sees names, never data.
+    */
+  def replicate(spark: SparkSession, primaryDir: String, replicaDir: String,
+                glob: String = "*.gwal"): Int = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val priPath = new HPath(primaryDir)
+    val pfs = priPath.getFileSystem(hadoopConf)
+    val names = Option(pfs.globStatus(new HPath(priPath, glob)))
+      .getOrElse(Array.empty).map(_.getPath.getName).sorted.toSeq
+    if (names.isEmpty) return 0
+    val repPath = new HPath(replicaDir)
+    repPath.getFileSystem(hadoopConf).mkdirs(repPath)
+    val serConf = new SerializableConfiguration(hadoopConf)
+    spark.sparkContext
+      .parallelize(names, names.size)
+      .map { name =>
+        val src = new HPath(primaryDir, name)
+        val fs = src.getFileSystem(serConf.value)
+        val len = fs.getFileStatus(src).getLen
+        require(len <= (1L << 31) - 1, s"segment $src too large for one read")
+        val in = fs.open(src)
+        val records =
+          try {
+            val bytes = new Array[Byte](len.toInt)
+            in.readFully(0, bytes)
+            decodeSegment(bytes) // verified prefix only — torn tail stops here
+          } finally in.close()
+        val rfs = new HPath(replicaDir).getFileSystem(serConf.value)
+        val tmp = new HPath(replicaDir,
+          s".$name.${TaskContext.get().taskAttemptId()}.tmp")
+        val os = new java.io.BufferedOutputStream(rfs.create(tmp, true), 1 << 16)
+        try {
+          os.write(Magic)
+          records.foreach { r =>
+            writeRecord(os, encodeRecord(r.getLong(0), r.getString(1),
+              r.getString(2), r.getString(3), r.getLong(4),
+              if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getString(6)))
+          }
+        } finally os.close()
+        val dst = new HPath(replicaDir, name)
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, serConf.value)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        1
+      }.sum().toInt
   }
 
   /** Highest recorded flush point under `storeDir` (Long.MinValue when
@@ -293,5 +368,38 @@ object WalOps {
       .orderBy(asc_nulls_last("cf"), asc_nulls_last("qualifier"))
   }
 
-  val queries: Map[String, graft.ops.Q] = Map("a15_wal_replay" -> a15_wal_replay)
+  /** a21 — WAL-shipping replication gated end to end: the cells view is
+    * logged on the primary (seq = cell ts, the a15 discipline), EVERY
+    * segment ships to a replica, and the ship runs TWICE — so the gate
+    * digest proves both the replication transport (decode → re-encode →
+    * commit) and its idempotence (the second delivery must not change a
+    * byte of the answer). The digest reads the REPLICA's log only and
+    * must equal the WAL-free cells view, including a seq checksum — any
+    * dropped, duplicated, or reordered entry anywhere in the shipping
+    * cycle moves it. WalSpec pins the boundary cases the relational
+    * oracle cannot see: partial ship (replica ≡ exactly the shipped
+    * segments), byte-identical re-delivery, and a torn primary tail
+    * shipping only the durable prefix.
+    */
+  val a21_wal_replicate: graft.ops.Q = (s, d) => {
+    val primary = Tables.appTmpDir(s, "graft_wal_pri", d)
+    val replica = Tables.appTmpDir(s, "graft_wal_rep", d)
+    val cells = Tables.cells(s, d)
+    writeWal(cells.withColumn("seq", col("ts")), primary,
+      segments = HFileOps.regionCountForBytes(Tables.bytesOnDisk(s, d, "events")))
+    replicate(s, primary, replica)
+    replicate(s, primary, replica) // re-delivery: idempotent no-op
+    readWal(s, replica)
+      .groupBy("cf", "qualifier")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("value")).as("vsum"),
+        sum((col("seq") % 999953).cast(
+          org.apache.spark.sql.types.DecimalType(18, 0))).cast("long").as("ssum"),
+        count_if(col("op") === "delete").as("dels"))
+      .orderBy(asc_nulls_last("cf"), asc_nulls_last("qualifier"))
+  }
+
+  val queries: Map[String, graft.ops.Q] = Map(
+    "a15_wal_replay" -> a15_wal_replay,
+    "a21_wal_replicate" -> a21_wal_replicate)
 }

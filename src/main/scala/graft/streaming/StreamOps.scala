@@ -705,6 +705,40 @@ object StreamOps {
         ()
       }
 
+  /** I27: CONTINUOUS WAL-shipping replication — I24's streaming log
+    * append with a replication source bolted on: each micro-batch
+    * appends its own segment group to the PRIMARY log
+    * ([[graft.sources.WalOps.writeWal]], per-batch prefix) and then
+    * ships exactly that group to the replica
+    * ([[graft.sources.WalOps.replicate]], prefix-scoped glob) — the
+    * tail-and-ship loop of a real replication endpoint, driven by
+    * Structured Streaming. Exactly-once composes from the two halves'
+    * own idempotence: a replayed batch rewrites its own primary
+    * segments byte-for-byte AND re-ships them onto byte-identical
+    * replica segments, so neither side duplicates. StreamingSpec I27
+    * pins replica read ≡ primary read ≡ the batch cells view, including
+    * after a replayed write.
+    */
+  def walReplicateSink(cells: DataFrame, primaryDir: String,
+                       replicaDir: String, checkpointDir: String,
+                       segmentsPerBatch: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    cells.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val prefix = f"wal-b$batchId%04d"
+          graft.sources.WalOps.writeWal(batch, primaryDir, segmentsPerBatch,
+            prefix = prefix)
+          graft.sources.WalOps.replicate(batch.sparkSession, primaryDir,
+            replicaDir, glob = s"$prefix-[0-9][0-9][0-9][0-9][0-9].gwal")
+          ()
+        }
+        ()
+      }
+
   def hfileGenerationalSink(cells: DataFrame, outDir: String, checkpointDir: String,
                             compression: Int = graft.sources.HFileCodec.CompressionNone,
                             encoding: Int = graft.sources.HFileCodec.EncodingNone)

@@ -80,6 +80,61 @@ class WalSpec extends SparkSuite {
     assert(rec.sameElements(want))
   }
 
+  test("replication: full ship converges; re-delivery is byte-identical") {
+    val pri = tmpDir("wal_rep_p").toString
+    val rep = tmpDir("wal_rep_r")
+    WalOps.writeWal(walCells(300), pri, segments = 3)
+    assert(WalOps.replicate(spark, pri, rep.toString) == 3)
+    val want = WalOps.readWal(spark, pri).collect().map(_.toString).sorted
+    val got = WalOps.readWal(spark, rep.toString).collect().map(_.toString).sorted
+    assert(got.length == 300 && got.sameElements(want),
+      "replica diverges from primary after a full ship")
+    // apply is keyed on (segment, seq): a second delivery rewrites
+    // byte-identical segments — the no-op the endpoint contract demands
+    def snap() = new java.io.File(rep.toString).listFiles()
+      .filter(_.getName.endsWith(".gwal"))
+      .map(f => f.getName ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)))
+      .toMap
+    val before = snap()
+    assert(WalOps.replicate(spark, pri, rep.toString) == 3)
+    assert(snap() == before, "re-delivery changed replica bytes")
+  }
+
+  test("replication: a partial ship equals exactly the shipped segments") {
+    val pri = tmpDir("wal_rep_part_p")
+    val rep = tmpDir("wal_rep_part_r").toString
+    WalOps.writeWal(walCells(300), pri.toString, segments = 3)
+    // ship the first two segments only — shipping stopped at a boundary
+    assert(WalOps.replicate(spark, pri.toString, rep,
+      glob = "wal-0000[01].gwal") == 2)
+    val want = Seq("wal-00000.gwal", "wal-00001.gwal")
+      .flatMap(n => WalOps.decodeSegment(
+        java.nio.file.Files.readAllBytes(pri.resolve(n))))
+      .map(_.toString).sorted
+    val got = WalOps.readWal(spark, rep).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.length < 300 && got.sameElements(want),
+      "partial-ship replica must equal exactly the shipped segments")
+  }
+
+  test("replication ships only the durable prefix of a torn primary segment") {
+    val pri = tmpDir("wal_rep_torn_p")
+    val rep = tmpDir("wal_rep_torn_r")
+    WalOps.writeWal(walCells(100), pri.toString, segments = 1)
+    val f = pri.resolve("wal-00000.gwal")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.write(f,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5))
+    assert(WalOps.replicate(spark, pri.toString, rep.toString) == 1)
+    val got = WalOps.readWal(spark, rep.toString).orderBy("seq").collect()
+    // an edit replicates iff it is durable — and the replica segment is
+    // CLEAN: its bytes end exactly at its last record (no torn tail)
+    assert(got.length == 99 && got.last.getLong(0) == 98L)
+    val rbytes = java.nio.file.Files.readAllBytes(rep.resolve("wal-00000.gwal"))
+    assert(rbytes.length < bytes.length)
+    assert(WalOps.decodeSegment(rbytes).size == 99)
+  }
+
   test("two flushes advance the replay bound; only the suffix replays") {
     val walDir = tmpDir("wal_rec2").toString
     val storeDir = tmpDir("wal_rec2_store").toString
