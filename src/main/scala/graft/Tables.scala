@@ -65,13 +65,14 @@ object Tables {
     */
   def invalidate(path: String): Unit = {
     val root = path.stripSuffix("/")
-    val it = relCache.keySet.iterator()
-    while (it.hasNext) {
-      val key = it.next()._2
+    def covers(key: String): Boolean =
       // Path-component boundary, not plain string prefix: invalidating
       // "/data/sf1" must not drop entries under a sibling "/data/sf10".
-      if (key == root || key.startsWith(root + "/")) it.remove()
-    }
+      key == root || key.startsWith(root + "/")
+    val it = relCache.keySet.iterator()
+    while (it.hasNext) if (covers(it.next()._2)) it.remove()
+    val cit = countCache.keySet.iterator()
+    while (cit.hasNext) if (covers(cit.next())) cit.remove()
   }
 
   private val relCache =
@@ -145,20 +146,40 @@ object Tables {
     * bloom sizing only ever needs one.
     */
   def rowCountFromMeta(s: SparkSession, d: String, name: String): Long = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
-    val fs = root.getFileSystem(conf)
-    val files: Seq[org.apache.hadoop.fs.Path] =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.filter(st => st.isFile &&
-          st.getPath.getName.endsWith(".parquet")).map(_.getPath)
-      else Seq(root)
-    files.map { p =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    // Memoized like relCache (fixtures are immutable for the life of a
+    // run; [[invalidate]] drops both): without this, every j46/j47
+    // invocation re-opened EVERY part-file footer serially on the
+    // driver — O(files) driver I/O per call at a many-part-file scale
+    // (ADVICE r13). Parallelize the footer reads themselves when the
+    // directory is wide: one tiny metadata-only job beats a serial
+    // driver loop once listings reach cluster-scale file counts.
+    if (countCache.size > 1024) countCache.clear()
+    countCache.computeIfAbsent(s"$d/$name.parquet", path => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val files: Seq[String] =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
+        else Seq(path)
+      def footerCount(conf: org.apache.hadoop.conf.Configuration)(p: String): Long = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try r.getRecordCount finally r.close()
+      }
+      if (files.size <= 16) files.map(footerCount(conf)).sum
+      else {
+        val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+        s.sparkContext.parallelize(files, math.min(files.size, 64))
+          .map(p => footerCount(ser.value)(p)).sum().toLong
+      }
+    })
   }
+
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style
     * cell per event. `op` synthesizes delete tombstones deterministically.

@@ -135,6 +135,76 @@ class WalSpec extends SparkSuite {
     assert(WalOps.decodeSegment(rbytes).size == 99)
   }
 
+  test("replay reads a torn ON-DISK segment to its durable prefix " +
+      "(record CRCs decide, not the FS checksum sidecar)") {
+    // the r13 defect class: the local FS is a ChecksumFileSystem whose
+    // .crc sidecar check throws on a torn file BEFORE the record framing
+    // runs — this tears the file on disk and replays through readWal,
+    // the full Hadoop read path (the older torn-tail tests only decoded
+    // in-memory bytes)
+    val dir = tmpDir("wal_torn_disk")
+    WalOps.writeWal(walCells(100), dir.toString, segments = 1)
+    val f = dir.resolve("wal-00000.gwal")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.write(f,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5))
+    val rows = WalOps.readWal(spark, dir.toString).orderBy("seq").collect()
+    assert(rows.length == 99 && rows.last.getLong(0) == 98L,
+      s"on-disk torn tail must replay the 99 intact records, got ${rows.length}")
+  }
+
+  test("recovery over a torn on-disk log equals the durable prefix") {
+    val walDir = tmpDir("wal_rec_torn")
+    val storeDir = tmpDir("wal_rec_torn_store").toString
+    WalOps.writeWal(walCells(200), walDir.toString, segments = 1)
+    WalOps.flush(spark, walDir.toString, storeDir, upToSeq = 99L, gen = 0, regions = 2)
+    val f = walDir.resolve("wal-00000.gwal")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.write(f,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5))
+    val rec = WalOps.recover(spark, walDir.toString, storeDir)
+    // flushed gen holds 0-99 durably; the torn log replays 100-198
+    assert(rec.count() == 199,
+      "recovery must be flushed ∪ durable replay prefix, nothing more")
+  }
+
+  test("an unknown segment magic fails loudly instead of reading as empty") {
+    val good = {
+      val dir = tmpDir("wal_magic")
+      WalOps.writeWal(walCells(10), dir.toString, segments = 1)
+      java.nio.file.Files.readAllBytes(dir.resolve("wal-00000.gwal"))
+    }
+    val alien = good.clone()
+    alien(5) = '9'.toByte // GWALv9: a format rev we don't speak
+    intercept[IllegalArgumentException] { WalOps.decodeSegment(alien) }
+    // but a tear INSIDE the header is the crash case: empty, no throw
+    assert(WalOps.decodeSegment(java.util.Arrays.copyOfRange(good, 0, 4)).isEmpty)
+    assert(WalOps.decodeSegment(Array.empty[Byte]).isEmpty)
+  }
+
+  test("replication mirrors its glob: replayed ships sweep replica orphans") {
+    val pri = tmpDir("wal_rep_mirror_p").toString
+    val rep = tmpDir("wal_rep_mirror_r").toString
+    // batch b0 first lands as TWO segments and ships
+    WalOps.writeWal(walCells(200), pri, segments = 2, prefix = "wal-b0000")
+    val g = "wal-b0000-[0-9][0-9][0-9][0-9][0-9].gwal"
+    assert(WalOps.replicate(spark, pri, rep, glob = g) == 2)
+    // the replayed b0 repartitions into ONE segment (writeWal replaces
+    // its own group on the primary); the re-ship must not leave the old
+    // second segment orphaned on the replica
+    WalOps.writeWal(walCells(200), pri, segments = 1, prefix = "wal-b0000")
+    assert(WalOps.replicate(spark, pri, rep, glob = g) == 1)
+    val want = WalOps.readWal(spark, pri).collect().map(_.toString).sorted
+    val got = WalOps.readWal(spark, rep).collect().map(_.toString).sorted
+    assert(got.length == 200 && got.sameElements(want),
+      "replayed ship with fewer segments left the replica diverged")
+    // and the sweep respects the glob: a sibling group is untouched
+    WalOps.writeWal(walCells(50), pri, segments = 1, prefix = "wal-b0001")
+    assert(WalOps.replicate(spark, pri, rep,
+      glob = "wal-b0001-[0-9][0-9][0-9][0-9][0-9].gwal") == 1)
+    assert(WalOps.readWal(spark, rep).count() == 250)
+  }
+
   test("two flushes advance the replay bound; only the suffix replays") {
     val walDir = tmpDir("wal_rec2").toString
     val storeDir = tmpDir("wal_rec2_store").toString
