@@ -22,7 +22,8 @@ object SparkEntry {
       ops.UdxOps.queries ++ ops.MultimodalOps.queries ++ ops.BpeOps.queries ++
       ops.UnigramOps.queries ++ ops.CurateOps.queries ++
       ops.RepetitionOps.queries ++ ops.RankOps.queries ++
-      ops.SketchOps.queries ++ ops.DedupOps.queries ++ sources.WalOps.queries
+      ops.SketchOps.queries ++ ops.DedupOps.queries ++
+      ops.LangIdOps.queries ++ sources.WalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -63,6 +63,22 @@ object CurateOps {
   def curate(docs: DataFrame, nearDupThreshold: Double = 0.7): DataFrame =
     nearDupStage(exactStage(qualityStage(docs)), nearDupThreshold)
 
+  /** Optional stage 0 — language inference ([[LangIdOps]]): replace (or
+    * fill) `lang` with the char-n-gram prediction trained on `labeled`
+    * (a trusted labeled slice — curated reference data, or the subset of
+    * the crawl whose labels are reliable), so the downstream
+    * temperature-mix keys on DETECTED language when crawl labels are
+    * missing or junk — exactly where CCNet runs fastText langid
+    * (arXiv:1911.00359 §3.1). Off by default: the gated j47 DAG pins
+    * the fixture's given labels; LangIdSpec pins planted-label recovery
+    * through this stage.
+    */
+  def langIdStage(docs: DataFrame, labeled: DataFrame, n: Int = 2): DataFrame = {
+    val pred = LangIdOps.predict(docs, LangIdOps.train(labeled, n))
+      .withColumnRenamed("pred", "lang")
+    docs.drop("lang").join(pred, "doc_id")
+  }
+
   /** Per-stage survival counts — the curation funnel report. One lineage,
     * intermediate stages cached while both their count and the next stage
     * consume them, then released.

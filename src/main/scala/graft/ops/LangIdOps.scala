@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Character-n-gram language identification — the langid pass every
+  * published curation stack runs before language-conditional filtering
+  * (CCNet, arXiv:1911.00359 §3.1 uses fastText langid, itself a char-
+  * n-gram linear classifier, arXiv:1607.01759; CLD/langid.py are the
+  * same family). Model: per-language character-n-gram profiles with
+  * add-one smoothing; classification is argmax over languages of the
+  * summed n-gram log-probabilities — multinomial Naive Bayes over
+  * char n-grams, the standard n-gram heuristic.
+  *
+  * Spark-first shape, all relational:
+  *  - TRAIN is two aggregations over one n-gram explode of the labeled
+  *    corpus (per-(lang, gram) counts + per-lang totals) — shuffles are
+  *    vocabulary-bounded after map-side combine, never all-pairs, and
+  *    the model STAYS a DataFrame (nothing collects to the driver).
+  *  - SCORE pre-aggregates each document's grams to (doc, gram, k) —
+  *    multiplicity as a factor, so the per-doc work is DISTINCT grams,
+  *    not occurrences — then broadcast-joins the vocabulary×languages
+  *    profile table and sums k·logp per (doc, candidate). The corpus
+  *    never shuffles until the per-doc aggregate.
+  *  - ARGMAX is a row_number window the TopKPerGroup rewrite turns into
+  *    the bounded-heap operator (no per-doc sort).
+  *
+  * Determinism (SURVEY §2.1 R2/R7): each profile log-probability is
+  * computed ONCE from exact longs — one IEEE division, one libm ln,
+  * round(,6) capping last-ulp divergence (the j32 recipe) — and stored
+  * as DECIMAL(18,6); per-document scores are then EXACT decimal sums
+  * (associative, map-side-combinable, identical at any parallelism and
+  * on any engine), so the argmax — and the gated confusion matrix — is
+  * bit-stable cross-engine with a lexicographic tie-break.
+  *
+  * 100 TB note: the broadcast profile is (distinct grams × languages);
+  * for open-vocabulary scripts cap it with [[trainCapped]] (top-V grams
+  * by global frequency, deterministic tie-break) — V=50k × 100 langs
+  * ≈ a few hundred MB of strings, still broadcast-range after the cap.
+  */
+object LangIdOps {
+
+  /** All char n-grams of `t` (lowercased by the callers), positionally:
+    * substr is 1-based, the last start leaves exactly n chars.
+    */
+  private def gramsExpr(n: Int): Column =
+    expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substr(t, i, $n))")
+
+  /** (lang-or-id columns..., g) — one row per n-gram OCCURRENCE. */
+  private def explodeGrams(docs: DataFrame, keep: Seq[String], n: Int,
+                           textCol: String): DataFrame =
+    docs.select(keep.map(col) :+ lower(col(textCol)).as("t"): _*)
+      .where(length(col("t")) >= n)
+      .select(keep.map(col) :+ explode(gramsExpr(n)).as("g"): _*)
+
+  /** Trained model — three SMALL DataFrames (vocabulary-bounded), never
+    * collected: per-(lang, gram) smoothed log-probs, per-lang unseen-gram
+    * default, and the candidate language set.
+    */
+  final case class LangIdModel(profiles: DataFrame, defaults: DataFrame,
+                               langs: DataFrame, n: Int)
+
+  /** Fit n-gram profiles from a labeled corpus (`langCol` + `textCol`).
+    * Smoothing is add-one over the TRAINING vocabulary V:
+    * p(g|lang) = (c + 1) / (total_lang + V); unseen grams score
+    * 1 / (total_lang + V). Wholly relational — two corpus-gram
+    * aggregations and a scalar broadcast.
+    */
+  def train(labeled: DataFrame, n: Int = 2, langCol: String = "lang",
+            textCol: String = "text"): LangIdModel = {
+    val bg = explodeGrams(labeled, Seq(langCol), n, textCol)
+      .withColumnRenamed(langCol, "lang")
+    val cnt = bg.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val tot = bg.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val voc = bg.agg(countDistinct(col("g")).as("v"))
+    val prof = cnt.join(tot, "lang").crossJoin(broadcast(voc))
+      .select(col("lang"), col("g"),
+        round(log((col("c") + 1).cast("double")
+          / (col("nl") + col("v")).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+    val dflt = tot.crossJoin(broadcast(voc))
+      .select(col("lang"),
+        round(log(lit(1.0) / (col("nl") + col("v")).cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("logp0"))
+    LangIdModel(prof, dflt,
+      labeled.select(col(langCol).as("cand")).distinct(), n)
+  }
+
+  /** [[train]] with the profile vocabulary capped to the `cap` globally
+    * most frequent grams (count-desc, gram-asc — deterministic): the
+    * open-vocabulary guard for scripts whose distinct-gram count would
+    * outgrow a broadcast. Grams outside the cap fall to the per-lang
+    * default at scoring time, exactly like unseen grams.
+    */
+  def trainCapped(labeled: DataFrame, cap: Int, n: Int = 2,
+                  langCol: String = "lang", textCol: String = "text"): LangIdModel = {
+    val m = train(labeled, n, langCol, textCol)
+    val kept = explodeGrams(labeled, Seq(langCol), n, textCol)
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("g")).limit(cap).select("g")
+    m.copy(profiles = m.profiles.join(broadcast(kept), "g"))
+  }
+
+  /** doc_id → predicted language. Corpus-side cost: one gram explode,
+    * one (doc, gram) pre-aggregate, a broadcast profile join, one
+    * (doc, candidate) decimal-sum aggregate, one bounded-heap argmax.
+    */
+  def predict(docs: DataFrame, m: LangIdModel,
+              textCol: String = "text"): DataFrame = {
+    val dgc = explodeGrams(docs, Seq("doc_id"), m.n, textCol)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+    val scored = dgc
+      .crossJoin(broadcast(m.langs))
+      .join(broadcast(m.profiles.withColumnRenamed("lang", "cand")),
+        Seq("cand", "g"), "left")
+      .join(broadcast(m.defaults.withColumnRenamed("lang", "cand")), Seq("cand"))
+      .select(col("doc_id"), col("cand"),
+        (col("k").cast(DecimalType(10, 0))
+          * coalesce(col("logp"), col("logp0"))).as("term"))
+      .groupBy("doc_id", "cand")
+      .agg(sum(col("term")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred"))
+  }
+
+  /** j60 — the langid machinery gated end to end as an exact confusion
+    * matrix: train bigram profiles on the corpus's own labels, classify
+    * every document, and count (fixture lang × predicted lang) in exact
+    * integers. The fixture's synthetic text carries only weak language
+    * signal (shared vocabulary), so the matrix is far from diagonal —
+    * what the gate proves is the full train→score→argmax pipeline,
+    * bit-stable cross-engine; LangIdSpec proves RECOVERY on planted
+    * languages with disjoint character statistics.
+    */
+  val j60_langid: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val m = train(docs)
+    predict(docs, m)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_last("lang"), asc_nulls_last("pred"))
+  }
+
+  val queries: Map[String, Q] = Map("j60_langid" -> j60_langid)
+}

@@ -1864,7 +1864,46 @@ object OracleSql {
         |       md5(string_agg(text, '<DOC>' ORDER BY doc_id)) AS payload_md5
         |FROM cm GROUP BY shard ORDER BY shard NULLS LAST""".stripMargin)
 
+  // j60: char-bigram Naive Bayes langid, gated as an exact confusion
+  // matrix. Every profile log-prob is one IEEE division + one ln,
+  // round(,6)'d into DECIMAL(18,6) (the j32 recipe), so per-doc scores
+  // are EXACT decimal sums — order- and engine-independent — and the
+  // argmax (score DESC, candidate ASC) is bit-stable.
+  val langid: Map[String, String] = Map(
+    "j60_langid" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) t FROM documents
+        |           WHERE length(lower(text)) >= 2),
+        |bg AS (SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 2) g
+        |       FROM d, unnest(range(1, length(t))) AS u(i)),
+        |cnt AS (SELECT lang, g, count(*) c FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) nl FROM bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT g) v FROM bg),
+        |prof AS (SELECT c.lang, c.g,
+        |           CAST(round(ln((c.c + 1) / CAST(t.nl + v.v AS DOUBLE)), 6)
+        |                AS DECIMAL(18,6)) logp
+        |         FROM cnt c JOIN tot t ON c.lang = t.lang CROSS JOIN voc v),
+        |dflt AS (SELECT t.lang,
+        |           CAST(round(ln(1 / CAST(t.nl + v.v AS DOUBLE)), 6)
+        |                AS DECIMAL(18,6)) logp0
+        |         FROM tot t CROSS JOIN voc v),
+        |langs AS (SELECT DISTINCT lang cand FROM d),
+        |dgc AS (SELECT doc_id, g, count(*) k FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT dg.doc_id, l.cand,
+        |         sum(CAST(dg.k AS DECIMAL(10,0)) * coalesce(p.logp, df.logp0)) score
+        |       FROM dgc dg CROSS JOIN langs l
+        |       LEFT JOIN prof p ON p.lang = l.cand AND p.g = dg.g
+        |       JOIN dflt df ON df.lang = l.cand
+        |       GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, cand,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, cand) rn
+        |         FROM sc)
+        |SELECT d2.lang, p.cand AS pred, count(*) AS n
+        |FROM (SELECT doc_id, cand FROM pred WHERE rn = 1) p
+        |JOIN (SELECT doc_id, lang FROM d) d2 USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   def all: Map[String, String] =
     scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
-      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch ++ curate
+      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch ++ curate ++ langid
 }
