@@ -538,7 +538,47 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** b32 — CELL-LEVEL TTL with the tag carried through real storage
+    * [public: o.a.h.hbase.client.Mutation#setTTL /
+    * TagType.TTL_TAG_TYPE]: each cell gets a deterministic per-cell TTL
+    * (1–5 days, derived from its own ts), is bulk-written to an HFile
+    * store WITH the v3 TTL tag encoded per cell, read back through the
+    * tag-decoding path, and the visibility rule — a cell exists iff
+    * `ts + ttl ≥ now`, `now` a query literal — is composed into the
+    * compaction view (expiry BEFORE tombstone masking, so an expired
+    * delete stops masking and an expired put needs no tombstone: the
+    * HBase major-compaction lattice with per-cell, not per-family,
+    * expiry). The oracle is the storage-free spelling, so the tag
+    * encode → store → decode → visibility cycle must be semantically
+    * invisible. Scale shape: one range-partitioned write, one streamed
+    * read, one coordinate-window shuffle — the b17 class.
+    */
+  val b32_cell_ttl: Q = (s, d) => {
+    val nowUs = 1705363800000000L // mid ts-span: live and expired mix
+    val dir = Tables.appTmpDir(s, "graft_ttl", d)
+    val cells = Tables.cells(s, d)
+      .withColumn("ttl_ms", ((col("ts") % 5) + 1) * 86400000L)
+    graft.sources.HFileOps.bulkWrite(cells, dir,
+      regions = graft.sources.HFileOps.regionCountForBytes(
+        Tables.bytesOnDisk(s, d, "events")),
+      ttlMsCol = Some("ttl_ms"))
+    val live = graft.sources.HFileOps.readWithTtl(s, dir)
+      .where(col("ttl_ms").isNull
+        || col("ts") + col("ttl_ms") * 1000L >= lit(nowUs))
+    val coord = Window.partitionBy("rowkey", "cf", "qualifier")
+    live
+      .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
+      .where(col("op") === "put"
+        && (col("del_ts").isNull || col("ts") > col("del_ts")))
+      .groupBy("qualifier")
+      .agg(count(lit(1)).as("n"), countDistinct("rowkey").as("nrows"),
+        dsum(col("value")).as("vsum"),
+        lsum(col("ts") % 999983L).as("tsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b32_cell_ttl" -> b32_cell_ttl,
     "b31_visibility_labels" -> b31_visibility_labels,
     "b30_scv_exclude" -> b30_scv_exclude,
     "b29_multi_col_prefix" -> b29_multi_col_prefix,

@@ -247,6 +247,21 @@ object OracleSql {
           |FROM cells GROUP BY rowkey ORDER BY rowkey NULLS LAST LIMIT 300""".stripMargin))
 
   val filters: Map[String, String] = Map(
+    // b32: storage-free spelling of the cell-TTL compaction view — the
+    // Spark side carries each ttl through a real HFile TTL tag; expiry
+    // (ts + ttl >= now, now a literal) applies BEFORE tombstone masking
+    "b32_cell_ttl" ->
+      (cellsCte.stripSuffix("\n") +
+        """, ttl AS (SELECT rowkey, cf, qualifier, ts, value, op,
+          |            ((ts % 5) + 1) * 86400000 AS ttl_ms FROM cells),
+          |live AS (SELECT * FROM ttl WHERE ts + ttl_ms * 1000 >= 1705363800000000),
+          |m AS (SELECT *, max(CASE WHEN op = 'delete' THEN ts END)
+          |        OVER (PARTITION BY rowkey, cf, qualifier) del_ts FROM live)
+          |SELECT qualifier, count(*) AS n, count(DISTINCT rowkey) AS nrows,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       CAST(sum(CAST(ts % 999983 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+          |FROM m WHERE op = 'put' AND (del_ts IS NULL OR ts > del_ts)
+          |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin),
     // b31: the oracle re-evaluates the OR-of-AND label expressions with
     // list HOFs — empty expression = unlabeled = world-readable
     "b31_visibility_labels" ->

@@ -79,12 +79,43 @@ object HFileOps {
     * discipline as Hadoop output committers; rename is atomic on HDFS and
     * local file://).
     */
+  /** HBase cell-tag wire format inside a cell's tag blob: repeated
+    * `[2-byte BE tagLen][1-byte type][payload]`, tagLen = 1 + payload
+    * length. The TTL tag (HBase `TagType.TTL_TAG_TYPE` = 8) carries one
+    * 8-byte BE millisecond long — what
+    * [public: o.a.h.hbase.client.Mutation#setTTL] attaches per mutation.
+    */
+  private[graft] val TtlTagType: Byte = 8
+
+  private[graft] def ttlTag(ttlMs: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 1 + 8)
+    b.putShort(9.toShort); b.put(TtlTagType); b.putLong(ttlMs)
+    b.array()
+  }
+
+  /** The TTL-tag payload of a cell's tag blob, if one is present —
+    * other tag types are skipped structurally (length-prefixed walk).
+    */
+  private[graft] def ttlOfTags(tags: Array[Byte]): Option[Long] = {
+    var p = 0
+    while (p + 3 <= tags.length) {
+      val len = ((tags(p) & 0xff) << 8) | (tags(p + 1) & 0xff)
+      if (len >= 1 && p + 2 + len <= tags.length) {
+        if (tags(p + 2) == TtlTagType && len == 9)
+          return Some(java.nio.ByteBuffer.wrap(tags, p + 3, 8).getLong)
+        p += 2 + len
+      } else return None // malformed tail: no TTL claim
+    }
+    None
+  }
+
   def bulkWrite(cells: DataFrame, dir: String, regions: Int,
                 blockSize: Int = 64 * 1024,
                 compression: Int = HFileCodec.CompressionNone,
                 encoding: Int = HFileCodec.EncodingNone,
                 generation: Int = -1,
-                textValue: Boolean = false): Seq[String] = {
+                textValue: Boolean = false,
+                ttlMsCol: Option[String] = None): Seq[String] = {
     val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
@@ -105,11 +136,14 @@ object HFileOps {
     val typeRank = expr(
       "CASE op WHEN 'delete_family' THEN 14 WHEN 'delete' THEN 12 " +
         "WHEN 'delete_version' THEN 8 ELSE 4 END")
+    val outCols = Seq("rowkey", "cf", "qualifier", "ts", "value", "op") ++
+      ttlMsCol
+    val withTags = ttlMsCol.isDefined
     val sorted = cells
       .repartitionByRange(regions, col("rowkey"))
       .sortWithinPartitions(col("rowkey").asc, col("cf").asc,
         col("qualifier").asc, col("ts").desc, typeRank.desc)
-      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
+      .select(outCols.map(col): _*)
     sorted.rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       if (it.isEmpty) Iterator.empty
@@ -125,7 +159,9 @@ object HFileOps {
             r.getString(2).getBytes(UTF_8), r.getLong(3),
             typOf(op),
             if (textValue) r.getString(4).getBytes(UTF_8)
-            else java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array())
+            else java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array(),
+            tags = if (withTags && !r.isNullAt(6)) ttlTag(r.getLong(6))
+                   else Array.emptyByteArray)
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
         val name =
@@ -137,7 +173,8 @@ object HFileOps {
         val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         try HFileCodec.write(cellsIt, os, blockSize,
           HFileCodec.DefaultIndexChunkEntries, HFileCodec.DefaultBloomChunkKeys,
-          compression, encoding)
+          compression, encoding, HFileCodec.ChecksumCrc32c,
+          includeMvcc = false, includeTags = withTags)
         finally os.close()
         val dst = new HPath(dir, name)
         // Commit via FileContext.rename(OVERWRITE): Hadoop FileSystems
@@ -662,6 +699,28 @@ object HFileOps {
   def readText(spark: SparkSession, dir: String): DataFrame = {
     val (paths, serConf) = regionFiles(spark, dir)
     readPaths(spark, paths, serConf, textValue = true)
+  }
+
+  /** [[read]] exposing each cell's TTL tag as a nullable `ttl_ms` LONG
+    * column (null = no TTL tag) — the read half of the cell-TTL
+    * lifecycle [public: o.a.h.hbase.client.Mutation#setTTL]: visibility
+    * (`ts + ttl ≥ now`) is the QUERY's job with `now` a literal, the
+    * b32 compaction-view composition.
+    */
+  def readWithTtl(spark: SparkSession, dir: String): DataFrame = {
+    val (paths, serConf) = regionFiles(spark, dir)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        streamFileCells(p, serConf.value).map { c =>
+          Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+            new String(c.qualifier, UTF_8), c.ts,
+            java.nio.ByteBuffer.wrap(c.value).getDouble,
+            opOf(c.typ), ttlOfTags(c.tags).map(Long.box).orNull)
+        }
+      }
+    spark.createDataFrame(rows, StructType(
+      cellsSchema.fields :+ StructField("ttl_ms", LongType, nullable = true)))
   }
 
   /** The streaming read core over an explicit file list — shared by
