@@ -85,7 +85,15 @@ object ScaleSmoke {
     // tables + five keyed joins), fixed-length sequence packing (pure
     // integer arithmetic over the distributed prefix sum)
     "j49_lm_backoff",
-    "j50_pack_sequences")
+    "j50_pack_sequences",
+    // round 13/14: region merge (served parents + compaction rewrite),
+    // WAL-shipping replication (per-segment decode→re-encode→rename),
+    // cell-TTL tagged write/read + expiry lattice, char-n-gram langid
+    "a20_region_merge",
+    "a21_wal_replicate",
+    "b32_cell_ttl",
+    "j60_langid",
+    "a22_namespace_admin")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -315,7 +323,39 @@ object ScaleSmoke {
       "i7_state_default" -> (() =>
         sessionReplay(graft.streaming.StreamOps.DefaultProvider, "default")),
       "i7_state_rocksdb" -> (() =>
-        sessionReplay(graft.streaming.StreamOps.RocksDbProvider, "rocksdb")))
+        sessionReplay(graft.streaming.StreamOps.RocksDbProvider, "rocksdb")),
+      // I27 at scale (VERDICT r13 task 7): the continuous tail-and-ship
+      // loop over the scaled event stream — per micro-batch, a segment
+      // group lands on the primary and ships to the replica; the entry
+      // measures the whole replication transport's per-batch cost and
+      // asserts replica convergence (row count == primary count)
+      "i27_wal_replicate_stream" -> (() => {
+        val app = spark.sparkContext.applicationId
+        val pri = s"$dir/wal_rep_pri_$app"
+        val rep = s"$dir/wal_rep_rep_$app"
+        val ckpt = s"$dir/wal_rep_ckpt_$app"
+        val cells = graft.streaming.StreamOps
+          .cellsStream(graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8))
+          .withColumn("seq", col("ts"))
+        val q = graft.streaming.StreamOps
+          .walReplicateSink(cells, pri, rep, ckpt).start()
+        q.awaitTermination()
+        val priN = graft.sources.WalOps.readWal(spark, pri).count()
+        val repN = graft.sources.WalOps.readWal(spark, rep).count()
+        require(priN == repN && repN > 0,
+          s"replica diverged at scale: primary=$priN replica=$repN")
+        // the fixture dir persists across runs; drop this app's log state
+        Seq(pri, rep, ckpt).foreach { p =>
+          val f = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(f)) {
+            val walk = java.nio.file.Files.walk(f)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(x => java.nio.file.Files.deleteIfExists(x))
+            finally walk.close()
+          }
+        }
+        repN
+      }))
 
     // SPARK_GRAFT_SMOKE_ONLY=a,b restricts the run for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(',').toSet)

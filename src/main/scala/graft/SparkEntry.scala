@@ -23,7 +23,8 @@ object SparkEntry {
       ops.UnigramOps.queries ++ ops.CurateOps.queries ++
       ops.RepetitionOps.queries ++ ops.RankOps.queries ++
       ops.SketchOps.queries ++ ops.DedupOps.queries ++
-      ops.LangIdOps.queries ++ sources.WalOps.queries
+      ops.LangIdOps.queries ++ sources.WalOps.queries ++
+      sources.NamespaceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

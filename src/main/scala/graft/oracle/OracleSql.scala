@@ -48,6 +48,22 @@ object OracleSql {
     // a18: clone view = gen0 puts verbatim (a snapshot pins the pre-delta
     // file set); live view = the a13 merge spelling over gen0 + the
     // post-snapshot delta
+    // a22: storage-free spelling of the namespace split + clone digest;
+    // meta_n counts ALL cells (the trailer entryCount includes
+    // tombstones), the digest rows are the clone's resolved puts
+    "a22_namespace_admin" ->
+      (cellsCte.stripSuffix("\n") +
+        """, t AS (SELECT CASE WHEN qualifier IN ('click','view') THEN 't_click'
+          |                    ELSE 't_txn' END AS tbl, * FROM cells),
+          |meta AS (SELECT tbl, count(*) AS meta_n FROM t GROUP BY 1)
+          |SELECT c.tbl, c.qualifier, count(*) AS n,
+          |       CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       CAST(sum(CAST(c.ts % 999959 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
+          |       m.meta_n
+          |FROM t c JOIN meta m ON c.tbl = m.tbl
+          |WHERE c.op = 'put'
+          |GROUP BY 1, 2, m.meta_n
+          |ORDER BY 1 NULLS LAST, 2 NULLS LAST""".stripMargin),
     "a18_hfile_snapshot" ->
       (cellsCte.stripSuffix("\n") +
         """, clone AS (SELECT qualifier, value, ts FROM cells WHERE op = 'put'),

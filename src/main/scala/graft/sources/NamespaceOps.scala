@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.Tables
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Namespace / multi-table ADMIN surface — the thin layer above the
+  * per-table store machinery that an HBase operator drives through
+  * [public: o.a.h.hbase.client.Admin#createNamespace /
+  * #listTableDescriptorsByNamespace / #snapshot / #cloneSnapshot]:
+  * a namespace is a directory of table store dirs; listing it is a
+  * METADATA walk (filesystem status + one trailer read per store file —
+  * never a data block, the master's META view, O(files) at any data
+  * size); a namespace snapshot is one per-table manifest (the a18 model
+  * applied across tables — still zero data copy); a namespace clone
+  * reads every table through its pinned manifest.
+  *
+  * Closes VERDICT r13 "What's missing" #3 (snapshot was per-table; the
+  * admin story lacked the namespace grouping).
+  */
+object NamespaceOps {
+
+  /** Create/replace table `table` in namespace `nsDir` from a cells
+    * DataFrame — a thin name-mapping over [[HFileOps.bulkWrite]] (one
+    * store dir per table, HBase's `ns:table` → directory layout).
+    */
+  def createTable(cells: DataFrame, nsDir: String, table: String,
+                  regions: Int,
+                  compression: Int = HFileCodec.CompressionNone,
+                  encoding: Int = HFileCodec.EncodingNone): Seq[String] =
+    HFileOps.bulkWrite(cells, s"$nsDir/$table", regions,
+      compression = compression, encoding = encoding)
+
+  private val listingSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("files", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_cells", LongType, nullable = false)))
+
+  /** The admin listing: per table — store-file count, on-disk bytes,
+    * and the EXACT cell count — every number from filesystem metadata
+    * plus one trailer positioned-read per file (`entryCount`), never a
+    * data block. Table names move through the driver (bounded: an admin
+    * surface); the per-file trailer reads run as one tiny metadata job
+    * so a 4096-region table doesn't serialize its opens on the driver.
+    */
+  def listNamespace(spark: SparkSession, nsDir: String): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val nsPath = new HPath(nsDir)
+    val fs = nsPath.getFileSystem(hadoopConf)
+    val tables = Option(fs.listStatus(nsPath)).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    val files: Seq[(String, String, Long)] = tables.flatMap { t =>
+      Option(fs.globStatus(new HPath(s"$nsDir/$t", "*.hfile")))
+        .getOrElse(Array.empty)
+        .map(st => (t, st.getPath.toString, st.getLen))
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val perFile =
+      if (files.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .map { case (t, p, bytes) =>
+          val path = new HPath(p)
+          val pfs = path.getFileSystem(serConf.value)
+          val in = pfs.open(path)
+          try {
+            val tail = new Array[Byte](HFileCodec.TrailerLen)
+            in.readFully(pfs.getFileStatus(path).getLen - HFileCodec.TrailerLen, tail)
+            (t, bytes, HFileCodec.readTrailer(tail).entryCount)
+          } finally in.close()
+        }.collect().toSeq
+    val rows = perFile.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, fs0) =>
+      Row(t, fs0.size.toLong, fs0.map(_._2).sum, fs0.map(_._3).sum)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size)), listingSchema)
+  }
+
+  /** Snapshot every table of the namespace: one manifest per table under
+    * `manifestDir` (`<table>.manifest`), each pinning the table's live
+    * store files — O(files) metadata across the namespace. Returns
+    * (table, manifestPath) pairs.
+    */
+  def snapshotNamespace(spark: SparkSession, nsDir: String,
+                        manifestDir: String): Seq[(String, String)] = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val nsPath = new HPath(nsDir)
+    val fs = nsPath.getFileSystem(hadoopConf)
+    val tables = Option(fs.listStatus(nsPath)).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    new HPath(manifestDir).getFileSystem(hadoopConf).mkdirs(new HPath(manifestDir))
+    tables.map { t =>
+      val stores = Option(fs.globStatus(new HPath(s"$nsDir/$t", "*.hfile")))
+        .getOrElse(Array.empty).map(_.getPath.toString).toSeq
+      val m = s"$manifestDir/$t.manifest"
+      HFileOps.snapshot(spark, stores, m)
+      (t, m)
+    }
+  }
+
+  /** Clone-read the whole namespace from its manifests: every table
+    * resolved through [[HFileOps.readSnapshot]]'s merge-on-read lattice,
+    * union-tagged with its table name. Tables don't shuffle into each
+    * other — the union is a plan-level concat of per-table reads.
+    */
+  def readNamespaceClone(spark: SparkSession,
+                         manifests: Seq[(String, String)],
+                         maxVersions: Int = 1): DataFrame =
+    manifests.map { case (t, m) =>
+      HFileOps.readSnapshot(spark, m, maxVersions).withColumn("table", lit(t))
+    }.reduce(_.unionByName(_))
+
+  /** a22 — the namespace admin story gated end to end: the cells view
+    * splits into two tables of one namespace (hot clicks/views vs
+    * transactional rest, DIFFERENT codecs), the namespace is listed
+    * (metadata-only exact cell counts), snapshotted (per-table
+    * manifests), and clone-read; the gate digests the CLONE per
+    * (table, qualifier) with the listing's metadata count joined in —
+    * so the table split, the manifest pinning, the multi-table clone
+    * resolution, AND the trailer-derived admin counts must all agree
+    * with the storage-free oracle in one hash.
+    */
+  val a22_namespace_admin: graft.ops.Q = (s, d) => {
+    val nsDir = Tables.appTmpDir(s, "graft_ns", d)
+    val manifestDir = Tables.appTmpDir(s, "graft_ns_manifests", d)
+    val cells = Tables.cells(s, d)
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events") / 2)
+    createTable(cells.where(col("qualifier").isin("click", "view")),
+      nsDir, "t_click", regions,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff)
+    createTable(cells.where(!col("qualifier").isin("click", "view")),
+      nsDir, "t_txn", regions,
+      compression = HFileCodec.CompressionSnappy,
+      encoding = HFileCodec.EncodingPrefix)
+    val listing = listNamespace(s, nsDir).select(
+      col("table"), col("n_cells").as("meta_n"))
+    val clone = readNamespaceClone(s, snapshotNamespace(s, nsDir, manifestDir))
+    clone.groupBy("table", "qualifier")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("value")).as("vsum"),
+        sum((col("ts") % 999959L).cast(
+          org.apache.spark.sql.types.DecimalType(18, 0))).cast("long").as("tsum"))
+      .join(broadcast(listing), "table")
+      // `tbl`, not `table`: the oracle twin would need to quote the
+      // reserved word in DuckDB — the rename dodges a dialect trap
+      .select(col("table").as("tbl"), col("qualifier"), col("n"),
+        col("vsum"), col("tsum"), col("meta_n"))
+      .orderBy(asc_nulls_last("tbl"), asc_nulls_last("qualifier"))
+  }
+
+  val queries: Map[String, graft.ops.Q] =
+    Map("a22_namespace_admin" -> a22_namespace_admin)
+}

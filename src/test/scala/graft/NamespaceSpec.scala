@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.{HFileOps, NamespaceOps}
+import org.apache.spark.sql.functions._
+
+/** Namespace admin semantics (sources/NamespaceOps.scala): the
+  * metadata-only listing's exactness, manifest-pinned clone isolation
+  * across tables, and the structural facts (file counts per table) the
+  * a22 oracle digest cannot see.
+  */
+class NamespaceSpec extends SparkSuite {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ns-$tag").toString
+
+  private def someCells(n: Int, prefix: String) = {
+    import spark.implicits._
+    (0 until n).map(i => (f"$prefix$i%05d", "e", s"q${i % 3}", 1000L + i,
+        i.toDouble, if (i % 10 == 0) "delete" else "put"))
+      .toDF("rowkey", "cf", "qualifier", "ts", "value", "op")
+  }
+
+  test("the listing's counts are exact and metadata-only per table") {
+    val ns = tmp("list")
+    NamespaceOps.createTable(someCells(300, "a"), ns, "alpha", regions = 3)
+    NamespaceOps.createTable(someCells(120, "b"), ns, "beta", regions = 2)
+    val got = NamespaceOps.listNamespace(spark, ns)
+      .orderBy("table").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    // trailer entryCount includes tombstones: exact total cells
+    assert(got(0).getLong(3) == 300L && got(1).getLong(3) == 120L,
+      s"n_cells wrong: ${got.mkString(",")}")
+    assert(got(0).getLong(1) == 3L && got(1).getLong(1) == 2L,
+      "files-per-table must equal the region count written")
+    assert(got.forall(_.getLong(2) > 0L), "bytes must come from the listing")
+    // and the metadata count equals a real data read, per table
+    assert(HFileOps.read(spark, s"$ns/alpha").count() == 300L)
+  }
+
+  test("namespace clone is isolated: a post-snapshot delta is invisible") {
+    val ns = tmp("iso")
+    NamespaceOps.createTable(someCells(200, "a"), ns, "alpha", regions = 2)
+    NamespaceOps.createTable(someCells(100, "b"), ns, "beta", regions = 2)
+    val manifests = NamespaceOps.snapshotNamespace(spark, ns, tmp("iso_m"))
+    assert(manifests.map(_._1) == Seq("alpha", "beta"))
+    // delta lands on alpha AFTER the snapshot (a new generation — store
+    // files are immutable, the delta never touches pinned files)
+    HFileOps.bulkWrite(someCells(50, "z").withColumn("ts", col("ts") + 10L),
+      s"$ns/alpha", regions = 2, generation = 1)
+    val clone = NamespaceOps.readNamespaceClone(spark, manifests)
+    val cloneAlpha = clone.where(col("table") === "alpha")
+    // clone: the 180 puts pinned at snapshot time — no z-rows
+    assert(cloneAlpha.count() == 180L,
+      s"clone saw a post-snapshot delta (${cloneAlpha.count()} rows)")
+    assert(cloneAlpha.where(col("rowkey").startsWith("z")).count() == 0L)
+    // live table DOES see the delta
+    assert(HFileOps.mergedRead(spark, s"$ns/alpha")
+      .where(col("rowkey").startsWith("z")).count() == 45L)
+    // beta untouched either way
+    assert(clone.where(col("table") === "beta").count() == 90L)
+  }
+}

@@ -562,6 +562,45 @@ class StreamingSpec extends SparkSuite {
     assert(firstWindowN.forall(_ == 2L), s"late row leaked into closed window: ${rows.mkString}")
   }
 
+  test("I27: continuous WAL-shipping replication — replica equals primary " +
+      "equals the batch cells view, including after a replayed batch") {
+    import graft.sources.WalOps
+    val priDir = Files.createTempDirectory("graft_rep_stream_p").toString
+    val repDir = Files.createTempDirectory("graft_rep_stream_r").toString
+    val ckpt = Files.createTempDirectory("graft_rep_stream_ckpt").toString
+    def walCells(df: DataFrame) = df.select(
+      col("event_id").as("seq"),
+      concat(Tables.pad(col("user_id")), lit(":"), Tables.pad(col("event_id"))).as("rowkey"),
+      lit("e").as("cf"), col("event_type").as("qualifier"),
+      col("event_id").as("ts"), col("value"),
+      when(col("event_id") % 97 === 0, "delete").otherwise("put").as("op"))
+    val q = StreamOps.walReplicateSink(
+      walCells(StreamOps.eventsStream(spark, sf)), priDir, repDir, ckpt).start()
+    q.awaitTermination()
+    val want = walCells(batchEvents).collect().map(_.toString).sorted
+    val pri = WalOps.readWal(spark, priDir).collect().map(_.toString).sorted
+    val rep = WalOps.readWal(spark, repDir).collect().map(_.toString).sorted
+    assert(pri.length == want.length && pri.sameElements(want),
+      "primary log diverges from the batch cells view")
+    assert(rep.sameElements(pri), "replica diverges from primary after the stream")
+    // replay batch b0000 with a DIFFERENT partitioning (1 segment where
+    // the stream wrote 2): the re-ship must converge the replica —
+    // including sweeping the now-orphaned second segment (ADVICE r13)
+    val b0Rows = new java.io.File(priDir).listFiles()
+      .filter(_.getName.startsWith("wal-b0000")).sortBy(_.getName)
+      .flatMap(f => WalOps.decodeSegment(Files.readAllBytes(f.toPath)))
+    assert(b0Rows.nonEmpty)
+    val b0Df = spark.createDataFrame(
+      spark.sparkContext.parallelize(b0Rows.toSeq),
+      WalOps.readWal(spark, priDir).schema)
+    WalOps.writeWal(b0Df, priDir, segments = 1, prefix = "wal-b0000")
+    WalOps.replicate(spark, priDir, repDir,
+      glob = "wal-b0000-[0-9][0-9][0-9][0-9][0-9].gwal")
+    val repAfter = WalOps.readWal(spark, repDir).collect().map(_.toString).sorted
+    assert(repAfter.sameElements(want),
+      "replayed-batch re-ship left the replica diverged (orphan segment?)")
+  }
+
   test("I24: streamed WAL ingest + flush + recovery equals the batch cells view") {
     import graft.sources.WalOps
     val walDir = Files.createTempDirectory("graft_wal_stream").toString
