@@ -42,8 +42,8 @@ object WalOps {
 
   private val Magic: Array[Byte] = "GWALv1\u0000\u0000".getBytes(UTF_8)
 
-  /** Whole-segment read through the RAW filesystem. On a
-    * ChecksumFileSystem (Hadoop's local default, which `writeWal`'s
+  /** Open a segment through the RAW filesystem as a buffered stream. On
+    * a ChecksumFileSystem (Hadoop's local default, which `writeWal`'s
     * `fs.create` gives a `.crc` sidecar) a torn tail fails the SIDECAR
     * check and the read throws ChecksumException before the record
     * framing — the layer that owns durability — can decide the durable
@@ -52,21 +52,34 @@ object WalOps {
     * r13 #1: replicate's torn-tail spec failed exactly here, and
     * readWal/recover shared the latent defect).
     */
-  private def readSegmentBytes(
-      path: HPath, conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+  private def openRaw(path: HPath,
+                      conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
     val fs = path.getFileSystem(conf) match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
     }
-    val len = fs.getFileStatus(path).getLen
-    require(len <= (1L << 31) - 1, s"segment $path too large for one read")
-    val in = fs.open(path)
-    try {
-      val bytes = new Array[Byte](len.toInt)
-      in.readFully(0, bytes)
-      bytes
-    } finally in.close()
+    new java.io.BufferedInputStream(fs.open(path), 1 << 16)
   }
+
+  /** Read up to `buf.length` bytes, looping until the buffer is full or
+    * EOF; returns the count actually read (an EOF mid-buffer is the torn
+    * case the caller decides on, never an exception).
+    */
+  private def readAtMost(in: java.io.InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    var n = 0
+    while (off < buf.length && n >= 0) {
+      n = in.read(buf, off, buf.length - off)
+      if (n > 0) off += n
+    }
+    off
+  }
+
+  /** No legitimate record approaches this (a record is one cell's
+    * fixed fields + three short strings); a torn length field must
+    * never turn into a giant allocation before the CRC can reject it.
+    */
+  private val MaxRecordBytes: Int = 1 << 24
 
   /** Append `cells` (+ a `seq` LONG column) as WAL segments under `dir`
     * — one segment per range partition of the rowkey space, records in
@@ -154,61 +167,79 @@ object WalOps {
     bos.toByteArray
   }
 
-  /** Decode the records of one segment byte array, stopping CLEANLY at
-    * the first torn/corrupt record (returns what verified). Exposed for
-    * WalSpec's planted-corruption tests.
+  /** STREAMING record decode — O(record) memory at any segment size
+    * (the whole-segment materialization OOM'd the 1000× smoke: 32
+    * concurrent ship tasks × a multi-hundred-MB byte array + its decoded
+    * row Seq), stopping CLEANLY at the first torn/corrupt record: a
+    * short header, short frame, short payload, implausible length, or a
+    * CRC mismatch all end the iterator at the last verified record.
+    *
+    * Magic discipline (ADVICE r13): a header SHORTER than the magic is
+    * the torn-at-byte-0 crash case — nothing durable, replay the empty
+    * prefix. A full-length header that ISN'T the magic is a different
+    * file (or an incompatible on-disk format rev) — reading it as zero
+    * rows would silently drop data, so fail loudly.
     */
-  private[graft] def decodeSegment(bytes: Array[Byte]): Seq[Row] = {
-    val out = Seq.newBuilder[Row]
-    // A header SHORTER than the magic is the torn-at-byte-0 crash case:
-    // nothing durable, replay the empty prefix. A full-length header
-    // that ISN'T the magic is a different file (or an incompatible
-    // on-disk format rev) — reading it as zero rows would silently drop
-    // data, so fail loudly (ADVICE r13: the v1 magic respelling made
-    // old-format segments decode as empty).
-    if (bytes.length < Magic.length) {
-      if (!java.util.Arrays.equals(bytes,
-          java.util.Arrays.copyOfRange(Magic, 0, bytes.length)))
+  private[graft] def decodeStream(in: java.io.InputStream): Iterator[Row] = {
+    val hdr = new Array[Byte](Magic.length)
+    val got = readAtMost(in, hdr)
+    if (got < Magic.length) {
+      if (!java.util.Arrays.equals(java.util.Arrays.copyOf(hdr, got),
+          java.util.Arrays.copyOfRange(Magic, 0, got)))
         throw new IllegalArgumentException(
-          s"not a GWAL segment: ${bytes.length}-byte header is no prefix of the magic")
-      return Seq.empty
+          s"not a GWAL segment: $got-byte header is no prefix of the magic")
+      return Iterator.empty
     }
-    if (!java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(bytes, 0, Magic.length), Magic))
+    if (!java.util.Arrays.equals(hdr, Magic))
       throw new IllegalArgumentException(
         "unknown WAL magic: not a GWALv1 segment (incompatible format rev? " +
           "refusing to read it as zero rows)")
-    var p = Magic.length
-    var torn = false
-    while (!torn && p + 8 <= bytes.length) {
-      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
-        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-      val want = ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
-        ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
-      if (len <= 0 || p + 8 + len > bytes.length) torn = true
-      else {
+    new Iterator[Row] {
+      private var nextRow: Row = _
+      private var done = false
+      private def be32(b: Array[Byte], p: Int): Int =
+        ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      private def advance(): Unit = {
+        nextRow = null
+        val frame = new Array[Byte](8)
+        if (readAtMost(in, frame) < 8) { done = true; return }
+        val len = be32(frame, 0)
+        val want = be32(frame, 4)
+        if (len <= 0 || len > MaxRecordBytes) { done = true; return }
+        val payload = new Array[Byte](len)
+        if (readAtMost(in, payload) < len) { done = true; return }
         val crc = new CRC32C
-        crc.update(bytes, p + 8, len)
-        if (crc.getValue.toInt != want) torn = true
-        else {
-          val d = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(bytes, p + 8, len))
-          val seq = d.readLong(); val ts = d.readLong()
-          val hasV = d.readBoolean(); val v = d.readDouble()
-          val opB = new Array[Byte](d.readUnsignedByte()); d.readFully(opB)
-          def str(): String = {
-            val b = new Array[Byte](d.readInt()); d.readFully(b)
-            new String(b, UTF_8)
-          }
-          val rk = str(); val cf = str(); val q = str()
-          out += Row(seq, rk, cf, q, ts,
-            if (hasV) v else null, new String(opB, UTF_8))
-          p += 8 + len
+        crc.update(payload)
+        if (crc.getValue.toInt != want) { done = true; return }
+        val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+        val seq = d.readLong(); val ts = d.readLong()
+        val hasV = d.readBoolean(); val v = d.readDouble()
+        val opB = new Array[Byte](d.readUnsignedByte()); d.readFully(opB)
+        def str(): String = {
+          val b = new Array[Byte](d.readInt()); d.readFully(b)
+          new String(b, UTF_8)
         }
+        val rk = str(); val cf = str(); val q = str()
+        nextRow = Row(seq, rk, cf, q, ts,
+          if (hasV) v else null, new String(opB, UTF_8))
+      }
+      override def hasNext: Boolean = {
+        if (!done && nextRow == null) advance()
+        !done && nextRow != null
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("torn or exhausted segment")
+        val r = nextRow; nextRow = null; r
       }
     }
-    out.result()
   }
+
+  /** Whole-array decode — [[decodeStream]] over the bytes; kept as the
+    * planted-corruption test surface and for bounded in-memory callers.
+    */
+  private[graft] def decodeSegment(bytes: Array[Byte]): Seq[Row] =
+    decodeStream(new java.io.ByteArrayInputStream(bytes)).toVector
 
   private val walSchema = org.apache.spark.sql.types.StructType(
     org.apache.spark.sql.types.StructField("seq",
@@ -216,7 +247,9 @@ object WalOps {
     HFileOps.cellsSchema.fields)
 
   /** Read every WAL segment under `dir` back as (seq, cells...) rows —
-    * one task per segment, each stopping at its first torn record.
+    * one task per segment, each STREAMING its file record by record
+    * (O(record) task memory at any segment size) and stopping at its
+    * first torn record. The stream closes on task completion.
     */
   def readWal(spark: SparkSession, dir: String): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -227,7 +260,12 @@ object WalOps {
     val serConf = new SerializableConfiguration(hadoopConf)
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, paths.size))
-      .flatMap(p => decodeSegment(readSegmentBytes(new HPath(p), serConf.value)))
+      .flatMap { p =>
+        val in = openRaw(new HPath(p), serConf.value)
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        decodeStream(in)
+      }
     spark.createDataFrame(rows, walSchema)
   }
 
@@ -286,20 +324,21 @@ object WalOps {
       .parallelize(names, names.size)
       .map { name =>
         val src = new HPath(primaryDir, name)
-        // verified prefix only — a torn tail stops the decode here
-        val records = decodeSegment(readSegmentBytes(src, serConf.value))
         val rfs = new HPath(replicaDir).getFileSystem(serConf.value)
         val tmp = new HPath(replicaDir,
           s".$name.${TaskContext.get().taskAttemptId()}.tmp")
         val os = new java.io.BufferedOutputStream(rfs.create(tmp, true), 1 << 16)
+        // stream decode→re-encode: verified prefix only (a torn tail
+        // stops the iterator), O(record) memory at any segment size
+        val in = openRaw(src, serConf.value)
         try {
           os.write(Magic)
-          records.foreach { r =>
+          decodeStream(in).foreach { r =>
             writeRecord(os, encodeRecord(r.getLong(0), r.getString(1),
               r.getString(2), r.getString(3), r.getLong(4),
               if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getString(6)))
           }
-        } finally os.close()
+        } finally { in.close(); os.close() }
         val dst = new HPath(replicaDir, name)
         org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, serConf.value)
           .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
