@@ -128,6 +128,74 @@ object LangIdOps {
       .select(col("doc_id"), col("cand").as("pred"))
   }
 
+  /** A model literalized for ROW-LOCAL scoring: per-language gram→logp
+    * maps plus defaults, as plain driver values. Bounded by
+    * construction — literalize a [[trainCapped]] model for open
+    * vocabularies; the guard refuses anything too big to inline.
+    */
+  final case class LiteralLangIdModel(langs: Seq[String],
+                                      profiles: Map[String, Map[String, java.math.BigDecimal]],
+                                      defaults: Map[String, java.math.BigDecimal],
+                                      n: Int)
+
+  /** Collect a (bounded) model into literals. The collected size is the
+    * broadcast profile's own size — vocabulary × languages — so this is
+    * exactly as bounded as the join-side model; the cap guard makes the
+    * contract explicit rather than OOMing the driver.
+    */
+  def literalModel(m: LangIdModel, maxEntries: Int = 500000): LiteralLangIdModel = {
+    val prof = m.profiles.select("lang", "g", "logp").collect()
+    require(prof.length <= maxEntries,
+      s"model too large to literalize (${prof.length} > $maxEntries entries) — " +
+        "train with trainCapped or raise maxEntries")
+    val profiles = prof.groupBy(_.getString(0)).map { case (l, rows) =>
+      l -> rows.map(r => r.getString(1) -> r.getDecimal(2)).toMap
+    }
+    val defaults = m.defaults.collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    LiteralLangIdModel(defaults.keys.toSeq.sorted, profiles, defaults, m.n)
+  }
+
+  /** ROW-LOCAL prediction: the serving shape — scoring is one codegen'd
+    * expression chain per row (gram extraction + a literal-map lookup
+    * fold per language + a struct argmax), NO join, NO shuffle, NO
+    * state; the model rides as literals the way I21 inlines corpus
+    * stats. Stream-legal by construction (stateless map), and EXACTLY
+    * equal to [[predict]]: per-language totals are decimal sums of the
+    * identical round(,6) terms, and decimal addition is associative and
+    * commutative, so the row-local fold and the relational aggregate
+    * produce the same exact value — LangIdSpec pins bit-equality.
+    */
+  def predictRowLocal(docs: DataFrame, lm: LiteralLangIdModel,
+                      textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val grams = expr(
+      s"transform(sequence(1, length(lower($textCol)) - ${lm.n - 1}), " +
+        s"i -> substr(lower($textCol), i, ${lm.n}))")
+    def scoreFor(lang: String): Column = {
+      val entries = lm.profiles.getOrElse(lang, Map.empty).toSeq.sortBy(_._1)
+      val mapLit =
+        if (entries.isEmpty) map().cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, dec))
+        else map(entries.flatMap { case (g, p) =>
+          Seq(lit(g), lit(p).cast(dec)) }: _*)
+      val dflt = lit(lm.defaults(lang)).cast(dec)
+      // re-cast inside the fold: decimal + widens (28,6)→(29,6) and the
+      // aggregate accumulator must be closed under the merge; the cast
+      // is exact at any reachable score magnitude
+      aggregate(grams, lit(0).cast(dec),
+        (acc, g) => (acc + coalesce(element_at(mapLit, g), dflt)).cast(dec))
+    }
+    val ls = lm.langs.sorted
+    // struct max: highest score wins; ties go to the HIGHER reverse
+    // index = the lexicographically smallest language (predict's order)
+    val best = array_max(array(ls.zipWithIndex.map { case (l, i) =>
+      struct(scoreFor(l).as("s"), lit(ls.size - 1 - i).as("r"), lit(l).as("lang"))
+    }: _*))
+    docs.where(length(lower(col(textCol))) >= lm.n)
+      .select(col("doc_id"), best.getField("lang").as("pred"))
+  }
+
   /** j60 — the langid machinery gated end to end as an exact confusion
     * matrix: train bigram profiles on the corpus's own labels, classify
     * every document, and count (fixture lang × predicted lang) in exact

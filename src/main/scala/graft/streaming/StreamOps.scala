@@ -462,6 +462,20 @@ object StreamOps {
         graft.ops.DedupOps.withSimhashPortable(docs))
       .select("doc_id", "simhash", "sig_md5")
 
+  /** I28: language identification applied to a document stream — the
+    * j60 classifier as continuous ingestion: profiles TRAIN once on the
+    * static labeled corpus (batch, [[graft.ops.LangIdOps.trainCapped]]
+    * bounds the vocabulary), the literalized model rides in the plan
+    * (the I21/I18 discipline), and scoring is
+    * [[graft.ops.LangIdOps.predictRowLocal]] — one codegen'd expression
+    * chain per row, no join, no state — so streaming and batch
+    * classification agree row-for-row (StreamingSpec I28 pins stream ≡
+    * batch ≡ the relational predict).
+    */
+  def langIdStream(docs: DataFrame,
+                   model: graft.ops.LangIdOps.LiteralLangIdModel): DataFrame =
+    graft.ops.LangIdOps.predictRowLocal(docs, model)
+
   /** I21: BM25 retrieval with a STREAMING probe feed against a static
     * corpus — the serving shape of j35 (queries arrive continuously; the
     * index is fixed). tf/dl/df ride the static side (dl/df as windows

@@ -84,6 +84,31 @@ class LangIdSpec extends SparkSuite {
     assert(relabeled.count() == docs.count())
   }
 
+  test("row-local (literal-model) prediction bit-equals the relational predict") {
+    val docs = planted(15)
+    val m = LangIdOps.train(docs)
+    val rel = LangIdOps.predict(docs, m).orderBy("doc_id").collect().toSeq
+    val local = LangIdOps.predictRowLocal(docs, LangIdOps.literalModel(m))
+      .orderBy("doc_id").collect().toSeq
+    assert(rel == local, "serving path diverges from the relational path")
+    // and on the signal-free fixture corpus too (near-ties everywhere —
+    // the argmax tie-break must agree exactly)
+    val fx = Tables.documents(spark, sf)
+    val mfx = LangIdOps.train(fx)
+    val a = LangIdOps.predict(fx, mfx).orderBy("doc_id").collect().toSeq
+    val b = LangIdOps.predictRowLocal(fx, LangIdOps.literalModel(mfx))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "fixture-corpus predictions diverge between paths")
+  }
+
+  test("literalModel refuses an uncapped model past its entry bound") {
+    val docs = planted(5)
+    val m = LangIdOps.train(docs)
+    intercept[IllegalArgumentException] {
+      LangIdOps.literalModel(m, maxEntries = 3)
+    }
+  }
+
   test("prediction is deterministic across repartitionings") {
     val docs = planted(10)
     val m = LangIdOps.train(docs)

@@ -562,6 +562,27 @@ class StreamingSpec extends SparkSuite {
     assert(firstWindowN.forall(_ == 2L), s"late row leaked into closed window: ${rows.mkString}")
   }
 
+  test("I28: streaming language ID equals batch classification row-for-row") {
+    import graft.ops.LangIdOps
+    val batchDocs = Tables.documents(spark, sf)
+    val model = LangIdOps.literalModel(
+      LangIdOps.trainCapped(batchDocs, cap = 2000))
+    val streamed = runStream(
+      StreamOps.langIdStream(StreamOps.documentsStream(spark, sf), model),
+      "append", "t_langid")
+      .orderBy("doc_id").collect().toSeq
+    val batch = LangIdOps.predictRowLocal(batchDocs, model)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed langid diverges from batch classification")
+    // and the serving path agrees with the relational j60 path under
+    // the SAME capped model
+    val rel = LangIdOps.predict(batchDocs,
+      LangIdOps.trainCapped(batchDocs, cap = 2000))
+      .orderBy("doc_id").collect().toSeq
+    assert(batch == rel, "capped serving path diverges from relational predict")
+  }
+
   test("I27: continuous WAL-shipping replication — replica equals primary " +
       "equals the batch cells view, including after a replayed batch") {
     import graft.sources.WalOps
