@@ -92,6 +92,7 @@ object ScaleSmoke {
     "a20_region_merge",
     "a21_wal_replicate",
     "b32_cell_ttl",
+    "b33_cell_tags_lattice",
     "j60_langid",
     "a22_namespace_admin")
 

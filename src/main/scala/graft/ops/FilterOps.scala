@@ -577,7 +577,50 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** b33 — the full CELL-METADATA LATTICE through real storage: every
+    * cell carries BOTH v3 tags — a per-cell TTL (b32's tag type 8) and
+    * its visibility label expression (HBase `Mutation#setCellVisibility`
+    * / `TagType.VISIBILITY_TAG_TYPE` = 2; unlabeled cells carry NO tag,
+    * the world-readable-by-absence contract) — written into one HFile
+    * store, decoded independently by the structural tag walk, and
+    * composed in the RegionServer's read order: TTL expiry first, then
+    * the authorization filter (an INVISIBLE delete cannot mask — the
+    * visibility coprocessor hides it from the scan entirely), then
+    * tombstone masking over what the scan is allowed to see. The oracle
+    * is the storage-free spelling, so both tag codecs AND their
+    * multi-tag coexistence in one blob must be semantically invisible;
+    * CellTtlSpec pins the blob-level facts (two tags round-trip per
+    * cell, unlabeled cells read vis as null).
+    */
+  val b33_cell_tags_lattice: Q = (s, d) => {
+    val nowUs = 1705363800000000L // b32's mid-span literal
+    val dir = Tables.appTmpDir(s, "graft_tags2", d)
+    val cells = Tables.cells(s, d)
+      .withColumn("ttl_ms", ((col("ts") % 5) + 1) * 86400000L)
+      .withColumn("vis", fixtureVisibility(col("qualifier"), col("value")))
+    graft.sources.HFileOps.bulkWrite(cells, dir,
+      regions = graft.sources.HFileOps.regionCountForBytes(
+        Tables.bytesOnDisk(s, d, "events")),
+      ttlMsCol = Some("ttl_ms"), visCol = Some("vis"))
+    val live = graft.sources.HFileOps.readWithCellTags(s, dir)
+      .where(col("ttl_ms").isNull
+        || col("ts") + col("ttl_ms") * 1000L >= lit(nowUs))
+    val authed = live.where(
+      visibleUnder(coalesce(col("vis"), lit("")), Seq("internal", "finance", "ops")))
+    val coord = Window.partitionBy("rowkey", "cf", "qualifier")
+    authed
+      .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
+      .where(col("op") === "put"
+        && (col("del_ts").isNull || col("ts") > col("del_ts")))
+      .groupBy("qualifier")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        lsum(col("ts") % 999931L).as("tsum"))
+      .orderBy(col("qualifier").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b33_cell_tags_lattice" -> b33_cell_tags_lattice,
     "b32_cell_ttl" -> b32_cell_ttl,
     "b31_visibility_labels" -> b31_visibility_labels,
     "b30_scv_exclude" -> b30_scv_exclude,

@@ -278,6 +278,31 @@ object OracleSql {
           |       CAST(sum(CAST(ts % 999983 AS DECIMAL(18,0))) AS BIGINT) AS tsum
           |FROM m WHERE op = 'put' AND (del_ts IS NULL OR ts > del_ts)
           |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin),
+    // b33: storage-free spelling of the full cell-metadata lattice —
+    // TTL expiry (b32's derivation) then the b31 authorization filter
+    // (which also hides deletes: an invisible delete cannot mask) then
+    // tombstone masking over the authorized view
+    "b33_cell_tags_lattice" ->
+      (cellsCte.stripSuffix("\n") +
+        """, lab AS (SELECT *, ((ts % 5) + 1) * 86400000 AS ttl_ms,
+          |            CASE WHEN qualifier = 'purchase' AND value > 200 THEN 'finance&exec'
+          |                 WHEN qualifier = 'purchase' THEN 'finance&internal'
+          |                 WHEN qualifier = 'signup' THEN 'pii&internal'
+          |                 WHEN qualifier = 'error' THEN 'ops|admin'
+          |                 ELSE '' END AS vis
+          |          FROM cells),
+          |live AS (SELECT * FROM lab WHERE ts + ttl_ms * 1000 >= 1705363800000000),
+          |auth AS (SELECT * FROM live
+          |         WHERE vis = '' OR len(list_filter(string_split(vis, '|'),
+          |             clause -> len(list_filter(string_split(clause, '&'),
+          |                 l -> NOT list_contains(['internal','finance','ops'], l))) = 0)) > 0),
+          |m AS (SELECT *, max(CASE WHEN op = 'delete' THEN ts END)
+          |        OVER (PARTITION BY rowkey, cf, qualifier) del_ts FROM auth)
+          |SELECT qualifier, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |       CAST(sum(CAST(ts % 999931 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+          |FROM m WHERE op = 'put' AND (del_ts IS NULL OR ts > del_ts)
+          |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin),
     // b31: the oracle re-evaluates the OR-of-AND label expressions with
     // list HOFs — empty expression = unlabeled = world-readable
     "b31_visibility_labels" ->

@@ -93,21 +93,49 @@ object HFileOps {
     b.array()
   }
 
-  /** The TTL-tag payload of a cell's tag blob, if one is present —
-    * other tag types are skipped structurally (length-prefixed walk).
+  /** The visibility tag (HBase `TagType.VISIBILITY_TAG_TYPE` = 2)
+    * carries the cell's label expression — what
+    * [public: o.a.h.hbase.client.Mutation#setCellVisibility] attaches
+    * (HBase serializes the parsed expression; we carry the expression
+    * string itself — same read-path semantics, evaluated by
+    * [[graft.ops.FilterOps.visibleUnder]]).
     */
-  private[graft] def ttlOfTags(tags: Array[Byte]): Option[Long] = {
+  private[graft] val VisTagType: Byte = 2
+
+  private[graft] def visTag(expr: String): Array[Byte] = {
+    val b = expr.getBytes(UTF_8)
+    require(b.length + 1 <= 0xffff, s"visibility expression too long (${b.length} B)")
+    val out = java.nio.ByteBuffer.allocate(2 + 1 + b.length)
+    out.putShort((b.length + 1).toShort); out.put(VisTagType); out.put(b)
+    out.array()
+  }
+
+  /** First tag of `typ` in a cell's tag blob — other tag types are
+    * skipped structurally (the length-prefixed walk), so multi-tag
+    * blobs (e.g. TTL + visibility on one cell) resolve independently.
+    */
+  private[graft] def tagOfType(tags: Array[Byte], typ: Byte): Option[Array[Byte]] = {
     var p = 0
     while (p + 3 <= tags.length) {
       val len = ((tags(p) & 0xff) << 8) | (tags(p + 1) & 0xff)
       if (len >= 1 && p + 2 + len <= tags.length) {
-        if (tags(p + 2) == TtlTagType && len == 9)
-          return Some(java.nio.ByteBuffer.wrap(tags, p + 3, 8).getLong)
+        if (tags(p + 2) == typ)
+          return Some(java.util.Arrays.copyOfRange(tags, p + 3, p + 2 + len))
         p += 2 + len
-      } else return None // malformed tail: no TTL claim
+      } else return None // malformed tail: no claim
     }
     None
   }
+
+  /** The TTL-tag payload of a cell's tag blob, if one is present. */
+  private[graft] def ttlOfTags(tags: Array[Byte]): Option[Long] =
+    tagOfType(tags, TtlTagType).collect {
+      case b if b.length == 8 => java.nio.ByteBuffer.wrap(b).getLong
+    }
+
+  /** The visibility expression of a cell's tag blob, if one is present. */
+  private[graft] def visOfTags(tags: Array[Byte]): Option[String] =
+    tagOfType(tags, VisTagType).map(new String(_, UTF_8))
 
   def bulkWrite(cells: DataFrame, dir: String, regions: Int,
                 blockSize: Int = 64 * 1024,
@@ -115,7 +143,8 @@ object HFileOps {
                 encoding: Int = HFileCodec.EncodingNone,
                 generation: Int = -1,
                 textValue: Boolean = false,
-                ttlMsCol: Option[String] = None): Seq[String] = {
+                ttlMsCol: Option[String] = None,
+                visCol: Option[String] = None): Seq[String] = {
     val hadoopConf = cells.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new HPath(dir)
     val dfs = dirPath.getFileSystem(hadoopConf)
@@ -137,8 +166,12 @@ object HFileOps {
       "CASE op WHEN 'delete_family' THEN 14 WHEN 'delete' THEN 12 " +
         "WHEN 'delete_version' THEN 8 ELSE 4 END")
     val outCols = Seq("rowkey", "cf", "qualifier", "ts", "value", "op") ++
-      ttlMsCol
-    val withTags = ttlMsCol.isDefined
+      ttlMsCol ++ visCol
+    val ttlIdx = ttlMsCol.map(_ => 6)
+    // an empty/null expression is the UNLABELED cell — HBase writes no
+    // visibility tag for it (world-readable by absence)
+    val visIdx = visCol.map(_ => 6 + ttlMsCol.size)
+    val withTags = ttlMsCol.isDefined || visCol.isDefined
     val sorted = cells
       .repartitionByRange(regions, col("rowkey"))
       .sortWithinPartitions(col("rowkey").asc, col("cf").asc,
@@ -160,8 +193,15 @@ object HFileOps {
             typOf(op),
             if (textValue) r.getString(4).getBytes(UTF_8)
             else java.nio.ByteBuffer.allocate(8).putDouble(r.getDouble(4)).array(),
-            tags = if (withTags && !r.isNullAt(6)) ttlTag(r.getLong(6))
-                   else Array.emptyByteArray)
+            tags = {
+              val t = ttlIdx.filterNot(r.isNullAt).map(i => ttlTag(r.getLong(i)))
+              val v = visIdx.filterNot(r.isNullAt).map(r.getString)
+                .filter(_.nonEmpty).map(visTag)
+              (t.toSeq ++ v.toSeq) match {
+                case Nil  => Array.emptyByteArray
+                case tags => tags.reduce(_ ++ _)
+              }
+            })
         }
         val fs = new HPath(dir).getFileSystem(serConf.value)
         val name =
@@ -721,6 +761,29 @@ object HFileOps {
       }
     spark.createDataFrame(rows, StructType(
       cellsSchema.fields :+ StructField("ttl_ms", LongType, nullable = true)))
+  }
+
+  /** [[read]] exposing BOTH cell-metadata tags: `ttl_ms` (nullable
+    * LONG) and `vis` (nullable STRING, the visibility label
+    * expression) — the multi-tag read path of the b33 lattice; each
+    * tag resolves independently through the structural walk.
+    */
+  def readWithCellTags(spark: SparkSession, dir: String): DataFrame = {
+    val (paths, serConf) = regionFiles(spark, dir)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        streamFileCells(p, serConf.value).map { c =>
+          Row(new String(c.row, UTF_8), new String(c.family, UTF_8),
+            new String(c.qualifier, UTF_8), c.ts,
+            java.nio.ByteBuffer.wrap(c.value).getDouble,
+            opOf(c.typ), ttlOfTags(c.tags).map(Long.box).orNull,
+            visOfTags(c.tags).orNull)
+        }
+      }
+    spark.createDataFrame(rows, StructType(
+      cellsSchema.fields :+ StructField("ttl_ms", LongType, nullable = true)
+        :+ StructField("vis", StringType, nullable = true)))
   }
 
   /** The streaming read core over an explicit file list — shared by

@@ -82,6 +82,52 @@ class CellTtlSpec extends SparkSuite {
       s"lattice wrong: visible rowkeys = $visible (want only 'a')")
   }
 
+  test("multi-tag blobs: TTL and visibility round-trip independently per cell") {
+    import spark.implicits._
+    val dir = tmp("multi")
+    val in = Seq(
+      ("r1", "e", "q", 1L, 1.0, "put", 111L, "finance&exec"),
+      ("r2", "e", "q", 2L, 2.0, "put", 222L, "ops|admin"),
+      ("r3", "e", "q", 3L, 3.0, "put", 333L, "")) // unlabeled: NO vis tag
+      .toDF("rowkey", "cf", "qualifier", "ts", "value", "op", "ttl_ms", "vis")
+    HFileOps.bulkWrite(in, dir, regions = 1,
+      ttlMsCol = Some("ttl_ms"), visCol = Some("vis"))
+    val back = HFileOps.readWithCellTags(spark, dir).orderBy("rowkey").collect()
+    assert(back.length == 3)
+    assert(back(0).getLong(6) == 111L && back(0).getString(7) == "finance&exec")
+    assert(back(1).getLong(6) == 222L && back(1).getString(7) == "ops|admin")
+    // the unlabeled cell keeps its TTL tag but carries NO visibility tag
+    assert(back(2).getLong(6) == 333L && back(2).isNullAt(7),
+      "empty expression must be written as tag ABSENCE, not an empty tag")
+  }
+
+  test("an authorization-invisible delete cannot mask a visible put") {
+    import spark.implicits._
+    val dir = tmp("invdel")
+    val in = Seq(
+      // put is world-readable; the NEWER delete is exec-only — a scan
+      // authorized {internal} must not see the delete, so the put lives
+      ("a", "e", "q", 1000L, 1.0, "put", ""),
+      ("a", "e", "q", 2000L, 0.0, "delete", "exec"),
+      // control: a world-readable delete masks as usual
+      ("b", "e", "q", 1000L, 2.0, "put", ""),
+      ("b", "e", "q", 2000L, 0.0, "delete", ""))
+      .toDF("rowkey", "cf", "qualifier", "ts", "value", "op", "vis")
+    HFileOps.bulkWrite(in, dir, regions = 1, visCol = Some("vis"))
+    val authed = HFileOps.readWithCellTags(spark, dir)
+      .where(graft.ops.FilterOps.visibleUnder(
+        coalesce(col("vis"), lit("")), Seq("internal")))
+    val coord = org.apache.spark.sql.expressions.Window
+      .partitionBy("rowkey", "cf", "qualifier")
+    val visible = authed
+      .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
+      .where(col("op") === "put"
+        && (col("del_ts").isNull || col("ts") > col("del_ts")))
+      .select("rowkey").collect().map(_.getString(0)).toSeq.sorted
+    assert(visible == Seq("a"),
+      s"lattice wrong: visible = $visible (want only 'a')")
+  }
+
   test("mixed tag presence in one store: tagged and untagged cells coexist") {
     val dir = tmp("mixed")
     // two writes into one store via generations: gen 0 tagged, gen 1 not
