@@ -50,10 +50,13 @@ object Bench {
     def evaluate(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.toRdd.count(); ()
     }
-    // warmup pass (untimed)
-    ordered.foreach { case (_, fn) =>
+    // warmup pass (untimed; per-query wall time kept so the steady-state
+    // loop below can skip queries that already blew its budget)
+    val warmupSec: Map[String, Double] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     // REPEAT>1 is the close/adjudication protocol (medians vs the stock
     // battery): there, warm each query to JIT STEADY STATE before timing.
     // Profiled on c2_join_broadcast at sf1: the graft DSL+engine path
@@ -62,11 +65,15 @@ object Bench {
     // warmup reads a flat ~0.1 s JIT residue on every sub-second shape —
     // the exact per-invocation constant VERDICT r13 adjudicated on c2
     // (2.19× isolated; ≈1.0× once both sides are steady-state). Bounded:
-    // ≤12 extra reps and ≤5 s per query, so heavy shapes keep their
-    // single warmup. The graded single-shot run (repeat=1) is untouched
-    // for cross-round comparability.
-    if (repeat > 1) ordered.foreach { case (_, fn) =>
-      try {
+    // ≤12 extra reps and ≤5 s per query, and a query whose FIRST warmup
+    // already exceeded that budget is skipped outright (the pre-loop
+    // budget check never fired before the first rep, so every heavy
+    // shape used to pay one whole extra evaluation — ADVICE r14); heavy
+    // shapes thus genuinely keep their single warmup. The graded
+    // single-shot run (repeat=1) is untouched for cross-round
+    // comparability.
+    if (repeat > 1) ordered.foreach { case (name, fn) =>
+      if (warmupSec.getOrElse(name, 0.0) < 5.0) try {
         val budget = System.nanoTime() + 5000000000L
         var i = 0
         while (i < 12 && System.nanoTime() < budget) {

@@ -94,7 +94,11 @@ object ScaleSmoke {
     "b32_cell_ttl",
     "b33_cell_tags_lattice",
     "j60_langid",
-    "a22_namespace_admin")
+    "a22_namespace_admin",
+    // round 15: raw scan over the delete-lattice store (markers + masked
+    // versions, no resolution), exact shingle-Jaccard verify stage
+    "b34_raw_scan",
+    "j61_jaccard_verify")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -71,8 +71,11 @@ object Tables {
       key == root || key.startsWith(root + "/")
     val it = relCache.keySet.iterator()
     while (it.hasNext) if (covers(it.next()._2)) it.remove()
-    val cit = countCache.keySet.iterator()
-    while (cit.hasNext) if (covers(cit.next())) cit.remove()
+    // countCache is a synchronizedMap — iteration must hold its monitor
+    countCache.synchronized {
+      val cit = countCache.keySet.iterator()
+      while (cit.hasNext) if (covers(cit.next())) cit.remove()
+    }
   }
 
   private val relCache =
@@ -150,19 +153,23 @@ object Tables {
     // run; [[invalidate]] drops both): without this, every j46/j47
     // invocation re-opened EVERY part-file footer serially on the
     // driver — O(files) driver I/O per call at a many-part-file scale
-    // (ADVICE r13). Parallelize the footer reads themselves when the
-    // directory is wide: one tiny metadata-only job beats a serial
-    // driver loop once listings reach cluster-scale file counts.
-    if (countCache.size > 1024) countCache.clear()
-    countCache.computeIfAbsent(s"$d/$name.parquet", path => {
+    // (ADVICE r13). Wide directories (> 16 part files) read their
+    // footers in one tiny metadata-only Spark job instead of a serial
+    // driver loop. The memo itself is computed OUTSIDE the cache lock
+    // (a racing duplicate footer pass computes the same value — benign)
+    // so an LRU get never blocks behind another path's footer I/O.
+    val key = s"$d/$name.parquet"
+    val hit = countCache.get(key)
+    if (hit != null) return hit.longValue()
+    val n: Long = {
       val conf = s.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(path)
+      val root = new org.apache.hadoop.fs.Path(key)
       val fs = root.getFileSystem(conf)
       val files: Seq[String] =
         if (fs.getFileStatus(root).isDirectory)
           fs.listStatus(root).toSeq.filter(st => st.isFile &&
             st.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
-        else Seq(path)
+        else Seq(key)
       def footerCount(conf: org.apache.hadoop.conf.Configuration)(p: String): Long = {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -175,11 +182,24 @@ object Tables {
         s.sparkContext.parallelize(files, math.min(files.size, 64))
           .map(p => footerCount(ser.value)(p)).sum().toLong
       }
-    })
+    }
+    countCache.put(key, java.lang.Long.valueOf(n))
+    n
   }
 
-  private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // Access-ordered LRU, not an epoch cache: a count costs O(files)
+  // footer I/O to rebuild, so when a long-lived JVM crosses the bound
+  // the LEAST-RECENTLY-USED path should fall out, not the whole memo
+  // (VERDICT r14 flagged the previous clear()-on-overflow). The
+  // synchronizedMap wrapper is the mutex; [[invalidate]] iterates under
+  // the same monitor.
+  private val countCache: java.util.Map[String, java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 1024
+      })
 
   /** Canonical cells view (SURVEY.md §1.1 / Appendix A): one HBase-style
     * cell per event. `op` synthesizes delete tombstones deterministically.

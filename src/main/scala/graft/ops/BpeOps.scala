@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * Determinism: pair-count ties break lexicographically on the pair, and
   * the word list is materialized in (count desc, word asc) order, so two
   * trainings of the same corpus produce identical merge tables — the
-  * property the j26 driver gate and BpeSpec pin.
+  * property the j27 driver gate and BpeSpec pin.
   */
 object BpeOps {
 
@@ -231,15 +231,16 @@ object BpeOps {
       .toDF("doc_id", "text")
   }
 
-  /** j26 — the tokenizer end to end (BPE training/encoding itself has no
-    * DuckDB spelling; BpeSpec carries the semantic pins — hand-computed
-    * merges, lossless round-trip, determinism). Trains on the documents
-    * fixture itself, encodes it, and emits per-doc token counts plus the
-    * compression the learned vocab achieves over the character baseline.
-    * The DRIVER-gated spelling is [[j27_bpe_roundtrip]], whose
-    * decode∘encode invariant IS oracle-expressible.
+  /** The tokenizer end to end as per-doc token/char stats (BPE training/
+    * encoding itself has no DuckDB spelling; BpeSpec carries the semantic
+    * pins — determinism, a row per document, exact char accounting).
+    * NOT a declared query: the r9 rows-only `j26` gate entry this once
+    * was is superseded by the HASH-gated [[j27_bpe_roundtrip]], whose
+    * decode∘encode invariant IS oracle-expressible (VERDICT r14 flagged
+    * the leftover query-shaped val as drift bait — demoted to the
+    * spec-only helper it actually is).
     */
-  val j26_bpe_encode: Q = (s, d) => {
+  private[graft] val encodeStats: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val model = train(wordCounts(docs, maxWords = 20000), numMerges = 200)
     encode(s, docs, model)

@@ -76,7 +76,13 @@ object CurateOps {
   def langIdStage(docs: DataFrame, labeled: DataFrame, n: Int = 2): DataFrame = {
     val pred = LangIdOps.predict(docs, LangIdOps.train(labeled, n))
       .withColumnRenamed("pred", "lang")
-    docs.drop("lang").join(pred, "doc_id")
+    // LEFT join: predict() emits no row for a doc whose text is shorter
+    // than one n-gram (explodeGrams keeps length >= n), and an inner
+    // join would silently DROP such docs from the curation stream
+    // (ADVICE r14). Unpredictable docs survive with the fastText-style
+    // "und" (undetermined) label instead of vanishing.
+    docs.drop("lang").join(pred, Seq("doc_id"), "left")
+      .withColumn("lang", coalesce(col("lang"), lit("und")))
   }
 
   /** Per-stage survival counts — the curation funnel report. One lineage,

@@ -665,9 +665,33 @@ object DedupOps {
     keepFirst(defNew.unionByName(candAdmitted))
   }
 
+  /** j61 — the exact n-gram Jaccard VERIFY stage under the driver gate:
+    * [[exactJaccard]] over a deterministic probe pair set (each doc
+    * against its crawl-order successor — the bounded candidate-pair
+    * shape the stage sees after LSH banding; DedupSpec pins it against
+    * planted near-dups and the estimate's ε-bound). Shingle sets come
+    * from the native O(len·k) expression; the oracle recomputes
+    * |A∩B| / (|A|+|B|−|A∩B|) from first principles with DuckDB's
+    * substr explosion, so the shingle inventory AND the set algebra are
+    * hash-pinned cross-engine. Jaccard is one final IEEE division of two
+    * exact integer counts, round(,6)-capped (SURVEY R4).
+    */
+  val j61_jaccard_verify: Q = (s, d) => {
+    // bounded probe slice: a verify stage's input is candidate pairs
+    // (already ~linear via banding), never the corpus cross product
+    val docs = Tables.documents(s, d)
+      .where(col("doc_id") <= 200 && length(col("text")) >= 5)
+    val pairs = docs.select(col("doc_id").as("a"))
+      .where(col("a") < 200).withColumn("b", col("a") + 1)
+    exactJaccard(docs, pairs, k = 5)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("a").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "j38_connected_components" -> j38_connected_components,
     "j39_simhash_portable" -> j39_simhash_portable,
     "j40_minhash_portable" -> j40_minhash_portable,
-    "j46_dedup_incremental" -> j46_dedup_incremental)
+    "j46_dedup_incremental" -> j46_dedup_incremental,
+    "j61_jaccard_verify" -> j61_jaccard_verify)
 }

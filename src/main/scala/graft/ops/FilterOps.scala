@@ -592,26 +592,53 @@ object FilterOps {
     * CellTtlSpec pins the blob-level facts (two tags round-trip per
     * cell, unlabeled cells read vis as null).
     */
-  val b33_cell_tags_lattice: Q = (s, d) => {
-    val nowUs = 1705363800000000L // b32's mid-span literal
-    val dir = Tables.appTmpDir(s, "graft_tags2", d)
-    val cells = Tables.cells(s, d)
+  /** b32's mid-span "now" literal — the lattice evaluation instant shared
+    * by b33 and its I29 streaming twin.
+    */
+  private[graft] val TagLatticeNowUs = 1705363800000000L
+
+  /** The b33 tag columns over a cells view: per-cell TTL (deterministic
+    * 1–5 days off the timestamp) and the fixture visibility label.
+    * Shared by the batch b33 write and the I29 per-micro-batch write —
+    * both stores must carry byte-identical tags for the twin to pin
+    * anything.
+    */
+  private[graft] def withTagColumns(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cells
       .withColumn("ttl_ms", ((col("ts") % 5) + 1) * 86400000L)
       .withColumn("vis", fixtureVisibility(col("qualifier"), col("value")))
-    graft.sources.HFileOps.bulkWrite(cells, dir,
-      regions = graft.sources.HFileOps.regionCountForBytes(
-        Tables.bytesOnDisk(s, d, "events")),
-      ttlMsCol = Some("ttl_ms"), visCol = Some("vis"))
-    val live = graft.sources.HFileOps.readWithCellTags(s, dir)
-      .where(col("ttl_ms").isNull
-        || col("ts") + col("ttl_ms") * 1000L >= lit(nowUs))
-    val authed = live.where(
-      visibleUnder(coalesce(col("vis"), lit("")), Seq("internal", "finance", "ops")))
+
+  /** The RegionServer read-order composition over a tagged-cells
+    * reconstruction ([[graft.sources.HFileOps.readWithCellTags]] output):
+    * TTL expiry first, then the authorization filter (an INVISIBLE
+    * delete cannot mask — the visibility coprocessor hides it from the
+    * scan entirely), then tombstone masking over what the scan is
+    * allowed to see. Shared by b33 and StreamingSpec I29.
+    */
+  private[graft] def tagLattice(tagged: org.apache.spark.sql.DataFrame,
+                                nowUs: Long = TagLatticeNowUs,
+                                auths: Seq[String] =
+                                  Seq("internal", "finance", "ops"))
+      : org.apache.spark.sql.DataFrame = {
+    val live = tagged.where(col("ttl_ms").isNull
+      || col("ts") + col("ttl_ms") * 1000L >= lit(nowUs))
+    val authed = live.where(visibleUnder(coalesce(col("vis"), lit("")), auths))
     val coord = Window.partitionBy("rowkey", "cf", "qualifier")
     authed
       .withColumn("del_ts", max(when(col("op") === "delete", col("ts"))).over(coord))
       .where(col("op") === "put"
         && (col("del_ts").isNull || col("ts") > col("del_ts")))
+  }
+
+  val b33_cell_tags_lattice: Q = (s, d) => {
+    val dir = Tables.appTmpDir(s, "graft_tags2", d)
+    val cells = withTagColumns(Tables.cells(s, d))
+    graft.sources.HFileOps.bulkWrite(cells, dir,
+      regions = graft.sources.HFileOps.regionCountForBytes(
+        Tables.bytesOnDisk(s, d, "events")),
+      ttlMsCol = Some("ttl_ms"), visCol = Some("vis"))
+    tagLattice(graft.sources.HFileOps.readWithCellTags(s, dir))
       .groupBy("qualifier")
       .agg(count(lit(1)).as("n"),
         dsum(col("value")).as("vsum"),
@@ -619,7 +646,34 @@ object FilterOps {
       .orderBy(col("qualifier").asc_nulls_last)
   }
 
+  /** b34 — RAW scan (HBase `Scan#setRaw(true)` [public:
+    * o.a.h.hbase.client.Scan#setRaw]): the debugging/replication read
+    * mode that surfaces EVERYTHING the store files still hold — delete
+    * markers of all three scopes AND the put versions they mask — with
+    * NO delete resolution applied. Served by
+    * [[graft.sources.HFileOps.readWithGen]] over the a14 delete-scope
+    * lattice store ([[ScanOps.deleteLatticeWrite]]); the gate digests
+    * per (qualifier, op, gen), so a raw read that accidentally resolved
+    * tombstones (dropping markers or masked puts) or misattributed file
+    * provenance moves the hash. HFileSpec pins the raw ∪ mask algebra:
+    * applying the relational delete lattice + version cap to THIS raw
+    * view reproduces [[graft.sources.HFileOps.mergedRead]]'s cooked
+    * view exactly.
+    */
+  val b34_raw_scan: Q = (s, d) => {
+    val dir = Tables.appTmpDir(s, "graft_raw_scan", d)
+    ScanOps.deleteLatticeWrite(s, d, dir)
+    graft.sources.HFileOps.readWithGen(s, dir)
+      .groupBy(col("qualifier"), col("op"), col("gen"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("vsum"),
+        lsum(col("ts") % 1000003L).as("tsum"))
+      .orderBy(col("qualifier").asc_nulls_last, col("op").asc_nulls_last,
+        col("gen").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b34_raw_scan" -> b34_raw_scan,
     "b33_cell_tags_lattice" -> b33_cell_tags_lattice,
     "b32_cell_ttl" -> b32_cell_ttl,
     "b31_visibility_labels" -> b31_visibility_labels,

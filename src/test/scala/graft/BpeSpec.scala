@@ -130,9 +130,9 @@ class BpeSpec extends SparkSuite {
     assert(got == Seq(unkId))
   }
 
-  test("j26 gate query: deterministic, rows for every document, exact char accounting") {
-    val out1 = ops.BpeOps.j26_bpe_encode(spark, sf).collect()
-    val out2 = ops.BpeOps.j26_bpe_encode(spark, sf).collect()
+  test("encodeStats: deterministic, rows for every document, exact char accounting") {
+    val out1 = ops.BpeOps.encodeStats(spark, sf).collect()
+    val out2 = ops.BpeOps.encodeStats(spark, sf).collect()
     assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
     assert(out1.length == Tables.documents(spark, sf).count())
     // n_chars equals the document's non-whitespace length (lossless tokens)

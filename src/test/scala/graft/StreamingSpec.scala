@@ -76,6 +76,45 @@ class StreamingSpec extends SparkSuite {
     assert(opsOnly.where(col("qualifier") === "purchase").count() == 0)
   }
 
+  test("I29: streaming tagged-cell ingest reconstructs the b33 lattice (stream equals batch)") {
+    import graft.ops.FilterOps
+    val dir = Files.createTempDirectory("graft_tags_stream").toString
+    val ckpt = Files.createTempDirectory("graft_tags_stream_ckpt").toString
+    val q = StreamOps.taggedCellsSink(
+      FilterOps.withTagColumns(
+        StreamOps.cellsStream(StreamOps.eventsStream(spark, sf))),
+      dir, ckpt).start()
+    q.awaitTermination()
+    // multi-generation store accrued (one per non-empty micro-batch) —
+    // otherwise the twin degenerates to the batch write itself
+    val gens = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".hfile"))
+      .map(_.getName.split("-")(1)).distinct
+    assert(gens.length >= 2, s"expected multi-batch ingest, got gens ${gens.mkString(",")}")
+    val cols = Seq("rowkey", "cf", "qualifier", "ts", "value", "ttl_ms", "vis")
+    val streamed = FilterOps.tagLattice(
+      graft.sources.HFileOps.readWithCellTags(spark, dir))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    // batch twin: one-shot tagged write over the same cells view
+    val bdir = Files.createTempDirectory("graft_tags_batch").toString
+    graft.sources.HFileOps.bulkWrite(
+      FilterOps.withTagColumns(Tables.cells(spark, sf)), bdir, regions = 2,
+      ttlMsCol = Some("ttl_ms"), visCol = Some("vis"))
+    val batch = FilterOps.tagLattice(
+      graft.sources.HFileOps.readWithCellTags(spark, bdir))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // the lattice is non-vacuous on this fixture: TTL expiry AND the
+    // authorization filter each reject something
+    val raw = graft.sources.HFileOps.readWithCellTags(spark, dir)
+    val afterTtl = raw.where(col("ttl_ms").isNull
+      || col("ts") + col("ttl_ms") * 1000L >= lit(FilterOps.TagLatticeNowUs))
+    assert(afterTtl.count() < raw.count(), "TTL expiry must drop some cells")
+    assert(FilterOps.tagLattice(raw, auths = Seq("internal", "ops"))
+      .count() < FilterOps.tagLattice(raw).count(),
+      "narrowing the auth set must hide some cells")
+  }
+
   test("I26: streaming MOB ingest reconstructs the batch view; payload replay is a no-op") {
     val dir = Files.createTempDirectory("graft_mob_stream").toString
     val ckpt = Files.createTempDirectory("graft_mob_stream_ckpt").toString
