@@ -96,9 +96,11 @@ object ScaleSmoke {
     "j60_langid",
     "a22_namespace_admin",
     // round 15: raw scan over the delete-lattice store (markers + masked
-    // versions, no resolution), exact shingle-Jaccard verify stage
+    // versions, no resolution), exact shingle-Jaccard verify stage,
+    // perceptual image dedup (decode + block-mean hash + hash-groupBy)
     "b34_raw_scan",
-    "j61_jaccard_verify")
+    "j61_jaccard_verify",
+    "j62_image_dedup")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -507,6 +507,48 @@ object MediaCodec {
     PixelStats(w, h, bands, sum, sumSq, StrictMath.round(ent * 1000))
   }
 
+  /** 64-bit block-mean perceptual hash (the aHash family [public:
+    * average-hash, e.g. pHash.org / imagehash], made INTEGER-EXACT so a
+    * SQL oracle can recompute it bit for bit): the raster partitions
+    * into an 8×8 grid — pixel x lands in block column x·8/w, integer
+    * division, the closed form the DuckDB twin spells — and block b's
+    * bit is set iff its mean EXCEEDS the global mean, decided by integer
+    * cross-multiplication (s_b·w·h > S·n_b; no floating mean anywhere).
+    * Gray band 0 only (the dedup fixture is TYPE_BYTE_GRAY; color
+    * callers hash their luma plane via [[thumbnailGray]] + this grid).
+    * Bounds: s_b ≤ 255·w·h and the products stay far inside a Long for
+    * any raster below ~2⁷⁶⁸ pixels per side — no overflow at real dims.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val b = by * 8 + x * 8 / w
+        val v = (raster.getSample(x, y, 0) & 0xff).toLong
+        sums(b) += v
+        counts(b) += 1
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * w * h > total * counts(b)) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
   /** Bilinear resize (Java2D — the JDK's own scaler). Gray sources stay
     * single-band so thumbnails of gray images are gray bytes.
     */

@@ -264,8 +264,66 @@ object MultimodalOps {
       .orderBy(col("media_id").asc_nulls_last)
   }
 
+  /** Deterministic DUPLICATE-bearing gray-PNG table: payload pixels and
+    * dims keyed by the GROUP id (doc_id − doc_id % 5), so every run of 5
+    * consecutive doc_ids carries byte-identical image content under
+    * distinct media_ids — the re-hosted/re-crawled asset shape an image
+    * dedup pass exists for. Same narrow `mapPartitions` discipline as
+    * [[grayPngFiles]].
+    */
+  def dupGrayPngFiles(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id - id % 5
+          val w = (16 + g % 17).toInt
+          val h = (16 + (g * 3) % 13).toInt
+          MediaFile(id, graft.functions.MediaGen.grayPng(g, w, h))
+        }
+      }
+  }
+
+  case class MediaHash(media_id: Long, w: Int, h: Int, ahash: Long)
+
+  /** j62 — perceptual image dedup under the DuckDB oracle gate: the
+    * duplicate-bearing PNG corpus round-trips through parquet, ImageIO
+    * decodes on executors, every image gets the integer-exact 64-bit
+    * block-mean hash ([[graft.functions.MediaCodec.aHash64]]), and
+    * near-dup groups are ONE hash-groupBy on (ahash, w, h) — row-local
+    * work then a keyed aggregation, never a pairwise pixel compare, the
+    * only shape image dedup can take at 100 TB of media. The oracle
+    * recomputes every hash bit from the closed-form pixel grid (block
+    * sums + integer cross-multiplied mean tests + bit packing — zero
+    * floats), and groups exactly the same key, so a single wrong pixel,
+    * block boundary, or bit position anywhere in encode → parquet →
+    * decode → hash moves the gate. MultimodalSpec pins the planted
+    * group structure (runs of 5) and hash determinism.
+    */
+  val j62_image_dedup: Q = (s, d) => {
+    import s.implicits._
+    val dir = graft.Tables.appTmpDir(s, "graft_media_dup", d)
+    dupGrayPngFiles(s, ScaleOps.fanOut(graft.Tables.documents(s, d)))
+      .write.mode("overwrite").parquet(dir)
+    val hashed = ScaleOps.fanOut(s.read.parquet(dir))
+      .select(col("media_id"), col("payload")).as[MediaFile]
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          graft.functions.MediaCodec.decodeImage(f.payload).map { img =>
+            MediaHash(f.media_id, img.getWidth, img.getHeight,
+              graft.functions.MediaCodec.aHash64(img))
+          }
+        }
+      }
+    hashed.toDF()
+      .groupBy(col("ahash"), col("w"), col("h"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("rep"))
+      .orderBy(col("rep").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "j18_media_stats" -> j18_media_stats,
     "j19_media_dims" -> j19_media_dims,
-    "j25_media_pixels" -> j25_media_pixels)
+    "j25_media_pixels" -> j25_media_pixels,
+    "j62_image_dedup" -> j62_image_dedup)
 }

@@ -1236,6 +1236,35 @@ object OracleSql {
         |     generate_series(0, 32) xs(x), generate_series(0, 28) ys(y)
         |WHERE xs.x < w AND ys.y < h
         |GROUP BY id, w, h ORDER BY media_id NULLS LAST""".stripMargin,
+    // j62: perceptual image dedup — every hash BIT recomputed from the
+    // closed-form pixel grid: per-block integer sums, global-mean test by
+    // integer cross-multiplication (s·w·h > S·n_b), bit packing with the
+    // signed two's-complement spelling for bit 63 (1::BIGINT << 63
+    // overflows DuckDB's shift; Spark's 1L << 63 wraps to the same
+    // negative value the literal spells). Groups keyed (ahash, w, h)
+    // exactly like the Spark side, so a hash collision merges identically.
+    "j62_image_dedup" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id - doc_id % 5 AS g FROM documents),
+        |dims AS (SELECT id, g, CAST(16 + g % 17 AS INT) AS w,
+        |                CAST(16 + (g * 3) % 13 AS INT) AS h FROM ids),
+        |dg AS (SELECT DISTINCT g, w, h FROM dims),
+        |px AS (SELECT dg.g, dg.w, dg.h,
+        |              (ys.y * 8) // dg.h * 8 + (xs.x * 8) // dg.w AS b,
+        |              (xs.x * 3 + ys.y * 5 + dg.g * 7) % 256 AS v
+        |       FROM dg, generate_series(0, 32) xs(x), generate_series(0, 28) ys(y)
+        |       WHERE xs.x < dg.w AND ys.y < dg.h),
+        |blocks AS (SELECT g, w, h, b, sum(v) AS s, count(*) AS nb
+        |           FROM px GROUP BY g, w, h, b),
+        |tot AS (SELECT g, sum(v) AS tv FROM px GROUP BY g),
+        |hashes AS (SELECT bl.g, bl.w, bl.h,
+        |             CAST(sum(CASE WHEN bl.s * bl.w * bl.h <= t.tv * bl.nb THEN 0
+        |                           WHEN bl.b = 63 THEN -9223372036854775808
+        |                           ELSE (1::BIGINT << bl.b) END) AS BIGINT) AS ahash
+        |           FROM blocks bl JOIN tot t USING (g) GROUP BY bl.g, bl.w, bl.h)
+        |SELECT hs.ahash, hs.w, hs.h, count(*) AS n, min(dm.id) AS rep
+        |FROM dims dm JOIN hashes hs USING (g)
+        |GROUP BY hs.ahash, hs.w, hs.h
+        |ORDER BY rep NULLS LAST""".stripMargin,
     "j16_token_stats" ->
       """SELECT lang, count(*) AS n,
         |       CAST(sum(CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS DECIMAL(18,0))) AS BIGINT) AS tokens

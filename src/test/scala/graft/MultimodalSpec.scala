@@ -355,4 +355,37 @@ class MultimodalSpec extends SparkSuite {
       assert(r.getLong(3) == exp, s"doc $id")
     }
   }
+
+  test("j62: planted duplicate runs group exactly; aHash matches the closed form") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val out = graft.ops.MultimodalOps.j62_image_dedup(spark, sf).collect()
+    // every doc lands in exactly one group; planted runs of 5 (the last
+    // group may be a partial run if the doc count isn't a multiple of 5)
+    assert(out.map(_.getLong(3)).sum == nDocs)
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+    assert(out.count(_.getLong(3) == 5) >= out.length - 1,
+      "at most the final partial run may have n < 5")
+    // representatives are the run heads
+    assert(out.forall(_.getLong(4) % 5 == 0))
+    // hash bit semantics against a hand-computed reference on one image
+    val g = 10L
+    val (w, h) = ((16 + g % 17).toInt, (16 + (g * 3) % 13).toInt)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaGen.grayPng(g, w, h)))
+    val sums = Array.fill(64)(0L); val counts = Array.fill(64)(0L)
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y * 8 / h) * 8 + (x * 8 / w)
+      val v = ((3 * x + 5 * y + 7 * g) % 256)
+      sums(b) += v; counts(b) += 1; total += v
+    }
+    var want = 0L
+    for (b <- 0 until 64)
+      if (sums(b) * w * h > total * counts(b)) want |= (1L << b)
+    assert(MediaCodec.aHash64(img) == want)
+    // determinism across invocations (QueriesSpec runs the gated query
+    // twice; this pins the hash function itself)
+    assert(MediaCodec.aHash64(img) == want)
+  }
 }
