@@ -420,6 +420,27 @@ object StreamOps {
     graft.ops.MultimodalOps.decodePixels(spark,
       graft.ops.MultimodalOps.grayPngFiles(spark, docs).toDF()).toDF()
 
+  /** I30: the perceptual image hash (j62's decode → integer-exact
+    * block-mean aHash) applied to a document stream — fingerprint media
+    * at ingest time so the dedup groupBy downstream only ever sees one
+    * 64-bit key per image. Stateless per row (PNG build, ImageIO decode,
+    * and the hash are pure functions of doc_id), so streamed hashes
+    * equal the batch backfill row-for-row (StreamingSpec I30).
+    */
+  def imageHashStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.ops.MultimodalOps.dupGrayPngFiles(spark, docs)
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          graft.functions.MediaCodec.decodeImage(f.payload).map { img =>
+            graft.ops.MultimodalOps.MediaHash(f.media_id,
+              img.getWidth, img.getHeight,
+              graft.functions.MediaCodec.aHash64(img))
+          }
+        }
+      }.toDF()
+  }
+
   /** I16: BPE encoding applied to a document stream with a batch-trained
     * broadcast model — train once on the curated corpus, tokenize
     * arriving documents forever; stateless given the model, so streaming

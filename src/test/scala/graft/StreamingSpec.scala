@@ -164,6 +164,23 @@ class StreamingSpec extends SparkSuite {
       .sameElements(batch.collect().map(_.toString).sorted))
   }
 
+  test("I30: perceptual image hash is micro-batch invariant (stream equals batch)") {
+    // fingerprint-at-ingest for image dedup: PNG build + decode + the
+    // integer-exact block-mean hash are pure per-row functions of doc_id,
+    // so streamed hashes equal the batch backfill row-for-row — and the
+    // downstream dedup groupBy sees identical keys either way
+    val streamed = runStream(
+      StreamOps.imageHashStream(spark, StreamOps.documentsStream(spark, sf)),
+      "append", "t_imghash")
+    val batch = StreamOps.imageHashStream(spark, Tables.documents(spark, sf))
+    assert(streamed.count() == Tables.documents(spark, sf).count())
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted))
+    // planted duplicates collapse to one key per run of 5 under either path
+    assert(streamed.select("ahash", "w", "h").distinct().count() <
+      streamed.count())
+  }
+
   test("I16: BPE encode with a batch-trained model is micro-batch invariant") {
     // train once on the full (batch) corpus, tokenize the stream with the
     // broadcast model: token sequences must equal the batch backfill's
