@@ -58,9 +58,16 @@ Q = {
         SELECT count(*) n FROM lineitem
         WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
           AND NOT (l_returnflag = 'A')""",
+    # B3 r15: cast each FACTOR to decimal before the multiply, exactly as
+    # the graft twin must (SURVEY R2 — a double product can land on a .005
+    # tie that rounds differently cross-engine). The old spelling did the
+    # multiply in double and cast the product, which is strictly less
+    # work than the gate-required exact decimal arithmetic.
     "B3_join3": """
         SELECT c_mktsegment, count(*) n,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) rev
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(38,4)) rev
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS LAST""",
