@@ -367,4 +367,33 @@ class PlanSpec extends SparkSuite {
     assert(hashExchanges == 0,
       s"the declared plan (post-training) must not reshuffle the corpus\n$plan")
   }
+
+  test("b34 raw scan: no resolution machinery — no window, no join, one digest exchange") {
+    // Scan.setRaw(true) must surface cells WITHOUT the merge/mask work:
+    // the plan is the parallelized store read straight into the
+    // (qualifier, op, gen) digest — a coordinate window or join here
+    // would mean the raw path quietly resolves
+    val plan = physical(SparkEntry.queries("b34_raw_scan")(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"raw scan should shuffle once (the digest), got $hashExchanges\n$plan")
+  }
+
+  test("j62 image dedup: row-local hash then one keyed exchange — never a pairwise join") {
+    // the 100 TB image-dedup shape: decode + block-mean hash are
+    // MapPartitions over the payload scan; groups come from ONE
+    // hash-aggregate exchange on the 64-bit key; any join or cartesian
+    // would mean pixels are being compared pairwise
+    val plan = physical(SparkEntry.queries("j62_image_dedup")(spark, sf))
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"image dedup should shuffle once (the group key), got $hashExchanges\n$plan")
+  }
 }
