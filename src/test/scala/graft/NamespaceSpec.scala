@@ -59,4 +59,16 @@ class NamespaceSpec extends SparkSuite {
     // beta untouched either way
     assert(clone.where(col("table") === "beta").count() == 90L)
   }
+
+  test("an empty namespace snapshot clones to an empty cells+table view") {
+    // ADVICE r14: .reduce over zero tables threw; the clone must instead
+    // match mergedReadFiles' empty-input behavior — a well-typed empty
+    // DataFrame downstream code can union/filter without special-casing
+    val empty = NamespaceOps.readNamespaceClone(spark, Seq.empty)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq ==
+      HFileOps.cellsSchema.fieldNames.toSeq :+ "table")
+    // and it composes: a union with a real clone is just the real clone
+    assert(empty.unionByName(empty).count() == 0L)
+  }
 }
