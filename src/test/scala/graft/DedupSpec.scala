@@ -95,6 +95,41 @@ class DedupSpec extends SparkSuite {
     assert(withHubs >= starOnly + 0.05, "expected a material recall gain on an all-hot corpus")
   }
 
+  test("clusters: 200-hop chain converges logarithmically to one component") {
+    // the pathological shape for one-hop min-label propagation (d rounds
+    // for a d-long chain — the r15 design would have BLOWN the default
+    // maxIter=30 cap here): large-star/small-star must collapse it in
+    // O(log d) rounds and still produce the exact closure
+    val n = 201
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val verts = (0L until n.toLong).toDF("doc_id")
+    val labels = DedupOps.clusters(chain, verts)
+    val rounds = DedupOps.lastCcRounds
+    val comps = labels.select("cluster_id").distinct().collect().map(_.getLong(0))
+    assert(comps.sameElements(Array(0L)),
+      s"chain shattered: components ${comps.mkString(",")}")
+    assert(labels.count() == n)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound,
+      s"chain of ${n - 1} hops took $rounds star rounds (bound $bound) — " +
+        "convergence is not logarithmic")
+    info(s"200-hop chain: $rounds star rounds (bound $bound)")
+  }
+
+  test("clusters: two components with shared-looking ids stay separate") {
+    // star + triangle, disjoint: labels must be the per-component minima,
+    // nothing may leak across components through the edge rewiring
+    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), // star at 10
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle at 20
+      .toDF("a", "b")
+    val verts = Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 99L).toDF("doc_id")
+    val got = DedupOps.clusters(edges, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 99L -> 99L)
+    assert(got == want, s"labels $got != $want")
+  }
+
   test("exact dedup idempotence: dedup(dedup(x)) = dedup(x)") {
     val once = docs.groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min("doc_id").as("doc_id"))
