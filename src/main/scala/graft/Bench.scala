@@ -72,8 +72,23 @@ object Bench {
     // shapes thus genuinely keep their single warmup. The graded
     // single-shot run (repeat=1) is untouched for cross-round
     // comparability.
+    // The skip decision uses the cold first-warmup time, which conflates
+    // one-off planning/IO/JIT cost with steady-state cost: a query whose
+    // cold run reads 5–12 s but settles sub-second would get zero extra
+    // warmup and reintroduce the JIT-residue bias (ADVICE r15). Queries
+    // in that ambiguous band get ONE warm probe and the probe's time
+    // makes the call; ≥ 12 s cold is genuinely heavy — still skipped
+    // outright so heavy shapes keep paying exactly one warmup.
     if (repeat > 1) ordered.foreach { case (name, fn) =>
-      if (warmupSec.getOrElse(name, 0.0) < 5.0) try {
+      val cold = warmupSec.getOrElse(name, 0.0)
+      val steadyEligible =
+        if (cold < 5.0) true
+        else if (cold < 12.0) {
+          val t0 = System.nanoTime()
+          try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9 < 5.0
+        } else false
+      if (steadyEligible) try {
         val budget = System.nanoTime() + 5000000000L
         var i = 0
         while (i < 12 && System.nanoTime() < budget) {

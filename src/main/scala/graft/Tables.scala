@@ -71,12 +71,21 @@ object Tables {
       key == root || key.startsWith(root + "/")
     val it = relCache.keySet.iterator()
     while (it.hasNext) if (covers(it.next()._2)) it.remove()
-    // countCache is a synchronizedMap — iteration must hold its monitor
+    // countCache is a synchronizedMap — iteration must hold its monitor.
+    // Bump the epoch FIRST (inside the monitor) so an in-flight footer
+    // computation that started before this invalidate skips its put():
+    // compute happens outside the lock (deliberately — footer I/O must
+    // not block other paths), so without the epoch a stale count could
+    // be re-inserted right after the remove (ADVICE r15).
     countCache.synchronized {
+      countEpoch += 1
       val cit = countCache.keySet.iterator()
       while (cit.hasNext) if (covers(cit.next())) cit.remove()
     }
   }
+
+  // guarded by countCache's monitor; see invalidate()
+  private var countEpoch: Long = 0L
 
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -161,6 +170,7 @@ object Tables {
     val key = s"$d/$name.parquet"
     val hit = countCache.get(key)
     if (hit != null) return hit.longValue()
+    val epochAtStart = countCache.synchronized(countEpoch)
     val n: Long = {
       val conf = s.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(key)
@@ -183,7 +193,13 @@ object Tables {
           .map(p => footerCount(ser.value)(p)).sum().toLong
       }
     }
-    countCache.put(key, java.lang.Long.valueOf(n))
+    // re-insert only if no invalidate() ran while the footers were being
+    // read — otherwise this put would resurrect a count the caller just
+    // declared stale (the ordering computeIfAbsent used to guarantee)
+    countCache.synchronized {
+      if (countEpoch == epochAtStart)
+        countCache.put(key, java.lang.Long.valueOf(n))
+    }
     n
   }
 

@@ -516,8 +516,12 @@ object MediaCodec {
     * cross-multiplication (s_b·w·h > S·n_b; no floating mean anywhere).
     * Gray band 0 only (the dedup fixture is TYPE_BYTE_GRAY; color
     * callers hash their luma plane via [[thumbnailGray]] + this grid).
-    * Bounds: s_b ≤ 255·w·h and the products stay far inside a Long for
-    * any raster below ~2⁷⁶⁸ pixels per side — no overflow at real dims.
+    * Bounds: s_b ≤ 255·w·h (attainable only for degenerate <8-px-wide
+    * rasters, where blocks collapse), so s_b·w·h can reach 255·(w·h)² —
+    * past a Long once w·h exceeds ~1.9·10⁸ total pixels (~190 MP, e.g.
+    * ~13.8k per side). Rasters above that bound take the exact-compare
+    * slow path (Math.multiplyHigh 128-bit products) so a gigapixel
+    * input still hashes correctly instead of silently wrapping.
     */
   def aHash64(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
@@ -541,12 +545,30 @@ object MediaCodec {
       y += 1
     }
     var hash = 0L
+    val n = w.toLong * h
+    // 190 MP: past this the worst-case product 255·(w·h)² no longer fits
+    // a Long (see doc comment) — compare via exact 128-bit products
+    val exact128 = n > 190000000L
     var b = 0
     while (b < 64) {
-      if (sums(b) * w * h > total * counts(b)) hash |= (1L << b)
+      val set =
+        if (exact128) cmp128(sums(b), n, total, counts(b))
+        else sums(b) * n > total * counts(b)
+      if (set) hash |= (1L << b)
       b += 1
     }
     hash
+  }
+
+  /** a1·a2 > b1·b2 with all operands non-negative, 128-bit exact — the
+    * [[aHash64]] slow-path comparator for >190 MP rasters (where the
+    * Long fast path would wrap). Property-tested against BigInteger.
+    */
+  private[graft] def cmp128(a1: Long, a2: Long, b1: Long, b2: Long): Boolean = {
+    val aHi = Math.multiplyHigh(a1, a2); val aLo = a1 * a2
+    val bHi = Math.multiplyHigh(b1, b2); val bLo = b1 * b2
+    aHi > bHi || (aHi == bHi &&
+      java.lang.Long.compareUnsigned(aLo, bLo) > 0)
   }
 
   /** Bilinear resize (Java2D — the JDK's own scaler). Gray sources stay

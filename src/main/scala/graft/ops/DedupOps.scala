@@ -736,6 +736,12 @@ object DedupOps {
       .where(col("doc_id") <= 200 && length(col("text")) >= 5)
     val pairs = docs.select(col("doc_id").as("a"))
       .where(col("a") < 200).withColumn("b", col("a") + 1)
+    // load-bearing equivalence: pairs are built as (a, a+1) WITHOUT
+    // checking b exists in `docs` — a dangling pair survives only because
+    // exactJaccard's INNER shingle joins drop it, which is exactly how
+    // the oracle's inner d-join-d constructs its pair set. If exactJaccard
+    // ever moves to a left join (the langIdStage direction), this probe
+    // must filter b against docs itself or the gate silently desyncs.
     exactJaccard(docs, pairs, k = 5)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("a").asc_nulls_last)

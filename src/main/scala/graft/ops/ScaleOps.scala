@@ -27,11 +27,63 @@ object ScaleOps {
     * sf0.1). A query whose cost sits in an already-parallel shuffle or
     * in I/O just pays the extra exchange (j31/j32/j29 measured SLOWER
     * with it — reverted).
+    *
+    * The split-starvation decision comes from SCAN METADATA, not from
+    * `df.rdd.getNumPartitions` — that spelling physically planned the
+    * whole subtree just to read a partition count, then planned it AGAIN
+    * for the real execution (doubled driver planning work on a deep
+    * plan, and a subtle pin to the pre-AQE shape; VERDICT r15). Instead:
+    * if the scan's file count already reaches the session parallelism,
+    * this is the identity with ZERO extra I/O (the production path — a
+    * 100 TB corpus is millions of files); only a scan with fewer files
+    * than cores (≤ 31 here) reads those files' parquet footers (LRU-
+    * memoized, fixtures are immutable per run) to count ROW GROUPS — the
+    * true upper bound on scan parallelism for parquet, which byte-range
+    * split math overstates on the driver's single-row-group fixtures.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files: Seq[String] = df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    if (files.isEmpty) return df // no file scan under the plan: leave it be
+    if (files.size >= target) return df // production path: metadata-only
+    val splits = files.map { p =>
+      if (!p.endsWith(".parquet")) 1L // non-splittable-by-row-group source
+      else {
+        val hit = rowGroupCache.get(p)
+        if (hit != null) hit.longValue()
+        else {
+          val n: Long = {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(p),
+                spark.sparkContext.hadoopConfiguration))
+            try r.getRowGroups.size.toLong finally r.close()
+          }
+          rowGroupCache.put(p, java.lang.Long.valueOf(n))
+          n
+        }
+      }
+    }.sum
+    if (splits >= target) df else df.repartition(target)
   }
+
+  // path → row-group count; bounded LRU on the Tables.countCache pattern
+  // (fixtures are immutable per run; only sub-parallelism file sets are
+  // ever footer-read, so the map stays tiny)
+  private val rowGroupCache: java.util.Map[String, java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 256
+      })
 
   // ------------------------------------------------------------- salting
 

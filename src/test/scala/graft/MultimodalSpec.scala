@@ -8,6 +8,25 @@ class MultimodalSpec extends SparkSuite {
 
   private lazy val media = MultimodalOps.mediaTable(Tables.documents(spark, sf)).cache()
 
+  test("aHash64 128-bit comparator agrees with BigInteger on hostile products") {
+    // the >190 MP slow path: pin cmp128 against BigInteger over values
+    // spanning the Long range (incl. products that wrap a 64-bit low word)
+    val rnd = new scala.util.Random(42)
+    def big(x: Long) = java.math.BigInteger.valueOf(x)
+    val interesting = Seq(0L, 1L, 255L, Int.MaxValue.toLong,
+      1L << 31, (1L << 32) - 1, 1L << 40, Long.MaxValue / 255, Long.MaxValue)
+    val cases = (for (a <- interesting; b <- interesting) yield (a, b, b, a)) ++
+      (0 until 2000).map { _ =>
+        (rnd.nextLong() >>> 1, rnd.nextLong() >>> 20,
+          rnd.nextLong() >>> 1, rnd.nextLong() >>> 20)
+      }
+    cases.foreach { case (a1, a2, b1, b2) =>
+      val want = big(a1).multiply(big(a2)).compareTo(big(b1).multiply(big(b2))) > 0
+      assert(graft.functions.MediaCodec.cmp128(a1, a2, b1, b2) == want,
+        s"cmp128($a1,$a2,$b1,$b2) disagrees with BigInteger")
+    }
+  }
+
   test("media schema: binary payload + typed metadata struct") {
     val sch = media.schema
     assert(sch("payload").dataType.typeName == "binary")
