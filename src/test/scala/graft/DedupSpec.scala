@@ -95,6 +95,50 @@ class DedupSpec extends SparkSuite {
     assert(withHubs >= starOnly + 0.05, "expected a material recall gain on an all-hot corpus")
   }
 
+  test("LSH -> exact-Jaccard verify chain recovers planted dups, rejects banded negatives") {
+    // VERDICT r15 nit 2: j61 gates exactJaccard over STAND-IN successor
+    // pairs (the xxhash64 banding can't cross the DuckDB oracle), so the
+    // real composition candidatePairs -> exactJaccard was pinned nowhere.
+    // This golden runs the REAL chain on a corpus with planted positives
+    // (one-token mutations, exact Jaccard >= ~0.9) and planted NEGATIVES:
+    // boilerplate-sharing docs whose estimated similarity is high enough
+    // for banding to admit some pairs but whose exact Jaccard sits below
+    // the verify threshold — the pairs only the verify stage can kill.
+    val base = docs.where(col("doc_id") < 30).select("doc_id", "text")
+    val copies = base.select((col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" zq")).as("text"))
+    val boiler = docs.where(col("doc_id") === 0).select("text").as[String].head()
+      .split(" ").take(60).mkString(" ")
+    val negatives = (0 until 10).map { i =>
+      // shared 60-token boilerplate + a distinct 40-token tail: exact
+      // 5-gram Jaccard between two negatives ~= 56/(56+2*36) ~ 0.44 -- far
+      // below the 0.7 verify bar, close enough for banding to admit some
+      (20000L + i, boiler + " " + (0 until 40).map(t => s"tail${i}w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = base.union(copies).union(negatives).cache()
+    val sigs = DedupOps.signatures(corpus)
+    val cands = DedupOps.candidatePairs(sigs, threshold = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val negCross = (for (i <- 0 until 10; j <- i + 1 until 10)
+      yield (20000L + i, 20000L + j)).toSet
+    val bandedNegatives = cands & negCross
+    assert(bandedNegatives.nonEmpty,
+      "no boilerplate pair was banded together — the verify stage has nothing to reject and the test is vacuous")
+    val verified = DedupOps.exactJaccard(corpus,
+        cands.toSeq.toDF("a", "b"))
+      .where(col("jaccard") >= 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val positives = (0L until 30L).map(i => (i, i + 10000)).toSet
+    val recovered = verified & positives
+    assert(recovered.size >= 27,
+      s"only ${recovered.size}/30 planted near-dups survived the LSH->verify chain")
+    assert((verified & negCross).isEmpty,
+      s"verify accepted banded boilerplate pairs: ${(verified & negCross).take(5)}")
+    info(s"chain: ${cands.size} candidates, ${bandedNegatives.size} banded negatives " +
+      s"all rejected, ${recovered.size}/30 positives recovered")
+    corpus.unpersist()
+  }
+
   test("clusters: 200-hop chain converges logarithmically to one component") {
     // the pathological shape for one-hop min-label propagation (d rounds
     // for a d-long chain — the r15 design would have BLOWN the default
