@@ -117,6 +117,9 @@ def ensure_sf1(repo, sf):
 def main():
     rnd = int(sys.argv[1])
     detail_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
+    # shared close-session run id (round_close.sh mints one per close so
+    # headline/detail/baseline artifacts are provably from ONE session)
+    run_id = sys.argv[3] if len(sys.argv) > 3 else None
     detail = json.load(open(detail_path))
     sf = detail.get("sf", "/root/testdata/sf0.1")
     cpus = str(detail.get("cpus", os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -185,6 +188,13 @@ def main():
         "battery_single_shot": {g: detail.get("queries", {}).get(g)
                                 for g in TWINS.values()},
     }
+    if run_id:
+        result["source_run"] = {
+            "id": run_id,
+            "detail_of": detail_path,
+            "producer": "baseline_close.py in the same round_close session "
+                        "as the bench detail snapshot",
+        }
     path = f"BASELINE_r{rnd:02d}.json"
     with open(path, "w") as f:
         json.dump(result, f, indent=1)

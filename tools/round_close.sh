@@ -92,6 +92,12 @@ echo "== round_close: fresh full bench + per-query detail snapshot =="
 # closed, snapshot ITS detail, and assert the stdout total matches the
 # detail total (same results array, so any disagreement means a torn
 # file or a concurrent writer).
+# ONE shared run id stamps headline + detail + baseline (VERDICT r15
+# missing #1: the r15 headline and detail artifacts of record came from
+# sessions 84 minutes apart and disagreed by 14% host drift, so every
+# per-query delta needed prose adjudication; with one id per close, any
+# artifact carrying a different id is self-evidently a different run)
+run_id="close-r${n}-$(date -u +%Y%m%dT%H%M%SZ)"
 if [ "${SPARK_GRAFT_SKIP_BENCH:-0}" = "1" ]; then
   echo "round_close: bench SKIPPED by SPARK_GRAFT_SKIP_BENCH=1"
 else
@@ -120,12 +126,15 @@ if [ -f bench_detail.json ]; then
     # stdout total) so any later artifact with a different total is
     # self-evidently a DIFFERENT run (host drift, driver re-run), not a
     # misattributed one. The totals-agreement gate rides the same step.
-    python3 - bench_detail.json "$snap" "${bench_line:-}" <<'PYEOF'
+    python3 - bench_detail.json "$snap" "${bench_line:-}" "$run_id" "$n" <<'PYEOF'
 import datetime, json, os, sys
-detail_f, snap_f, line_s = sys.argv[1], sys.argv[2], sys.argv[3]
+detail_f, snap_f, line_s, run_id, rnd = (sys.argv[1], sys.argv[2],
+                                         sys.argv[3], sys.argv[4],
+                                         int(sys.argv[5]))
 snap = json.load(open(detail_f))
 mtime = os.stat(detail_f).st_mtime
 snap["source_run"] = {
+    "id": run_id,
     "measured_utc": datetime.datetime.fromtimestamp(
         mtime, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     "total_sec": round(snap["value"], 3),
@@ -139,9 +148,18 @@ if line_s:
                  "the snapshot is not the detail of the recorded run")
     print(f"round_close: detail/stdout totals agree ({line['value']:.2f}s, "
           f"{len(snap['queries'])} queries)")
+    # the close's own HEADLINE of record, from the SAME run as the
+    # detail by construction (VERDICT r15 missing #1). If the driver
+    # later writes its own BENCH_r<N>.json, its missing/different
+    # source_run.id makes the session difference self-evident.
+    line["source_run"] = snap["source_run"]
+    head_f = f"BENCH_r{rnd:02d}_close.json"
+    json.dump(line, open(head_f, "w"), indent=1)
+    print(f"round_close: wrote {head_f} (headline, same run id as the "
+          "detail snapshot — git add it with the round commit)")
 json.dump(snap, open(snap_f, "w"), indent=1)
 print(f"round_close: snapshotted {detail_f} -> {snap_f} with source_run "
-      f"stamp {snap['source_run']['measured_utc']} / "
+      f"stamp {snap['source_run']['id']} / "
       f"{snap['source_run']['total_sec']}s (git add it with the round commit)")
 PYEOF
     # VERDICT r7 task 1: same-session stock baseline. The r7 audit showed
@@ -150,7 +168,7 @@ PYEOF
     # 15-shape battery NOW, in the same session state as the detail file
     # just snapshotted, and emit BASELINE_r<N>.json with same-run ratios.
     # Fail-soft: a baseline measurement hiccup must not block a green close.
-    if python3 tools/baseline_close.py "$n" bench_detail.json; then
+    if python3 tools/baseline_close.py "$n" bench_detail.json "$run_id"; then
       echo "round_close: wrote $(printf 'BASELINE_r%02d.json' "$n") (git add it with the round commit)"
     else
       echo "round_close: WARNING baseline_close failed — round closes without a same-session baseline (ratios vs BASELINE.md only)"
