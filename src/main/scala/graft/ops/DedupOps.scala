@@ -296,16 +296,31 @@ object DedupOps {
   /** Exact n-gram Jaccard for a pair set — the verify stage when estimated
     * similarity isn't enough (joins shingle sets only for candidates).
     */
-  def exactJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+  def exactJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame =
+    verifyPairs(shingleSets(docs, k), pairs)
+
+  /** The verify-stage INDEX: distinct k-char shingle set per document
+    * (native O(len·k) expression). Split out of [[exactJaccard]] so the
+    * I31 serving path can cache it across micro-batch triggers.
+    */
+  def shingleSets(docs: DataFrame, k: Int = 5): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
-    val sh = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+  }
+
+  /** Verify a candidate-pair sliver against a shingle-set index:
+    * exact |A∩B| / |A∪B| per pair, one final IEEE division of two exact
+    * integer counts. INNER joins by contract — a pair whose endpoint is
+    * missing from the index is dropped (j61 and its oracle both lean on
+    * this; see the note at the j61 call site).
+    */
+  def verifyPairs(sh: DataFrame, pairs: DataFrame): DataFrame =
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double")
           / size(array_union(col("sha"), col("shb")))).as("jaccard"))
-  }
 
   /** SimHash (64-bit): per-token hash votes ±1 per bit; the sign vector is
     * the fingerprint. Near-dups = small Hamming distance. One partial/final

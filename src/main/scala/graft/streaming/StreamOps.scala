@@ -441,6 +441,35 @@ object StreamOps {
       }.toDF()
   }
 
+  /** I31: the exact-Jaccard VERIFY stage over a streaming feed — the
+    * j61 serving shape: candidate pairs arrive in micro-batches (the
+    * same deterministic successor-pair carve j61 gates), the STATIC
+    * corpus's shingle-set index is built once and cached across triggers
+    * (registered for end-of-serving cleanup), each trigger verifies only
+    * its pair sliver. Stateless stream-static inner joins — append mode,
+    * no watermark, no state store; streamed verdicts must equal batch
+    * j61 row-for-row (StreamingSpec I31).
+    */
+  def jaccardVerifyStream(spark: SparkSession, sfDir: String,
+                          probeDocs: DataFrame): DataFrame = {
+    import graft.ops.DedupOps
+    val docs = Tables.documents(spark, sfDir)
+      .where(col("doc_id") <= 200 && length(col("text")) >= 5)
+    val sh0 = DedupOps.shingleSets(docs)
+    val sh =
+      if (probeDocs.isStreaming) {
+        val cached = sh0.cache()
+        registerServingCache(spark, cached)
+        cached
+      } else sh0
+    val pairs = probeDocs
+      .where(col("doc_id") < 200 && length(col("text")) >= 5)
+      .select(col("doc_id").as("a"))
+      .withColumn("b", col("a") + 1)
+    DedupOps.verifyPairs(sh, pairs)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** I16: BPE encoding applied to a document stream with a batch-trained
     * broadcast model — train once on the curated corpus, tokenize
     * arriving documents forever; stateless given the model, so streaming

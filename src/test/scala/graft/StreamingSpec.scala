@@ -181,6 +181,21 @@ class StreamingSpec extends SparkSuite {
       streamed.count())
   }
 
+  test("I31: streaming Jaccard verify equals batch j61 row-for-row") {
+    // the verify stage's serving shape: candidate pairs stream in, the
+    // static shingle-set index is cached across triggers; stateless
+    // stream-static inner joins, so the streamed verdicts must be the
+    // declared j61 table exactly (modulo its output ORDER BY)
+    val streamed = runStream(
+      StreamOps.jaccardVerifyStream(spark, sf, StreamOps.documentsStream(spark, sf)),
+      "append", "t_jverify")
+    val batch = SparkEntry.queries("j61_jaccard_verify")(spark, sf)
+    assert(streamed.count() > 0, "no pairs verified on this fixture")
+    assert(streamed.collect().map(_.toString).sorted
+      .sameElements(batch.collect().map(_.toString).sorted),
+      "streamed Jaccard verify diverges from batch j61")
+  }
+
   test("I16: BPE encode with a batch-trained model is micro-batch invariant") {
     // train once on the full (batch) corpus, tokenize the stream with the
     // broadcast model: token sequences must equal the batch backfill's
