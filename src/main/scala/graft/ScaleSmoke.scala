@@ -100,7 +100,13 @@ object ScaleSmoke {
     // perceptual image dedup (decode + block-mean hash + hash-groupBy)
     "b34_raw_scan",
     "j61_jaccard_verify",
-    "j62_image_dedup")
+    "j62_image_dedup",
+    // round 16: normalizer/placement plans (data reduces to region
+    // metadata in one exchange, windows run on the bounded region table)
+    // and the hot-bucket skew detector (median broadcast + top-k)
+    "a23_region_normalize",
+    "a24_region_placement",
+    "b35_hot_buckets")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
