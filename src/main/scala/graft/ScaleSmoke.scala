@@ -106,7 +106,8 @@ object ScaleSmoke {
     // and the hot-bucket skew detector (median broadcast + top-k)
     "a23_region_normalize",
     "a24_region_placement",
-    "b35_hot_buckets")
+    "b35_hot_buckets",
+    "j63_dedup_report")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -762,8 +762,42 @@ object DedupOps {
       .orderBy(col("a").asc_nulls_last)
   }
 
+  /** j63 — the dedup SAVINGS REPORT a curation run ends with: over the
+    * duplicate-component assignment (the same capped subgraph as j38, so
+    * the DuckDB recursive-CTE closure can recompute it), a cluster-size
+    * histogram with exact removable-doc and removable-char totals —
+    * canonical per cluster = the minimum doc_id, which IS the component
+    * label by [[clusters]]' construction, so the canonical row needs no
+    * argmin, just `doc_id = cluster_id`. Gates the r16 large-star/
+    * small-star CC STRUCTURALLY (component sizes and membership counts,
+    * not just per-doc labels). All-integer output — exact cross-engine.
+    * At scale: two keyed aggregations over the label table (corpus-sized
+    * once, then cluster-sized), no window, no pairwise anything.
+    */
+  val j63_dedup_report: Q = (s, d) => {
+    val docs = Tables.documents(s, d).where(col("doc_id") < 2000)
+    val e0 = shingleEdges(docs)
+    val verts = e0.select(col("a").as("doc_id"))
+      .union(e0.select(col("b").as("doc_id"))).distinct()
+    val labels = clusters(e0, verts, maxIter = 30)
+    val sized = labels.join(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      "doc_id")
+    val perCluster = sized.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"), sum("len").as("chars"))
+    val canonical = sized.where(col("doc_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("len").as("can_len"))
+    perCluster.join(canonical, "cluster_id")
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("docs_removable"),
+        sum(col("chars") - col("can_len")).as("chars_removable"))
+      .orderBy(asc_nulls_last("cluster_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "j38_connected_components" -> j38_connected_components,
+    "j63_dedup_report" -> j63_dedup_report,
     "j39_simhash_portable" -> j39_simhash_portable,
     "j40_minhash_portable" -> j40_minhash_portable,
     "j46_dedup_incremental" -> j46_dedup_incremental,

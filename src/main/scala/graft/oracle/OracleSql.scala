@@ -1889,6 +1889,39 @@ object OracleSql {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
         |ORDER BY doc_id NULLS LAST""".stripMargin,
+    // j63: the dedup savings report — the j38 closure extended with doc
+    // lengths; canonical = component min, so can_len needs no argmin.
+    // All-integer output (sums CAST to BIGINT per R9)
+    "j63_dedup_report" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
+        |w AS (
+        |  SELECT doc_id, substr(t, i, 30) AS w
+        |  FROM d, unnest(generate_series(1, length(t)-29)) AS u(i)
+        |  WHERE length(t) >= 30),
+        |dw AS (SELECT DISTINCT doc_id, w FROM w),
+        |wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+        |sel AS (SELECT w FROM wc WHERE c BETWEEN 2 AND 4),
+        |e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |       FROM dw a JOIN dw b USING (w) JOIN sel USING (w)
+        |       WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  SELECT v AS a, v AS b FROM verts
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        |sized AS (SELECT comp.doc_id, comp.component, length(d2.text) AS len
+        |          FROM comp JOIN documents d2 USING (doc_id)),
+        |pc AS (SELECT component, count(*) AS sz, sum(len) AS chars
+        |       FROM sized GROUP BY 1),
+        |can AS (SELECT component, len AS can_len FROM sized WHERE doc_id = component)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(sz - 1) AS BIGINT) AS docs_removable,
+        |  CAST(sum(chars - can_len) AS BIGINT) AS chars_removable
+        |FROM pc JOIN can USING (component)
+        |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin,
     "j39_simhash_portable" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
