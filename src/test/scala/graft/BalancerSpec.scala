@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.BalancerOps
+import org.apache.spark.sql.functions._
+
+/** Invariants of the a23/a24 planning surface the relational oracle
+  * cannot see: plan safety (split and merge never claim the same
+  * region, merges pair disjointly), serpentine balance quality, and
+  * determinism under repartitioning.
+  */
+class BalancerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def statsOf(ns: Seq[Long]) =
+    ns.zipWithIndex.map { case (n, i) =>
+      (i, f"k$i%05d", n)
+    }.toDF("region_id", "start_key", "n_cells")
+
+  test("normalize plan: merge pairs are disjoint and adjacent; split and merge never overlap") {
+    // sizes engineered so several merge candidates chain: without parity
+    // pairing, regions 1..4 (all tiny) would each try to merge with both
+    // neighbors — the plan must pair them (1,2) and (3,4), never reuse one
+    val plan = BalancerOps.normalizePlan(
+        statsOf(Seq(100, 10, 10, 10, 10, 900, 100)))
+      .orderBy("region_id").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getString(4)))
+    val actions = plan.map(_._3)
+    // every merge_right is immediately followed by its merge_left partner
+    actions.zipWithIndex.foreach { case (a, i) =>
+      if (a == "merge_right")
+        assert(actions(i + 1) == "merge_left",
+          s"merge_right at $i lacks its partner: ${actions.mkString(",")}")
+      if (a == "merge_left")
+        assert(i > 0 && actions(i - 1) == "merge_right",
+          s"merge_left at $i lacks its partner: ${actions.mkString(",")}")
+    }
+    // a region is claimed by at most one action by construction of the
+    // single action column; split regions must actually be oversized
+    val tgt = BalancerOps.normalizePlan(statsOf(Seq(100, 10, 10, 10, 10, 900, 100)))
+      .select("tgt").head().getLong(0)
+    plan.filter(_._3 == "split").foreach { case (_, n, _) =>
+      assert(n > 2 * tgt)
+    }
+    plan.filter(_._3.startsWith("merge")).foreach { case (_, n, _) =>
+      assert(n < tgt)
+    }
+    assert(actions.count(_ == "split") >= 1 && actions.count(_ == "merge_right") >= 1,
+      s"engineered skew produced a vacuous plan: ${actions.mkString(",")}")
+  }
+
+  test("placement: serpentine max-min load gap is bounded by the largest region") {
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq.fill(40)(1L + rnd.nextInt(1000).toLong)
+    val placed = BalancerOps.placementPlan(
+        sizes.zipWithIndex.map { case (n, i) => (i, n) }.toDF("region_id", "n_cells"),
+        nServers = 7)
+      .groupBy("server").agg(sum("n_cells").as("load"))
+      .collect().map(_.getLong(1))
+    assert(placed.length == 7, s"server(s) left empty: ${placed.length}/7")
+    // serpentine quality: each deal round adds one region per server in
+    // opposing order, so imbalance accumulates at most one max-sized
+    // region overall — loose-bound it by the largest region size
+    assert(placed.max - placed.min <= sizes.max,
+      s"load gap ${placed.max - placed.min} exceeds the largest region ${sizes.max}")
+  }
+
+  test("plans are invariant under input partitioning") {
+    val stats = statsOf(Seq(500, 20, 20, 800, 30, 30, 60))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.normalizePlan(df).collect().map(_.toString).sorted.toSeq
+    def place(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.placementPlan(df.drop("start_key"), 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(norm(stats) == norm(stats.repartition(13)))
+    assert(place(stats) == place(stats.repartition(13)))
+  }
+}
