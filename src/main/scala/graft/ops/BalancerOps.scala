@@ -129,13 +129,20 @@ object BalancerOps {
     * back — the data never shuffles twice. Pairs with a24: these are
     * the per-region request counts a placement plan consumes.
     */
-  val b35_hot_buckets: Q = (s, d) => {
-    val byBucket = Tables.cells(s, d)
+  val b35_hot_buckets: Q = (s, d) =>
+    hotBucketReport(Tables.cells(s, d)
       .groupBy(substring(col("rowkey"), 1, 12).as("bucket"))
-      .agg(count(lit(1)).as("n_req"))
-      .graftCkpt() // consumed twice: the median agg and the skew select
-    val med = byBucket.agg(percentile(col("n_req"), lit(0.5)).as("med"))
-    byBucket.crossJoin(broadcast(med))
+      .agg(count(lit(1)).as("n_req")))
+
+  /** The skew REPORT stage of b35, over an already-aggregated bucket
+    * table `(bucket, n_req)` — split out so the I32 streaming monitor
+    * can recompute the report per trigger on its complete-mode counts
+    * (median and top-k are not streaming aggregations).
+    */
+  def hotBucketReport(byBucket: DataFrame): DataFrame = {
+    val b = byBucket.graftCkpt() // consumed twice: median agg + skew select
+    val med = b.agg(percentile(col("n_req"), lit(0.5)).as("med"))
+    b.crossJoin(broadcast(med))
       .select(col("bucket"), col("n_req"),
         round(col("n_req") / col("med"), 6).as("skew"))
       .orderBy(col("n_req").desc, col("bucket").asc_nulls_last)

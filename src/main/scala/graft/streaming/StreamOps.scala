@@ -620,6 +620,33 @@ object StreamOps {
       }
   }
 
+  /** I32: LIVE hotspot monitoring — the b35 skew report over a streaming
+    * event feed. Bucket request counts accumulate across micro-batches
+    * (complete-mode streaming groupBy — the state store carries one
+    * running count per bucket, bounded by the bucket table, never the
+    * feed), and each trigger recomputes the REPORT (median + top-k are
+    * not streaming aggregations — the I23 foreachBatch recompute
+    * pattern) over that bounded table. After full replay the last
+    * report must equal batch b35 exactly (StreamingSpec I32). This is
+    * the operational shape: the hotspot pager watches a region server's
+    * request feed, not a nightly batch scan.
+    */
+  def hotBucketsSink(events: DataFrame, checkpointDir: String)
+                    (sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    cellsStream(events)
+      .groupBy(substring(col("rowkey"), 1, 12).as("bucket"))
+      .agg(count(lit(1)).as("n_req"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ops.BalancerOps.hotBucketReport(batch))
+        ()
+      }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -181,6 +181,26 @@ class StreamingSpec extends SparkSuite {
       streamed.count())
   }
 
+  test("I32: streaming hot-bucket skew report equals batch b35 after full replay") {
+    // live hotspot monitoring: complete-mode bucket counts accumulate in
+    // the state store; the skew report recomputes per trigger over the
+    // bounded bucket table. The final trigger has seen the whole feed,
+    // so its report must be the declared b35 table in order.
+    var last: Array[String] = Array.empty
+    var triggers = 0
+    val ckpt = Files.createTempDirectory("hotb_ckpt").toString
+    val q = StreamOps.hotBucketsSink(StreamOps.eventsStream(spark, sf), ckpt) { rep =>
+      last = rep.collect().map(_.toString); triggers += 1
+    }.start()
+    q.awaitTermination()
+    assert(triggers >= 2, s"replay must be multi-micro-batch, got $triggers")
+    val batch = SparkEntry.queries("b35_hot_buckets")(spark, sf)
+      .collect().map(_.toString)
+    assert(last.nonEmpty && last.sameElements(batch),
+      s"streamed hot-bucket report diverges from batch b35 " +
+        s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
+  }
+
   test("I31: streaming Jaccard verify equals batch j61 row-for-row") {
     // the verify stage's serving shape: candidate pairs stream in, the
     // static shingle-set index is cached across triggers; stateless
