@@ -44,11 +44,23 @@ object ScaleOps {
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val files: Seq[String] = df.queryExecution.logical.collect {
+    // ANALYZED plan, not `.logical`: Spark 4's `read.parquet` leaves an
+    // UnresolvedDataSource leaf until analysis, so the raw logical plan
+    // has no relation to inspect (probed — the match came back empty and
+    // fanOut silently became the identity; the j33/h12 bench regression).
+    // Analysis is resolution only — no physical planning, the thing the
+    // old `.rdd` spelling paid twice.
+    val files: Seq[String] = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2.table match {
+          case t: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            t.fileIndex.inputFiles.toSeq
           case _ => Seq.empty[String]
         }
     }.flatten
