@@ -107,7 +107,12 @@ object ScaleSmoke {
     "a23_region_normalize",
     "a24_region_placement",
     "b35_hot_buckets",
-    "j63_dedup_report")
+    "j63_dedup_report",
+    // round 16 (cont.): replication verification — the per-range hash
+    // manifest compare (one map-side-combining exchange per side) and
+    // the cell-level VerifyReplication counters it scopes
+    "a25_verify_replication",
+    "a26_sync_ranges")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -24,7 +24,8 @@ object SparkEntry {
       ops.RepetitionOps.queries ++ ops.RankOps.queries ++
       ops.SketchOps.queries ++ ops.DedupOps.queries ++
       ops.LangIdOps.queries ++ sources.WalOps.queries ++
-      sources.NamespaceOps.queries ++ ops.BalancerOps.queries
+      sources.NamespaceOps.queries ++ ops.BalancerOps.queries ++
+      ops.ReplicaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

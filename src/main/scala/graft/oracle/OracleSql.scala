@@ -2130,7 +2130,78 @@ object OracleSql {
         |JOIN (SELECT doc_id, lang FROM d) d2 USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** a25/a26 shared replica CTEs: `c` is the cells view carrying the
+    * value as exact integer cents (no floating rendering anywhere) plus
+    * the key arithmetic; `t` is the deterministic replica drift (drops /
+    * +7-cent corruptions / extra x_repl cells, odd region buckets only —
+    * SF-relative, so the drift is non-vacuous and even ranges stay clean
+    * at every fixture SF) — ReplicaOps.tgtCells's exact arithmetic.
+    */
+  private val replicaCtes: String =
+    s"""WITH c AS (
+       |  SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'), ':',
+       |                lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rowkey,
+       |         'e' AS cf, event_type AS qualifier,
+       |         CAST(epoch_us(ts) AS BIGINT) AS ts,
+       |         CASE WHEN event_id % 97 = 0 THEN 'delete' ELSE 'put' END AS op,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |         user_id, event_id,
+       |         ($regionBucketCase) % 2 = 1 AS drift
+       |  FROM events),
+       |t AS (
+       |  SELECT rowkey, cf, qualifier, ts, op,
+       |         CASE WHEN drift AND event_id % 103 = 0
+       |              THEN cents + 7 ELSE cents END AS cents, user_id
+       |  FROM c WHERE NOT (drift AND event_id % 101 = 0)
+       |  UNION ALL
+       |  SELECT rowkey, cf, 'x_repl', ts + 1, op, cents + 1, user_id
+       |  FROM c WHERE drift AND event_id % 107 = 0)
+       |""".stripMargin
+
+  private val replica: Map[String, String] = Map(
+    // a25: VerifyReplication counters — full outer on the complete cell
+    // coordinate (unique per cell), null-safe content compare
+    "a25_verify_replication" ->
+      (replicaCtes +
+        """SELECT category, count(*) AS n FROM (
+          |  SELECT CASE WHEN s.op IS NULL THEN 'ONLY_IN_TARGET'
+          |              WHEN t.op IS NULL THEN 'ONLY_IN_SOURCE'
+          |              WHEN s.cents IS NOT DISTINCT FROM t.cents
+          |               AND s.op IS NOT DISTINCT FROM t.op THEN 'GOODROWS'
+          |              ELSE 'CONTENT_DIFFERENT' END AS category
+          |  FROM c s FULL OUTER JOIN t
+          |    ON s.rowkey = t.rowkey AND s.cf = t.cf
+          |   AND s.qualifier = t.qualifier AND s.ts = t.ts)
+          |GROUP BY category ORDER BY category NULLS LAST""".stripMargin),
+    // a26: SyncTable range plan — per-range commutative hash = sum of
+    // per-cell md5-60 fingerprints (exact HUGEINT) mod 1e9+7, the a17
+    // digest recipe; integer-cents rendering keeps the strings portable
+    "a26_sync_ranges" ->
+      (replicaCtes.stripSuffix("\n") +
+        s""",
+           |sm AS (SELECT $regionBucketCase AS range_id, count(*) AS n,
+           |         CAST(sum(CAST(('0x' || substr(md5(rowkey || '#' || cf || '#' ||
+           |             qualifier || '#' || CAST(ts AS VARCHAR) || '#' ||
+           |             CAST(cents AS VARCHAR) || '#' || op), 1, 15))::BIGINT
+           |           AS HUGEINT)) % 1000000007 AS BIGINT) AS h
+           |       FROM c GROUP BY 1),
+           |tm AS (SELECT $regionBucketCase AS range_id, count(*) AS n,
+           |         CAST(sum(CAST(('0x' || substr(md5(rowkey || '#' || cf || '#' ||
+           |             qualifier || '#' || CAST(ts AS VARCHAR) || '#' ||
+           |             CAST(cents AS VARCHAR) || '#' || op), 1, 15))::BIGINT
+           |           AS HUGEINT)) % 1000000007 AS BIGINT) AS h
+           |       FROM t GROUP BY 1)
+           |SELECT COALESCE(sm.range_id, tm.range_id) AS range_id,
+           |       COALESCE(sm.n, 0) AS n_src, COALESCE(tm.n, 0) AS n_tgt,
+           |       sm.h AS h_src, tm.h AS h_tgt,
+           |       CASE WHEN sm.n IS NOT DISTINCT FROM tm.n
+           |             AND sm.h IS NOT DISTINCT FROM tm.h
+           |            THEN 'ok' ELSE 'sync' END AS action
+           |FROM sm FULL OUTER JOIN tm ON sm.range_id = tm.range_id
+           |ORDER BY range_id NULLS LAST""".stripMargin))
+
   def all: Map[String, String] =
     scans ++ filters ++ joins ++ aggs ++ sortSets ++ windows ++ fns ++ texts ++
-      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch ++ curate ++ langid
+      samples ++ udx ++ k5 ++ bpe ++ repetition ++ rankSketch ++ curate ++
+      langid ++ replica
 }

@@ -429,4 +429,34 @@ class PlanSpec extends SparkSuite {
       s"top-10 must be take-ordered, not a global sort\n$plan")
     assert(!plan.contains("Window"), plan)
   }
+
+  test("a26 sync ranges: each side reduces via one hash-agg exchange into bounded manifests") {
+    // the HashTable shape: the commutative range hash is a partial-
+    // aggregating SUM, so each table contributes exactly ONE data-sized
+    // exchange (its manifest groupBy); the manifest-vs-manifest full
+    // outer then joins on that same range_id partitioning — no further
+    // hash exchange — and its inputs are bounded metadata (one row per
+    // key range), so whichever join Spark picks is metadata-sized. (Full
+    // outer can't broadcast-hash, so we pin the exchange count, not the
+    // join flavor.) No window, no cartesian.
+    val plan = physical(SparkEntry.queries("a26_sync_ranges")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2,
+      s"one manifest exchange per side, got $hashExchanges\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("a25 verify replication: one cell-coordinate join, no window, no cartesian") {
+    // VerifyReplication is honestly one full-outer shuffle join on the
+    // cell coordinate — the expensive query a26 exists to scope. What
+    // must NOT appear: any window (coordinates are unique, nothing needs
+    // ranking) or a second data-sized join
+    val plan = physical(SparkEntry.queries("a25_verify_replication")(spark, sf))
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly the coordinate join, got $joins\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
 }
