@@ -40,17 +40,22 @@ object ReplicaOps {
     concat_ws("#", df("rowkey"), df("cf"), df("qualifier"), df("ts"),
       df("cents"), df("op"))
 
-  /** Source side: the canonical cells view with the value carried as
-    * exact integer cents plus the key-arithmetic columns the replica
-    * drift and the range bucketing need.
+  /** Enrich a cells-shaped frame with the value as exact integer cents
+    * plus the key-arithmetic columns the replica drift and the range
+    * bucketing need. Row-local, so it applies to a streaming cells feed
+    * unchanged (the I33 monitor).
     */
-  private[graft] def srcCells(s: SparkSession, d: String): DataFrame =
-    Tables.cells(s, d)
+  private[graft] def enrich(cells: DataFrame): DataFrame =
+    cells
       .withColumn("event_id", substring(col("rowkey"), 14, 12).cast("long"))
       .withColumn("user_id", substring(col("rowkey"), 1, 12).cast("long"))
       .withColumn("cents",
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
       .drop("value")
+
+  /** Source side: the canonical cells view, enriched. */
+  private[graft] def srcCells(s: SparkSession, d: String): DataFrame =
+    enrich(Tables.cells(s, d))
 
   /** Deterministic replica drift (the j18/j29 fixture pattern: the
     * fixture has no second cluster, so the gate synthesizes one by
@@ -64,8 +69,14 @@ object ReplicaOps {
     *   - event_id % 107 == 0 → replica grew an extra cell under a
     *     qualifier the source never wrote (ONLY_IN_TARGET)
     */
-  private[graft] def tgtCells(s: SparkSession, d: String): DataFrame = {
-    val src = srcCells(s, d)
+  private[graft] def tgtCells(s: SparkSession, d: String): DataFrame =
+    driftOf(srcCells(s, d))
+
+  /** The drift as a pure cells→cells transform (two row-local filtered
+    * branches + union — streamable, so I33 can replay the replica as a
+    * live feed).
+    */
+  private[graft] def driftOf(src: DataFrame): DataFrame = {
     val drift = regionOf(col("user_id")) % 2 === 1
     val replicated = src
       .where(!(drift && col("event_id") % 101 === 0))
@@ -102,16 +113,32 @@ object ReplicaOps {
       .groupBy("category").agg(count(lit(1)).as("n"))
   }
 
-  /** HashTable manifest for one side: per key-range cell count + the
-    * commutative range hash (sum of per-cell fingerprints as exact
-    * DECIMAL(38,0), folded mod 1e9+7 — the a17 digest recipe). ONE
-    * map-side-combining groupBy; nothing per-range ever concatenates.
+  /** HashTable manifest for one side, UNFOLDED: per key-range cell count
+    * + the raw commutative hash sum (per-cell fingerprints summed as
+    * exact DECIMAL(38,0) — headroom for ~10²⁰ cells per range before
+    * precision loss). The sum is a plain streaming-compatible aggregate,
+    * so the I33 monitor accumulates it across micro-batches in the state
+    * store; the mod fold happens at report time ([[foldManifest]]).
     */
-  def rangeManifest(cells: DataFrame, rangeId: Column): DataFrame =
+  def rawManifest(cells: DataFrame, rangeId: Column): DataFrame =
     cells.groupBy(rangeId.as("range_id"))
       .agg(count(lit(1)).as("n"),
-        pmod(sum(cellFp(cellStr(cells)).cast(DecimalType(38, 0))),
-          lit(1000000007)).cast("long").as("h"))
+        sum(cellFp(cellStr(cells)).cast(DecimalType(38, 0))).as("hsum"))
+
+  /** Fold a raw manifest's hash sum mod 1e9+7 (the a17 digest recipe) —
+    * kept out of the aggregate so the raw sum stays commutative across
+    * micro-batches.
+    */
+  def foldManifest(raw: DataFrame): DataFrame =
+    raw.select(col("range_id"), col("n"),
+      pmod(col("hsum"), lit(1000000007)).cast("long").as("h"))
+
+  /** HashTable manifest for one side: per key-range cell count + the
+    * folded commutative range hash. ONE map-side-combining groupBy;
+    * nothing per-range ever concatenates.
+    */
+  def rangeManifest(cells: DataFrame, rangeId: Column): DataFrame =
+    foldManifest(rawManifest(cells, rangeId))
 
   /** SyncTable plan: compare the two manifests range by range. The join
     * input is bounded metadata (one row per key range — ~10⁴–10⁵ rows
@@ -120,10 +147,17 @@ object ReplicaOps {
     * action = 'sync' exactly where count or hash disagrees (an absent
     * side reads as 0-count, hash NULL — never 'ok').
     */
-  def syncRanges(src: DataFrame, tgt: DataFrame, rangeId: Column): DataFrame = {
-    val sm = rangeManifest(src, rangeId)
+  def syncRanges(src: DataFrame, tgt: DataFrame, rangeId: Column): DataFrame =
+    syncPlan(rangeManifest(src, rangeId), rangeManifest(tgt, rangeId))
+
+  /** The manifest-vs-manifest compare over two already-folded manifests
+    * `(range_id, n, h)` — split out so the I33 monitor can re-plan per
+    * trigger against a cached static source manifest.
+    */
+  def syncPlan(srcManifest: DataFrame, tgtManifest: DataFrame): DataFrame = {
+    val sm = srcManifest
       .select(col("range_id"), col("n").as("n_src"), col("h").as("h_src"))
-    val tm = rangeManifest(tgt, rangeId)
+    val tm = tgtManifest
       .select(col("range_id"), col("n").as("n_tgt"), col("h").as("h_tgt"))
     sm.join(tm, Seq("range_id"), "full_outer")
       .select(col("range_id"),

@@ -647,6 +647,42 @@ object StreamOps {
         ()
       }
 
+  /** I33: LIVE replication monitoring — the a26 SyncTable range plan
+    * recomputed as the replica's cells stream in. The replica side
+    * accumulates its UNFOLDED range manifest across micro-batches
+    * (complete-mode streaming groupBy: one running (count, raw hash sum)
+    * per key range in the state store — bounded by the range table, never
+    * the feed; the mod fold stays OUT of the aggregate so the sum remains
+    * commutative across batches). The source manifest is static across
+    * triggers — built and cached ONCE (the I23/I21 serving lifecycle) —
+    * and each trigger re-plans against it ([[graft.ops.ReplicaOps
+    * .syncPlan]]: bounded metadata vs bounded metadata). After full
+    * replay the last plan must equal batch a26 exactly (StreamingSpec
+    * I33). This is the operational shape: the replication pager watches
+    * the replica's WAL-shipped cell feed and raises diverging key ranges
+    * continuously, instead of waiting for a nightly HashTable run.
+    */
+  def syncMonitorSink(spark: SparkSession, sfDir: String, events: DataFrame,
+                      checkpointDir: String)(sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.ops.ReplicaOps
+    val range = ReplicaOps.regionOf(col("user_id"))
+    val srcManifest = ReplicaOps
+      .rangeManifest(ReplicaOps.srcCells(spark, sfDir), range).cache()
+    registerServingCache(spark, srcManifest)
+    ReplicaOps.rawManifest(
+        ReplicaOps.driftOf(ReplicaOps.enrich(cellsStream(events))), range)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(ReplicaOps.syncPlan(srcManifest, ReplicaOps.foldManifest(batch)))
+        ()
+      }
+  }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -201,6 +201,28 @@ class StreamingSpec extends SparkSuite {
         s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
   }
 
+  test("I33: streaming replication monitor equals batch a26 after full replay") {
+    // live divergence paging: the replica's cell feed accumulates its
+    // unfolded range manifest in the state store (complete mode); each
+    // trigger folds it and re-plans against the cached static source
+    // manifest. The final trigger has seen the whole replica, so its
+    // plan must be the declared a26 table (modulo its output ORDER BY).
+    var last: Array[String] = Array.empty
+    var triggers = 0
+    val ckpt = Files.createTempDirectory("syncmon_ckpt").toString
+    val q = StreamOps.syncMonitorSink(spark, sf,
+        StreamOps.eventsStream(spark, sf), ckpt) { plan =>
+      last = plan.collect().map(_.toString).sorted; triggers += 1
+    }.start()
+    q.awaitTermination()
+    assert(triggers >= 2, s"replay must be multi-micro-batch, got $triggers")
+    val batch = SparkEntry.queries("a26_sync_ranges")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(last.nonEmpty && last.sameElements(batch),
+      s"streamed sync plan diverges from batch a26 " +
+        s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
+  }
+
   test("I31: streaming Jaccard verify equals batch j61 row-for-row") {
     // the verify stage's serving shape: candidate pairs stream in, the
     // static shingle-set index is cached across triggers; stateless
