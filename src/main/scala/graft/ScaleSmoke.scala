@@ -112,7 +112,11 @@ object ScaleSmoke {
     // manifest compare (one map-side-combining exchange per side) and
     // the cell-level VerifyReplication counters it scopes
     "a25_verify_replication",
-    "a26_sync_ranges")
+    "a26_sync_ranges",
+    // salted read of the logical range through the 8-bucket layout
+    "b36_salted_scan",
+    // canonical pick per duplicate cluster (bounded-heap top-1 per group)
+    "j64_dedup_canonical")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

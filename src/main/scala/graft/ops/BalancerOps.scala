@@ -149,8 +149,53 @@ object BalancerOps {
       .limit(10)
   }
 
+  /** Salt assignment: portable md5-60 of the rowkey mod nBuckets — the
+    * rowkey-salting pattern HBase support libraries bolt onto
+    * monotonically-increasing keys (timestamps, sequence ids) so a
+    * sequential write load spreads across N regions instead of hammering
+    * the last one [public: Apache Phoenix SALT_BUCKETS; OpenTSDB
+    * tsd.storage.salt.buckets — both prepend hash(key) % N]. Portable
+    * (top 60 bits of md5) so the oracle recomputes identical buckets.
+    */
+  def saltOf(rowkey: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(rowkey), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Salted read of a logical rowkey range: the salted layout stores
+    * (salt || rowkey), so one logical [lo, hi] scan fans out into one
+    * sub-range scan per salt bucket — embarrassingly parallel, each
+    * hitting its own region — and merges back in user-key order. Under
+    * the columnar re-expression the fan-out is the salt column itself;
+    * the N-scans-merge equivalence is pinned by BalancerSpec.
+    */
+  def saltedRangeScan(cells: DataFrame, lo: String, hi: String,
+                      nBuckets: Int): DataFrame =
+    cells.withColumn("salt", saltOf(col("rowkey"), nBuckets))
+      .where(col("rowkey") >= lo && col("rowkey") <= hi)
+
+  /** b36 — salted-scan report under the driver gate: the b9 logical
+    * range read through an 8-bucket salted layout, per-bucket exact
+    * stats (rows, distinct users, key bounds). What the gate proves: the
+    * salt assignment is engine-portable and the logical range's rows
+    * are exactly partitioned across buckets (Σn over buckets ≡ b9's
+    * count). The EVENNESS of the spread — the anti-hotspot property
+    * salting exists for — is BalancerSpec's job. One map-side-combining
+    * exchange; the merged-read ≡ straight-scan equivalence is
+    * BalancerSpec's salted-read test.
+    */
+  val b36_salted_scan: Q = (s, d) =>
+    saltedRangeScan(Tables.cells(s, d),
+      "000000000010:000000000000", "000000000020:000000999999999999",
+      nBuckets = 8)
+      .groupBy(col("salt"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(substring(col("rowkey"), 1, 12)).as("n_users"),
+        min(col("rowkey")).as("min_rk"), max(col("rowkey")).as("max_rk"))
+      .orderBy(col("salt").asc_nulls_last)
+
   val queries: Map[String, Q] = Map(
     "a23_region_normalize" -> a23_region_normalize,
     "a24_region_placement" -> a24_region_placement,
-    "b35_hot_buckets" -> b35_hot_buckets)
+    "b35_hot_buckets" -> b35_hot_buckets,
+    "b36_salted_scan" -> b36_salted_scan)
 }

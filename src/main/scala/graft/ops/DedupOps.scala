@@ -795,7 +795,40 @@ object DedupOps {
       .orderBy(asc_nulls_last("cluster_size"))
   }
 
+  /** j64 — quality-ranked CANONICAL SELECTION per duplicate cluster: the
+    * production dedup policy keeps the BEST document of a component, not
+    * the smallest id (Gopher/FineWeb keep the longest / highest-quality
+    * member and drop the rest). Over the j38-capped component assignment:
+    * per cluster of size ≥ 2, the argmax by (length desc, doc_id asc) —
+    * an exact integer policy both engines replay. The row_number-top-1
+    * spelling rewrites to the bounded-heap TopKPerGroup operator under
+    * the session's extra optimizations (the e9 path), so at 100 TB the
+    * canonical pick is a heap per cluster, never a full per-cluster sort.
+    * Output is all-integer and fully tiebroken.
+    */
+  val j64_dedup_canonical: Q = (s, d) => {
+    val docs = Tables.documents(s, d).where(col("doc_id") < 2000)
+    val e0 = shingleEdges(docs)
+    val verts = e0.select(col("a").as("doc_id"))
+      .union(e0.select(col("b").as("doc_id"))).distinct()
+    val sized = clusters(e0, verts, maxIter = 30).join(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("len").desc, col("doc_id").asc)
+    sized
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .where(col("rn") === 1 && col("sz") >= 2)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("len").as("can_len"), col("sz").as("n_docs"))
+      .orderBy(col("cluster_id").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "j64_dedup_canonical" -> j64_dedup_canonical,
     "j38_connected_components" -> j38_connected_components,
     "j63_dedup_report" -> j63_dedup_report,
     "j39_simhash_portable" -> j39_simhash_portable,

@@ -78,6 +78,20 @@ object OracleSql {
         |m AS (SELECT quantile_cont(n_req, 0.5) AS med FROM b)
         |SELECT bucket, n_req, round(n_req / med, 6) AS skew FROM b, m
         |ORDER BY n_req DESC, bucket ASC LIMIT 10""".stripMargin,
+    // b36: salted-scan report — salt = portable md5-60 of the rowkey
+    // mod 8 (the j33 hash convention), per-bucket exact stats over the
+    // b9 logical range; proves the salt assignment is engine-portable
+    // and the range's rows partition exactly across buckets
+    "b36_salted_scan" ->
+      (cellsCte +
+        """SELECT CAST(('0x' || substr(md5(rowkey), 1, 15))::BIGINT % 8 AS INT) AS salt,
+          |       count(*) AS n,
+          |       count(DISTINCT substr(rowkey, 1, 12)) AS n_users,
+          |       min(rowkey) AS min_rk, max(rowkey) AS max_rk
+          |FROM cells
+          |WHERE rowkey BETWEEN '000000000010:000000000000'
+          |                 AND '000000000020:000000999999999999'
+          |GROUP BY 1 ORDER BY salt NULLS LAST""".stripMargin),
     // a19: the daughter union must reconstruct the table exactly —
     // the oracle digests the cells view straight (all ops: a reference
     // read serves raw cells; resolution is the reader's job)
@@ -1922,6 +1936,41 @@ object OracleSql {
         |  CAST(sum(chars - can_len) AS BIGINT) AS chars_removable
         |FROM pc JOIN can USING (component)
         |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin,
+    // j64: quality-ranked canonical per duplicate cluster — the j38
+    // closure + argmax by (len DESC, doc_id ASC) over clusters of size
+    // >= 2; all-integer, fully tiebroken
+    "j64_dedup_canonical" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
+        |w AS (
+        |  SELECT doc_id, substr(t, i, 30) AS w
+        |  FROM d, unnest(generate_series(1, length(t)-29)) AS u(i)
+        |  WHERE length(t) >= 30),
+        |dw AS (SELECT DISTINCT doc_id, w FROM w),
+        |wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+        |sel AS (SELECT w FROM wc WHERE c BETWEEN 2 AND 4),
+        |e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |       FROM dw a JOIN dw b USING (w) JOIN sel USING (w)
+        |       WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  SELECT v AS a, v AS b FROM verts
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        |sized AS (SELECT comp.doc_id, comp.component,
+        |                 CAST(length(d2.text) AS BIGINT) AS len
+        |          FROM comp JOIN documents d2 USING (doc_id)),
+        |rk AS (SELECT component, doc_id, len,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY len DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY component) AS sz
+        |       FROM sized)
+        |SELECT component AS cluster_id, doc_id AS canonical_doc,
+        |       len AS can_len, sz AS n_docs
+        |FROM rk WHERE rn = 1 AND sz >= 2
+        |ORDER BY cluster_id NULLS LAST""".stripMargin,
     "j39_simhash_portable" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

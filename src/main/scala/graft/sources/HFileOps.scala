@@ -1136,7 +1136,12 @@ object HFileOps {
     */
   def readSnapshot(spark: SparkSession, manifestPath: String,
                    maxVersions: Int = 1,
-                   ttlFloor: Long = Long.MinValue): DataFrame = {
+                   ttlFloor: Long = Long.MinValue): DataFrame =
+    mergedReadFiles(spark, manifestFiles(spark, manifestPath),
+      maxVersions, ttlFloor)
+
+  /** The pinned file list of a [[snapshot]] manifest — O(files) metadata. */
+  def manifestFiles(spark: SparkSession, manifestPath: String): Seq[String] = {
     val p = new HPath(manifestPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -1147,9 +1152,35 @@ object HFileOps {
         in.readFully(0, b)
         b
       } finally in.close()
-    val files = new String(bytes, UTF_8).split('\n').toSeq
+    new String(bytes, UTF_8).split('\n').toSeq
       .map(_.trim).filter(_.nonEmpty)
-    mergedReadFiles(spark, files, maxVersions, ttlFloor)
+  }
+
+  /** Incremental backup plan between two snapshot manifests [public:
+    * o.a.h.hbase.backup's incremental model / ExportSnapshot: store
+    * files are IMMUTABLE once written, so backing up a later snapshot
+    * against a site that already holds an earlier one only ships the
+    * file-set difference — never re-copies data already there].
+    * O(files) metadata on the driver (a manifest is the master's
+    * bounded view — ~10⁴–10⁵ files at 100 TB), zero data I/O:
+    *   - `ship` — referenced by `to` only (new flushes / compaction
+    *     outputs since `from`): the incremental copy set
+    *   - `have` — referenced by both: already at the backup site
+    *   - `gone` — referenced by `from` only (archived since — e.g.
+    *     compacted away): restore-chain GC accounting, nothing to copy
+    * HFileSpec pins that `have` ∪ `ship` restores exactly the `to`
+    * snapshot's merge-on-read view.
+    */
+  def incrementalBackupPlan(spark: SparkSession, fromManifest: String,
+                            toManifest: String): DataFrame = {
+    val from = manifestFiles(spark, fromManifest).toSet
+    val to = manifestFiles(spark, toManifest).toSet
+    import spark.implicits._
+    (from ++ to).toSeq.sorted.map { f =>
+      val action =
+        if (from(f) && to(f)) "have" else if (to(f)) "ship" else "gone"
+      (f, action)
+    }.toDF("file", "action")
   }
 
   /** [[mergedRead]] over an EXPLICIT store-file list instead of a

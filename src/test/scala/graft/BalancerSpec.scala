@@ -64,6 +64,37 @@ class BalancerSpec extends SparkSuite {
       s"load gap ${placed.max - placed.min} exceeds the largest region ${sizes.max}")
   }
 
+  test("salted read: union of per-bucket sub-scans equals the straight range scan") {
+    // the salted layout's read path — one sub-range scan per salt
+    // bucket, merged — must reconstruct the logical range exactly
+    val cells = Tables.cells(spark, sf)
+    val (lo, hi) = ("000000000002:000000000000", "000000000012:000000999999999999")
+    val straight = cells.where(col("rowkey") >= lo && col("rowkey") <= hi)
+      .collect().map(_.toString).sorted
+    val salted = BalancerOps.saltedRangeScan(cells, lo, hi, nBuckets = 8)
+    val merged = (0 until 8).map(b => salted.where(col("salt") === b))
+      .reduce(_ unionByName _)
+      .drop("salt").collect().map(_.toString).sorted
+    assert(merged.length > 0 && merged.sameElements(straight),
+      s"salted merge lost/duplicated rows: ${merged.length} vs ${straight.length}")
+  }
+
+  test("salting spreads sequential keys across buckets and stays balanced") {
+    val cells = Tables.cells(spark, sf)
+    val salts = cells.select(BalancerOps.saltOf(col("rowkey"), 8).as("salt"))
+    // anti-hotspot: a CONTIGUOUS key run (one user's sequential writes —
+    // the monotone load salting exists for) must hit many buckets, not one
+    val seqRun = cells.orderBy("rowkey").limit(50)
+      .select(BalancerOps.saltOf(col("rowkey"), 8).as("salt"))
+      .distinct().count()
+    assert(seqRun >= 6, s"50 sequential keys hit only $seqRun/8 salt buckets")
+    // balance: no bucket dominates (md5 spreads the fixture evenly)
+    val counts = salts.groupBy("salt").count().collect().map(_.getLong(1))
+    assert(counts.length == 8, s"empty salt bucket: ${counts.length}/8")
+    assert(counts.max <= 2 * (counts.sum / counts.length),
+      s"salt skew: max ${counts.max} vs avg ${counts.sum / counts.length}")
+  }
+
   test("plans are invariant under input partitioning") {
     val stats = statsOf(Seq(500, 20, 20, 800, 30, 30, 60))
     def norm(df: org.apache.spark.sql.DataFrame) =

@@ -1467,4 +1467,43 @@ class HFileSpec extends SparkSuite {
       s"post-apply regions ${post.mkString(",")} exceed 2×target $tgt")
     assert(post.sum == stats.map(_._3).sum, "table not conserved by the plan")
   }
+
+  test("incremental backup plan: ships only new files; have+ship restores the to-snapshot exactly") {
+    val dir = tmpDir("backup").toString
+    val cells = Tables.cells(spark, sf)
+    val eid = expr("cast(substring(rowkey, 14, 12) as bigint)")
+    // gen0 + snapshot A, then a delta generation + snapshot B (A ∪ delta)
+    val gen0 = HFileOps.bulkWrite(cells, dir, regions = 3, generation = 0)
+      .map(n => s"$dir/$n")
+    HFileOps.snapshot(spark, gen0, s"$dir/snapA.manifest")
+    val delta = cells.where(eid % 5 === 0)
+      .withColumn("ts", col("ts") + 1000000L)
+      .withColumn("value", col("value") + 1.0)
+    val gen1 = HFileOps.bulkWrite(delta, dir, regions = 3, generation = 1)
+      .map(n => s"$dir/$n")
+    HFileOps.snapshot(spark, gen0 ++ gen1, s"$dir/snapB.manifest")
+    val plan = HFileOps.incrementalBackupPlan(spark,
+        s"$dir/snapA.manifest", s"$dir/snapB.manifest")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gen1.forall(plan(_) == "ship"), s"delta files not shipped: $plan")
+    assert(gen0.forall(plan(_) == "have"), s"held files re-shipped: $plan")
+    assert(!plan.valuesIterator.contains("gone"), s"phantom archived file: $plan")
+    assert(plan.size == gen0.size + gen1.size)
+    // restore: the backup site's held files + the shipped increment must
+    // reproduce the to-snapshot's merge-on-read view exactly
+    val restored = HFileOps.mergedReadFiles(spark,
+      plan.collect { case (f, a) if a != "gone" => f }.toSeq)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(restored) == canon(
+      HFileOps.readSnapshot(spark, s"$dir/snapB.manifest")))
+    // a major compaction archives gen0: the next increment marks it gone
+    // and ships nothing that still lives at the site
+    HFileOps.snapshot(spark, gen1, s"$dir/snapC.manifest")
+    val plan2 = HFileOps.incrementalBackupPlan(spark,
+        s"$dir/snapB.manifest", s"$dir/snapC.manifest")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gen0.forall(plan2(_) == "gone") && gen1.forall(plan2(_) == "have"),
+      s"post-compaction plan wrong: $plan2")
+  }
 }

@@ -430,6 +430,20 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("b36 salted scan: aggregation-only (distinct-agg exchanges), no join, no window") {
+    // the salted report is a filter + two-phase distinct aggregate: at
+    // most the (salt,user) dedup exchange and the final salt exchange —
+    // never a join or a window (a per-bucket read path that joined
+    // buckets back would defeat the embarrassingly-parallel point)
+    val plan = physical(SparkEntry.queries("b36_salted_scan")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2,
+      s"expected the distinct-agg exchange pair at most, got $hashExchanges\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct") &&
+      !plan.contains("Window"), plan)
+  }
+
   test("a26 sync ranges: each side reduces via one hash-agg exchange into bounded manifests") {
     // the HashTable shape: the commutative range hash is a partial-
     // aggregating SUM, so each table contributes exactly ONE data-sized
