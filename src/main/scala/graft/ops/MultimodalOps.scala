@@ -252,13 +252,15 @@ object MultimodalOps {
 
   val j25_media_pixels: Q = (s, d) => {
     val dir = graft.Tables.appTmpDir(s, "graft_media_px", d)
-    // fanOut both codec passes: the fixture's single-row-group scan (and
-    // the one-file parquet it would otherwise produce) serializes ~1.5 s
-    // of per-image ImageIO work onto one core; identity at production
-    // split counts (see ScaleOps.fanOut)
-    grayPngFiles(s, ScaleOps.fanOut(graft.Tables.documents(s, d)))
+    // NO fanOut on either codec pass — measured, round 16: with the
+    // repaired (actually-firing) fanOut, j25 read 5.7 s vs 2.2 s without
+    // at sf0.1 — the round-robin exchange of binary payload rows costs
+    // more than the ImageIO parallelism it buys on this fixture (the
+    // j31/j32/j29 revert precedent). At production split counts fanOut
+    // is the identity anyway, so removing it changes nothing at scale.
+    grayPngFiles(s, graft.Tables.documents(s, d))
       .write.mode("overwrite").parquet(dir)
-    decodePixels(s, ScaleOps.fanOut(s.read.parquet(dir))).toDF()
+    decodePixels(s, s.read.parquet(dir)).toDF()
       .select(col("media_id"), col("width").as("w"), col("height").as("h"),
         col("gray_sum"))
       .orderBy(col("media_id").asc_nulls_last)
@@ -303,9 +305,11 @@ object MultimodalOps {
   val j62_image_dedup: Q = (s, d) => {
     import s.implicits._
     val dir = graft.Tables.appTmpDir(s, "graft_media_dup", d)
-    dupGrayPngFiles(s, ScaleOps.fanOut(graft.Tables.documents(s, d)))
+    // no fanOut on either pass — the j25 measurement (round 16): the
+    // payload exchange costs more than the decode parallelism it buys
+    dupGrayPngFiles(s, graft.Tables.documents(s, d))
       .write.mode("overwrite").parquet(dir)
-    val hashed = ScaleOps.fanOut(s.read.parquet(dir))
+    val hashed = s.read.parquet(dir)
       .select(col("media_id"), col("payload")).as[MediaFile]
       .mapPartitions { it =>
         it.flatMap { f =>
