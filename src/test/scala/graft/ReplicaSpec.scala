@@ -57,6 +57,18 @@ class ReplicaSpec extends SparkSuite {
     assert(after("GOODROWS") == src.count())
   }
 
+  test("counter conservation: the four categories partition both sides exactly") {
+    // every source cell is GOODROWS, CONTENT_DIFFERENT or ONLY_IN_SOURCE;
+    // every target cell is GOODROWS, CONTENT_DIFFERENT or ONLY_IN_TARGET —
+    // the full-outer join can neither drop nor duplicate a coordinate
+    val c = counters(ReplicaOps.verifyReplication(src, tgt))
+    def n(k: String) = c.getOrElse(k, 0L)
+    assert(n("GOODROWS") + n("CONTENT_DIFFERENT") + n("ONLY_IN_SOURCE")
+      == src.count(), s"source side not partitioned: $c")
+    assert(n("GOODROWS") + n("CONTENT_DIFFERENT") + n("ONLY_IN_TARGET")
+      == tgt.count(), s"target side not partitioned: $c")
+  }
+
   test("range manifest is invariant under input partitioning") {
     def manifest(df: DataFrame): Seq[String] =
       ReplicaOps.rangeManifest(df, ReplicaOps.regionOf(col("user_id")))
