@@ -93,21 +93,26 @@ object BalancerOps {
     * from trailer metadata (regionKeyRanges / listNamespace) — the
     * HFileSpec normalize-apply test wires that path.
     */
-  private[graft] def regionStats(s: org.apache.spark.sql.SparkSession,
-                                 d: String): DataFrame = {
-    val uid = col("user_id")
-    def bucketOf(c: Column): Column = {
-      val bounds = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
-      bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
-        case ((b, i), rest) => when(c < b, i).otherwise(rest)
-      }
+  /** The gate's exponentially-widening user-key region bucketing — the
+    * ONE Scala spelling of the oracle's `regionBucketCase` twin, shared
+    * by a23/a24 (region stats), a25/a26 (replica key ranges, via
+    * [[ReplicaOps.regionOf]]) and their specs, so the two engines' arms
+    * can never drift apart query by query.
+    */
+  private[graft] def regionOf(c: Column): Column = {
+    val bounds = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+    bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((b, i), rest) => when(c < b, i).otherwise(rest)
     }
+  }
+
+  private[graft] def regionStats(s: org.apache.spark.sql.SparkSession,
+                                 d: String): DataFrame =
     Tables.cells(s, d)
       .withColumn("user_id",
         substring(col("rowkey"), 1, 12).cast("long"))
-      .groupBy(bucketOf(uid).as("region_id"))
+      .groupBy(regionOf(col("user_id")).as("region_id"))
       .agg(min("rowkey").as("start_key"), count(lit(1)).as("n_cells"))
-  }
 
   /** a23 — the normalizer plan under the driver gate. */
   val a23_region_normalize: Q = (s, d) =>

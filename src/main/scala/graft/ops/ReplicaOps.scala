@@ -199,15 +199,10 @@ object ReplicaOps {
   }
 
   /** The gate's key-range scheme: the a23/a24 exponentially-widening
-    * user-key regions (integer CASE arms — both engines compare exact
-    * integers), so ranges genuinely vary in size.
+    * user-key regions — delegates to [[BalancerOps.regionOf]] so exactly
+    * ONE Scala spelling twins the oracle's `regionBucketCase`.
     */
-  private[graft] def regionOf(c: Column): Column = {
-    val bounds = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
-    bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
-      case ((b, i), rest) => when(c < b, i).otherwise(rest)
-    }
-  }
+  private[graft] def regionOf(c: Column): Column = BalancerOps.regionOf(c)
 
   /** a25 — VerifyReplication counters under the driver gate. */
   val a25_verify_replication: Q = (s, d) =>
