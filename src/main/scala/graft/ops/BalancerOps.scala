@@ -161,6 +161,11 @@ object BalancerOps {
     * the last one [public: Apache Phoenix SALT_BUCKETS; OpenTSDB
     * tsd.storage.salt.buckets — both prepend hash(key) % N]. Portable
     * (top 60 bits of md5) so the oracle recomputes identical buckets.
+    * Relationship to [[ScaleOps.saltKey]]: that is the WRITE-path layout
+    * helper (crc32, prepends the salt into a salted_key column for
+    * range-partitioned bulk loads); this is the gate-portable bucket
+    * assignment the b36 report and its DuckDB twin share. Same pattern,
+    * two deliberate spellings for two jobs.
     */
   def saltOf(rowkey: Column, nBuckets: Int): Column =
     pmod(conv(substring(md5(rowkey), 1, 15), 16, 10).cast("long"),
