@@ -84,8 +84,7 @@ object CosineSim {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "internal")
+    GraftFnReg.quietReplace(spark, name, builder, "internal")
 }
 
 /** Production registration path: `--conf spark.sql.extensions=

@@ -90,7 +90,7 @@ object HyperplaneKeys {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => HyperplaneKeys(GraftFnArgs.exact(name, es, 3).head,
         GraftFnArgs.intLit(name, es, 1), GraftFnArgs.intLit(name, es, 2)),
       "internal")
@@ -201,7 +201,7 @@ object HyperplaneProbes {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => HyperplaneProbes(GraftFnArgs.exact(name, es, 4).head,
         GraftFnArgs.intLit(name, es, 1), GraftFnArgs.intLit(name, es, 2),
         GraftFnArgs.intLit(name, es, 3)),

@@ -61,7 +61,7 @@ object JaccardSim {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => { GraftFnArgs.exact(name, es, 2); JaccardSim(es(0), es(1)) },
       "internal")
 }

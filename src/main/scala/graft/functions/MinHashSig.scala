@@ -80,7 +80,7 @@ object MinHashSig {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => MinHashSig(GraftFnArgs.exact(name, es, 2).head,
         GraftFnArgs.intLit(name, es, 1)), "internal")
 }
@@ -159,7 +159,7 @@ object SigAgree {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => { GraftFnArgs.exact(name, es, 2); SigAgree(es(0), es(1)) },
       "internal")
 }
@@ -214,7 +214,7 @@ object LshBands {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => LshBands(GraftFnArgs.exact(name, es, 3).head,
         GraftFnArgs.intLit(name, es, 1), GraftFnArgs.intLit(name, es, 2)),
       "internal")

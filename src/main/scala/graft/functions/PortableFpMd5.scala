@@ -114,10 +114,10 @@ object PortableFpMd5 {
   val simhashName = "graft_simhash_md5"
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(minhashName,
+    GraftFnReg.quietReplace(spark, minhashName,
       es => MinHashMd5(GraftFnArgs.exact(minhashName, es, 2).head,
         GraftFnArgs.intLit(minhashName, es, 1)), "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(simhashName,
+    GraftFnReg.quietReplace(spark, simhashName,
       es => SimHashMd5(GraftFnArgs.exact(simhashName, es, 1).head), "internal")
   }
 }

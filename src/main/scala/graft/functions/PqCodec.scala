@@ -80,7 +80,7 @@ object PqEncode {
     */
   def register(spark: SparkSession, m: Int, ksub: Int, dsub: Int,
                codebook: Array[Float]): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => PqEncode(GraftFnArgs.exact(name, es, 1).head, m, ksub, dsub, codebook),
       "internal")
 }
@@ -134,7 +134,7 @@ object PqDecode {
 
   def register(spark: SparkSession, m: Int, ksub: Int, dsub: Int,
                codebook: Array[Float]): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => PqDecode(GraftFnArgs.exact(name, es, 1).head, m, ksub, dsub, codebook),
       "internal")
 }

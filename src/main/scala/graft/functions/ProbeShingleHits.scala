@@ -164,7 +164,7 @@ object ProbeShingleHits {
     */
   def register(spark: SparkSession, k: Int,
                probes: Seq[(Long, Seq[String])]): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => ProbeShingleHits(GraftFnArgs.exact(name, es, 1).head, k, probes),
       "internal")
 }

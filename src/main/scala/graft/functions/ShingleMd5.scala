@@ -99,7 +99,7 @@ object ShingleMd5 {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => ShingleMd5(GraftFnArgs.exact(name, es, 2).head,
         GraftFnArgs.intLit(name, es, 1)), "internal")
 }

@@ -76,7 +76,7 @@ object Shingles {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => Shingles(GraftFnArgs.exact(name, es, 2).head,
         GraftFnArgs.intLit(name, es, 1)), "internal")
 }

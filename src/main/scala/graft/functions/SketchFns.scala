@@ -67,12 +67,9 @@ object SketchFns {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(bloomAggName, bloomAggBuilder, "internal")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(bloomMightName, bloomMightBuilder, "internal")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(bloomMightColName, bloomMightColBuilder, "internal")
+    GraftFnReg.quietReplace(spark, bloomAggName, bloomAggBuilder, "internal")
+    GraftFnReg.quietReplace(spark, bloomMightName, bloomMightBuilder, "internal")
+    GraftFnReg.quietReplace(spark, bloomMightColName, bloomMightColBuilder, "internal")
   }
 }
 

@@ -64,7 +64,7 @@ object Winnow {
 
   /** Runtime registration on an existing session (test/driver path). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+    GraftFnReg.quietReplace(spark, name,
       es => Winnow(GraftFnArgs.exact(name, es, 2).head,
         GraftFnArgs.intLit(name, es, 1)), "internal")
 }

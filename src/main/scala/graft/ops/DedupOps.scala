@@ -800,11 +800,17 @@ object DedupOps {
     * the smallest id (Gopher/FineWeb keep the longest / highest-quality
     * member and drop the rest). Over the j38-capped component assignment:
     * per cluster of size ≥ 2, the argmax by (length desc, doc_id asc) —
-    * an exact integer policy both engines replay. The row_number-top-1
-    * spelling rewrites to the bounded-heap TopKPerGroup operator under
-    * the session's extra optimizations (the e9 path), so at 100 TB the
-    * canonical pick is a heap per cluster, never a full per-cluster sort.
-    * Output is all-integer and fully tiebroken.
+    * an exact integer policy both engines replay. Cluster sizes come
+    * from a keyed count (map-side combining) joined back BEFORE the
+    * window, so the size-≥-2 filter prunes singleton clusters early and
+    * the remaining filter above the row_number window is the bare
+    * `rn = 1` literal bound that [[graft.plans.RewriteWindowTopK]]
+    * matches — the canonical pick runs the bounded-heap TopKPerGroup
+    * operator (pinned by PlanSpec), never a full per-cluster sort. The
+    * r16 spelling stacked a count-over window on the same Filter, which
+    * kept the rewrite (and Spark's own InferWindowGroupLimit) from
+    * firing; ADVICE r16 flagged it and this is the restructure it asked
+    * for. Output is all-integer and fully tiebroken.
     */
   val j64_dedup_canonical: Q = (s, d) => {
     val docs = Tables.documents(s, d).where(col("doc_id") < 2000)
@@ -814,16 +820,19 @@ object DedupOps {
     val sized = clusters(e0, verts, maxIter = 30).join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "doc_id")
+    // duplicate clusters only: one keyed count, filtered before the
+    // window so singletons never reach the per-cluster heap
+    val dupSizes = sized.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("len").desc, col("doc_id").asc)
-    sized
+    sized.join(dupSizes, "cluster_id")
       .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-      .where(col("rn") === 1 && col("sz") >= 2)
+      .where(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
-        col("len").as("can_len"), col("sz").as("n_docs"))
+        col("len").as("can_len"), col("n_docs"))
       .orderBy(col("cluster_id").asc_nulls_last)
   }
 

@@ -461,6 +461,42 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("j64 canonical pick runs the bounded-heap TopKPerGroup, never a full per-cluster sort") {
+    // ADVICE r16: the r16 spelling (rn===1 && sz>=2 over stacked windows)
+    // silently kept both our rewrite and stock InferWindowGroupLimit from
+    // firing. The restructured query (keyed-count size filter BEFORE the
+    // window, bare rn=1 above it) must plan as TopKPartial → one
+    // cluster_id exchange → TopKFinal with k=1 — the shape the 100 TB
+    // claim in DedupOps' scaladoc rests on. Registered the same way
+    // Verify/Bench register it (experimental session hooks).
+    spark.experimental.extraOptimizations = Seq(graft.plans.RewriteWindowTopK)
+    spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
+    try {
+      val plan = physical(SparkEntry.queries("j64_dedup_canonical")(spark, sf))
+      assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"),
+        s"bounded-heap rewrite did not fire:\n$plan")
+      assert(!plan.contains("Window ") && !plan.contains("WindowGroupLimit"),
+        s"stock window machinery still present:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.experimental.extraStrategies = Nil
+    }
+  }
+
+  test("j63 dedup report: keyed aggregations only — no window over data, bounded exchanges") {
+    // the savings report must stay two keyed aggregations over the label
+    // table (per-cluster sizes, then the size histogram) plus the
+    // canonical-length alignment join — never a window (a count-over or
+    // rank spelling would sort every cluster) and never a cartesian
+    val plan = physical(SparkEntry.queries("j63_dedup_report")(spark, sf))
+    assert(!plan.contains("Window"), s"report must not window over data:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3,
+      s"expected ≤3 keyed exchanges (per-cluster agg, canonical align, histogram), got $hashExchanges\n$plan")
+  }
+
   test("a25 verify replication: one cell-coordinate join, no window, no cartesian") {
     // VerifyReplication is honestly one full-outer shuffle join on the
     // cell coordinate — the expensive query a26 exists to scope. What
