@@ -116,7 +116,11 @@ object ScaleSmoke {
     // salted read of the logical range through the 8-bucket layout
     "b36_salted_scan",
     // canonical pick per duplicate cluster (bounded-heap top-1 per group)
-    "j64_dedup_canonical")
+    "j64_dedup_canonical",
+    // round 17: canary health probe (broadcast probe-set multiGet) and
+    // the namespace quota report (bulk-write + metadata listing + CASE)
+    "a27_canary_probe",
+    "a28_quota_report")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -203,9 +203,69 @@ object BalancerOps {
         min(col("rowkey")).as("min_rk"), max(col("rowkey")).as("max_rk"))
       .orderBy(col("salt").asc_nulls_last)
 
+  /** a27 — canary-style table health probe [public:
+    * o.a.h.hbase.tool.CanaryTool region mode]: pick ONE deterministic
+    * probe row per region (the region's first rowkey, like Canary's
+    * start-key get), read it through the b7 latest-version path, and
+    * report per region (region_id, probe_row, found, n_cells) plus a
+    * table-level rollup row (region_id = −1: regions answering, total
+    * live cells). `found = 0` exactly when the probe row's only
+    * version(s) are deletes — the "region serves reads but the row is
+    * gone" distinction Canary surfaces.
+    *
+    * Scale shape: one map-side-combining groupBy reduces the data to
+    * the ≤ #regions probe set (checkpointed — the reduction runs once),
+    * then the probe read joins that BROADCAST set back onto the scan —
+    * the multiGet pattern (a10): the corpus never shuffles, the
+    * per-coordinate latest-version window runs over probe rows only
+    * (≤ #regions × #qualifiers rows). In production the probe read is
+    * the bloom-pruned point-get path (HFileOps); under the columnar
+    * gate the broadcast semi-probe is the same plan shape.
+    */
+  /** The probe READ of a27, split out so PlanSpec can pin its shape:
+    * the probe set must reach the corpus scan as a BROADCAST (the
+    * multiGet pattern — the corpus never hash-shuffles into the probe
+    * join; only the probe-row-filtered remnant shuffles for the
+    * latest-version window and the per-row count).
+    */
+  private[graft] def canaryPerRegion(cells: DataFrame,
+                                     probes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
+      .orderBy(col("ts").desc, col("value").asc)
+    val live = cells.filter(col("op") === "put")
+      .join(broadcast(probes.select(col("probe_row").as("rowkey"))), "rowkey")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    probes.join(
+        live.groupBy(col("rowkey").as("probe_row"))
+          .agg(count(lit(1)).as("live_cells")),
+        Seq("probe_row"), "left")
+      .select(col("region_id"), col("probe_row"),
+        when(col("live_cells").isNotNull, 1).otherwise(0).as("found"),
+        coalesce(col("live_cells"), lit(0L)).as("n_cells"))
+  }
+
+  val a27_canary_probe: Q = (s, d) => {
+    val cells = Tables.cells(s, d)
+    val probes = cells
+      .groupBy(regionOf(substring(col("rowkey"), 1, 12).cast("long"))
+        .as("region_id"))
+      .agg(min("rowkey").as("probe_row"))
+      .graftCkpt()
+    // ≤ #regions rows, consumed by BOTH union arms — materialize so the
+    // rollup aggregates the tiny table instead of re-running the whole
+    // probe read (uncheckpointed, the data pass ran twice)
+    val per = canaryPerRegion(cells, probes).graftCkpt()
+    val rollup = per.agg(
+      lit(-1).as("region_id"), lit(null).cast("string").as("probe_row"),
+      sum("found").cast("int").as("found"), sum("n_cells").as("n_cells"))
+    per.unionByName(rollup).orderBy(col("region_id").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
     "a23_region_normalize" -> a23_region_normalize,
     "a24_region_placement" -> a24_region_placement,
+    "a27_canary_probe" -> a27_canary_probe,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

@@ -67,6 +67,39 @@ object OracleSql {
          |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5
          |            ELSE 4 - (rk % 5) END AS INT) AS server
          |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a27: canary probe — one deterministic probe row per region (the
+    // region's min rowkey), read through the b7 latest-version rule
+    // (puts only, newest per coordinate), per-region found/cell counts
+    // plus a region_id=-1 rollup row; all-integer apart from the rowkey
+    "a27_canary_probe" ->
+      s"""WITH c AS (SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'), ':',
+         |                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rowkey,
+         |                  user_id, 'e' AS cf, event_type AS qualifier,
+         |                  CAST(epoch_us(ts) AS BIGINT) AS ts, value,
+         |                  CASE WHEN event_id % 97 = 0 THEN 'delete'
+         |                       ELSE 'put' END AS op
+         |           FROM events),
+         |p AS (SELECT $regionBucketCase AS region_id, min(rowkey) AS probe_row
+         |      FROM c GROUP BY 1),
+         |lv AS (SELECT rowkey FROM (
+         |         SELECT c.rowkey,
+         |                row_number() OVER (PARTITION BY c.rowkey, c.cf, c.qualifier
+         |                                   ORDER BY c.ts DESC, c.value ASC) AS rn
+         |         FROM c JOIN p ON c.rowkey = p.probe_row
+         |         WHERE c.op = 'put')
+         |       WHERE rn = 1),
+         |lc AS (SELECT rowkey AS probe_row, count(*) AS live_cells
+         |       FROM lv GROUP BY 1),
+         |per AS (SELECT p.region_id, p.probe_row,
+         |               CASE WHEN lc.live_cells IS NOT NULL THEN 1 ELSE 0 END AS found,
+         |               COALESCE(lc.live_cells, 0) AS n_cells
+         |        FROM p LEFT JOIN lc USING (probe_row))
+         |SELECT region_id, probe_row, found, n_cells FROM per
+         |UNION ALL
+         |SELECT -1 AS region_id, NULL AS probe_row,
+         |       CAST(sum(found) AS INTEGER) AS found,
+         |       CAST(sum(n_cells) AS BIGINT) AS n_cells FROM per
+         |ORDER BY region_id NULLS LAST""".stripMargin,
     // b35: hot-bucket detector — skew vs the MEDIAN bucket; quantile_cont
     // ≡ Spark percentile (the proven d9 pairing), one final IEEE division
     // round(,6)-capped (R4); full (n_req, bucket) tiebreak makes the
@@ -134,6 +167,29 @@ object OracleSql {
           |WHERE c.op = 'put'
           |GROUP BY 1, 2, m.meta_n
           |ORDER BY 1 NULLS LAST, 2 NULLS LAST""".stripMargin),
+    // a28: namespace quota report — usage = exact per-table cell counts
+    // (the Spark side reads them from hfile trailer metadata; the twin
+    // recounts the source rows), limits/thresholds all integer (the WARN
+    // arm is cross-multiplied, never an IEEE ratio)
+    "a28_quota_report" ->
+      (cellsCte.stripSuffix("\n") +
+        """, t AS (SELECT CASE WHEN qualifier IN ('click','view') THEN 't_click'
+          |                    ELSE 't_txn' END AS tbl FROM cells),
+          |m AS (SELECT tbl, count(*) AS used FROM t GROUP BY 1),
+          |tot AS (SELECT CAST(sum(used) AS BIGINT) AS tot FROM m),
+          |rows0 AS (
+          |  SELECT concat('table:', tbl) AS scope, used,
+          |         CAST(tot // 2 AS BIGINT) AS lim
+          |  FROM m, tot
+          |  UNION ALL
+          |  SELECT 'ns:graft_ns' AS scope, tot AS used,
+          |         CAST((tot // 10) * 11 AS BIGINT) AS lim FROM tot)
+          |SELECT scope, used, lim,
+          |       CAST((used * 10000) // lim AS BIGINT) AS pct_bp,
+          |       CASE WHEN used > lim THEN 'VIOLATION'
+          |            WHEN used * 10 >= lim * 8 THEN 'WARN'
+          |            ELSE 'OK' END AS status
+          |FROM rows0 ORDER BY scope NULLS LAST""".stripMargin),
     "a18_hfile_snapshot" ->
       (cellsCte.stripSuffix("\n") +
         """, clone AS (SELECT qualifier, value, ts FROM cells WHERE op = 'put'),

@@ -164,6 +164,61 @@ object NamespaceOps {
       .orderBy(asc_nulls_last("tbl"), asc_nulls_last("qualifier"))
   }
 
+  /** Quota report over an admin listing `(table, n_cells)` — the
+    * [public: o.a.h.hbase.quotas.SpaceQuotaSnapshot /
+    * SpaceViolationPolicy] semantics re-expressed over the exact
+    * trailer-metadata counts the listing already carries: per table,
+    * usage vs a configured limit with status OK / WARN (≥ 80% of
+    * limit) / VIOLATION (over limit), plus one namespace rollup row
+    * against the namespace's own limit. Production quotas meter BYTES;
+    * the gate meters exact CELL COUNTS so both engines compare
+    * integers (SURVEY R1 determinism) — the WARN threshold is the
+    * cross-multiplied `used·10 ≥ limit·8`, never an IEEE ratio, and
+    * `pct_bp` (basis points) is integer division. Everything here is
+    * metadata-sized: the listing is O(tables) rows.
+    */
+  def quotaReport(listing: DataFrame, nsName: String,
+                  tableLimitExpr: String, nsLimitExpr: String): DataFrame = {
+    val l = listing.select(col("table"), col("n_cells"))
+    val tot = l.agg(sum("n_cells").as("tot"))
+    val perTable = l.crossJoin(broadcast(tot))
+      .select(concat(lit("table:"), col("table")).as("scope"),
+        col("n_cells").as("used"), expr(tableLimitExpr).as("lim"))
+    val nsRow = tot.select(lit(s"ns:$nsName").as("scope"),
+      col("tot").as("used"), expr(nsLimitExpr).as("lim"))
+    perTable.unionByName(nsRow)
+      .withColumn("pct_bp", expr("(used * 10000) DIV lim"))
+      .withColumn("status",
+        when(col("used") > col("lim"), "VIOLATION")
+          .when(col("used") * 10 >= col("lim") * 8, "WARN")
+          .otherwise("OK"))
+      .orderBy(asc_nulls_last("scope"))
+  }
+
+  /** a28 — the quota report gated end to end: the a22 two-table
+    * namespace is written and LISTED (so `used` comes from hfile
+    * trailer metadata, which must equal the oracle's recount of the
+    * source rows), then statused against a deterministic quota config —
+    * each table capped at half the namespace total (t_txn, the bigger
+    * split, lands VIOLATION; t_click lands WARN/OK by its share), the
+    * namespace capped at 110% of its own usage (always WARN: the
+    * "approaching the limit" page an operator actually gets).
+    */
+  val a28_quota_report: graft.ops.Q = (s, d) => {
+    val nsDir = Tables.appTmpDir(s, "graft_ns_quota", d)
+    val cells = Tables.cells(s, d)
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events") / 2)
+    createTable(cells.where(col("qualifier").isin("click", "view")),
+      nsDir, "t_click", regions)
+    createTable(cells.where(!col("qualifier").isin("click", "view")),
+      nsDir, "t_txn", regions)
+    quotaReport(listNamespace(s, nsDir), "graft_ns",
+      tableLimitExpr = "tot DIV 2",
+      nsLimitExpr = "(tot DIV 10) * 11")
+  }
+
   val queries: Map[String, graft.ops.Q] =
-    Map("a22_namespace_admin" -> a22_namespace_admin)
+    Map("a22_namespace_admin" -> a22_namespace_admin,
+      "a28_quota_report" -> a28_quota_report)
 }

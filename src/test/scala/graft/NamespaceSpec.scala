@@ -71,4 +71,28 @@ class NamespaceSpec extends SparkSuite {
     // and it composes: a union with a real clone is just the real clone
     assert(empty.unionByName(empty).count() == 0L)
   }
+
+  test("quota statuses: VIOLATION exactly when used > limit, WARN at the inclusive 80% edge") {
+    import spark.implicits._
+    // fixed per-table limit of 100 cells isolates the status arms from
+    // the listing: 101 → VIOLATION (just over), 100 → WARN (at the
+    // limit but not over — used*10 >= 800), 80 → WARN (the inclusive
+    // 80% edge), 79 → OK (just under the edge)
+    val listing = Seq(("t_over", 101L), ("t_at", 100L),
+        ("t_edge", 80L), ("t_under", 79L))
+      .toDF("table", "n_cells")
+    val got = NamespaceOps.quotaReport(listing, "nsx",
+        tableLimitExpr = "100", nsLimitExpr = "400")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(got("table:t_over") == "VIOLATION")
+    assert(got("table:t_at") == "WARN")
+    assert(got("table:t_edge") == "WARN")
+    assert(got("table:t_under") == "OK")
+    // ns rollup: 360 used vs 400 limit = 90% → WARN, and pct_bp is the
+    // exact integer basis points
+    val ns = NamespaceOps.quotaReport(listing, "nsx",
+        tableLimitExpr = "100", nsLimitExpr = "400")
+      .where($"scope" === "ns:nsx").collect().head
+    assert(ns.getString(4) == "WARN" && ns.getLong(3) == 9000L)
+  }
 }

@@ -461,6 +461,28 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("a27 canary read: probe set broadcasts onto the corpus scan — multiGet shape") {
+    // the canary's probe read must be the a10 multiGet pattern: the
+    // bounded probe set reaches the cells scan as a BROADCAST, so the
+    // corpus itself never hash-shuffles into the probe join; the only
+    // keyed exchanges are over the probe-row-filtered remnant (the
+    // latest-version window, the per-row count) and the probe-sized
+    // left-join alignment
+    val cells = Tables.cells(spark, sf)
+    val probes = graft.ops.ckpt(cells
+      .groupBy(graft.ops.BalancerOps.regionOf(
+        substring(col("rowkey"), 1, 12).cast("long")).as("region_id"))
+      .agg(min("rowkey").as("probe_row")))  // materialized, as in a27
+    val plan = physical(graft.ops.BalancerOps.canaryPerRegion(cells, probes))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set must broadcast onto the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3,
+      s"only probe-sized/probe-filtered exchanges expected (window, count, align), got $hashExchanges\n$plan")
+  }
+
   test("j64 canonical pick runs the bounded-heap TopKPerGroup, never a full per-cluster sort") {
     // ADVICE r16: the r16 spelling (rn===1 && sz>=2 over stacked windows)
     // silently kept both our rewrite and stock InferWindowGroupLimit from
