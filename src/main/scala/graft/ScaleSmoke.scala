@@ -120,7 +120,9 @@ object ScaleSmoke {
     // round 17: canary health probe (broadcast probe-set multiGet) and
     // the namespace quota report (bulk-write + metadata listing + CASE)
     "a27_canary_probe",
-    "a28_quota_report")
+    "a28_quota_report",
+    // rsgroup-constrained serpentine placement (metadata window per group)
+    "a29_rsgroup_placement")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

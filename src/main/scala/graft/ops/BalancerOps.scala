@@ -85,6 +85,51 @@ object BalancerOps {
           .cast("int").as("server"))
   }
 
+  /** RSGroup-constrained placement [public:
+    * o.a.h.hbase.rsgroup.RSGroupBasedLoadBalancer — regions of a
+    * namespace/table may only land on the namespace's server group]:
+    * the serpentine deal of [[placementPlan]], run independently INSIDE
+    * each server group. `groupOf` maps a region to its group (in
+    * production: the namespace → rsgroup config), `serversPerGroup`
+    * sizes each group's server fleet. Same full determinism (size desc,
+    * region_id asc tiebreak); output server names are group-qualified
+    * (`<grp>-<idx>`) so cross-group assignment is impossible by
+    * construction and BalancerSpec can still assert it structurally.
+    * Scale: the window partitions by group over REGION METADATA
+    * (~10⁴–10⁵ rows at 100 TB), the server-count table is O(groups)
+    * and broadcast.
+    */
+  def rsgroupPlacementPlan(regions: DataFrame, groupOf: Column,
+                           serversPerGroup: Map[String, Int]): DataFrame = {
+    require(serversPerGroup.nonEmpty && serversPerGroup.values.forall(_ > 0),
+      s"every group needs a positive server count, got $serversPerGroup")
+    val s = regions.sparkSession
+    import s.implicits._
+    val srv = serversPerGroup.toSeq.sorted.toDF("grp", "n_srv")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n_cells").desc, col("region_id").asc)
+    regions.withColumn("grp", groupOf)
+      .join(broadcast(srv), "grp")
+      .withColumn("rk", row_number().over(w) - 1)
+      .select(col("region_id"), col("n_cells"), col("grp"),
+        concat(col("grp"), lit("-"),
+          when((col("rk") / col("n_srv")).cast("int") % 2 === 0,
+            col("rk") % col("n_srv"))
+            .otherwise(col("n_srv") - 1 - col("rk") % col("n_srv"))
+            .cast("int").cast("string")).as("server"))
+  }
+
+  /** a29 — the RSGroup placement under the driver gate: the ten region
+    * buckets split across two namespaces-worth of groups (small-key
+    * regions → g0 with 2 servers, large-key → g1 with 3), serpentine
+    * within each group.
+    */
+  val a29_rsgroup_placement: Q = (s, d) =>
+    rsgroupPlacementPlan(regionStats(s, d).drop("start_key"),
+      groupOf = when(col("region_id") <= 4, "g0").otherwise("g1"),
+      serversPerGroup = Map("g0" -> 2, "g1" -> 3))
+      .orderBy(col("region_id").asc_nulls_last)
+
   /** Gate-side region stats: the cells view bucketed into regions of
     * exponentially widening user-key ranges (integer CASE arms — both
     * engines compare exact integers, no libm anywhere), so region sizes
@@ -266,6 +311,7 @@ object BalancerOps {
     "a23_region_normalize" -> a23_region_normalize,
     "a24_region_placement" -> a24_region_placement,
     "a27_canary_probe" -> a27_canary_probe,
+    "a29_rsgroup_placement" -> a29_rsgroup_placement,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

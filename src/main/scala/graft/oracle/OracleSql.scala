@@ -67,6 +67,27 @@ object OracleSql {
          |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5
          |            ELSE 4 - (rk % 5) END AS INT) AS server
          |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a29: RSGroup-constrained placement — the a24 serpentine deal run
+    // independently inside each server group (partitioned window);
+    // group-qualified server names make cross-group assignment
+    // structurally impossible
+    "a29_rsgroup_placement" ->
+      s"""WITH r AS (SELECT $regionBucketCase AS region_id, count(*) AS n_cells
+         |           FROM events GROUP BY 1),
+         |g AS (SELECT region_id, n_cells,
+         |             CASE WHEN region_id <= 4 THEN 'g0' ELSE 'g1' END AS grp
+         |      FROM r),
+         |s AS (SELECT 'g0' AS grp, 2 AS n_srv UNION ALL SELECT 'g1', 3),
+         |w AS (SELECT g.region_id, g.n_cells, g.grp, s.n_srv,
+         |        row_number() OVER (PARTITION BY g.grp
+         |                           ORDER BY g.n_cells DESC, g.region_id ASC) - 1 AS rk
+         |      FROM g JOIN s ON g.grp = s.grp)
+         |SELECT region_id, n_cells, grp,
+         |  concat(grp, '-', CAST(CAST(CASE WHEN (rk // n_srv) % 2 = 0
+         |                                  THEN rk % n_srv
+         |                                  ELSE n_srv - 1 - (rk % n_srv)
+         |                             END AS INT) AS VARCHAR)) AS server
+         |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
     // a27: canary probe — one deterministic probe row per region (the
     // region's min rowkey), read through the b7 latest-version rule
     // (puts only, newest per coordinate), per-region found/cell counts

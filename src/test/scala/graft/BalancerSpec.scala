@@ -64,6 +64,51 @@ class BalancerSpec extends SparkSuite {
       s"load gap ${placed.max - placed.min} exceeds the largest region ${sizes.max}")
   }
 
+  test("rsgroup placement: no region leaves its group; per-group serpentine gap bound holds") {
+    val rnd = new scala.util.Random(11)
+    val regions = (0 until 60).map(i => (i, 1L + rnd.nextInt(1000).toLong))
+      .toDF("region_id", "n_cells")
+    val groupOf = when(col("region_id") % 3 === 0, "gA")
+      .when(col("region_id") % 3 === 1, "gB").otherwise("gC")
+    val fleet = Map("gA" -> 2, "gB" -> 3, "gC" -> 4)
+    val placed = BalancerOps.rsgroupPlacementPlan(regions, groupOf, fleet)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(placed.length == 60)
+    // group affinity respected: every region sits in its mapped group,
+    // and its server is that group's (structural no-cross-group)
+    placed.foreach { case (id, _, grp, server) =>
+      val expected = Seq("gA", "gB", "gC")(id % 3)
+      assert(grp == expected, s"region $id left its group: $grp")
+      assert(server.startsWith(grp + "-"), s"cross-group server $server for $grp")
+    }
+    // every configured server is used and none is out of range
+    fleet.foreach { case (g, n) =>
+      val servers = placed.filter(_._3 == g).map(_._4).distinct.sorted
+      assert(servers.toSeq == (0 until n).map(i => s"$g-$i"),
+        s"group $g fleet mismatch: ${servers.mkString(",")}")
+    }
+    // serpentine balance WITHIN each group: max-min server load bounded
+    // by the group's largest region (same bound the a24 test pins
+    // globally)
+    fleet.keys.foreach { g =>
+      val inG = placed.filter(_._3 == g)
+      val loads = inG.groupBy(_._4).map(_._2.map(_._2).sum)
+      assert(loads.max - loads.min <= inG.map(_._2).max,
+        s"group $g unbalanced: ${loads.mkString(",")}")
+    }
+  }
+
+  test("rsgroup placement is invariant under input partitioning") {
+    val regions = (0 until 40).map(i => (i, (i * 37 % 500 + 1).toLong))
+      .toDF("region_id", "n_cells")
+    val groupOf = when(col("region_id") % 2 === 0, "ga").otherwise("gb")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.rsgroupPlacementPlan(df, groupOf, Map("ga" -> 3, "gb" -> 2))
+        .orderBy("region_id").collect().map(_.toString).toSeq
+    assert(planOf(regions.repartition(13)) == planOf(regions.coalesce(1)))
+  }
+
   test("salted read: union of per-bucket sub-scans equals the straight range scan") {
     // the salted layout's read path — one sub-range scan per salt
     // bucket, merged — must reconstruct the logical range exactly
