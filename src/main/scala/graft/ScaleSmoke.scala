@@ -122,7 +122,9 @@ object ScaleSmoke {
     "a27_canary_probe",
     "a28_quota_report",
     // rsgroup-constrained serpentine placement (metadata window per group)
-    "a29_rsgroup_placement")
+    "a29_rsgroup_placement",
+    // minor-compaction file selection (suffix-sum windows over manifests)
+    "a30_compaction_select")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

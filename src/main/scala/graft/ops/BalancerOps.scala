@@ -130,6 +130,63 @@ object BalancerOps {
       serversPerGroup = Map("g0" -> 2, "g1" -> 3))
       .orderBy(col("region_id").asc_nulls_last)
 
+  /** Minor-compaction FILE SELECTION [public:
+    * o.a.h.hbase.regionserver.compactions.RatioBasedCompactionPolicy —
+    * a store file joins a minor compaction only if its size ≤ ratio ×
+    * Σ(sizes of the files newer than it); hbase.hstore.compaction.min /
+    * .max bound the batch]: the repo has compaction EXECUTION (b17's
+    * rewrite, HFileOps.compactRegions) — this is the SCHEDULING
+    * decision that feeds it. The ratio test is cross-multiplied with an
+    * integer ratio (`ratioDen·size ≤ ratioNum·newerSum`, default 6/5 =
+    * HBase's 1.2) so both engines compare exact integers; the big-old-
+    * file exclusion (a file dwarfing everything newer stays out of
+    * minor compactions — the policy's whole point) falls out of the
+    * suffix-sum test. Selection below `minFiles` is dropped (not worth
+    * a rewrite); above `maxFiles`, only the NEWEST maxFiles compact
+    * (HBase's batch cap). Windows run over store-file METADATA
+    * (O(files-per-region) rows), same scale note as the planners above.
+    * Input: (region_id, seq, size) with seq ascending by file age
+    * (oldest = lowest). Output adds action ∈ {compact, keep}.
+    */
+  def compactionSelect(files: DataFrame, ratioNum: Int = 6,
+                       ratioDen: Int = 5, minFiles: Int = 3,
+                       maxFiles: Int = 10): DataFrame = {
+    require(ratioNum > 0 && ratioDen > 0 && minFiles >= 2 && maxFiles >= minFiles,
+      s"bad policy config: ratio=$ratioNum/$ratioDen min=$minFiles max=$maxFiles")
+    val newer = Window.partitionBy(col("region_id")).orderBy(col("seq").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val sel = files.withColumn("newer_sum",
+        coalesce(sum(col("size")).over(newer), lit(0L)))
+      .withColumn("s0",
+        when(lit(ratioDen) * col("size") <= lit(ratioNum) * col("newer_sum"), 1)
+          .otherwise(0))
+    val perRegion = Window.partitionBy(col("region_id"))
+    val rkNew = Window.partitionBy(col("region_id"), col("s0"))
+      .orderBy(col("seq").desc)
+    sel.withColumn("n_sel", sum(col("s0")).over(perRegion))
+      .withColumn("rn_new", row_number().over(rkNew))
+      .select(col("region_id"), col("seq"), col("size"),
+        when(col("s0") === 1 && col("n_sel") >= minFiles &&
+          col("rn_new") <= maxFiles, "compact").otherwise("keep").as("action"))
+  }
+
+  /** a30 — the selection policy under the driver gate: store files
+    * derived deterministically from the fixture (7 generations per
+    * region via `event_id % 7`, size = exact cell count per file — the
+    * manifest shape `listNamespace`/`HFileOps` reads in production),
+    * default HBase-ish config (ratio 1.2, min 3, max 10).
+    */
+  val a30_compaction_select: Q = (s, d) =>
+    compactionSelect(
+      Tables.cells(s, d)
+        .withColumn("user_id", substring(col("rowkey"), 1, 12).cast("long"))
+        .withColumn("event_id",
+          substring(col("rowkey"), 14, 12).cast("long"))
+        .groupBy(regionOf(col("user_id")).as("region_id"),
+          (col("event_id") % 7).as("seq"))
+        .agg(count(lit(1)).as("size")))
+      .orderBy(col("region_id").asc_nulls_last, col("seq").asc_nulls_last)
+
   /** Gate-side region stats: the cells view bucketed into regions of
     * exponentially widening user-key ranges (integer CASE arms — both
     * engines compare exact integers, no libm anywhere), so region sizes
@@ -312,6 +369,7 @@ object BalancerOps {
     "a24_region_placement" -> a24_region_placement,
     "a27_canary_probe" -> a27_canary_probe,
     "a29_rsgroup_placement" -> a29_rsgroup_placement,
+    "a30_compaction_select" -> a30_compaction_select,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

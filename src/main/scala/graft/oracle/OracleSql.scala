@@ -88,6 +88,30 @@ object OracleSql {
          |                                  ELSE n_srv - 1 - (rk % n_srv)
          |                             END AS INT) AS VARCHAR)) AS server
          |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a30: minor-compaction file selection — ratio test cross-multiplied
+    // (5*size <= 6*newer_sum), suffix sums over per-region file metadata,
+    // min-3 drop and newest-10 cap; all-integer
+    "a30_compaction_select" ->
+      s"""WITH f AS (SELECT $regionBucketCase AS region_id,
+         |                  event_id % 7 AS seq, count(*) AS size
+         |           FROM events GROUP BY 1, 2),
+         |w AS (SELECT region_id, seq, size,
+         |        COALESCE(sum(size) OVER (PARTITION BY region_id ORDER BY seq ASC
+         |                                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+         |                 0) AS newer_sum
+         |      FROM f),
+         |sel AS (SELECT *, CASE WHEN 5 * size <= 6 * newer_sum THEN 1 ELSE 0 END AS s0
+         |        FROM w),
+         |cnt AS (SELECT region_id, sum(s0) AS n_sel FROM sel GROUP BY 1),
+         |rk AS (SELECT sel.region_id, sel.seq, sel.size, sel.s0, cnt.n_sel,
+         |         row_number() OVER (PARTITION BY sel.region_id, sel.s0
+         |                            ORDER BY sel.seq DESC) AS rn_new
+         |       FROM sel JOIN cnt ON sel.region_id = cnt.region_id)
+         |SELECT region_id, seq, size,
+         |  CASE WHEN s0 = 1 AND n_sel >= 3 AND rn_new <= 10
+         |       THEN 'compact' ELSE 'keep' END AS action
+         |FROM rk
+         |ORDER BY region_id NULLS LAST, seq NULLS LAST""".stripMargin,
     // a27: canary probe — one deterministic probe row per region (the
     // region's min rowkey), read through the b7 latest-version rule
     // (puts only, newest per coordinate), per-region found/cell counts

@@ -109,6 +109,33 @@ class BalancerSpec extends SparkSuite {
     assert(planOf(regions.repartition(13)) == planOf(regions.coalesce(1)))
   }
 
+  test("compaction selection: big-old-file exclusion, min-files drop, newest-max cap") {
+    def filesOf(region: Int, sizes: Seq[Long]) =
+      sizes.zipWithIndex.map { case (sz, i) => (region, i.toLong, sz) }
+    // region 0: a 10000-cell old file dwarfing its 4×100 newer files —
+    // the ratio test must keep it OUT of the minor compaction (the
+    // policy's reason to exist) while the similar-sized newer files
+    // compact; region 1: only 2 files qualify → below min=3, all keep;
+    // region 2: 15 equal files all qualify → only the NEWEST 10 compact
+    val rows = filesOf(0, Seq(10000L, 100L, 100L, 100L, 100L)) ++
+      filesOf(1, Seq(50L, 50L, 40L)) ++
+      filesOf(2, Seq.fill(15)(10L))
+    val got = BalancerOps.compactionSelect(
+        rows.toDF("region_id", "seq", "size"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(got((0, 0L)) == "keep", "big old file joined a minor compaction")
+    // newer similar files: suffix sums qualify all but the newest two
+    assert(got((0, 1L)) == "compact" && got((0, 2L)) == "compact")
+    assert(got((0, 4L)) == "keep", "newest file has nothing newer to pay for it")
+    // region 1: 50 <= 1.2*90 and 50 <= 1.2*40 → only 2 qualify → under min 3
+    assert((0 until 3).forall(i => got((1, i.toLong)) == "keep"),
+      "sub-min selection must be dropped whole")
+    // region 2: 14 qualify (newest never does) → cap keeps the newest 10
+    val compacted2 = (0 until 15).filter(i => got((2, i.toLong)) == "compact")
+    assert(compacted2 == (4 until 14), s"cap slice wrong: $compacted2")
+  }
+
   test("salted read: union of per-bucket sub-scans equals the straight range scan") {
     // the salted layout's read path — one sub-range scan per salt
     // bucket, merged — must reconstruct the logical range exactly
