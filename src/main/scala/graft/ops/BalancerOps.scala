@@ -330,38 +330,65 @@ object BalancerOps {
     * join; only the probe-row-filtered remnant shuffles for the
     * latest-version window and the per-row count).
     */
-  private[graft] def canaryPerRegion(cells: DataFrame,
-                                     probes: DataFrame): DataFrame = {
+  /** The canary PROBE SET: one deterministic probe row per region (the
+    * region's min rowkey) — a map-side-combining groupBy reducing the
+    * table to ≤ #regions rows.
+    */
+  private[graft] def canaryProbes(cells: DataFrame): DataFrame =
+    cells.groupBy(regionOf(substring(col("rowkey"), 1, 12).cast("long"))
+        .as("region_id"))
+      .agg(min("rowkey").as("probe_row"))
+
+  /** The probe READ: live (latest-version, puts-only) cell counts at the
+    * probe rows — the broadcast multiGet pattern (probe set broadcasts
+    * onto the scan; only the probe-filtered remnant shuffles for the
+    * latest-version window). Returns (probe_row, live_cells).
+    */
+  private[graft] def canaryLive(cells: DataFrame,
+                                probes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("rowkey"), col("cf"), col("qualifier"))
       .orderBy(col("ts").desc, col("value").asc)
-    val live = cells.filter(col("op") === "put")
+    cells.filter(col("op") === "put")
       .join(broadcast(probes.select(col("probe_row").as("rowkey"))), "rowkey")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-    probes.join(
-        live.groupBy(col("rowkey").as("probe_row"))
-          .agg(count(lit(1)).as("live_cells")),
-        Seq("probe_row"), "left")
+      .groupBy(col("rowkey").as("probe_row"))
+      .agg(count(lit(1)).as("live_cells"))
+  }
+
+  private[graft] def canaryJoin(probes: DataFrame,
+                                live: DataFrame): DataFrame =
+    probes.join(live, Seq("probe_row"), "left")
       .select(col("region_id"), col("probe_row"),
         when(col("live_cells").isNotNull, 1).otherwise(0).as("found"),
         coalesce(col("live_cells"), lit(0L)).as("n_cells"))
-  }
 
-  val a27_canary_probe: Q = (s, d) => {
-    val cells = Tables.cells(s, d)
-    val probes = cells
-      .groupBy(regionOf(substring(col("rowkey"), 1, 12).cast("long"))
-        .as("region_id"))
-      .agg(min("rowkey").as("probe_row"))
-      .graftCkpt()
+  /** PlanSpec's pin target: the full per-region read, un-checkpointed. */
+  private[graft] def canaryPerRegion(cells: DataFrame,
+                                     probes: DataFrame): DataFrame =
+    canaryJoin(probes, canaryLive(cells, probes))
+
+  /** Report assembly from a probe set and its live counts: per-region
+    * rows + the region_id = −1 rollup. Shared by a27 and the I34
+    * streaming monitor (which re-derives `live` from its state store
+    * each trigger).
+    */
+  private[graft] def canaryReport(probes: DataFrame,
+                                  live: DataFrame): DataFrame = {
     // ≤ #regions rows, consumed by BOTH union arms — materialize so the
     // rollup aggregates the tiny table instead of re-running the whole
     // probe read (uncheckpointed, the data pass ran twice)
-    val per = canaryPerRegion(cells, probes).graftCkpt()
+    val per = canaryJoin(probes, live).graftCkpt()
     val rollup = per.agg(
       lit(-1).as("region_id"), lit(null).cast("string").as("probe_row"),
       sum("found").cast("int").as("found"), sum("n_cells").as("n_cells"))
     per.unionByName(rollup).orderBy(col("region_id").asc_nulls_last)
+  }
+
+  val a27_canary_probe: Q = (s, d) => {
+    val cells = Tables.cells(s, d)
+    val probes = canaryProbes(cells).graftCkpt()
+    canaryReport(probes, canaryLive(cells, probes))
   }
 
   val queries: Map[String, Q] = Map(

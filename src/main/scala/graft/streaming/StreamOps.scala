@@ -683,6 +683,47 @@ object StreamOps {
       }
   }
 
+  /** I34: LIVE canary health monitoring — the a27 per-region probe
+    * report recomputed as the table's cell feed streams in. The probe
+    * set is STATIC across triggers — built and cached once from the
+    * served table (the I23/I21/I33 serving lifecycle) — and the feed
+    * accumulates per-COORDINATE put counts at the probe rows in the
+    * state store (complete-mode streaming groupBy after a broadcast
+    * stream-static semi-probe: state is bounded by probe-row
+    * coordinates, ≤ #regions × #qualifiers, never the feed). Each
+    * trigger collapses coordinates to per-row live counts — exactly
+    * what a27's rn=1 window counts, since a coordinate with ≥1 put
+    * contributes exactly one latest version — and re-assembles the
+    * report + rollup. After full replay the last report must equal
+    * batch a27 exactly (StreamingSpec I34). This is the operational
+    * shape: the canary pages on a region going dark WHILE the feed
+    * flows, not at the next nightly probe sweep.
+    */
+  def canarySink(spark: SparkSession, sfDir: String, events: DataFrame,
+                 checkpointDir: String)(sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.ops.BalancerOps
+    val probes = BalancerOps.canaryProbes(Tables.cells(spark, sfDir)).cache()
+    registerServingCache(spark, probes)
+    cellsStream(events)
+      .where(col("op") === "put")
+      .join(broadcast(probes.select(col("probe_row").as("rowkey"))), "rowkey")
+      .groupBy(col("rowkey"), col("cf"), col("qualifier"))
+      .agg(count(lit(1)).as("n_versions"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val live = batch.groupBy(col("rowkey").as("probe_row"))
+            .agg(count(lit(1)).as("live_cells"))
+          sink(BalancerOps.canaryReport(probes, live))
+        }
+        ()
+      }
+  }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

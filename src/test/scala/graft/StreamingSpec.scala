@@ -223,6 +223,29 @@ class StreamingSpec extends SparkSuite {
         s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
   }
 
+  test("I34: streaming canary monitor equals batch a27 after full replay") {
+    // live health paging: put counts per probe-row coordinate accumulate
+    // in the state store (complete mode, bounded by the probe set); each
+    // trigger collapses them to live counts and re-assembles the report
+    // against the cached static probe set. The final trigger has seen
+    // the whole feed, so its report must be the declared a27 table —
+    // including the found=0 tombstoned probe row and the rollup.
+    var last: Array[String] = Array.empty
+    var triggers = 0
+    val ckpt = Files.createTempDirectory("canary_ckpt").toString
+    val q = StreamOps.canarySink(spark, sf,
+        StreamOps.eventsStream(spark, sf), ckpt) { rep =>
+      last = rep.collect().map(_.toString); triggers += 1
+    }.start()
+    q.awaitTermination()
+    assert(triggers >= 2, s"replay must be multi-micro-batch, got $triggers")
+    val batch = SparkEntry.queries("a27_canary_probe")(spark, sf)
+      .collect().map(_.toString)
+    assert(last.nonEmpty && last.sameElements(batch),
+      s"streamed canary report diverges from batch a27 " +
+        s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
+  }
+
   test("I31: streaming Jaccard verify equals batch j61 row-for-row") {
     // the verify stage's serving shape: candidate pairs stream in, the
     // static shingle-set index is cached across triggers; stateless
