@@ -124,7 +124,9 @@ object ScaleSmoke {
     // rsgroup-constrained serpentine placement (metadata window per group)
     "a29_rsgroup_placement",
     // minor-compaction file selection (suffix-sum windows over manifests)
-    "a30_compaction_select")
+    "a30_compaction_select",
+    // RAG/packing chunker: row-local explode + same-row array slice
+    "j65_chunk_overlap")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

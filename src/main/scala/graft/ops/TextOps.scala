@@ -457,6 +457,45 @@ object TextOps {
     regexp_replace(regexp_replace(regexp_replace(c,
       piiEmail, "<EMAIL>"), piiIp, "<IP>"), piiPhone, "<PHONE>")
 
+  /** Fixed-size token chunking with overlap — the splitter every RAG
+    * index and long-context training pipeline runs before embedding /
+    * packing (LangChain's token splitter, Pinecone/FAISS ingestion
+    * guides; overlap keeps boundary context retrievable). Whitespace
+    * tokens (the j4 convention), chunk `ci` covers tokens
+    * `[ci·stride, ci·stride + k)`, chunk starts at every stride
+    * boundary below n_toks so every token lands in ≥1 chunk and
+    * interior tokens in ⌈k/stride⌉. Row-local: one explode of
+    * ~n_toks/stride rows per doc, chunk text sliced from the SAME
+    * row's token array — zero shuffle until a consumer aggregates.
+    * All arithmetic integer; the chunk text itself is gated so the
+    * slicing convention (1-based, length-clamped) is hash-pinned
+    * cross-engine.
+    */
+  def chunkDocs(docs: DataFrame, k: Int, stride: Int): DataFrame = {
+    require(k > 0 && stride > 0 && stride <= k,
+      s"need 0 < stride <= k, got k=$k stride=$stride")
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr(s"sequence(0L, (CAST(n_toks AS BIGINT) - 1) DIV $stride)"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(k.toLong), col("n_toks") - col("chunk_id") * stride)
+          .as("n_chunk_toks"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(k)))
+          .as("chunk_text"))
+  }
+
+  /** j65 — the chunker under the driver gate: 20-token windows, stride
+    * 15 (5-token overlap), capped doc set for a bounded oracle.
+    */
+  def j65_chunk_overlap: Q = (s, d) =>
+    chunkDocs(Tables.documents(s, d).where(col("doc_id") < 5000),
+      k = 20, stride = 15)
+      .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("chunk_id"))
+
   def j34_pii_scrub: Q = (s, d) => {
     val email = piiEmail
     val ip = piiIp
@@ -758,5 +797,6 @@ object TextOps {
     "j33_winnow_fingerprint" -> j33_winnow_fingerprint,
     "j41_ngram_lm" -> j41_ngram_lm,
     "j43_lm_perplexity" -> j43_lm_perplexity,
-    "j34_pii_scrub" -> j34_pii_scrub)
+    "j34_pii_scrub" -> j34_pii_scrub,
+    "j65_chunk_overlap" -> j65_chunk_overlap)
 }

@@ -1337,6 +1337,21 @@ object OracleSql {
     // count (regexp_extract_all length) and global regexp_replace — the
     // alternation-free patterns make Java regex and RE2 agree exactly;
     // the md5 pins the fully scrubbed bytes
+    // j65: token chunking with overlap — whitespace tokens (the j4
+    // convention), chunk ci covers [ci*15, ci*15+20); DuckDB list slice
+    // is 1-based inclusive and length-clamped, matching Spark's slice
+    "j65_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE doc_id < 5000),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+        |c AS (SELECT doc_id, toks, n_toks,
+        |        unnest(generate_series(0, (n_toks - 1) // 15)) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id,
+        |  LEAST(20, n_toks - chunk_id * 15) AS n_chunk_toks,
+        |  array_to_string(toks[chunk_id * 15 + 1 : chunk_id * 15 + 20], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id NULLS LAST, chunk_id NULLS LAST""".stripMargin,
     "j34_pii_scrub" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
         |a AS (SELECT doc_id,

@@ -75,4 +75,31 @@ class TextAnalysisSpec extends SparkSuite {
     val clean = df.where(col("t") === "no pii here at all").first()
     assert(clean.getString(1) == "no pii here at all")
   }
+
+  test("chunker: stride-slices reassemble every document exactly; interior overlap is k-stride") {
+    val k = 20; val stride = 15
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 50)
+    val chunks = graft.ops.TextOps.chunkDocs(docs, k, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val orig = docs.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == orig.keySet, "a document produced no chunks")
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous chunk ids from 0
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      // every chunk's text re-splits to its declared token count; the
+      // first stride tokens of each chunk plus ALL of the last chunk
+      // reassemble the original token stream — proves full coverage
+      // with exactly k-stride tokens of interior overlap
+      val rebuilt = sorted.zipWithIndex.flatMap { case ((_, _, n, text), i) =>
+        val ts = text.split(" ", -1)
+        assert(ts.length == n, s"doc $id chunk $i: ${ts.length} != $n")
+        if (i == sorted.length - 1) ts else ts.take(stride)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id reassembly diverged")
+    }
+  }
 }
