@@ -417,6 +417,53 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("a29/a30 planner plans: data shuffles once into metadata; windows only on metadata") {
+    // same contract as a23/a24: the data-sized input (cells) reduces via
+    // ONE hash-aggregate exchange into file/region metadata; the policy
+    // windows (serpentine rank, suffix sums) run after that reduction.
+    // Unlike a23/a24's GLOBAL windows (which need no hash exchange),
+    // these windows partition by group/region, so one extra
+    // metadata-sized re-key exchange is the honest shape — the pin is
+    // that NOTHING ELSE shuffles (2 = reduction + window re-key). a29
+    // adds the broadcast O(groups) fleet table — which must stay a
+    // BroadcastExchange, never a shuffle join
+    for (q <- Seq("a29_rsgroup_placement", "a30_compaction_select")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf))
+      val hashExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges <= 2,
+        s"$q: expected only the data reduction + metadata window re-key, got $hashExchanges\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.contains("Window"), s"$q lost its plan window\n$plan")
+    }
+    val a29 = physical(SparkEntry.queries("a29_rsgroup_placement")(spark, sf))
+    assert(a29.contains("BroadcastExchange") || a29.contains("BroadcastHashJoin"),
+      s"fleet table must broadcast:\n$a29")
+  }
+
+  test("a28 quota report runs on metadata only — no parquet scan in the plan") {
+    // `used` comes from trailer metadata (listNamespace) — the report's
+    // own plan must read the O(tables) listing rows, never re-scan data
+    val plan = physical(SparkEntry.queries("a28_quota_report")(spark, sf))
+    assert(!plan.contains("FileScan"), s"quota report re-scanned data:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("j65 chunker is row-local: zero keyed exchanges, pruned two-column scan") {
+    // one explode + same-row array slice: the only exchange the declared
+    // query may carry is its gate ORDER BY (rangepartitioning)
+    val df = SparkEntry.queries("j65_chunk_overlap")(spark, sf)
+    val plan = physical(df)
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0, s"chunker must not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    val readSchema = scanLine(df).split("ReadSchema:").last
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan not pruned to doc_id+text: $readSchema")
+  }
+
   test("b35 hot buckets: one data exchange, median broadcast back, top-k take-ordered") {
     val plan = physical(SparkEntry.queries("b35_hot_buckets")(spark, sf))
     val hashExchanges = plan.linesIterator
