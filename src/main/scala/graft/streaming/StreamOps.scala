@@ -724,6 +724,37 @@ object StreamOps {
       }
   }
 
+  /** I35: LIVE quota monitoring — the a28 status report recomputed as
+    * the namespace's cell feed streams in. Per-table cell counts
+    * accumulate in complete-mode state (one running count per table —
+    * bounded by the table list, never the feed), and each trigger runs
+    * the SAME quotaReport (limits, WARN edge, basis points) over those
+    * counts. The streamed `used` equals a28's trailer-metadata `used`
+    * after full replay because the trailer entryCount is exactly the
+    * cell count the feed delivers — StreamingSpec I35 pins the final
+    * report ≡ batch a28 row-for-row. Completes the monitor family:
+    * hotspots (I32), replication (I33), health (I34), QUOTA (I35) —
+    * the operator pages on approaching a limit, not at the nightly
+    * usage chore.
+    */
+  def quotaWatchSink(events: DataFrame, checkpointDir: String)
+                    (sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    cellsStream(events)
+      .groupBy(when(col("qualifier").isin("click", "view"), "t_click")
+        .otherwise("t_txn").as("table"))
+      .agg(count(lit(1)).as("n_cells"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.sources.NamespaceOps.quotaReport(batch, "graft_ns",
+            tableLimitExpr = "tot DIV 2", nsLimitExpr = "(tot DIV 10) * 11"))
+        ()
+      }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

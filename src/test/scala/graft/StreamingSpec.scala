@@ -246,6 +246,27 @@ class StreamingSpec extends SparkSuite {
         s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
   }
 
+  test("I35: streaming quota watcher equals batch a28 after full replay") {
+    // live quota paging: per-table running counts in bounded complete-
+    // mode state; each trigger re-runs the same quotaReport. After full
+    // replay the streamed counts equal a28's trailer-metadata counts
+    // (entryCount IS the delivered cell count), so the final report must
+    // be the declared a28 table — statuses, basis points and all.
+    var last: Array[String] = Array.empty
+    var triggers = 0
+    val ckpt = Files.createTempDirectory("quota_ckpt").toString
+    val q = StreamOps.quotaWatchSink(StreamOps.eventsStream(spark, sf), ckpt) { rep =>
+      last = rep.collect().map(_.toString); triggers += 1
+    }.start()
+    q.awaitTermination()
+    assert(triggers >= 2, s"replay must be multi-micro-batch, got $triggers")
+    val batch = SparkEntry.queries("a28_quota_report")(spark, sf)
+      .collect().map(_.toString)
+    assert(last.nonEmpty && last.sameElements(batch),
+      s"streamed quota report diverges from batch a28 " +
+        s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
+  }
+
   test("I31: streaming Jaccard verify equals batch j61 row-for-row") {
     // the verify stage's serving shape: candidate pairs stream in, the
     // static shingle-set index is cached across triggers; stateless
