@@ -317,6 +317,26 @@ object ScaleSmoke {
           .collect()(0)
         r.getLong(0)
       }),
+      "rag_chunk_retrieve_e2e" -> (() => {
+        // the j65 → ANN composition a RAG ingestion runs: chunk the full
+        // corpus (row-local), embed each chunk with a deterministic
+        // 32-dim hashed bag-of-words (xxhash64 bucket counts — stands in
+        // for the model encoder, which is out of scope per SURVEY §1.3),
+        // then LSH-retrieve top-5 chunks for the first 10 docs' chunks.
+        // Proves the chunker's output feeds the ANN family at corpus
+        // scale without a shuffle before the bucket join.
+        val chunks = ops.TextOps.chunkDocs(Tables.documents(spark, dir), 20, 15)
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+            split(col("chunk_text"), " ").as("ws"))
+        val emb = chunks.select(col("vec_id"),
+          expr("transform(sequence(0, 31), i -> " +
+            "CAST(size(filter(ws, t -> pmod(xxhash64(t), 32) = CAST(i AS BIGINT))) AS FLOAT))")
+            .as("embedding"))
+        val got = ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10000),
+          k = 5, nBits = lshBits).count()
+        require(got > 0, "no chunk retrievals — smoke is vacuous")
+        got
+      }),
       "semdedup_e2e" -> (() => {
         // ~1% of vectors are planted near-copies (cosine ≈ 0.9999): the
         // coarse-cell pair join, hub-star guard and CC must all run
