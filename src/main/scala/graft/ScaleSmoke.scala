@@ -382,6 +382,32 @@ object ScaleSmoke {
       // group lands on the primary and ships to the replica; the entry
       // measures the whole replication transport's per-batch cost and
       // asserts replica convergence (row count == primary count)
+      // I34/I35 at scale: the canary + quota monitors over the full
+      // 10M-cell feed — state stays bounded (probe coordinates / table
+      // list) while the feed is corpus-sized; the entries assert the
+      // final trigger's report is complete and non-vacuous
+      "i34_canary_stream" -> (() => {
+        val ckpt = s"$dir/canary_ckpt_${spark.sparkContext.applicationId}"
+        @volatile var rows = 0L
+        val q = graft.streaming.StreamOps.canarySink(spark, dir,
+            graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8),
+            ckpt) { rep => rows = rep.count() }
+          .start()
+        q.awaitTermination()
+        require(rows > 1, s"canary report incomplete at scale: $rows rows")
+        rows
+      }),
+      "i35_quota_stream" -> (() => {
+        val ckpt = s"$dir/quota_ckpt_${spark.sparkContext.applicationId}"
+        @volatile var rows = 0L
+        val q = graft.streaming.StreamOps.quotaWatchSink(
+            graft.streaming.StreamOps.eventsStream(spark, dir, splits = 8),
+            ckpt) { rep => rows = rep.count() }
+          .start()
+        q.awaitTermination()
+        require(rows == 3, s"quota report incomplete at scale: $rows rows")
+        rows
+      }),
       "i27_wal_replicate_stream" -> (() => {
         val app = spark.sparkContext.applicationId
         val pri = s"$dir/wal_rep_pri_$app"
