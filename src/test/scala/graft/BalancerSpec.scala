@@ -136,6 +136,41 @@ class BalancerSpec extends SparkSuite {
     assert(compacted2 == (4 until 14), s"cap slice wrong: $compacted2")
   }
 
+  test("compaction selection invariants hold on randomized manifests") {
+    // independent recomputation of the policy in plain Scala against the
+    // DataFrame result, over randomized file manifests: every compacted
+    // file passes the cross-multiplied ratio test, a region's compacted
+    // count is 0 or in [minFiles, maxFiles], and the capped choice is
+    // the newest-qualifying slice
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      val rows = (0 until 8).flatMap { region =>
+        val nFiles = 1 + rnd.nextInt(14)
+        (0 until nFiles).map(seq =>
+          (region, seq.toLong, 1L + rnd.nextInt(5000).toLong))
+      }
+      val got = BalancerOps.compactionSelect(
+          rows.toDF("region_id", "seq", "size"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
+      rows.groupBy(_._1).foreach { case (region, files) =>
+        val bySeq = files.sortBy(_._2)
+        val qualifies = bySeq.map { case (_, seq, size) =>
+          val newerSum = bySeq.filter(_._2 > seq).map(_._3).sum
+          seq -> (5 * size <= 6 * newerSum)
+        }.toMap
+        val compacted = bySeq.map(_._2).filter(s => got((region, s)) == "compact")
+        // every compacted file qualifies on the independent arithmetic
+        compacted.foreach(s => assert(qualifies(s), s"region $region seq $s"))
+        val qualifying = bySeq.map(_._2).filter(qualifies)
+        val expected =
+          if (qualifying.size < 3) Seq.empty else qualifying.takeRight(10)
+        assert(compacted == expected,
+          s"region $region: got $compacted expected $expected")
+      }
+    }
+  }
+
   test("salted read: union of per-bucket sub-scans equals the straight range scan") {
     // the salted layout's read path — one sub-range scan per salt
     // bucket, merged — must reconstruct the logical range exactly
