@@ -126,7 +126,9 @@ object ScaleSmoke {
     // minor-compaction file selection (suffix-sum windows over manifests)
     "a30_compaction_select",
     // RAG/packing chunker: row-local explode + same-row array slice
-    "j65_chunk_overlap")
+    "j65_chunk_overlap",
+    // hbck region-chain consistency check (one metadata window)
+    "a31_hbck_regions")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -187,6 +187,50 @@ object BalancerOps {
         .agg(count(lit(1)).as("size")))
       .orderBy(col("region_id").asc_nulls_last, col("seq").asc_nulls_last)
 
+  /** hbck-style region-chain consistency check [public:
+    * o.a.h.hbase.util.HBaseFsck / HbckChore — "holes or overlaps in the
+    * region chain" is THE consistency question hbck answers]: given the
+    * region table `(region_id, start_key, end_key)`, walk regions in
+    * start-key order and compare each end_key to the NEXT region's
+    * start_key — equal ⇒ `ok`, short ⇒ `hole` (keys unreachable between
+    * the two regions), long ⇒ `overlap` (two regions both claim a
+    * range); the last region is open-ended ⇒ `ok`. A single
+    * metadata-sized window (the master's region list, ~10⁴–10⁵ rows at
+    * 100 TB — same scale note as the planners above); pure byte-order
+    * string comparison, no parsing.
+    */
+  def hbckRegionChain(regions: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("start_key"))
+    regions
+      .withColumn("next_start", lead(col("start_key"), 1).over(w))
+      .select(col("region_id"), col("start_key"), col("end_key"),
+        when(col("next_start").isNull, "ok")
+          .when(col("end_key") === col("next_start"), "ok")
+          .when(col("end_key") < col("next_start"), "hole")
+          .otherwise("overlap").as("issue"))
+  }
+
+  /** a31 — the chain check under the driver gate: the contiguous region
+    * chain derived from the fixture (end = next region's start, last
+    * open-ended at the `~` sentinel) with DETERMINISTIC planted damage —
+    * region_id ≡ 1 (mod 4) gets its end extended past the neighbor
+    * (overlap), ≡ 2 (mod 4) truncated short of it (hole) — so all three
+    * verdicts are non-vacuous at every fixture SF and the checker's
+    * comparisons, not just its plumbing, are hash-pinned.
+    */
+  val a31_hbck_regions: Q = (s, d) => {
+    val w = Window.orderBy(col("start_key"))
+    val ranges = regionStats(s, d)
+      .select(col("region_id"), col("start_key"))
+      .withColumn("end0",
+        coalesce(lead(col("start_key"), 1).over(w), lit("~")))
+      .select(col("region_id"), col("start_key"),
+        when(col("region_id") % 4 === 1, concat(col("end0"), lit("~")))
+          .when(col("region_id") % 4 === 2, substring(col("end0"), 1, 20))
+          .otherwise(col("end0")).as("end_key"))
+    hbckRegionChain(ranges).orderBy(col("region_id").asc_nulls_last)
+  }
+
   /** Gate-side region stats: the cells view bucketed into regions of
     * exponentially widening user-key ranges (integer CASE arms — both
     * engines compare exact integers, no libm anywhere), so region sizes
@@ -397,6 +441,7 @@ object BalancerOps {
     "a27_canary_probe" -> a27_canary_probe,
     "a29_rsgroup_placement" -> a29_rsgroup_placement,
     "a30_compaction_select" -> a30_compaction_select,
+    "a31_hbck_regions" -> a31_hbck_regions,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

@@ -88,6 +88,32 @@ object OracleSql {
          |                                  ELSE n_srv - 1 - (rk % n_srv)
          |                             END AS INT) AS VARCHAR)) AS server
          |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a31: hbck region-chain check — end vs next start in byte order;
+    // planted damage (mod-4 extend/truncate) makes all three verdicts
+    // non-vacuous at every SF
+    "a31_hbck_regions" ->
+      s"""WITH c AS (SELECT concat(lpad(CAST(user_id AS VARCHAR), 12, '0'), ':',
+         |                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS rowkey,
+         |                  user_id FROM events),
+         |r AS (SELECT $regionBucketCase AS region_id, min(rowkey) AS start_key
+         |      FROM c GROUP BY 1),
+         |rng AS (SELECT region_id, start_key,
+         |          COALESCE(lead(start_key) OVER (ORDER BY start_key), '~') AS end0
+         |        FROM r),
+         |drift AS (SELECT region_id, start_key,
+         |            CASE WHEN region_id % 4 = 1 THEN concat(end0, '~')
+         |                 WHEN region_id % 4 = 2 THEN substr(end0, 1, 20)
+         |                 ELSE end0 END AS end_key
+         |          FROM rng),
+         |chk AS (SELECT region_id, start_key, end_key,
+         |          lead(start_key) OVER (ORDER BY start_key) AS next_start
+         |        FROM drift)
+         |SELECT region_id, start_key, end_key,
+         |  CASE WHEN next_start IS NULL THEN 'ok'
+         |       WHEN end_key = next_start THEN 'ok'
+         |       WHEN end_key < next_start THEN 'hole'
+         |       ELSE 'overlap' END AS issue
+         |FROM chk ORDER BY region_id NULLS LAST""".stripMargin,
     // a30: minor-compaction file selection — ratio test cross-multiplied
     // (5*size <= 6*newer_sum), suffix sums over per-region file metadata,
     // min-3 drop and newest-10 cap; all-integer

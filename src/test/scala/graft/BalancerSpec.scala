@@ -171,6 +171,35 @@ class BalancerSpec extends SparkSuite {
     }
   }
 
+  test("hbck chain check: clean chain is all-ok; each damage type gets its verdict") {
+    def chainOf(rows: Seq[(Int, String, String)]) =
+      rows.toDF("region_id", "start_key", "end_key")
+    // clean contiguous chain → every region ok (incl. the open-ended last)
+    val clean = BalancerOps.hbckRegionChain(chainOf(Seq(
+        (0, "a", "f"), (1, "f", "m"), (2, "m", "s"), (3, "s", "~"))))
+      .collect().map(_.getString(3))
+    assert(clean.forall(_ == "ok"), clean.mkString(","))
+    // one hole (end short of next start), one overlap (end past it)
+    val damaged = BalancerOps.hbckRegionChain(chainOf(Seq(
+        (0, "a", "d"),   // d < f → hole before region 1
+        (1, "f", "p"),   // p > m → overlaps region 2
+        (2, "m", "s"),
+        (3, "s", "~"))))
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(damaged(0) == "hole" && damaged(1) == "overlap" &&
+      damaged(2) == "ok" && damaged(3) == "ok", damaged.toString)
+    // the fixture chain WITHOUT planted damage is clean end to end —
+    // the a31 gate's verdicts come from the drift, not the derivation
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("start_key"))
+    val derived = BalancerOps.hbckRegionChain(
+        graft.ops.BalancerOps.regionStats(spark, sf)
+          .select(col("region_id"), col("start_key"))
+          .withColumn("end_key",
+            coalesce(lead(col("start_key"), 1).over(w), lit("~"))))
+      .collect().map(_.getString(3))
+    assert(derived.forall(_ == "ok"), derived.mkString(","))
+  }
+
   test("salted read: union of per-bucket sub-scans equals the straight range scan") {
     // the salted layout's read path — one sub-range scan per salt
     // bucket, merged — must reconstruct the logical range exactly
