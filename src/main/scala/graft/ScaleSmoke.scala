@@ -319,6 +319,21 @@ object ScaleSmoke {
           .collect()(0)
         r.getLong(0)
       }),
+      "bpe_compression_stats" -> (() => {
+        // the tokenizer-fit report at corpus scale: train on the bounded
+        // dictionary, one distributed encode pass over ALL scaled docs,
+        // aggregate corpus compression — BPE's first full-corpus smoke
+        // entry (j27's gate runs at fixture SF only)
+        val docs = Tables.documents(spark, dir)
+        val model = ops.BpeOps.train(
+          ops.BpeOps.wordCounts(docs, maxWords = 20000), numMerges = 200)
+        val r = ops.BpeOps.compressionStats(spark, docs, model)
+          .agg(sum("n_chars").as("chars"), sum("n_tokens").as("toks"))
+          .collect()(0)
+        require(r.getLong(0) > r.getLong(1),
+          "merges failed to compress the scaled corpus — smoke is vacuous")
+        r.getLong(1)
+      }),
       "rag_chunk_retrieve_e2e" -> (() => {
         // the j65 → ANN composition a RAG ingestion runs: chunk the full
         // corpus (row-local), embed each chunk with a deterministic

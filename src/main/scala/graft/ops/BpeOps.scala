@@ -259,6 +259,26 @@ object BpeOps {
     * vocab slot, a non-contiguous id, or a spurious UNK all flip the
     * hash. Replaces the r9 rows-only j26 gate entry.
     */
+  /** Tokenizer-FIT report: chars-per-token compression ratio per doc —
+    * the standard signal for how well a tokenizer's merges fit a corpus
+    * (GPT-2/SentencePiece evaluations report compression; domain shift
+    * shows up as ratio collapse). `ratio_bp` = non-whitespace chars ×
+    * 10⁴ DIV tokens — exact integer basis points, no IEEE division.
+    * One distributed encode pass + a doc-keyed join; BpeSpec pins the
+    * monotonicity law (more merges ⇒ fewer tokens ⇒ higher ratio) and
+    * the per-word/per-char bounds.
+    */
+  def compressionStats(spark: SparkSession, docs: DataFrame,
+                       model: BpeModel): DataFrame =
+    encode(spark, docs, model)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+      .join(docs.select(col("doc_id"),
+        length(regexp_replace(lower(col("text")), "\\s+", ""))
+          .cast("long").as("n_chars")), "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        when(col("n_tokens") > 0, expr("(n_chars * 10000) DIV n_tokens"))
+          .otherwise(lit(0L)).as("ratio_bp"))
+
   val j27_bpe_roundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val words = wordCounts(docs, maxWords = 20000)

@@ -142,4 +142,28 @@ class BpeSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     out1.foreach(r => assert(r.getInt(2) == expect(r.getLong(0)), s"doc ${r.getLong(0)}"))
   }
+
+  test("compressionStats: ratio rises with merge budget, bounds hold, basis points exact") {
+    val docs = Tables.documents(spark, sf)
+    val words = ops.BpeOps.wordCounts(docs, maxWords = 20000)
+    def statsFor(merges: Int) =
+      ops.BpeOps.compressionStats(spark, docs, ops.BpeOps.train(words, merges))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = statsFor(0)     // character tokenizer: one token per char
+    val fit = statsFor(200)
+    assert(base.keySet == fit.keySet)
+    // 0 merges = character baseline: tokens == chars, ratio exactly 10000
+    base.values.filter(_._1 > 0).foreach { case (chars, toks, bp) =>
+      assert(toks == chars && bp == 10000L)
+    }
+    // more merges never add tokens; corpus-wide they strictly compress
+    fit.foreach { case (id, (chars, toks, bp)) =>
+      assert(toks <= base(id)._2, s"doc $id grew under merges")
+      assert(chars == base(id)._1)
+      // per-word lower bound: a token is at least one char, a word >= 1 token
+      if (toks > 0) assert(bp == chars * 10000L / toks, s"doc $id basis points")
+    }
+    assert(fit.values.map(_._2).sum < base.values.map(_._2).sum,
+      "200 merges failed to compress the corpus")
+  }
 }
