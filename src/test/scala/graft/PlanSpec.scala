@@ -464,6 +464,19 @@ class PlanSpec extends SparkSuite {
       s"scan not pruned to doc_id+text: $readSchema")
   }
 
+  test("a31 hbck chain check: one data reduction, windows only on region metadata") {
+    // same family as a23/a24: cells reduce via ONE hash-agg exchange to
+    // the region list; the chain walk (lead over start_key order) runs
+    // on that bounded table — no join, no cartesian
+    val plan = physical(SparkEntry.queries("a31_hbck_regions")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"region list should shuffle once, got $hashExchanges\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+    assert(plan.contains("Window"), s"chain walk window missing\n$plan")
+  }
+
   test("b35 hot buckets: one data exchange, median broadcast back, top-k take-ordered") {
     val plan = physical(SparkEntry.queries("b35_hot_buckets")(spark, sf))
     val hashExchanges = plan.linesIterator
