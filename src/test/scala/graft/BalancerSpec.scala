@@ -200,6 +200,32 @@ class BalancerSpec extends SparkSuite {
     assert(derived.forall(_ == "ok"), derived.mkString(","))
   }
 
+  test("rsgroup placement with one group degenerates to the flat serpentine deal") {
+    // cross-validates the two implementations: a single all-regions
+    // group must reproduce placementPlan's assignment exactly (server
+    // index parsed back from the group-qualified name)
+    val regions = (0 until 23).map(i => (i, (i * 53 % 400 + 1).toLong))
+      .toDF("region_id", "n_cells")
+    val flat = BalancerOps.placementPlan(regions, nServers = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val grouped = BalancerOps.rsgroupPlacementPlan(regions, lit("g"),
+        Map("g" -> 4))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(3).stripPrefix("g-").toInt).toMap
+    assert(grouped == flat,
+      s"single-group rsgroup diverged from flat placement: " +
+        s"${(grouped.toSet diff flat.toSet).take(5)}")
+  }
+
+  test("hbck chain check is invariant under input partitioning") {
+    val rows = Seq((0, "a", "d"), (1, "f", "p"), (2, "m", "s"), (3, "s", "~"))
+      .toDF("region_id", "start_key", "end_key")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.hbckRegionChain(df).orderBy("region_id")
+        .collect().map(_.toString).toSeq
+    assert(verdicts(rows.repartition(7)) == verdicts(rows.coalesce(1)))
+  }
+
   test("salted read: union of per-bucket sub-scans equals the straight range scan") {
     // the salted layout's read path — one sub-range scan per salt
     // bucket, merged — must reconstruct the logical range exactly
