@@ -267,6 +267,34 @@ class StreamingSpec extends SparkSuite {
         s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
   }
 
+  test("I34/I35 under RocksDB state store: monitor reports are provider-independent") {
+    // the monitors' 100 TB state path: same bounded complete-mode state,
+    // held in RocksDB instead of executor heap — final reports must be
+    // bit-identical to the batch queries the default-provider tests pin
+    StreamOps.withStateStore(spark, StreamOps.RocksDbProvider)
+    try {
+      var canary: Array[String] = Array.empty
+      val cq = StreamOps.canarySink(spark, sf,
+          StreamOps.eventsStream(spark, sf),
+          Files.createTempDirectory("canary_rocks").toString) { rep =>
+        canary = rep.collect().map(_.toString)
+      }.start()
+      cq.awaitTermination()
+      assert(canary.sameElements(
+        SparkEntry.queries("a27_canary_probe")(spark, sf)
+          .collect().map(_.toString)))
+      var quota: Array[String] = Array.empty
+      val qq = StreamOps.quotaWatchSink(StreamOps.eventsStream(spark, sf),
+          Files.createTempDirectory("quota_rocks").toString) { rep =>
+        quota = rep.collect().map(_.toString)
+      }.start()
+      qq.awaitTermination()
+      assert(quota.sameElements(
+        SparkEntry.queries("a28_quota_report")(spark, sf)
+          .collect().map(_.toString)))
+    } finally StreamOps.withStateStore(spark, StreamOps.DefaultProvider)
+  }
+
   test("I31: streaming Jaccard verify equals batch j61 row-for-row") {
     // the verify stage's serving shape: candidate pairs stream in, the
     // static shingle-set index is cached across triggers; stateless
