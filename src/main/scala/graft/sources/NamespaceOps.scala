@@ -180,17 +180,23 @@ object NamespaceOps {
   def quotaReport(listing: DataFrame, nsName: String,
                   tableLimitExpr: String, nsLimitExpr: String): DataFrame = {
     val l = listing.select(col("table"), col("n_cells"))
-    val tot = l.agg(sum("n_cells").as("tot"))
+    // an empty namespace is used=0, not used=NULL (sum over zero rows)
+    val tot = l.agg(coalesce(sum("n_cells"), lit(0L)).as("tot"))
     val perTable = l.crossJoin(broadcast(tot))
       .select(concat(lit("table:"), col("table")).as("scope"),
         col("n_cells").as("used"), expr(tableLimitExpr).as("lim"))
     val nsRow = tot.select(lit(s"ns:$nsName").as("scope"),
       col("tot").as("used"), expr(nsLimitExpr).as("lim"))
     perTable.unionByName(nsRow)
-      .withColumn("pct_bp", expr("(used * 10000) DIV lim"))
+      // NULL basis points on a zero quota (undefined percent; ANSI DIV
+      // would throw), status still resolves below
+      .withColumn("pct_bp",
+        when(col("lim") > 0, expr("(used * 10000) DIV lim")))
       .withColumn("status",
         when(col("used") > col("lim"), "VIOLATION")
-          .when(col("used") * 10 >= col("lim") * 8, "WARN")
+          // lim > 0 guard: a zero-quota zero-usage scope is OK, not
+          // WARN-by-0≥0 (usage against a zero quota is VIOLATION above)
+          .when(col("lim") > 0 && col("used") * 10 >= col("lim") * 8, "WARN")
           .otherwise("OK"))
       .orderBy(asc_nulls_last("scope"))
   }

@@ -95,4 +95,20 @@ class NamespaceSpec extends SparkSuite {
       .where($"scope" === "ns:nsx").collect().head
     assert(ns.getString(4) == "WARN" && ns.getLong(3) == 9000L)
   }
+
+  test("quota edges: empty namespace is used=0 OK; usage against a zero quota is VIOLATION") {
+    import spark.implicits._
+    val empty = NamespaceOps.quotaReport(
+        Seq.empty[(String, Long)].toDF("table", "n_cells"), "nsy",
+        tableLimitExpr = "tot DIV 2", nsLimitExpr = "(tot DIV 10) * 11")
+      .collect()
+    assert(empty.length == 1, "empty namespace must still report its ns row")
+    assert(empty.head.getString(0) == "ns:nsy" && empty.head.getLong(1) == 0L
+      && empty.head.getString(4) == "OK", empty.head.toString)
+    val zeroQuota = NamespaceOps.quotaReport(
+        Seq(("t", 5L)).toDF("table", "n_cells"), "nsz",
+        tableLimitExpr = "0", nsLimitExpr = "0")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(zeroQuota("table:t") == "VIOLATION" && zeroQuota("ns:nsz") == "VIOLATION")
+  }
 }
