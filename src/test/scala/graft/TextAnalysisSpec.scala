@@ -102,4 +102,22 @@ class TextAnalysisSpec extends SparkSuite {
       assert(rebuilt == orig(id), s"doc $id reassembly diverged")
     }
   }
+
+  test("chunker with k == stride partitions exactly: zero overlap, concatenation is the document") {
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 30)
+    val chunks = graft.ops.TextOps.chunkDocs(docs, k = 16, stride = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val orig = docs.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // no-overlap partition: token counts sum to the doc's token count
+      // and plain concatenation reproduces it (no slice is taken twice)
+      val all = sorted.flatMap(r => r._4.split(" ", -1))
+      assert(all.mkString(" ") == orig(id), s"doc $id not partitioned")
+      assert(sorted.init.forall(_._3 == 16L), s"doc $id interior chunk not full")
+    }
+  }
 }
