@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 100×-scale smoke: synthesizes an events table 100× the bench fixture
@@ -342,14 +342,19 @@ object ScaleSmoke {
         // then LSH-retrieve top-5 chunks for the first 10 docs' chunks.
         // Proves the chunker's output feeds the ANN family at corpus
         // scale without a shuffle before the bucket join.
+        // vec_id multiplier 1e6 (ADVICE r17 #4): collision-free for any
+        // doc under one million chunks (~15M ws tokens at stride 15 —
+        // far past any scaled doc), and doc_id < 10 on the chunk frame
+        // makes the probe set exactly "the first 10 docs' chunks"
         val chunks = ops.TextOps.chunkDocs(Tables.documents(spark, dir), 20, 15)
-          .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
-            split(col("chunk_text"), " ").as("ws"))
-        val emb = chunks.select(col("vec_id"),
+          .select((col("doc_id") * 1000000L + col("chunk_id")).as("vec_id"),
+            col("doc_id"), split(col("chunk_text"), " ").as("ws"))
+        def embed(c: DataFrame) = c.select(col("vec_id"),
           expr("transform(sequence(0, 31), i -> " +
             "CAST(size(filter(ws, t -> pmod(xxhash64(t), 32) = CAST(i AS BIGINT))) AS FLOAT))")
             .as("embedding"))
-        val got = ops.AnnOps.annTopK(emb, emb.where(col("vec_id") < 10000),
+        val got = ops.AnnOps.annTopK(embed(chunks),
+          embed(chunks.where(col("doc_id") < 10)),
           k = 5, nBits = lshBits).count()
         require(got > 0, "no chunk retrievals — smoke is vacuous")
         got

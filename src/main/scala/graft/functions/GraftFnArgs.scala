@@ -15,6 +15,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * first makes the replace a fresh insert, which the registry does not
   * log. Same end state (the builders are deterministic for a given
   * name + captured parameters), silent path.
+  *
+  * NOT ATOMIC (ADVICE r17 #5): between the drop and the create the
+  * registry is briefly empty for that name, so a query ANALYZED
+  * concurrently on the same session in that window would fail to
+  * resolve the function (stock `createOrReplaceTempFunction` is a
+  * single atomic replace). Acceptable for the engine's registration
+  * path — queries register at construction on the driver thread —
+  * but synchronize on the registry before sharing a session across
+  * concurrently-analyzing threads.
   */
 private[functions] object GraftFnReg {
   def quietReplace(spark: SparkSession, name: String,

@@ -98,6 +98,12 @@ object BalancerOps {
     * Scale: the window partitions by group over REGION METADATA
     * (~10⁴–10⁵ rows at 100 TB), the server-count table is O(groups)
     * and broadcast.
+    *
+    * Group coverage is FAIL-FAST (ADVICE r17 #1): a region whose
+    * `groupOf` value has no configured fleet raises at execution
+    * instead of silently vanishing from the plan — an unplaced region
+    * is an outage, not a no-op. The left join + guarded n_srv makes
+    * the coverage check part of the plan itself (no extra pass).
     */
   def rsgroupPlacementPlan(regions: DataFrame, groupOf: Column,
                            serversPerGroup: Map[String, Int]): DataFrame = {
@@ -109,7 +115,13 @@ object BalancerOps {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("n_cells").desc, col("region_id").asc)
     regions.withColumn("grp", groupOf)
-      .join(broadcast(srv), "grp")
+      .join(broadcast(srv), Seq("grp"), "left")
+      .withColumn("n_srv",
+        when(col("n_srv").isNull, raise_error(concat(
+          lit("rsgroupPlacementPlan: region group '"), col("grp"),
+          lit("' has no configured server fleet — region "),
+          col("region_id").cast("string"), lit(" would be unplaced"))))
+          .otherwise(col("n_srv")))
       .withColumn("rk", row_number().over(w) - 1)
       .select(col("region_id"), col("n_cells"), col("grp"),
         concat(col("grp"), lit("-"),
@@ -198,13 +210,22 @@ object BalancerOps {
     * metadata-sized window (the master's region list, ~10⁴–10⁵ rows at
     * 100 TB — same scale note as the planners above); pure byte-order
     * string comparison, no parsing.
+    *
+    * Determinism + the fourth damage class (ADVICE r17 #3): the walk
+    * tiebreaks on (start_key, region_id) so two regions SHARING a
+    * start key — a real hbck damage mode (duplicate region starts) —
+    * pair deterministically, and that pair is reported explicitly as
+    * `duplicate_start` (the first of the pair sees next_start equal to
+    * its own start_key) instead of leaking through the end-vs-start
+    * arms with whatever pairing the engine happened to pick.
     */
   def hbckRegionChain(regions: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("start_key"))
+    val w = Window.orderBy(col("start_key"), col("region_id"))
     regions
       .withColumn("next_start", lead(col("start_key"), 1).over(w))
       .select(col("region_id"), col("start_key"), col("end_key"),
         when(col("next_start").isNull, "ok")
+          .when(col("next_start") === col("start_key"), "duplicate_start")
           .when(col("end_key") === col("next_start"), "ok")
           .when(col("end_key") < col("next_start"), "hole")
           .otherwise("overlap").as("issue"))

@@ -192,7 +192,7 @@ object CurateOps {
     // comparisons from these; nll/doc_id are non-null so asc ≡ the
     // oracle's NULLS LAST
     val kept = ScaleOps.distributedNtile(scored,
-        Seq(col("nll"), col("doc_id")), 10, 32)
+        Seq(col("nll"), col("doc_id")), 10, s.sparkContext.defaultParallelism)
       .where(col("tile") <= 9)
       .select("doc_id")
       .join(scrubbed, Seq("doc_id"))
@@ -223,7 +223,8 @@ object CurateOps {
     // -- 6. pack ----------------------------------------------------
     val toks = mixed.select(col("doc_id"), col("text"),
       TextAnalysisOps.wsTokenCount(col("text")).cast("long").as("tok"))
-    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"), 32)
+    ScaleOps.distributedCumsum(toks, Seq(col("doc_id")), col("tok"),
+        s.sparkContext.defaultParallelism)
       .withColumn("shard", expr(s"(cum - tok) DIV ${SampleOps.ShardTokens}"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("toks"),

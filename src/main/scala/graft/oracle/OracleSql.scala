@@ -106,10 +106,11 @@ object OracleSql {
          |                 ELSE end0 END AS end_key
          |          FROM rng),
          |chk AS (SELECT region_id, start_key, end_key,
-         |          lead(start_key) OVER (ORDER BY start_key) AS next_start
+         |          lead(start_key) OVER (ORDER BY start_key, region_id) AS next_start
          |        FROM drift)
          |SELECT region_id, start_key, end_key,
          |  CASE WHEN next_start IS NULL THEN 'ok'
+         |       WHEN next_start = start_key THEN 'duplicate_start'
          |       WHEN end_key = next_start THEN 'ok'
          |       WHEN end_key < next_start THEN 'hole'
          |       ELSE 'overlap' END AS issue
@@ -256,9 +257,10 @@ object OracleSql {
           |  SELECT 'ns:graft_ns' AS scope, tot AS used,
           |         CAST((tot // 10) * 11 AS BIGINT) AS lim FROM tot)
           |SELECT scope, used, lim,
-          |       CAST((used * 10000) // lim AS BIGINT) AS pct_bp,
+          |       CAST(CASE WHEN lim > 0 THEN (used * 10000) // lim END
+          |            AS BIGINT) AS pct_bp,
           |       CASE WHEN used > lim THEN 'VIOLATION'
-          |            WHEN used * 10 >= lim * 8 THEN 'WARN'
+          |            WHEN lim > 0 AND used * 10 >= lim * 8 THEN 'WARN'
           |            ELSE 'OK' END AS status
           |FROM rows0 ORDER BY scope NULLS LAST""".stripMargin),
     "a18_hfile_snapshot" ->

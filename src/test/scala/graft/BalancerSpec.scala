@@ -188,6 +188,18 @@ class BalancerSpec extends SparkSuite {
       .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
     assert(damaged(0) == "hole" && damaged(1) == "overlap" &&
       damaged(2) == "ok" && damaged(3) == "ok", damaged.toString)
+    // duplicate region starts (two regions claiming the same start key —
+    // a real hbck damage mode) pair deterministically on the region_id
+    // tiebreak and get their own explicit verdict, while the second of
+    // the pair resumes the normal end-vs-next-start walk
+    val dup = BalancerOps.hbckRegionChain(chainOf(Seq(
+        (0, "a", "f"),
+        (1, "f", "m"),   // shares start "f" with region 2 → duplicate_start
+        (2, "f", "x"),
+        (3, "x", "~"))))
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(dup(0) == "ok" && dup(1) == "duplicate_start" &&
+      dup(2) == "ok" && dup(3) == "ok", dup.toString)
     // the fixture chain WITHOUT planted damage is clean end to end —
     // the a31 gate's verdicts come from the drift, not the derivation
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("start_key"))
@@ -215,6 +227,21 @@ class BalancerSpec extends SparkSuite {
     assert(grouped == flat,
       s"single-group rsgroup diverged from flat placement: " +
         s"${(grouped.toSet diff flat.toSet).take(5)}")
+  }
+
+  test("rsgroup placement fails fast on a region whose group has no fleet") {
+    // an unplaced region is an outage, not a no-op: a groupOf value
+    // outside serversPerGroup must raise, never silently drop the region
+    val regions = (0 until 6).map(i => (i, (i + 1).toLong))
+      .toDF("region_id", "n_cells")
+    val plan = BalancerOps.rsgroupPlacementPlan(regions,
+      when(col("region_id") < 4, "g0").otherwise("ghost"),
+      Map("g0" -> 2))
+    val e = intercept[Exception](plan.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no configured server fleet")),
+      s"expected the fail-fast coverage error, got: $e")
   }
 
   test("hbck chain check is invariant under input partitioning") {
