@@ -128,7 +128,11 @@ object ScaleSmoke {
     // RAG/packing chunker: row-local explode + same-row array slice
     "j65_chunk_overlap",
     // hbck region-chain consistency check (one metadata window)
-    "a31_hbck_regions")
+    "a31_hbck_regions",
+    // round 18: graceful-stop drain plan (placement ckpt + broadcast
+    // survivor re-deal) and the request-weighted two-factor serpentine
+    "a32_server_drain",
+    "a34_weighted_placement")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

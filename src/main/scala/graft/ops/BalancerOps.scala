@@ -142,6 +142,135 @@ object BalancerOps {
       serversPerGroup = Map("g0" -> 2, "g1" -> 3))
       .orderBy(col("region_id").asc_nulls_last)
 
+  /** Graceful-stop / server-drain move plan [public:
+    * o.a.h.hbase.master's `drain`/decommission + the graceful_stop.sh
+    * region mover: unload ONE server's regions onto the surviving
+    * fleet before stopping it, touching nothing else]: given a
+    * placement `(region_id, n_cells, grp, server)` (the
+    * [[rsgroupPlacementPlan]] shape) and the server to drain, emit the
+    * MINIMAL move plan — exactly the drained server's regions appear,
+    * every destination stays inside the region's own rsgroup, and the
+    * re-deal is the deterministic serpentine over the group's
+    * SURVIVING servers ordered least-loaded-first (load = Σ n_cells
+    * staying put), so the biggest evacuated region lands on the
+    * emptiest survivor and the max−min spread stays serpentine-bounded.
+    * Output: (region_id, n_cells, from_server, to_server).
+    *
+    * Fail-fast like [[rsgroupPlacementPlan]]: draining a group's ONLY
+    * server raises (the regions would be unplaced) instead of silently
+    * emitting no moves for them. Draining a server that hosts nothing
+    * is a no-op plan (zero rows) — so drain-then-drain-again, or drain
+    * of a re-added empty server, is structurally idempotent.
+    * Everything here is region METADATA (~10⁴–10⁵ rows at 100 TB);
+    * the survivor/load tables are O(servers) and broadcast.
+    */
+  def serverDrainPlan(placement: DataFrame, drainServer: String): DataFrame = {
+    // consumed twice (drained rows + survivor loads): materialize so a
+    // data-derived placement's reduction runs once
+    val p = placement.select("region_id", "n_cells", "grp", "server")
+      .graftCkpt()
+    val drained = p.where(col("server") === drainServer)
+    // survivor fleet of the drained groups only — O(servers) rows
+    val destIdx = p.where(col("server") =!= drainServer)
+      .join(broadcast(drained.select("grp").distinct()), Seq("grp"))
+      .groupBy(col("grp"), col("server"))
+      .agg(sum("n_cells").as("load"))
+      .withColumn("dest_idx", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("load").asc, col("server").asc)) - 1)
+    val nDest = destIdx.groupBy("grp").agg(count(lit(1)).as("n_dest"))
+    val wD = Window.partitionBy(col("grp"))
+      .orderBy(col("n_cells").desc, col("region_id").asc)
+    // the coverage raise sits in the FINAL projection behind LEFT joins:
+    // an inner join against an empty survivor table would let AQE's
+    // empty-relation propagation eliminate the whole branch (observed:
+    // the raise task gets cancelled, collect() returns empty) — a left
+    // join keeps every drained region in the result path, so a missing
+    // destination is always seen and always raises
+    drained
+      .join(broadcast(nDest), Seq("grp"), "left")
+      .withColumn("rk", row_number().over(wD) - 1)
+      .withColumn("dest_idx",
+        when((col("rk") / col("n_dest")).cast("int") % 2 === 0,
+          col("rk") % col("n_dest"))
+          .otherwise(col("n_dest") - 1 - col("rk") % col("n_dest"))
+          .cast("int"))
+      .join(broadcast(destIdx
+        .select(col("grp"), col("dest_idx"), col("server").as("to_server"))),
+        Seq("grp", "dest_idx"), "left")
+      .select(col("region_id"), col("n_cells"),
+        col("server").as("from_server"),
+        when(col("to_server").isNull, raise_error(concat(
+          lit("serverDrainPlan: group '"), col("grp"),
+          lit("' has no surviving server — region "),
+          col("region_id").cast("string"), lit(" would be unplaced"))))
+          .otherwise(col("to_server")).as("to_server"))
+  }
+
+  /** a32 — the drain plan under the driver gate: an rsgroup placement
+    * (groups by region PARITY, not a29's threshold split, so BOTH
+    * groups are populated — and the drained server hosts ≥1 region —
+    * at every fixture SF) with server `g1-1` decommissioned: its
+    * regions re-deal serpentine across g1-0/g1-2 least-loaded-first;
+    * g0 is untouched (minimality is part of the hash: only drained
+    * regions appear).
+    */
+  val a32_server_drain: Q = (s, d) =>
+    serverDrainPlan(
+      rsgroupPlacementPlan(regionStats(s, d).drop("start_key"),
+        groupOf = when(col("region_id") % 2 === 0, "g0").otherwise("g1"),
+        serversPerGroup = Map("g0" -> 2, "g1" -> 3)),
+      drainServer = "g1-1")
+      .orderBy(col("region_id").asc_nulls_last)
+
+  /** Request-weighted placement [public:
+    * o.a.h.hbase.master.balancer.StochasticLoadBalancer — its cost
+    * model mixes region SIZE with per-region request counts
+    * (ReadRequestCostFunction / WriteRequestCostFunction); the
+    * stochastic walk is nondeterministic by design, so the support
+    * tool's reproducible analogue is the same two-factor cost fed to
+    * the deterministic serpentine deal]: cost = wCells·n_cells +
+    * wReq·n_req (exact integers — no IEEE weights), rank by
+    * (cost desc, region_id asc), deal boustrophedon across `nServers`.
+    * The serpentine spread bound now holds in COST units: max−min
+    * server cost ≤ the largest single region's cost (BalancerSpec).
+    * Output: (region_id, n_cells, n_req, cost, server).
+    */
+  def weightedPlacementPlan(regions: DataFrame, nServers: Int,
+                            wCells: Long = 1L,
+                            wReq: Long = 3L): DataFrame = {
+    require(nServers > 0, s"nServers must be positive, got $nServers")
+    require(wCells >= 0 && wReq >= 0 && wCells + wReq > 0,
+      s"weights must be non-negative and not both zero: $wCells/$wReq")
+    val w = Window.orderBy(col("cost").desc, col("region_id").asc)
+    regions
+      .withColumn("cost",
+        lit(wCells) * col("n_cells") + lit(wReq) * col("n_req"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .select(col("region_id"), col("n_cells"), col("n_req"), col("cost"),
+        when((col("rk") / nServers).cast("int") % 2 === 0,
+          col("rk") % nServers)
+          .otherwise(lit(nServers - 1) - col("rk") % nServers)
+          .cast("int").as("server"))
+  }
+
+  /** a34 — the weighted plan under the driver gate: per region, exact
+    * cell count + the read-request proxy (click/view cells — the
+    * qualifier split a28's quota tables use), cost 1·cells + 3·reqs,
+    * dealt across 5 servers. One map-side-combining groupBy reduces
+    * the data to region metadata; the window runs on that.
+    */
+  val a34_weighted_placement: Q = (s, d) =>
+    weightedPlacementPlan(
+      Tables.cells(s, d)
+        .withColumn("user_id", substring(col("rowkey"), 1, 12).cast("long"))
+        .groupBy(regionOf(col("user_id")).as("region_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("qualifier").isin("click", "view"), 1L)
+            .otherwise(0L)).as("n_req")),
+      nServers = 5)
+      .orderBy(col("region_id").asc_nulls_last)
+
   /** Minor-compaction FILE SELECTION [public:
     * o.a.h.hbase.regionserver.compactions.RatioBasedCompactionPolicy —
     * a store file joins a minor compaction only if its size ≤ ratio ×
@@ -463,6 +592,8 @@ object BalancerOps {
     "a29_rsgroup_placement" -> a29_rsgroup_placement,
     "a30_compaction_select" -> a30_compaction_select,
     "a31_hbck_regions" -> a31_hbck_regions,
+    "a32_server_drain" -> a32_server_drain,
+    "a34_weighted_placement" -> a34_weighted_placement,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

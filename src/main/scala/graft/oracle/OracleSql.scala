@@ -88,6 +88,66 @@ object OracleSql {
          |                                  ELSE n_srv - 1 - (rk % n_srv)
          |                             END AS INT) AS VARCHAR)) AS server
          |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a32: server drain — a parity-grouped rsgroup plan (both groups
+    // populated at every SF) with g1-1 decommissioned; its regions
+    // re-deal serpentine across the group's survivors ordered
+    // least-loaded-first (load = staying n_cells), minimality by
+    // construction (only drained rows selected)
+    "a32_server_drain" ->
+      s"""WITH r AS (SELECT $regionBucketCase AS region_id, count(*) AS n_cells
+         |           FROM events GROUP BY 1),
+         |g AS (SELECT region_id, n_cells,
+         |             CASE WHEN region_id % 2 = 0 THEN 'g0' ELSE 'g1' END AS grp
+         |      FROM r),
+         |s AS (SELECT 'g0' AS grp, 2 AS n_srv UNION ALL SELECT 'g1', 3),
+         |w AS (SELECT g.region_id, g.n_cells, g.grp, s.n_srv,
+         |        row_number() OVER (PARTITION BY g.grp
+         |                           ORDER BY g.n_cells DESC, g.region_id ASC) - 1 AS rk
+         |      FROM g JOIN s ON g.grp = s.grp),
+         |plan AS (SELECT region_id, n_cells, grp,
+         |           concat(grp, '-', CAST(CAST(CASE WHEN (rk // n_srv) % 2 = 0
+         |                                           THEN rk % n_srv
+         |                                           ELSE n_srv - 1 - (rk % n_srv)
+         |                                      END AS INT) AS VARCHAR)) AS server
+         |         FROM w),
+         |drained AS (SELECT * FROM plan WHERE server = 'g1-1'),
+         |surv AS (SELECT p.grp, p.server, sum(p.n_cells) AS load
+         |         FROM plan p
+         |         WHERE p.server <> 'g1-1'
+         |           AND p.grp IN (SELECT DISTINCT grp FROM drained)
+         |         GROUP BY 1, 2),
+         |di AS (SELECT grp, server,
+         |         row_number() OVER (PARTITION BY grp
+         |                            ORDER BY load ASC, server ASC) - 1 AS dest_idx
+         |       FROM surv),
+         |nd AS (SELECT grp, count(*) AS n_dest FROM surv GROUP BY 1),
+         |mv AS (SELECT d.region_id, d.n_cells, d.grp, d.server AS from_server,
+         |         CAST(CASE WHEN (rk2 // n_dest) % 2 = 0 THEN rk2 % n_dest
+         |                   ELSE n_dest - 1 - (rk2 % n_dest) END AS INT) AS dest_idx
+         |       FROM (SELECT d.*, nd.n_dest,
+         |               row_number() OVER (PARTITION BY d.grp
+         |                                  ORDER BY d.n_cells DESC, d.region_id ASC) - 1 AS rk2
+         |             FROM drained d JOIN nd ON d.grp = nd.grp) d)
+         |SELECT m.region_id, m.n_cells, m.from_server, di.server AS to_server
+         |FROM mv m JOIN di ON m.grp = di.grp AND m.dest_idx = di.dest_idx
+         |ORDER BY m.region_id NULLS LAST""".stripMargin,
+    // a34: request-weighted placement — two-factor serpentine, exact
+    // integer cost 1*cells + 3*reqs (the read-request proxy = click/view
+    // rows), the deterministic StochasticLoadBalancer analogue
+    "a34_weighted_placement" ->
+      s"""WITH r AS (SELECT $regionBucketCase AS region_id, count(*) AS n_cells,
+         |                  CAST(sum(CASE WHEN event_type IN ('click', 'view')
+         |                                THEN 1 ELSE 0 END) AS BIGINT) AS n_req
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT region_id, n_cells, n_req,
+         |        CAST(1 * n_cells + 3 * n_req AS BIGINT) AS cost,
+         |        row_number() OVER (ORDER BY 1 * n_cells + 3 * n_req DESC,
+         |                           region_id ASC) - 1 AS rk
+         |      FROM r)
+         |SELECT region_id, n_cells, n_req, cost,
+         |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5
+         |            ELSE 4 - (rk % 5) END AS INT) AS server
+         |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
     // a31: hbck region-chain check — end vs next start in byte order;
     // planted damage (mod-4 extend/truncate) makes all three verdicts
     // non-vacuous at every SF

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.BalancerOps
+import graft.ops.GraftCkpt
 import org.apache.spark.sql.functions._
 
 /** Invariants of the a23/a24 planning surface the relational oracle
@@ -242,6 +243,87 @@ class BalancerSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("no configured server fleet")),
       s"expected the fail-fast coverage error, got: $e")
+  }
+
+  test("server drain: minimal moves, group affinity, empty server drained, re-drain is a no-op") {
+    val regions = (0 until 17).map(i => (i, (i * 37 % 300 + 1).toLong))
+      .toDF("region_id", "n_cells")
+    val plan = BalancerOps.rsgroupPlacementPlan(regions,
+      when(col("region_id") % 3 === 0, "g0").otherwise("g1"),
+      Map("g0" -> 2, "g1" -> 3)).graftCkpt()
+    val before = plan.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    val drainSrv = "g1-1"
+    val moves = BalancerOps.serverDrainPlan(plan, drainSrv).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(moves.nonEmpty, "drained server hosted nothing — test is vacuous")
+    // minimality: exactly the drained server's regions move, nothing else
+    val hosted = before.collect { case (id, (_, _, s)) if s == drainSrv => id }
+    assert(moves.map(_._1).toSet == hosted.toSet,
+      s"moves ${moves.map(_._1).toSet} != hosted $hosted")
+    moves.foreach { case (id, _, from, to) =>
+      assert(from == drainSrv && to != drainSrv, s"region $id: $from -> $to")
+      // rsgroup constraint: the destination stays inside the region's group
+      assert(to.startsWith(before(id)._2 + "-"), s"region $id left its group: $to")
+    }
+    // apply the moves: the drained server is empty, and draining it
+    // again is a no-op plan (drain then re-add changes nothing)
+    val applied = plan.as("p")
+      .join(moves.toSeq.toDF("region_id", "mc", "from_server", "to_server")
+        .select("region_id", "to_server"), Seq("region_id"), "left")
+      .select(col("region_id"), col("n_cells"), col("grp"),
+        coalesce(col("to_server"), col("server")).as("server"))
+    assert(applied.where(col("server") === drainSrv).count() == 0L)
+    assert(BalancerOps.serverDrainPlan(applied, drainSrv).count() == 0L,
+      "re-draining an emptied server must be a no-op plan")
+  }
+
+  test("server drain fails fast when the drained server is the group's only one") {
+    val regions = (0 until 5).map(i => (i, (i + 1).toLong))
+      .toDF("region_id", "n_cells")
+    val plan = BalancerOps.rsgroupPlacementPlan(regions, lit("solo"),
+      Map("solo" -> 1))
+    val e = intercept[Exception](
+      BalancerOps.serverDrainPlan(plan, "solo-0").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no surviving server")),
+      s"expected the fail-fast unplaced error, got: $e")
+  }
+
+  test("weighted placement: serpentine spread bound holds in cost units and weights matter") {
+    // region 0: small but hot (high n_req); region 1: big but cold —
+    // under cost = cells + 3*req region 0 MUST outrank region 1
+    val regions = Seq(
+      (0, 10L, 100L), (1, 200L, 1L), (2, 50L, 20L), (3, 80L, 5L),
+      (4, 30L, 40L), (5, 120L, 2L), (6, 5L, 60L), (7, 90L, 10L),
+      (8, 40L, 25L), (9, 70L, 15L))
+      .toDF("region_id", "n_cells", "n_req")
+    val plan = BalancerOps.weightedPlacementPlan(regions, nServers = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getInt(4)))
+    // rank check: cost(0)=310 > cost(1)=203 → region 0 dealt first
+    val cost = plan.map(p => p._1 -> p._2).toMap
+    assert(cost(0) == 310L && cost(1) == 203L, cost.toString)
+    // all servers used, spread bounded by the largest single cost
+    val byServer = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byServer.keySet == Set(0, 1, 2), byServer.toString)
+    val spread = byServer.values.max - byServer.values.min
+    assert(spread <= plan.map(_._2).max,
+      s"serpentine cost spread $spread exceeds the largest region cost")
+  }
+
+  test("weighted placement with wReq=0 degenerates to the size-only serpentine deal") {
+    val regions = (0 until 23).map(i => (i, (i * 53 % 400 + 1).toLong, (i * 7 % 90).toLong))
+      .toDF("region_id", "n_cells", "n_req")
+    val flat = BalancerOps.placementPlan(regions.drop("n_req"), nServers = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val weighted = BalancerOps.weightedPlacementPlan(regions, nServers = 4,
+        wCells = 1L, wReq = 0L)
+      .collect().map(r => r.getInt(0) -> r.getInt(4)).toMap
+    assert(weighted == flat,
+      s"wReq=0 weighted deal diverged from flat placement: " +
+        s"${(weighted.toSet diff flat.toSet).take(5)}")
   }
 
   test("hbck chain check is invariant under input partitioning") {

@@ -464,6 +464,32 @@ class PlanSpec extends SparkSuite {
       s"scan not pruned to doc_id+text: $readSchema")
   }
 
+  test("a32 drain plan runs on metadata only: no re-scan past the placement checkpoint") {
+    // the placement is materialized (ckpt) before the drain logic, so
+    // the drain plan itself must touch only region metadata: no parquet
+    // scan, no cartesian, survivor/dest tables broadcast — the move-plan
+    // shape stays O(regions) whatever the data size
+    val plan = physical(SparkEntry.queries("a32_server_drain")(spark, sf))
+    assert(!plan.contains("FileScan"), s"drain plan re-scanned data:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"dest/survivor tables must broadcast:\n$plan")
+    assert(plan.contains("Window"), s"serpentine rank window missing\n$plan")
+  }
+
+  test("a34 weighted placement: data shuffles once into two-factor region stats") {
+    // same contract as a23/a24: ONE hash-agg exchange reduces cells to
+    // (region, n_cells, n_req); the cost rank window is GLOBAL over that
+    // bounded table, so no window re-key exchange appears
+    val plan = physical(SparkEntry.queries("a34_weighted_placement")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"region stats should shuffle once, got $hashExchanges\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+    assert(plan.contains("Window"), s"cost rank window missing\n$plan")
+  }
+
   test("a31 hbck chain check: one data reduction, windows only on region metadata") {
     // same family as a23/a24: cells reduce via ONE hash-agg exchange to
     // the region list; the chain walk (lead over start_key order) runs
