@@ -132,7 +132,10 @@ object ScaleSmoke {
     // round 18: graceful-stop drain plan (placement ckpt + broadcast
     // survivor re-deal) and the request-weighted two-factor serpentine
     "a32_server_drain",
-    "a34_weighted_placement")
+    "a34_weighted_placement",
+    // restore/clone diff: bulk write + snapshot + planted drift, the
+    // diff itself is manifest-vs-listing metadata
+    "a33_snapshot_restore")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -476,6 +476,76 @@ object ScanOps {
       .orderBy(col("vw").asc_nulls_last, col("qualifier").asc_nulls_last)
   }
 
+  /** The planted live drift of the a33 restore gate — REAL file
+    * operations on real store files, the three ways a live table walks
+    * away from its snapshot:
+    *   - regions 2 and 7 get a post-snapshot FLUSH (a gen-001 store
+    *     file appears next to the pinned gen-000 one) → `replace`
+    *   - regions 1 and 6 are ARCHIVED (their gen-000 file moves to
+    *     `<dir>/archive/` — HBase archives snapshot-referenced files,
+    *     never deletes them) → `add`
+    *   - region 8 appears live-only (a region created after the
+    *     snapshot) → `delete`
+    *   - regions 0/3/4/5 untouched → `keep`
+    * Shared by the a33 gate and HFileSpec's restore-apply test;
+    * idempotent on a re-run in the same app (the gen-000 bulk rewrite
+    * recreates the pre-drift layout first, copies overwrite, renames
+    * re-fire).
+    */
+  private[graft] def plantRestoreDrift(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HP}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new HP(dir).getFileSystem(conf)
+    def p(n: String) = new HP(s"$dir/$n")
+    def gen0(r: Int) = f"gen-000-region-$r%05d.hfile"
+    for (r <- Seq(2, 7)) { // post-snapshot flush → replace
+      val dst = p(f"gen-001-region-$r%05d.hfile")
+      fs.delete(dst, false)
+      FileUtil.copy(fs, p(gen0(r)), fs, dst, false, conf)
+      ()
+    }
+    val extra = p(gen0(8)) // live-only region → delete
+    fs.delete(extra, false)
+    FileUtil.copy(fs, p(gen0(0)), fs, extra, false, conf)
+    val archDir = new HP(s"$dir/archive")
+    fs.mkdirs(archDir)
+    for (r <- Seq(1, 6)) { // archived since the snapshot → add
+      val src = p(gen0(r))
+      val dst = new HP(archDir, gen0(r))
+      fs.delete(dst, false)
+      if (fs.exists(src)) fs.rename(src, dst)
+      ()
+    }
+  }
+
+  /** a33 — restore/clone diff (`RestoreSnapshotHelper` semantics): the
+    * a18-style snapshot manifest compared against a live table that has
+    * drifted all three ways ([[plantRestoreDrift]] — real flushes,
+    * archive moves, and a post-snapshot region, like a31's planted
+    * damage pattern), reported per region as keep / replace / add /
+    * delete with both sides' file counts. The diff itself is O(files)
+    * MASTER METADATA — manifest lines vs one directory listing, zero
+    * data I/O at any scale; the data movement is [[graft.sources
+    * .HFileOps.restoreApply]]'s job, whose bit-for-bit equivalence to
+    * the pre-drift snapshot read is HFileSpec's pin. Fixed 8-region
+    * grid so the planted drift (and therefore the report) is identical
+    * at every SF.
+    */
+  val a33_snapshot_restore: Q = (s, d) => {
+    import graft.sources.{HFileCodec, HFileOps}
+    val dir = Tables.appTmpDir(s, "graft_hfile_restore", d)
+    val gen0 = HFileOps.bulkWrite(Tables.cells(s, d), dir, 8,
+      compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff, generation = 0)
+    require(gen0.size == 8,
+      s"restore gate expects the full 8-region grid, got ${gen0.size}")
+    HFileOps.snapshot(s, gen0.map(n => s"$dir/$n"), s"$dir/restore.manifest")
+    plantRestoreDrift(s, dir)
+    HFileOps.restoreDiff(s, s"$dir/restore.manifest", dir)
+      .orderBy(col("region_id").asc_nulls_last)
+  }
+
   /** a19 — region split via REFERENCE daughters (HBase's split mechanic:
     * a splitting region does NOT rewrite data — each daughter holds a
     * reference to the parent store file restricted to its half-range
@@ -570,6 +640,7 @@ object ScanOps {
     "a20_region_merge" -> a20_region_merge,
     "a19_region_split" -> a19_region_split,
     "a18_hfile_snapshot" -> a18_hfile_snapshot,
+    "a33_snapshot_restore" -> a33_snapshot_restore,
     "a17_mob_storage" -> a17_mob_storage,
     "a16_multi_cf_prune" -> a16_multi_cf_prune,
     "a1_scan_parquet" -> a1_scan_parquet,

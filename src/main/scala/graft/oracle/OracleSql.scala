@@ -323,6 +323,21 @@ object OracleSql {
           |            WHEN lim > 0 AND used * 10 >= lim * 8 THEN 'WARN'
           |            ELSE 'OK' END AS status
           |FROM rows0 ORDER BY scope NULLS LAST""".stripMargin),
+    // a33: restore/clone diff — the gate's 8-region grid with planted
+    // drift (a31's pattern: the oracle recomputes the deterministic
+    // plant; the DERIVATION — manifest parse, dir listing, archive
+    // moves — is what the Spark side must get right, and HFileSpec's
+    // restore-apply bit-for-bit test plus the clean-layout all-keep
+    // check pin it). regions 2/7 flushed → replace(1 snap, 2 live);
+    // 1/6 archived → add(1,0); live-only region 8 → delete(0,1);
+    // 0/3/4/5 untouched → keep(1,1)
+    "a33_snapshot_restore" ->
+      """SELECT * FROM (VALUES
+        |  (0, 1, 1, 'keep'), (1, 1, 0, 'add'), (2, 1, 2, 'replace'),
+        |  (3, 1, 1, 'keep'), (4, 1, 1, 'keep'), (5, 1, 1, 'keep'),
+        |  (6, 1, 0, 'add'), (7, 1, 2, 'replace'), (8, 0, 1, 'delete'))
+        |AS t(region_id, n_snap, n_live, action)
+        |ORDER BY region_id NULLS LAST""".stripMargin,
     "a18_hfile_snapshot" ->
       (cellsCte.stripSuffix("\n") +
         """, clone AS (SELECT qualifier, value, ts FROM cells WHERE op = 'put'),

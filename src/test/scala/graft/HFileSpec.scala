@@ -1468,6 +1468,37 @@ class HFileSpec extends SparkSuite {
     assert(post.sum == stats.map(_._3).sum, "table not conserved by the plan")
   }
 
+  test("restore diff + apply: drifted live table restores bit-for-bit to the snapshot view") {
+    val dir = tmpDir("restore").toString
+    val gen0 = HFileOps.bulkWrite(Tables.cells(spark, sf), dir, 8,
+      generation = 0)
+    assert(gen0.size == 8, s"expected the full 8-region grid: $gen0")
+    HFileOps.snapshot(spark, gen0.map(n => s"$dir/$n"),
+      s"$dir/restore.manifest")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // an undrifted layout diffs to all-keep — the a33 gate's verdicts
+    // come from the planted drift, never from the derivation itself
+    val clean = HFileOps.restoreDiff(spark, s"$dir/restore.manifest", dir)
+      .collect().map(r => (r.getInt(0), r.getString(3)))
+    assert(clean.length == 8 && clean.forall(_._2 == "keep"),
+      clean.mkString(","))
+    // pin the snapshot view BEFORE the drift, then damage the live table
+    val baseline = canon(
+      HFileOps.readSnapshot(spark, s"$dir/restore.manifest"))
+    graft.ops.ScanOps.plantRestoreDrift(spark, dir)
+    val diff = HFileOps.restoreDiff(spark, s"$dir/restore.manifest", dir)
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(diff == Map(0 -> "keep", 1 -> "add", 2 -> "replace",
+      3 -> "keep", 4 -> "keep", 5 -> "keep", 6 -> "add", 7 -> "replace",
+      8 -> "delete"), diff.toString)
+    // restore-apply (archive-fallback resolution) must reproduce the
+    // pre-drift snapshot read bit-for-bit — flushes invisible, archived
+    // regions recovered, the post-snapshot region gone
+    assert(canon(HFileOps.restoreApply(spark, s"$dir/restore.manifest",
+      dir)) == baseline, "restored view diverged from the snapshot read")
+  }
+
   test("incremental backup plan: ships only new files; have+ship restores the to-snapshot exactly") {
     val dir = tmpDir("backup").toString
     val cells = Tables.cells(spark, sf)
