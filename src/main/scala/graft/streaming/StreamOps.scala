@@ -755,6 +755,45 @@ object StreamOps {
         ()
       }
 
+  /** I36: LIVE compaction monitoring — the a30 ratio-based file
+    * SELECTION recomputed as the store-file manifest grows. The feed's
+    * cells accumulate per-(region, generation) file sizes in
+    * complete-mode state (one running count per store file — bounded
+    * by #regions × #generations, the manifest's own cardinality, never
+    * the feed), and each trigger runs the SAME
+    * [[graft.ops.BalancerOps.compactionSelect]] policy (cross-
+    * multiplied integer ratio, min-batch drop, newest-cap) over those
+    * sizes. After full replay the streamed sizes equal a30's batch
+    * manifest exactly, so the final selection must be the declared a30
+    * table row-for-row (StreamingSpec I36). Completes the monitor
+    * family — hotspots (I32), replication (I33), health (I34), quota
+    * (I35), COMPACTION DEBT (I36): the operator sees a region's
+    * selection trip the policy WHILE flushes land, not at the next
+    * compaction chore sweep.
+    */
+  def compactionWatchSink(events: DataFrame, checkpointDir: String)
+                         (sink: DataFrame => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.ops.BalancerOps
+    cellsStream(events)
+      .groupBy(
+        BalancerOps.regionOf(substring(col("rowkey"), 1, 12).cast("long"))
+          .as("region_id"),
+        (substring(col("rowkey"), 14, 12).cast("long") % 7).as("seq"))
+      .agg(count(lit(1)).as("size"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(BalancerOps.compactionSelect(batch)
+            .orderBy(col("region_id").asc_nulls_last,
+              col("seq").asc_nulls_last))
+        ()
+      }
+  }
+
   /** The canonical cells projection of an events stream — the same
     * expressions as [[graft.Tables.cells]], applied per micro-batch, so a
     * continuous event feed becomes bulk-loadable HBase cells.

@@ -267,6 +267,28 @@ class StreamingSpec extends SparkSuite {
         s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
   }
 
+  test("I36: streaming compaction monitor equals batch a30 after full replay") {
+    // live compaction debt: per-(region, generation) file sizes in
+    // bounded complete-mode state (the manifest's own cardinality);
+    // each trigger re-runs the ratio policy. After full replay the
+    // streamed sizes equal a30's batch manifest, so the final selection
+    // must be the declared a30 table — actions, caps and all.
+    var last: Array[String] = Array.empty
+    var triggers = 0
+    val ckpt = Files.createTempDirectory("compact_ckpt").toString
+    val q = StreamOps.compactionWatchSink(
+        StreamOps.eventsStream(spark, sf), ckpt) { rep =>
+      last = rep.collect().map(_.toString); triggers += 1
+    }.start()
+    q.awaitTermination()
+    assert(triggers >= 2, s"replay must be multi-micro-batch, got $triggers")
+    val batch = SparkEntry.queries("a30_compaction_select")(spark, sf)
+      .collect().map(_.toString)
+    assert(last.nonEmpty && last.sameElements(batch),
+      s"streamed compaction selection diverges from batch a30 " +
+        s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
+  }
+
   test("I34/I35 under RocksDB state store: monitor reports are provider-independent") {
     // the monitors' 100 TB state path: same bounded complete-mode state,
     // held in RocksDB instead of executor heap — final reports must be
