@@ -17,9 +17,11 @@ object RankOps {
     * frequencies, document lengths, document frequencies, idf, the
     * length-normalized tf, and a per-query ranking.
     *
-    * Probe queries are carved from the corpus itself (docs ≡ 0 mod 125;
-    * a query's terms are that document's distinct tokens of length ≥ 6) —
-    * deterministic and SF-stable, no fixture beyond the tables.
+    * Probe queries are carved from the corpus itself ([[probeWorkload]]:
+    * docs ≡ 0 mod 125, capped — a BOUNDED query batch at any corpus
+    * size; a query's terms are that document's distinct tokens of
+    * length ≥ 6) — deterministic and SF-stable, no fixture beyond the
+    * tables.
     *
     * Determinism (R2/R7, the j32 recipe): every per-(query,doc,term)
     * contribution is ONE chain of IEEE double ops from exact integer
@@ -43,7 +45,26 @@ object RankOps {
     */
   private type ProbeSel = (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame
 
-  private val mod125: ProbeSel = (df, idCol) => df.where(col(idCol) % 125 === 0)
+  /** The declared probe WORKLOAD: the deterministic ≡ 0 mod 125 carve,
+    * CAPPED at id < [[ProbeCap]] so the workload stays a BOUNDED query
+    * batch as the corpus scales. The r18 sf10 gate caught the uncapped
+    * rule red-handed: probe count grew linearly with the corpus, so the
+    * probe×corpus legs (BM25 candidate sliver, brute cosine) grew
+    * QUADRATICALLY — j42's semantic leg alone spilled 57 GB at sf10
+    * (16k probes × 2M vectors). A production retrieval workload is
+    * O(requests), never O(corpus); the cap keeps the mod-derived set
+    * identical at every raw fixture SF (all raw doc_ids sit far below
+    * it) and pins it to the unshifted copy's probes on the key-shifted
+    * ×N fixtures (copies shift ids by 10⁷) — SF-stable, deterministic,
+    * bounded. Shared with the I21/I23 serving streams so stream ≡ batch
+    * pins stay exact.
+    */
+  private[graft] val ProbeCap = 50000L
+
+  private[graft] def probeWorkload(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 125 === 0 && c < ProbeCap
+
+  private val mod125: ProbeSel = (df, idCol) => df.where(probeWorkload(col(idCol)))
 
   private def idsSel(ids: org.apache.spark.sql.DataFrame): ProbeSel = (df, idCol) =>
     df.join(broadcast(ids.select(col("qid"))), col(idCol) === col("qid"), "left_semi")
@@ -133,7 +154,7 @@ object RankOps {
     * lexical index and a vector index answering the same query, merged
     * by rank so neither scale dominates.
     *
-    * Probe workload: the j35 convention (docs ≡ 0 mod 125); the semantic
+    * Probe workload: the j35 convention ([[probeWorkload]] — bounded); the semantic
     * leg exists only for probes whose doc_id has a row in `embeddings`
     * (vec_id ≡ doc_id by fixture construction), so a probe without an
     * embedding degrades to lexical-only — exactly RRF's missing-list

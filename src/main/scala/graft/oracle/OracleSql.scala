@@ -1991,7 +1991,7 @@ object OracleSql {
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id % 125 = 0 AND length(tok) >= 6),
+        |q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id % 125 = 0 AND doc_id < 50000 AND length(tok) >= 6),
         |terms AS (
         |  SELECT q.qid, tf.doc_id,
         |         CAST(round(
@@ -2023,7 +2023,7 @@ object OracleSql {
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id % 125 = 0 AND length(tok) >= 6),
+        |q AS (SELECT doc_id AS qid, tok FROM tf WHERE doc_id % 125 = 0 AND doc_id < 50000 AND length(tok) >= 6),
         |terms AS (
         |  SELECT q.qid, tf.doc_id,
         |         CAST(round(
@@ -2051,7 +2051,7 @@ object OracleSql {
         |             (a,x) -> a+x)
         |         / (sqrt(list_reduce(list_transform(p.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,x) -> a+x))
         |            * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,x) -> a+x))) AS sim
-        |  FROM (SELECT * FROM embeddings WHERE vec_id % 125 = 0) p
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 125 = 0 AND vec_id < 50000) p
         |  CROSS JOIN embeddings e WHERE e.vec_id <> p.vec_id),
         |sem AS (
         |  SELECT qid, doc_id, srnk FROM (

@@ -574,7 +574,7 @@ object StreamOps {
     val tfd = col("tf").cast("double")
     val tfn = (tfd * lit(2.2)) /
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val probes = probeDocs.where(col("doc_id") % 125 === 0)
+    val probes = probeDocs.where(graft.ops.RankOps.probeWorkload(col("doc_id")))
       .select(col("doc_id").as("qid"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .where(length(col("tok")) >= 6)

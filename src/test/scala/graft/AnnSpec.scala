@@ -313,7 +313,8 @@ class AnnSpec extends SparkSuite {
     // table must equal the declared j42 row-for-row. At production
     // nProbe the same code path trades recall on the curve above.
     val probeIds = Tables.documents(spark, sf)
-      .where(col("doc_id") % 125 === 0).select(col("doc_id").as("qid"))
+      .where(graft.ops.RankOps.probeWorkload(col("doc_id")))
+      .select(col("doc_id").as("qid"))
     val ann = graft.ops.RankOps.rrfFuseAnn(spark, sf, probeIds,
       nlist = 8, nProbe = 8).collect().map(_.toString).sorted
     val batch = SparkEntry.queries("j42_rrf_fusion")(spark, sf)

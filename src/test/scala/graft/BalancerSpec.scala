@@ -375,5 +375,19 @@ class BalancerSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
     assert(norm(stats) == norm(stats.repartition(13)))
     assert(place(stats) == place(stats.repartition(13)))
+    // the r18 planners hold the same determinism contract
+    def drain(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.serverDrainPlan(
+          BalancerOps.rsgroupPlacementPlan(df.drop("start_key"),
+            when(col("region_id") % 2 === 0, "g0").otherwise("g1"),
+            Map("g0" -> 2, "g1" -> 2)), "g1-0")
+        .collect().map(_.toString).sorted.toSeq
+    def weighted(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.weightedPlacementPlan(
+          df.select(col("region_id"), col("n_cells"),
+            (col("n_cells") % 7).as("n_req")), 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(drain(stats) == drain(stats.repartition(13)))
+    assert(weighted(stats) == weighted(stats.repartition(13)))
   }
 }

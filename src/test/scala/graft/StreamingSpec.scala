@@ -426,7 +426,8 @@ class StreamingSpec extends SparkSuite {
     val answered = scala.collection.mutable.ArrayBuffer.empty[String]
     var triggers = 0
     val requests = StreamOps.documentsStream(spark, sf)
-      .where(col("doc_id") % 125 === 0).select(col("doc_id").as("qid"))
+      .where(graft.ops.RankOps.probeWorkload(col("doc_id")))
+      .select(col("doc_id").as("qid"))
     val ckpt = Files.createTempDirectory("rrf_serve_ckpt").toString
     val q = StreamOps.rrfServeSink(spark, sf, requests, ckpt) { out =>
       answered ++= out.collect().map(_.toString); triggers += 1
