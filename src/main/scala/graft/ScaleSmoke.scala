@@ -135,7 +135,10 @@ object ScaleSmoke {
     "a34_weighted_placement",
     // restore/clone diff: bulk write + snapshot + planted drift, the
     // diff itself is manifest-vs-listing metadata
-    "a33_snapshot_restore")
+    "a33_snapshot_restore",
+    // dedup-aware leakage-safe split: CC over the duplicate subgraph +
+    // one label left-join + a row-local cluster hash
+    "j66_split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong

@@ -836,7 +836,57 @@ object DedupOps {
       .orderBy(col("cluster_id").asc_nulls_last)
   }
 
+  /** Dedup-aware LEAKAGE-SAFE SPLIT assignment — the train/val/test cut
+    * a training pipeline runs AFTER near-dup detection [public: the
+    * C4/Pile/FineWeb lesson — Lee et al. 2022 (arXiv:2107.06499) §6.2
+    * show val/test examples leaking into train through near-duplicates
+    * when the split hashes raw document ids]: hash the duplicate
+    * CLUSTER, not the document, so every member of a near-dup component
+    * lands in the same split by construction — zero cross-split
+    * leakage, structurally. Docs with no duplicate edge are their own
+    * cluster (coalesce to doc_id — the CC label table only covers
+    * edge-connected docs). The split hash is the portable md5-60 rule
+    * (top 60 bits of md5 of the cluster id string, mod 10): buckets
+    * 0–7 train, 8 val, 9 test — deterministic, engine-portable,
+    * re-runnable. At 100 TB: one CC over the duplicate subgraph (the
+    * j38 machinery, edges-only shuffle, O(log n) rounds), one left
+    * join of labels onto the corpus, one row-local hash — the split
+    * never compares documents pairwise.
+    */
+  private[graft] def splitAssign(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e0 = shingleEdges(docs)
+    val verts = e0.select(col("a").as("doc_id"))
+      .union(e0.select(col("b").as("doc_id"))).distinct()
+    val labels = clusters(e0, verts, maxIter = 30)
+    val bucket = pmod(
+      conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(10L))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket <= 7, "train").when(bucket === 8, "val")
+          .otherwise("test"))
+  }
+
+  /** j66 — the split REPORT under the driver gate: per split, exact doc
+    * / char / cluster counts over the j38-capped subgraph (so the
+    * DuckDB recursive-CTE closure recomputes the identical labels).
+    * The leakage property itself — every edge's endpoints share a
+    * split, over the FULL uncapped fixture — is DedupSpec's pin; the
+    * gate hashes the assignment's aggregate effect cross-engine.
+    */
+  val j66_split_leakage_safe: Q = (s, d) =>
+    splitAssign(Tables.documents(s, d).where(col("doc_id") < 2000))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").cast("long").as("n_chars"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(asc_nulls_last("split"))
+
   val queries: Map[String, Q] = Map(
+    "j66_split_leakage_safe" -> j66_split_leakage_safe,
     "j64_dedup_canonical" -> j64_dedup_canonical,
     "j38_connected_components" -> j38_connected_components,
     "j63_dedup_report" -> j63_dedup_report,

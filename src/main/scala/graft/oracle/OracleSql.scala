@@ -2155,6 +2155,47 @@ object OracleSql {
         |  CAST(sum(chars - can_len) AS BIGINT) AS chars_removable
         |FROM pc JOIN can USING (component)
         |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin,
+    // j66: dedup-aware leakage-safe split — the j38 closure's labels
+    // (singletons = own doc_id), split = portable md5-60 of the cluster
+    // id string mod 10 (0-7 train, 8 val, 9 test); per-split exact
+    // doc/char/cluster counts. The leakage property (edge endpoints
+    // share a split) is DedupSpec's structural pin.
+    "j66_split_leakage_safe" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 2000),
+        |w AS (
+        |  SELECT doc_id, substr(t, i, 30) AS w
+        |  FROM d, unnest(generate_series(1, length(t)-29)) AS u(i)
+        |  WHERE length(t) >= 30),
+        |dw AS (SELECT DISTINCT doc_id, w FROM w),
+        |wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+        |sel AS (SELECT w FROM wc WHERE c BETWEEN 2 AND 4),
+        |e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |       FROM dw a JOIN dw b USING (w) JOIN sel USING (w)
+        |       WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |verts AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  SELECT v AS a, v AS b FROM verts
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        |asg AS (
+        |  SELECT dd.doc_id, length(dd.text) AS len,
+        |         COALESCE(comp.component, dd.doc_id) AS cluster_id
+        |  FROM documents dd LEFT JOIN comp USING (doc_id)
+        |  WHERE dd.doc_id < 2000),
+        |spl AS (
+        |  SELECT *,
+        |    CASE WHEN bkt <= 7 THEN 'train' WHEN bkt = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |          ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS bkt
+        |        FROM asg))
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+        |FROM spl GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin,
     // j64: quality-ranked canonical per duplicate cluster — the j38
     // closure + argmax by (len DESC, doc_id ASC) over clusters of size
     // >= 2; all-integer, fully tiebroken

@@ -160,6 +160,38 @@ class DedupSpec extends SparkSuite {
     info(s"200-hop chain: $rounds star rounds (bound $bound)")
   }
 
+  test("j66 split is leakage-safe: every near-dup edge's endpoints share a split, full corpus covered") {
+    // the structural property the gate's aggregate report cannot see,
+    // over the FULL uncapped fixture: hashing the CLUSTER means no
+    // duplicate pair ever straddles train/val/test
+    val assigned = graft.ops.ckpt(DedupOps.splitAssign(docs))
+    assert(assigned.count() == docs.count(), "every doc assigned")
+    assert(assigned.select("doc_id").distinct().count() == docs.count(),
+      "exactly one assignment per doc")
+    assert(assigned.select("split").distinct().count() == 3,
+      "all three splits non-vacuous on the fixture")
+    val e = DedupOps.shingleEdges(docs)
+    assert(e.count() > 0, "no duplicate edges — leakage property vacuous")
+    val viol = e
+      .join(assigned.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(assigned.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(viol == 0, s"$viol duplicate edges straddle splits — leakage")
+    // and the naive per-DOC hash would NOT be safe on this fixture —
+    // the property comes from cluster hashing, not from luck
+    val docHash = pmod(conv(substring(
+      md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(10L))
+    val naive = docs.select(col("doc_id"),
+      when(docHash <= 7, "train").when(docHash === 8, "val")
+        .otherwise("test").as("split"))
+    val naiveViol = e
+      .join(naive.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(naive.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(naiveViol > 0,
+      "fixture has no cross-split doc-hash pairs — the safety comparison is vacuous")
+  }
+
   test("clusters: two components with shared-looking ids stay separate") {
     // star + triangle, disjoint: labels must be the per-component minima,
     // nothing may leak across components through the edge rewiring
