@@ -289,7 +289,7 @@ class StreamingSpec extends SparkSuite {
         s"(${last.take(3).mkString(";")} vs ${batch.take(3).mkString(";")})")
   }
 
-  test("I34/I35 under RocksDB state store: monitor reports are provider-independent") {
+  test("I34/I35/I36 under RocksDB state store: monitor reports are provider-independent") {
     // the monitors' 100 TB state path: same bounded complete-mode state,
     // held in RocksDB instead of executor heap — final reports must be
     // bit-identical to the batch queries the default-provider tests pin
@@ -314,6 +314,16 @@ class StreamingSpec extends SparkSuite {
       assert(quota.sameElements(
         SparkEntry.queries("a28_quota_report")(spark, sf)
           .collect().map(_.toString)))
+      var compact: Array[String] = Array.empty
+      val kq = StreamOps.compactionWatchSink(StreamOps.eventsStream(spark, sf),
+          Files.createTempDirectory("compact_rocks").toString) { rep =>
+        compact = rep.collect().map(_.toString)
+      }.start()
+      kq.awaitTermination()
+      assert(compact.sameElements(
+        SparkEntry.queries("a30_compaction_select")(spark, sf)
+          .collect().map(_.toString)),
+        "I36 under RocksDB diverges from batch a30")
     } finally StreamOps.withStateStore(spark, StreamOps.DefaultProvider)
   }
 
