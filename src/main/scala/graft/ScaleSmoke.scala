@@ -397,6 +397,25 @@ object ScaleSmoke {
         require(merged > 0, "planted dup components not found — smoke is vacuous")
         merged
       }),
+      "split_leakage_e2e" -> (() => {
+        // the declared j66 caps its subgraph like j38 (oracle cost);
+        // this entry runs the SAME dedup-aware split over the FULL
+        // scaled corpus — real-width CC + label left-join + cluster
+        // hash — and asserts the structural outcome at scale: full
+        // coverage, all three splits populated, and the planted
+        // near-dup components genuinely merged (else the leakage
+        // property is vacuously true)
+        val assigned = ops.ckpt(ops.DedupOps.splitAssign(
+          Tables.documents(spark, dir)))
+        val n = assigned.count()
+        require(n == Tables.documents(spark, dir).count(),
+          "split must cover every doc exactly once")
+        val splits = assigned.groupBy("split").count().collect()
+        require(splits.length == 3, s"splits missing: ${splits.mkString(",")}")
+        val merged = assigned.where(col("cluster_id") =!= col("doc_id")).count()
+        require(merged > 0, "no merged components — leakage property vacuous")
+        n
+      }),
       "curate_pipeline_e2e" -> (() =>
         // quality gate -> exact dedup -> near-dup dedup, one composition
         ops.CurateOps.curate(Tables.documents(spark, dir)).count()),
