@@ -25,6 +25,7 @@ object GoldenGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietBenignWindowWarns()
     val sf = "/root/testdata/sf0.001"
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toString)

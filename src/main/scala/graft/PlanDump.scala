@@ -37,7 +37,10 @@ object PlanDump {
     "a22_namespace_admin" -> "namespace admin: per-table clone reads union without cross-table shuffle, one (table,qualifier) agg, the metadata listing joined as a broadcast",
     "j47_curate_e2e" -> "end-to-end curation (admit→paragraph-dedup→scrub→LM-filter→mix→pack): each stage keeps its gated operator's shape — the corpus explodes once per text-granularity stage (the chunk Generate over the admit union, the bigram Generate over the CHECKPOINTED scrub output — never re-derived; the LM stage's support feeds model and scoring from one materialization), scrub is map-only, the mix table is a broadcast 5-row join, and the two global orders are the distributed ntile/cumsum range-exchange forms; no stage re-explodes or re-reads an earlier stage's input",
     "a32_server_drain" -> "graceful-stop drain plan: everything past the placement checkpoint is region METADATA — no FileScan, survivor/dest tables broadcast, serpentine rank window partitioned by group; the coverage raise rides the final projection behind LEFT joins (AQE-safe)",
-    "j66_split_leakage_safe" -> "dedup-aware split: the duplicate-subgraph CC's edges-only exchanges, then ONE label left-join onto the corpus and a row-local cluster hash — the split itself adds no corpus shuffle past the dedup pass")
+    "j66_split_leakage_safe" -> "dedup-aware split: the duplicate-subgraph CC's edges-only exchanges, then ONE label left-join onto the corpus and a row-local cluster hash — the split itself adds no corpus shuffle past the dedup pass",
+    "a35_wal_split_recovery" -> "WAL-split recovery: the gated read is per-survivor RDD segment scans unioned into one partial+final hash agg (the a21 shape); the split itself is one demux pass over the dead log — broadcast O(regions) assignment join, one (host, rowkey) range exchange, streaming per-host writers — that never enters this read plan",
+    "a36_locality_placement" -> "locality-weighted placement: ONE map-side-combining groupBy reduces data to three-factor region metadata (partial+final agg), the cost-rank window is global over that bounded table — the locality credit is arithmetic on the aggregate row, no extra pass or join",
+    "a37_quota_throttle" -> "quota throttle plan: O(scopes) metadata end to end — the listing rows cross-join one broadcast total, the ladder is a CASE projection, and the double-apply upsert is an anti-join + union of the same tiny plan (no FileScan anywhere past the fixture bulk load)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -138,7 +138,13 @@ object ScaleSmoke {
     "a33_snapshot_restore",
     // dedup-aware leakage-safe split: CC over the duplicate subgraph +
     // one label left-join + a row-local cluster hash
-    "j66_split_leakage_safe")
+    "j66_split_leakage_safe",
+    // round 19: WAL-split crash recovery (drain assignment + one
+    // distributed demux pass over the dead log), locality-weighted
+    // three-factor serpentine, and the quota-throttle enforcement ladder
+    "a35_wal_split_recovery",
+    "a36_locality_placement",
+    "a37_quota_throttle")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -151,6 +157,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietBenignWindowWarns()
     spark.experimental.extraOptimizations = Seq(graft.plans.RewriteWindowTopK)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
 
@@ -396,6 +403,24 @@ object ScaleSmoke {
         val merged = labels.where(col("cluster_id") =!= col("doc_id")).count()
         require(merged > 0, "planted dup components not found — smoke is vacuous")
         merged
+      }),
+      // the rest of the dedup LIFECYCLE at real width (VERDICT r18 task
+      // 8): the declared j63/j64 cap their subgraph for the DuckDB
+      // recursive-CTE oracle; these run the IDENTICAL report/canonical
+      // code over the FULL scaled corpus, so the whole dedup → report →
+      // canonical → split chain has measured 100×/1000× points (the
+      // split half is split_leakage_e2e below)
+      "dedup_report_e2e" -> (() => {
+        val n = ops.DedupOps.dedupReport(Tables.documents(spark, dir))
+          .queryExecution.toRdd.count()
+        require(n > 0, "no dup clusters at scale — report smoke is vacuous")
+        n
+      }),
+      "dedup_canonical_e2e" -> (() => {
+        val n = ops.DedupOps.dedupCanonical(Tables.documents(spark, dir))
+          .queryExecution.toRdd.count()
+        require(n > 0, "no canonical picks at scale — smoke is vacuous")
+        n
       }),
       "split_leakage_e2e" -> (() => {
         // the declared j66 caps its subgraph like j38 (oracle cost);

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietBenignWindowWarns()
     // dogfood the custom planner path: row_number-top-k rewrites to the
     // bounded-heap TopKPerGroup operator (equality-pinned by
     // TopKStrategySpec and the DuckDB gate itself)

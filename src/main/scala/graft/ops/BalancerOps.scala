@@ -163,6 +163,19 @@ object BalancerOps {
     * of a re-added empty server, is structurally idempotent.
     * Everything here is region METADATA (~10⁴–10⁵ rows at 100 TB);
     * the survivor/load tables are O(servers) and broadcast.
+    *
+    * KNOWN-FLEET SCOPE (ADVICE r18 #1): destinations are inferred from
+    * the placement itself — a server is a candidate iff it currently
+    * HOSTS at least one region of a drained group. A configured-but-
+    * empty survivor (e.g. a freshly added server that has received no
+    * regions yet) is invisible to this plan and can never be a drain
+    * destination, and a group whose other servers are all empty raises
+    * "no surviving server" even though idle servers exist in the
+    * config. That is inherent to the placement-only input schema; a
+    * caller that wants empty servers eligible should first seed them
+    * into the placement (zero-region rows are not representable here —
+    * run [[rsgroupPlacementPlan]] over the region set with the full
+    * fleet instead, which deals onto every configured server).
     */
   def serverDrainPlan(placement: DataFrame, drainServer: String): DataFrame = {
     // consumed twice (drained rows + survivor loads): materialize so a
@@ -254,6 +267,70 @@ object BalancerOps {
           .cast("int").as("server"))
   }
 
+  /** Locality-weighted placement [public:
+    * o.a.h.hbase.master.balancer.LocalityBasedCostFunction /
+    * ServerLocalityCostFunction — the third factor production balancing
+    * weighs beside size and request load: a region whose HDFS blocks
+    * are already local to its host is CHEAP to leave in place and
+    * expensive to move, so locality lowers its move priority]: the a34
+    * two-factor cost extended with an exact-integer locality CREDIT —
+    * cost = wCells·n_cells + wReq·n_req − wLoc·local_blocks — ranked
+    * (cost desc, region_id asc) and dealt boustrophedon, so a
+    * well-localized region sorts LATER in the deal (the deterministic
+    * analogue of the stochastic balancer preferring not to touch it)
+    * while hot/big poorly-localized regions are placed first. All
+    * integer arithmetic, full tiebreak; with wLoc = 0 this is exactly
+    * [[weightedPlacementPlan]] (BalancerSpec pins the degeneration and
+    * that locality genuinely reorders a crafted deal). `regions` must
+    * carry (region_id, n_cells, n_req, local_blocks) — the locality
+    * column is per-region metadata (in production: the NameNode block
+    * report joined to the region's store files, ~10⁴–10⁵ rows at
+    * 100 TB, reduced long before this window).
+    * Output: (region_id, n_cells, n_req, local_blocks, cost, server).
+    */
+  def localityWeightedPlacementPlan(regions: DataFrame, nServers: Int,
+                                    wCells: Long = 1L, wReq: Long = 3L,
+                                    wLoc: Long = 2L): DataFrame = {
+    require(nServers > 0, s"nServers must be positive, got $nServers")
+    require(wCells >= 0 && wReq >= 0 && wLoc >= 0 && wCells + wReq > 0,
+      s"weights must be non-negative with a positive load term: $wCells/$wReq/$wLoc")
+    val w = Window.orderBy(col("cost").desc, col("region_id").asc)
+    regions
+      .withColumn("cost",
+        lit(wCells) * col("n_cells") + lit(wReq) * col("n_req")
+          - lit(wLoc) * col("local_blocks"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .select(col("region_id"), col("n_cells"), col("n_req"),
+        col("local_blocks"), col("cost"),
+        when((col("rk") / nServers).cast("int") % 2 === 0,
+          col("rk") % nServers)
+          .otherwise(lit(nServers - 1) - col("rk") % nServers)
+          .cast("int").as("server"))
+  }
+
+  /** a36 — the locality-weighted plan under the driver gate: the a34
+    * two-factor region stats plus a planted locality fraction —
+    * local_blocks = the region's exact `event_id % 3 = 0` cell count
+    * (a deterministic ~1/3 "blocks already local" proxy both engines
+    * recount) — cost 1·cells + 3·reqs − 2·local, dealt across 5
+    * servers. Same single map-side-combining data reduction as a34;
+    * the rank window runs on the bounded region-metadata table
+    * (whitelisted in WindowLintSpec alongside a34).
+    */
+  val a36_locality_placement: Q = (s, d) =>
+    localityWeightedPlacementPlan(
+      Tables.cells(s, d)
+        .withColumn("user_id", substring(col("rowkey"), 1, 12).cast("long"))
+        .withColumn("event_id", substring(col("rowkey"), 14, 12).cast("long"))
+        .groupBy(regionOf(col("user_id")).as("region_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("qualifier").isin("click", "view"), 1L)
+            .otherwise(0L)).as("n_req"),
+          sum(when(col("event_id") % 3 === 0, 1L).otherwise(0L))
+            .as("local_blocks")),
+      nServers = 5)
+      .orderBy(col("region_id").asc_nulls_last)
+
   /** a34 — the weighted plan under the driver gate: per region, exact
     * cell count + the read-request proxy (click/view cells — the
     * qualifier split a28's quota tables use), cost 1·cells + 3·reqs,
@@ -344,17 +421,24 @@ object BalancerOps {
     * tiebreaks on (start_key, region_id) so two regions SHARING a
     * start key — a real hbck damage mode (duplicate region starts) —
     * pair deterministically, and that pair is reported explicitly as
-    * `duplicate_start` (the first of the pair sees next_start equal to
-    * its own start_key) instead of leaking through the end-vs-start
-    * arms with whatever pairing the engine happened to pick.
+    * `duplicate_start` instead of leaking through the end-vs-start
+    * arms with whatever pairing the engine happened to pick. BOTH
+    * members of the pair carry the verdict (ADVICE r18 #3): the first
+    * sees next_start equal to its own start_key, the second sees
+    * prev_start equal to it — flagging only the first understated the
+    * damage on the second row (the two same-start regions overlap each
+    * other by definition, whatever the second's end-vs-next comparison
+    * says).
     */
   def hbckRegionChain(regions: DataFrame): DataFrame = {
     val w = Window.orderBy(col("start_key"), col("region_id"))
     regions
       .withColumn("next_start", lead(col("start_key"), 1).over(w))
+      .withColumn("prev_start", lag(col("start_key"), 1).over(w))
       .select(col("region_id"), col("start_key"), col("end_key"),
-        when(col("next_start").isNull, "ok")
-          .when(col("next_start") === col("start_key"), "duplicate_start")
+        when(col("next_start") === col("start_key") ||
+            col("prev_start") === col("start_key"), "duplicate_start")
+          .when(col("next_start").isNull, "ok")
           .when(col("end_key") === col("next_start"), "ok")
           .when(col("end_key") < col("next_start"), "hole")
           .otherwise("overlap").as("issue"))
@@ -594,6 +678,7 @@ object BalancerOps {
     "a31_hbck_regions" -> a31_hbck_regions,
     "a32_server_drain" -> a32_server_drain,
     "a34_weighted_placement" -> a34_weighted_placement,
+    "a36_locality_placement" -> a36_locality_placement,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

@@ -774,8 +774,13 @@ object DedupOps {
     * At scale: two keyed aggregations over the label table (corpus-sized
     * once, then cluster-sized), no window, no pairwise anything.
     */
-  val j63_dedup_report: Q = (s, d) => {
-    val docs = Tables.documents(s, d).where(col("doc_id") < 2000)
+  /** The j63 report over an arbitrary docs frame — split out so the
+    * 1000× lifecycle smoke (`dedup_report_e2e`) runs the identical code
+    * over the FULL scaled corpus while the declared gate keeps its
+    * oracle-affordable capped subgraph.
+    */
+  private[graft] def dedupReport(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val e0 = shingleEdges(docs)
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
@@ -795,6 +800,9 @@ object DedupOps {
       .orderBy(asc_nulls_last("cluster_size"))
   }
 
+  val j63_dedup_report: Q = (s, d) =>
+    dedupReport(Tables.documents(s, d).where(col("doc_id") < 2000))
+
   /** j64 — quality-ranked CANONICAL SELECTION per duplicate cluster: the
     * production dedup policy keeps the BEST document of a component, not
     * the smallest id (Gopher/FineWeb keep the longest / highest-quality
@@ -812,8 +820,12 @@ object DedupOps {
     * firing; ADVICE r16 flagged it and this is the restructure it asked
     * for. Output is all-integer and fully tiebroken.
     */
-  val j64_dedup_canonical: Q = (s, d) => {
-    val docs = Tables.documents(s, d).where(col("doc_id") < 2000)
+  /** The j64 canonical pick over an arbitrary docs frame — split out for
+    * the 1000× lifecycle smoke (`dedup_canonical_e2e`), like
+    * [[dedupReport]].
+    */
+  private[graft] def dedupCanonical(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val e0 = shingleEdges(docs)
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
@@ -835,6 +847,9 @@ object DedupOps {
         col("len").as("can_len"), col("n_docs"))
       .orderBy(col("cluster_id").asc_nulls_last)
   }
+
+  val j64_dedup_canonical: Q = (s, d) =>
+    dedupCanonical(Tables.documents(s, d).where(col("doc_id") < 2000))
 
   /** Dedup-aware LEAKAGE-SAFE SPLIT assignment — the train/val/test cut
     * a training pipeline runs AFTER near-dup detection [public: the

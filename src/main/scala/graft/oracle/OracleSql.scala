@@ -131,6 +131,61 @@ object OracleSql {
          |SELECT m.region_id, m.n_cells, m.from_server, di.server AS to_server
          |FROM mv m JOIN di ON m.grp = di.grp AND m.dest_idx = di.dest_idx
          |ORDER BY m.region_id NULLS LAST""".stripMargin,
+    // a35: WAL-split crash recovery — the WAL-free spelling: recompute
+    // the a32 drain assignment (which survivor hosts each dead region),
+    // join the dead server's cells (the drained regions' cells) to it,
+    // and digest per (survivor, qualifier) — any record the split lost,
+    // duplicated, or misrouted moves the hash
+    "a35_wal_split_recovery" ->
+      s"""WITH r AS (SELECT $regionBucketCase AS region_id, count(*) AS n_cells
+         |           FROM events GROUP BY 1),
+         |g AS (SELECT region_id, n_cells,
+         |             CASE WHEN region_id % 2 = 0 THEN 'g0' ELSE 'g1' END AS grp
+         |      FROM r),
+         |s AS (SELECT 'g0' AS grp, 2 AS n_srv UNION ALL SELECT 'g1', 3),
+         |w AS (SELECT g.region_id, g.n_cells, g.grp, s.n_srv,
+         |        row_number() OVER (PARTITION BY g.grp
+         |                           ORDER BY g.n_cells DESC, g.region_id ASC) - 1 AS rk
+         |      FROM g JOIN s ON g.grp = s.grp),
+         |plan AS (SELECT region_id, n_cells, grp,
+         |           concat(grp, '-', CAST(CAST(CASE WHEN (rk // n_srv) % 2 = 0
+         |                                           THEN rk % n_srv
+         |                                           ELSE n_srv - 1 - (rk % n_srv)
+         |                                      END AS INT) AS VARCHAR)) AS server
+         |         FROM w),
+         |drained AS (SELECT * FROM plan WHERE server = 'g1-1'),
+         |surv AS (SELECT p.grp, p.server, sum(p.n_cells) AS load
+         |         FROM plan p
+         |         WHERE p.server <> 'g1-1'
+         |           AND p.grp IN (SELECT DISTINCT grp FROM drained)
+         |         GROUP BY 1, 2),
+         |di AS (SELECT grp, server,
+         |         row_number() OVER (PARTITION BY grp
+         |                            ORDER BY load ASC, server ASC) - 1 AS dest_idx
+         |       FROM surv),
+         |nd AS (SELECT grp, count(*) AS n_dest FROM surv GROUP BY 1),
+         |mv AS (SELECT d.region_id, d.grp,
+         |         CAST(CASE WHEN (rk2 // n_dest) % 2 = 0 THEN rk2 % n_dest
+         |                   ELSE n_dest - 1 - (rk2 % n_dest) END AS INT) AS dest_idx
+         |       FROM (SELECT d.*, nd.n_dest,
+         |               row_number() OVER (PARTITION BY d.grp
+         |                                  ORDER BY d.n_cells DESC, d.region_id ASC) - 1 AS rk2
+         |             FROM drained d JOIN nd ON d.grp = nd.grp) d),
+         |moved AS (SELECT m.region_id, di.server AS srv
+         |          FROM mv m JOIN di ON m.grp = di.grp AND m.dest_idx = di.dest_idx),
+         |c AS (SELECT $regionBucketCase AS region_id,
+         |             event_type AS qualifier,
+         |             CAST(epoch_us(ts) AS BIGINT) AS ts, value,
+         |             CASE WHEN event_id % 97 = 0 THEN 'delete'
+         |                  ELSE 'put' END AS op
+         |      FROM events)
+         |SELECT mo.srv, c.qualifier, count(*) AS n,
+         |       CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+         |       CAST(sum(CAST(c.ts % 999979 AS DECIMAL(18,0))) AS BIGINT) AS ssum,
+         |       count(*) FILTER (WHERE c.op = 'delete') AS dels
+         |FROM c JOIN moved mo ON c.region_id = mo.region_id
+         |GROUP BY 1, 2
+         |ORDER BY 1 NULLS LAST, 2 NULLS LAST""".stripMargin,
     // a34: request-weighted placement — two-factor serpentine, exact
     // integer cost 1*cells + 3*reqs (the read-request proxy = click/view
     // rows), the deterministic StochasticLoadBalancer analogue
@@ -145,6 +200,26 @@ object OracleSql {
          |                           region_id ASC) - 1 AS rk
          |      FROM r)
          |SELECT region_id, n_cells, n_req, cost,
+         |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5
+         |            ELSE 4 - (rk % 5) END AS INT) AS server
+         |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
+    // a36: locality-weighted placement — a34's two-factor serpentine
+    // with an exact-integer locality credit (local_blocks = the planted
+    // event_id % 3 = 0 count per region), cost = cells + 3*reqs - 2*local
+    "a36_locality_placement" ->
+      s"""WITH r AS (SELECT $regionBucketCase AS region_id, count(*) AS n_cells,
+         |                  CAST(sum(CASE WHEN event_type IN ('click', 'view')
+         |                                THEN 1 ELSE 0 END) AS BIGINT) AS n_req,
+         |                  CAST(sum(CASE WHEN event_id % 3 = 0
+         |                                THEN 1 ELSE 0 END) AS BIGINT) AS local_blocks
+         |           FROM events GROUP BY 1),
+         |w AS (SELECT region_id, n_cells, n_req, local_blocks,
+         |        CAST(1 * n_cells + 3 * n_req - 2 * local_blocks AS BIGINT) AS cost,
+         |        row_number() OVER (
+         |          ORDER BY 1 * n_cells + 3 * n_req - 2 * local_blocks DESC,
+         |                   region_id ASC) - 1 AS rk
+         |      FROM r)
+         |SELECT region_id, n_cells, n_req, local_blocks, cost,
          |  CAST(CASE WHEN (rk // 5) % 2 = 0 THEN rk % 5
          |            ELSE 4 - (rk % 5) END AS INT) AS server
          |FROM w ORDER BY region_id NULLS LAST""".stripMargin,
@@ -166,11 +241,13 @@ object OracleSql {
          |                 ELSE end0 END AS end_key
          |          FROM rng),
          |chk AS (SELECT region_id, start_key, end_key,
-         |          lead(start_key) OVER (ORDER BY start_key, region_id) AS next_start
+         |          lead(start_key) OVER (ORDER BY start_key, region_id) AS next_start,
+         |          lag(start_key)  OVER (ORDER BY start_key, region_id) AS prev_start
          |        FROM drift)
          |SELECT region_id, start_key, end_key,
-         |  CASE WHEN next_start IS NULL THEN 'ok'
-         |       WHEN next_start = start_key THEN 'duplicate_start'
+         |  CASE WHEN next_start = start_key OR prev_start = start_key
+         |         THEN 'duplicate_start'
+         |       WHEN next_start IS NULL THEN 'ok'
          |       WHEN end_key = next_start THEN 'ok'
          |       WHEN end_key < next_start THEN 'hole'
          |       ELSE 'overlap' END AS issue
@@ -323,6 +400,40 @@ object OracleSql {
           |            WHEN lim > 0 AND used * 10 >= lim * 8 THEN 'WARN'
           |            ELSE 'OK' END AS status
           |FROM rows0 ORDER BY scope NULLS LAST""".stripMargin),
+    // a37: quota throttle plan — the enforcement ladder over the a28
+    // report recomputed with the tighter quarter limit: VIOLATION at
+    // >= 2x limit -> DISABLE/0, VIOLATION -> NO_WRITES/limit, WARN ->
+    // headroom throttle; OK scopes emit nothing. All-integer; the
+    // Spark side's double-apply idempotence collapses to the same rows
+    "a37_quota_throttle" ->
+      (cellsCte.stripSuffix("\n") +
+        """, t AS (SELECT CASE WHEN qualifier IN ('click','view') THEN 't_click'
+          |                    ELSE 't_txn' END AS tbl FROM cells),
+          |m AS (SELECT tbl, count(*) AS used FROM t GROUP BY 1),
+          |tot AS (SELECT CAST(sum(used) AS BIGINT) AS tot FROM m),
+          |rows0 AS (
+          |  SELECT concat('table:', tbl) AS scope, used,
+          |         CAST(tot // 4 AS BIGINT) AS lim
+          |  FROM m, tot
+          |  UNION ALL
+          |  SELECT 'ns:graft_ns' AS scope, tot AS used,
+          |         CAST((tot // 10) * 11 AS BIGINT) AS lim FROM tot),
+          |st AS (SELECT scope, used, lim,
+          |         CASE WHEN used > lim THEN 'VIOLATION'
+          |              WHEN lim > 0 AND used * 10 >= lim * 8 THEN 'WARN'
+          |              ELSE 'OK' END AS status
+          |       FROM rows0)
+          |SELECT scope, used, lim,
+          |       CASE WHEN status = 'VIOLATION' AND used >= 2 * lim
+          |              THEN 'DISABLE'
+          |            WHEN status = 'VIOLATION' THEN 'NO_WRITES'
+          |            ELSE 'THROTTLE_REQUEST_NUMBER' END AS policy,
+          |       CAST(CASE WHEN status = 'VIOLATION' AND used >= 2 * lim
+          |                   THEN 0
+          |                 WHEN status = 'VIOLATION' THEN lim
+          |                 ELSE lim - used END AS BIGINT) AS clamp
+          |FROM st WHERE status <> 'OK'
+          |ORDER BY scope NULLS LAST""".stripMargin),
     // a33: restore/clone diff — the gate's 8-region grid with planted
     // drift (a31's pattern: the oracle recomputes the deterministic
     // plant; the DERIVATION — manifest parse, dir listing, archive

@@ -224,7 +224,97 @@ object NamespaceOps {
       nsLimitExpr = "(tot DIV 10) * 11")
   }
 
+  /** Throttle-plan derivation — the ENFORCEMENT half of the quota story
+    * [public: o.a.h.hbase.quotas.SpaceViolationPolicy (DISABLE /
+    * NO_WRITES / ...) + ThrottleType (REQUEST_NUMBER ...) — a28 reports
+    * usage vs limits; this emits, per scope that is not OK, the action
+    * an enforcing master applies]. Deterministic integer ladder over
+    * the [[quotaReport]] columns (every comparison cross-multiplied or
+    * exact — no IEEE anywhere):
+    *
+    *   - VIOLATION at ≥ 2× the limit → `DISABLE` (clamp 0: the scope
+    *     is taken offline, HBase's most severe space policy)
+    *   - VIOLATION under 2× → `NO_WRITES` (clamp = the limit: reads
+    *     continue, writes are rejected until usage falls back under it)
+    *   - WARN → `THROTTLE_REQUEST_NUMBER` (clamp = lim − used: the
+    *     remaining headroom becomes the request budget — the soft
+    *     throttle an operator applies while the scope approaches its
+    *     limit)
+    *   - OK scopes emit nothing (no action to take)
+    *
+    * The plan is a PURE function of (used, lim), so re-deriving it from
+    * an unchanged report is trivially stable; the stateful half —
+    * applying it to an existing throttle table — is [[applyThrottles]],
+    * whose keyed upsert makes re-delivery a no-op (NamespaceSpec pins
+    * double-apply ≡ single-apply). O(scopes) metadata end to end.
+    */
+  def quotaThrottlePlan(report: DataFrame): DataFrame =
+    report.where(col("status") =!= "OK")
+      .select(col("scope"), col("used"), col("lim"),
+        when(col("status") === "VIOLATION" && col("used") >= lit(2L) * col("lim"),
+          "DISABLE")
+          .when(col("status") === "VIOLATION", "NO_WRITES")
+          .otherwise("THROTTLE_REQUEST_NUMBER").as("policy"),
+        when(col("status") === "VIOLATION" && col("used") >= lit(2L) * col("lim"),
+          lit(0L))
+          .when(col("status") === "VIOLATION", col("lim"))
+          .otherwise(col("lim") - col("used")).as("clamp"))
+
+  /** Apply a throttle plan to an existing throttle-state table
+    * `(scope, policy, clamp)` as a keyed UPSERT: planned scopes replace
+    * their previous action, untouched scopes keep theirs — so
+    * re-applying the same plan (a retried enforcement chore, the a21
+    * re-delivery discipline) is structurally a no-op. Both sides are
+    * O(scopes) metadata.
+    */
+  def applyThrottles(state: DataFrame, plan: DataFrame): DataFrame = {
+    val p = plan.select("scope", "policy", "clamp")
+    state.select("scope", "policy", "clamp")
+      .join(p.select("scope"), Seq("scope"), "left_anti")
+      .unionByName(p)
+  }
+
+  /** a37 — the throttle plan under the driver gate: the a28 namespace
+    * usage with a TIGHTER table limit (each table capped at a QUARTER
+    * of the namespace total) so every ladder arm fires at every
+    * fixture SF — t_txn (the majority split, >½ of usage) lands at
+    * ≥ 2× its quarter-limit → DISABLE; t_click (the click/view ~2/5
+    * share) is over the quarter but under 2× → NO_WRITES; the
+    * namespace row (limit = 110% of usage) is WARN → the headroom
+    * throttle. The usage numbers still come from hfile trailer
+    * metadata via the real listing, so the write path stays in the
+    * hash; the gate digests the plan applied TWICE through
+    * [[applyThrottles]] — idempotence is part of the hash, not just
+    * the spec.
+    */
+  val a37_quota_throttle: graft.ops.Q = (s, d) => {
+    val nsDir = Tables.appTmpDir(s, "graft_ns_throttle", d)
+    val cells = Tables.cells(s, d)
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events") / 2)
+    createTable(cells.where(col("qualifier").isin("click", "view")),
+      nsDir, "t_click", regions)
+    createTable(cells.where(!col("qualifier").isin("click", "view")),
+      nsDir, "t_txn", regions)
+    val plan = quotaThrottlePlan(
+      quotaReport(listNamespace(s, nsDir), "graft_ns",
+        tableLimitExpr = "tot DIV 4",
+        nsLimitExpr = "(tot DIV 10) * 11"))
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("scope", StringType, nullable = false),
+        StructField("policy", StringType, nullable = false),
+        StructField("clamp", LongType, nullable = false))))
+    applyThrottles(applyThrottles(empty, plan), plan)
+      .join(plan.select("scope", "used", "lim"), Seq("scope"))
+      .select(col("scope"), col("used"), col("lim"), col("policy"),
+        col("clamp"))
+      .orderBy(asc_nulls_last("scope"))
+  }
+
   val queries: Map[String, graft.ops.Q] =
     Map("a22_namespace_admin" -> a22_namespace_admin,
-      "a28_quota_report" -> a28_quota_report)
+      "a28_quota_report" -> a28_quota_report,
+      "a37_quota_throttle" -> a37_quota_throttle)
 }

@@ -346,6 +346,153 @@ object WalOps {
       }.sum().toInt
   }
 
+  /** WAL-SPLIT crash recovery — the split half of a region-server death
+    * [public: o.a.h.hbase.master.SplitWALManager +
+    * o.a.h.hbase.wal.WALSplitter: when a server dies, the master splits
+    * the dead server's WAL into per-region recovered-edits and hands
+    * each region's edits to the server that now hosts it, preserving
+    * sequence order]: ONE distributed pass over the dead log — records
+    * are tagged with their region (`regionIdOf`, an expression over the
+    * WAL columns), routed to the region's new host through the
+    * BROADCAST O(regions) `assign` table `(region_id, to_server)`,
+    * range-partitioned by (host, rowkey) and sorted by (host, seq,
+    * rowkey) within partitions, and each task streams its runs into
+    * per-host recovered segments under `recoveredDir/<host>/` through
+    * the same CRC-framed wire format. Order contract: a file is a
+    * seq-ascending run, and any single row's edits live in exactly one
+    * file (rowkey ranges never split a row) — so per-cell replay order
+    * is preserved by construction, which is the invariant recovery
+    * needs (edits to different rows commute; edits to the same cell
+    * must not). A torn tail on the dead log ships only the durable
+    * prefix (the [[decodeStream]] contract, same as [[replicate]]).
+    *
+    * Fail-fast (the a32 coverage discipline): a WAL record whose
+    * region has no destination raises at execution — a silently
+    * dropped edit is data loss, not a no-op — and the guard rides the
+    * routing projection (a LEFT join, so AQE empty-relation propagation
+    * can never cancel the raising branch). Re-running a failed split
+    * replaces exactly its own `rec-*.gwal` group, the [[writeWal]]
+    * idempotence discipline. Returns segments written; O(record) task
+    * memory at any segment size.
+    */
+  def splitWal(spark: SparkSession, walDir: String,
+               regionIdOf: org.apache.spark.sql.Column, assign: DataFrame,
+               recoveredDir: String, segments: Int): Int = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val recPath = new HPath(recoveredDir)
+    val rfs = recPath.getFileSystem(hadoopConf)
+    rfs.mkdirs(recPath)
+    Option(rfs.globStatus(new HPath(recPath,
+        "*/rec-[0-9][0-9][0-9][0-9][0-9].gwal")))
+      .getOrElse(Array.empty)
+      .foreach(st => rfs.delete(st.getPath, false))
+    val routed = readWal(spark, walDir)
+      .withColumn("region_id", regionIdOf)
+      .join(broadcast(assign.select(col("region_id"), col("to_server"))),
+        Seq("region_id"), "left")
+      .withColumn("to_server",
+        when(col("to_server").isNull, raise_error(concat(
+          lit("splitWal: region "), col("region_id").cast("string"),
+          lit(" has no recovery destination — its edits would be dropped"))))
+          .otherwise(col("to_server")))
+    val serConf = new SerializableConfiguration(hadoopConf)
+    val sorted = routed
+      .repartitionByRange(segments, col("to_server"), col("rowkey"))
+      .sortWithinPartitions(col("to_server").asc, col("seq").asc,
+        col("rowkey").asc, col("qualifier").asc)
+      .select("to_server", "seq", "rowkey", "cf", "qualifier", "ts",
+        "value", "op")
+    sorted.rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val fs = new HPath(recoveredDir).getFileSystem(serConf.value)
+      var cur: String = null
+      var os: java.io.BufferedOutputStream = null
+      var tmp: HPath = null
+      var written = 0
+      // partitions are sorted by host first, so each host is ONE
+      // contiguous run per partition: roll the output file on host change
+      def roll(): Unit = if (os != null) {
+        os.close()
+        val dst = new HPath(s"$recoveredDir/$cur", f"rec-$pid%05d.gwal")
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, serConf.value)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        os = null
+        written += 1
+      }
+      it.foreach { r =>
+        val srv = r.getString(0)
+        if (srv != cur) {
+          roll()
+          cur = srv
+          val hostDir = new HPath(recoveredDir, srv)
+          fs.mkdirs(hostDir)
+          tmp = new HPath(hostDir,
+            f".rec-$pid%05d.gwal.${TaskContext.get().taskAttemptId()}%d.tmp")
+          os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          os.write(Magic)
+        }
+        writeRecord(os, encodeRecord(r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)), r.getString(7)))
+      }
+      roll()
+      Iterator.single(written)
+    }.sum().toInt
+  }
+
+  /** a35 — WAL-split crash recovery gated end to end: the a32 drain
+    * machinery decides where the dead server's regions go (g1-1 of the
+    * parity-grouped placement crashes; its regions re-deal serpentine
+    * across g1-0/g1-2 least-loaded-first), the dead server's OWN log
+    * (its regions' cells only — a region server logs what it hosts,
+    * seq = cell ts, the a15 discipline) is written, split, and routed,
+    * and the gate digests each SURVIVOR's recovered log — so the
+    * assignment (every region at exactly its planned host), the
+    * routing (no record lost, duplicated, or misrouted), and the wire
+    * codec roundtrip (dead write → decode → re-encode → survivor read)
+    * must all agree with the WAL-free relational spelling in one hash.
+    * The survivor list is an O(servers) driver collect (bounded: the
+    * drained group's fleet). Per-cell replay order and the flushed-
+    * generation composition (recovered view ≡ pre-crash view through
+    * a15's flush + replay path) are WalSpec's pins.
+    */
+  val a35_wal_split_recovery: graft.ops.Q = (s, d) => {
+    import graft.ops.GraftCkpt
+    val walDir = Tables.appTmpDir(s, "graft_wal_dead", d)
+    val recDir = Tables.appTmpDir(s, "graft_wal_rec", d)
+    val regionExpr = graft.ops.BalancerOps.regionOf(
+      substring(col("rowkey"), 1, 12).cast("long"))
+    val placement = graft.ops.BalancerOps.rsgroupPlacementPlan(
+      graft.ops.BalancerOps.regionStats(s, d).drop("start_key"),
+      groupOf = when(col("region_id") % 2 === 0, "g0").otherwise("g1"),
+      serversPerGroup = Map("g0" -> 2, "g1" -> 3))
+    // consumed twice (routing broadcast + survivor listing): ckpt so the
+    // placement's one data reduction never re-runs
+    val assign = graft.ops.BalancerOps.serverDrainPlan(placement, "g1-1")
+      .select("region_id", "to_server").graftCkpt()
+    val dead = Tables.cells(s, d)
+      .withColumn("region_id", regionExpr)
+      .join(broadcast(assign.select("region_id")), Seq("region_id"))
+      .drop("region_id")
+    val segs = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events") / 2)
+    writeWal(dead.withColumn("seq", col("ts")), walDir,
+      segments = segs, prefix = "dead")
+    splitWal(s, walDir, regionExpr, assign, recDir, segments = segs)
+    val survivors = assign.select("to_server").distinct()
+      .orderBy("to_server").collect().map(_.getString(0)).toSeq
+    survivors.map(srv =>
+        readWal(s, s"$recDir/$srv").withColumn("srv", lit(srv)))
+      .reduce(_ unionByName _)
+      .groupBy("srv", "qualifier")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("value")).as("vsum"),
+        sum((col("seq") % 999979L).cast(
+          org.apache.spark.sql.types.DecimalType(18, 0))).cast("long").as("ssum"),
+        count_if(col("op") === "delete").as("dels"))
+      .orderBy(asc_nulls_last("srv"), asc_nulls_last("qualifier"))
+  }
+
   /** Highest recorded flush point under `storeDir` (Long.MinValue when
     * nothing was ever flushed) — the replay lower bound.
     */
@@ -476,5 +623,6 @@ object WalOps {
 
   val queries: Map[String, graft.ops.Q] = Map(
     "a15_wal_replay" -> a15_wal_replay,
-    "a21_wal_replicate" -> a21_wal_replicate)
+    "a21_wal_replicate" -> a21_wal_replicate,
+    "a35_wal_split_recovery" -> a35_wal_split_recovery)
 }

@@ -191,16 +191,17 @@ class BalancerSpec extends SparkSuite {
       damaged(2) == "ok" && damaged(3) == "ok", damaged.toString)
     // duplicate region starts (two regions claiming the same start key —
     // a real hbck damage mode) pair deterministically on the region_id
-    // tiebreak and get their own explicit verdict, while the second of
-    // the pair resumes the normal end-vs-next-start walk
+    // tiebreak and BOTH members carry the verdict (ADVICE r18 #3: the
+    // two same-start regions overlap each other by definition, so
+    // flagging only the first understated the damage on the second row)
     val dup = BalancerOps.hbckRegionChain(chainOf(Seq(
         (0, "a", "f"),
         (1, "f", "m"),   // shares start "f" with region 2 → duplicate_start
-        (2, "f", "x"),
+        (2, "f", "x"),   // second of the pair → ALSO duplicate_start
         (3, "x", "~"))))
       .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
     assert(dup(0) == "ok" && dup(1) == "duplicate_start" &&
-      dup(2) == "ok" && dup(3) == "ok", dup.toString)
+      dup(2) == "duplicate_start" && dup(3) == "ok", dup.toString)
     // the fixture chain WITHOUT planted damage is clean end to end —
     // the a31 gate's verdicts come from the drift, not the derivation
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("start_key"))
@@ -326,6 +327,39 @@ class BalancerSpec extends SparkSuite {
         s"${(weighted.toSet diff flat.toSet).take(5)}")
   }
 
+  test("locality placement: wLoc=0 degenerates to a34; locality genuinely reorders") {
+    val regions = (0 until 23)
+      .map(i => (i, (i * 53 % 400 + 1).toLong, (i * 7 % 90).toLong,
+        (i * 31 % 120).toLong))
+      .toDF("region_id", "n_cells", "n_req", "local_blocks")
+    // wLoc=0: the locality column is inert — the deal must be exactly
+    // a34's two-factor plan (cross-validates the two implementations)
+    val flat = BalancerOps.weightedPlacementPlan(
+        regions.drop("local_blocks"), nServers = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(4)).toMap
+    val loc0 = BalancerOps.localityWeightedPlacementPlan(regions, nServers = 4,
+        wLoc = 0L)
+      .collect().map(r => r.getInt(0) -> r.getInt(5)).toMap
+    assert(loc0 == flat,
+      s"wLoc=0 locality deal diverged from the two-factor plan: " +
+        s"${(loc0.toSet diff flat.toSet).take(5)}")
+    // locality reorders: two regions with IDENTICAL load cost — the
+    // well-localized one must rank lower (dealt later) under wLoc>0
+    val crafted = Seq(
+      (0, 100L, 10L, 40L),  // cost 130 - 2*40 = 50
+      (1, 100L, 10L, 0L),   // cost 130 - 0    = 130 → outranks region 0
+      (2, 10L, 1L, 0L))
+      .toDF("region_id", "n_cells", "n_req", "local_blocks")
+    val got = BalancerOps.localityWeightedPlacementPlan(crafted, nServers = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(4), r.getInt(5))).toMap
+    assert(got(1)._1 == 130L && got(0)._1 == 50L, got.toString)
+    // rank order: region 1 (cost 130) → server 0; region 0 (cost 50)
+    // next → server 1 — without the locality credit both cost 130 and
+    // region 0 would win the tiebreak instead
+    assert(got(1)._2 == 0 && got(0)._2 == 1,
+      s"locality credit failed to reorder the deal: $got")
+  }
+
   test("hbck chain check is invariant under input partitioning") {
     val rows = Seq((0, "a", "d"), (1, "f", "p"), (2, "m", "s"), (3, "s", "~"))
       .toDF("region_id", "start_key", "end_key")
@@ -389,5 +423,12 @@ class BalancerSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
     assert(drain(stats) == drain(stats.repartition(13)))
     assert(weighted(stats) == weighted(stats.repartition(13)))
+    def locality(df: org.apache.spark.sql.DataFrame) =
+      BalancerOps.localityWeightedPlacementPlan(
+          df.select(col("region_id"), col("n_cells"),
+            (col("n_cells") % 7).as("n_req"),
+            (col("n_cells") % 11).as("local_blocks")), 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(locality(stats) == locality(stats.repartition(13)))
   }
 }

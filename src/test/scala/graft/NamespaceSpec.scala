@@ -111,4 +111,43 @@ class NamespaceSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(4)).toMap
     assert(zeroQuota("table:t") == "VIOLATION" && zeroQuota("ns:nsz") == "VIOLATION")
   }
+
+  test("throttle ladder: DISABLE at the inclusive 2x edge, NO_WRITES under it, " +
+      "WARN gets the headroom budget, OK emits nothing") {
+    import spark.implicits._
+    // limits fixed at 100: 200 = exactly 2x → DISABLE/0 (inclusive edge),
+    // 199 → NO_WRITES/limit, 90 (WARN band) → headroom throttle of 10,
+    // 50 → OK, no action row at all
+    val listing = Seq(("t_dis", 200L), ("t_now", 199L),
+        ("t_thr", 90L), ("t_ok", 50L))
+      .toDF("table", "n_cells")
+    val plan = NamespaceOps.quotaThrottlePlan(
+        NamespaceOps.quotaReport(listing, "nst",
+          tableLimitExpr = "100", nsLimitExpr = "1000"))
+      .collect().map(r => r.getString(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(plan("table:t_dis") == ("DISABLE", 0L), plan.toString)
+    assert(plan("table:t_now") == ("NO_WRITES", 100L), plan.toString)
+    assert(plan("table:t_thr") == ("THROTTLE_REQUEST_NUMBER", 10L), plan.toString)
+    assert(!plan.contains("table:t_ok"), "OK scopes must emit no action")
+    // ns rollup: 539/1000 is under the WARN band → no ns action either
+    assert(!plan.contains("ns:nst"), plan.toString)
+  }
+
+  test("applyThrottles is a keyed upsert: plan wins, others kept, re-apply is a no-op") {
+    import spark.implicits._
+    val state = Seq(("table:a", "NO_WRITES", 10L), ("table:b", "DISABLE", 0L))
+      .toDF("scope", "policy", "clamp")
+    val plan = Seq(("table:a", "DISABLE", 0L), ("table:c", "THROTTLE_REQUEST_NUMBER", 7L))
+      .toDF("scope", "policy", "clamp")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val once = NamespaceOps.applyThrottles(state, plan)
+    // planned scopes replaced (a escalated), untouched kept (b), new added (c)
+    assert(rows(once) == rows(Seq(("table:a", "DISABLE", 0L),
+      ("table:b", "DISABLE", 0L), ("table:c", "THROTTLE_REQUEST_NUMBER", 7L))
+      .toDF("scope", "policy", "clamp")))
+    // idempotence: re-delivering the same plan changes nothing (the a21
+    // re-delivery discipline — the enforcement chore can always be retried)
+    assert(rows(NamespaceOps.applyThrottles(once, plan)) == rows(once))
+  }
 }

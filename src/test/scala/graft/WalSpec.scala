@@ -205,6 +205,104 @@ class WalSpec extends SparkSuite {
     assert(WalOps.readWal(spark, rep).count() == 250)
   }
 
+  // ---- a35 WAL-split crash recovery ----------------------------------
+
+  // region = numeric rowkey suffix mod 4 (a crafted 4-region key space)
+  private def splitRegionOf = substring(col("rowkey"), 4, 5).cast("long") % 4
+
+  test("wal split routes every record to its region's planned host, losing nothing") {
+    import spark.implicits._
+    val walDir = tmpDir("wal_split").toString
+    val recDir = tmpDir("wal_split_rec").toString
+    val cells = walCells(400)
+    WalOps.writeWal(cells, walDir, segments = 3)
+    val assignMap = Map(0L -> "s0", 1L -> "s1", 2L -> "s0", 3L -> "s2")
+    val n = WalOps.splitWal(spark, walDir, splitRegionOf,
+      assignMap.toSeq.toDF("region_id", "to_server"), recDir, segments = 3)
+    assert(n >= 3, s"expected at least one segment per survivor, got $n")
+    val got = Seq("s0", "s1", "s2").flatMap { srv =>
+      WalOps.readWal(spark, s"$recDir/$srv").collect()
+        .map(r => (srv, r.getLong(0), r.getString(1), r.toString))
+    }
+    assert(got.size == 400, s"split lost or duplicated records: ${got.size}")
+    // no record misrouted: each record sits at exactly its region's host
+    got.foreach { case (srv, _, rowkey, _) =>
+      val region = rowkey.substring(3).toLong % 4
+      assert(assignMap(region) == srv,
+        s"record $rowkey (region $region) landed on $srv")
+    }
+    // content equality with the dead log, row for row
+    val want = cells.collect().map(_.toString).sorted
+    assert(got.map(_._4).sorted.sameElements(want),
+      "recovered records diverge from the dead log's")
+  }
+
+  test("wal split: recovered segments are seq-ascending (per-cell replay order)") {
+    import spark.implicits._
+    val walDir = tmpDir("wal_split_ord").toString
+    val recDir = tmpDir("wal_split_ord_rec").toString
+    WalOps.writeWal(walCells(300), walDir, segments = 2)
+    WalOps.splitWal(spark, walDir, splitRegionOf,
+      Seq((0L, "s0"), (1L, "s0"), (2L, "s1"), (3L, "s1"))
+        .toDF("region_id", "to_server"), recDir, segments = 4)
+    val segs: Seq[java.nio.file.Path] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(recDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(_.toString.endsWith(".gwal")).toList
+      } finally walk.close()
+    }
+    assert(segs.nonEmpty)
+    segs.foreach { p =>
+      val seqs = WalOps.decodeSegment(java.nio.file.Files.readAllBytes(p))
+        .map(_.getLong(0))
+      assert(seqs == seqs.sorted,
+        s"segment $p is not seq-ascending — replay order broken")
+    }
+  }
+
+  test("wal split composes with flush: recovered view == pre-crash view bit-for-bit") {
+    import spark.implicits._
+    val walDir = tmpDir("wal_split_rec2").toString
+    val storeDir = tmpDir("wal_split_store").toString
+    val recDir = tmpDir("wal_split_rec2_out").toString
+    val cells = walCells(400)
+    WalOps.writeWal(cells, walDir, segments = 3)
+    // memstore flush of the first half BEFORE the crash (a15's path)
+    WalOps.flush(spark, walDir, storeDir, upToSeq = 199L, gen = 0, regions = 2)
+    // crash: split the dead log across two survivors, replay the suffix
+    WalOps.splitWal(spark, walDir, splitRegionOf,
+      Seq((0L, "s0"), (1L, "s1"), (2L, "s0"), (3L, "s1"))
+        .toDF("region_id", "to_server"), recDir, segments = 3)
+    val replay = Seq("s0", "s1")
+      .map(srv => WalOps.readWal(spark, s"$recDir/$srv"))
+      .reduce(_ unionByName _)
+      .where(col("seq") > 199L)
+      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
+    val recovered = HFileOps.read(spark, storeDir).unionByName(replay)
+      .collect().map(_.toString).sorted
+    val want = cells.select("rowkey", "cf", "qualifier", "ts", "value", "op")
+      .collect().map(_.toString).sorted
+    assert(recovered.sameElements(want),
+      "flushed generation ∪ split replay must equal the never-crashed view")
+  }
+
+  test("wal split fails fast on a region with no recovery destination") {
+    import spark.implicits._
+    val walDir = tmpDir("wal_split_ff").toString
+    val recDir = tmpDir("wal_split_ff_rec").toString
+    WalOps.writeWal(walCells(100), walDir, segments = 1)
+    // region 3 is unassigned: its edits would be silently dropped
+    val e = intercept[Exception](
+      WalOps.splitWal(spark, walDir, splitRegionOf,
+        Seq((0L, "s0"), (1L, "s0"), (2L, "s1")).toDF("region_id", "to_server"),
+        recDir, segments = 2))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no recovery destination")),
+      s"expected the fail-fast routing error, got: $e")
+  }
+
   test("two flushes advance the replay bound; only the suffix replays") {
     val walDir = tmpDir("wal_rec2").toString
     val storeDir = tmpDir("wal_rec2_store").toString

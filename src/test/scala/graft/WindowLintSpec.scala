@@ -28,12 +28,19 @@ class WindowLintSpec extends SparkSuite {
     */
   private val allowed: Set[String] = Set(
     "a23_region_normalize", "a24_region_placement", "a31_hbck_regions",
-    "a34_weighted_placement", "e4_win_pctrank")
+    "a34_weighted_placement", "a36_locality_placement", "e4_win_pctrank")
 
   test("no declared query runs an unpartitioned window outside the metadata whitelist") {
+    // ISOLATED scratch namespace (ADVICE r18 #2): some query constructors
+    // have real filesystem side effects (a33 plants drift, a9/a15/a22/...
+    // bulk-write) and Tables.appTmpDir keys scratch dirs on the sfDir
+    // STRING — aliasing the fixture path ("/." reads the same parquet)
+    // gives this sweep its own scratch dirs, so building a33's plan here
+    // can never race another spec's gate run on the shared dir.
+    val isolatedSf = sf + "/."
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val df = fn(spark, sf)
+        val df = fn(spark, isolatedSf)
         val n = df.queryExecution.optimizedPlan.collectWithSubqueries {
           case w: Window if w.partitionSpec.isEmpty => w
         }.size

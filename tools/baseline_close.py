@@ -185,8 +185,11 @@ def main():
         "aggregate_ratio": round(graft_total / stock_total, 3),
         "shapes": shapes,
         "sf1_ratios": sf1_block,
-        "battery_single_shot": {g: detail.get("queries", {}).get(g)
-                                for g in TWINS.values()},
+        # the close battery's own numbers for reference (median-of-k since
+        # r19's round_close REPEAT change; k recorded alongside)
+        "battery_sec": {g: detail.get("queries", {}).get(g)
+                        for g in TWINS.values()},
+        "battery_k": detail.get("k", 1),
     }
     if run_id:
         result["source_run"] = {

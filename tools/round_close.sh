@@ -84,6 +84,22 @@ else
   fi
 fi
 
+echo "== round_close: sf10 (100x) scale gate =="
+# VERDICT r18 task 5: the full-surface 100x hash gate ran by hand in r18
+# (chunked Verify + batched compare); tools/sf10_gate.sh scripts that
+# recipe so the 100x promise is a per-round invariant. Skippable only
+# explicitly (it is the longest close step — ~1h of chunked JVMs).
+if [ "${SPARK_GRAFT_SKIP_SF10:-0}" = "1" ]; then
+  echo "round_close: sf10 gate SKIPPED by SPARK_GRAFT_SKIP_SF10=1"
+else
+  if ! bash tools/sf10_gate.sh "$n" > /tmp/round_close_sf10.log 2>&1; then
+    tail -30 /tmp/round_close_sf10.log
+    echo "ROUND CLOSE BLOCKED: sf10 gate failed (full log: /tmp/round_close_sf10.log)." >&2
+    exit 1
+  fi
+  tail -3 /tmp/round_close_sf10.log
+fi
+
 echo "== round_close: fresh full bench + per-query detail snapshot =="
 # r10 (VERDICT r9 task 3): the close does NOT trust whatever
 # bench_detail.json sits in cwd — r9 closed with a 45.35 s stdout total
@@ -101,7 +117,16 @@ run_id="close-r${n}-$(date -u +%Y%m%dT%H%M%SZ)"
 if [ "${SPARK_GRAFT_SKIP_BENCH:-0}" = "1" ]; then
   echo "round_close: bench SKIPPED by SPARK_GRAFT_SKIP_BENCH=1"
 else
+  # MEDIAN-OF-K battery (VERDICT r18 task 1): the committed close detail
+  # used to be single-shot, and r16, r17, AND r18 each burned adjudication
+  # prose proving phantom >1.5x regressions were session noise (r18: 147.2
+  # vs 187.4 s on one tree, all cold-page-cache). graft.Bench's REPEAT
+  # protocol (BENCH_MEDIA_r17, generalized) records per-query medians with
+  # [min,max] spreads in the detail file, so the committed artifact of
+  # record carries its own noise bars. Override with
+  # SPARK_GRAFT_CLOSE_REPEAT=1 to reproduce a driver-style single shot.
   bench_line=$(SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+      SPARK_GRAFT_REPEAT="${SPARK_GRAFT_CLOSE_REPEAT:-3}" \
       sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep -o '{"metric".*}' | tail -1 || true)
   if [ -z "$bench_line" ]; then
