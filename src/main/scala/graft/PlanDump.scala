@@ -50,6 +50,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Harness.quietBenignWindowWarns()
     spark.experimental.extraOptimizations = Seq(graft.plans.RewriteWindowTopK)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKStrategy)
 
