@@ -82,8 +82,12 @@ for chunk in "${chunks[@]}"; do
   fi
   grep "\[verify\]" "/tmp/sf10_gate_chunk$ci.log" || true
   # sweep ONLY scratch dirs that appeared since the script started (our
-  # dead chunk JVMs'): accumulated shuffle files exhaust /tmp otherwise
-  ls -d /tmp/blockmgr-* /tmp/spark-* 2>/dev/null | sort \
+  # dead chunk JVMs'): accumulated shuffle files exhaust /tmp otherwise.
+  # The ls MUST be ||-protected: with one glob unmatched (e.g. Spark's
+  # clean shutdown already removed every blockmgr-*), ls exits 2 even
+  # while listing the other pattern's hits, and pipefail + set -e would
+  # kill the whole gate silently right after the first chunk.
+  { ls -d /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true; } | sort \
     | comm -13 /tmp/sf10_scratch_before.txt - \
     | xargs -r rm -rf
 done
