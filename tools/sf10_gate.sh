@@ -41,6 +41,11 @@ else
   n=$(( ${last:-0} + 1 ))
 fi
 
+# SPARK_GRAFT_SF10_SKIP_VERIFY=1 resumes from the compare phase against an
+# existing $OUT produced by THIS tree earlier in the session (e.g. after an
+# oracle-side-only failure) — the Verify chunks are ~50 min of JVMs.
+SKIP_VERIFY="${SPARK_GRAFT_SF10_SKIP_VERIFY:-0}"
+
 echo "== sf10_gate (r$n): fixture =="
 complete=1
 for t in region nation customer supplier part orders lineitem events documents embeddings; do
@@ -68,6 +73,10 @@ for i in range(0, len(keys), k):
     print(",".join(keys[i:i+k]))
 PYEOF
 )
+if [ "$SKIP_VERIFY" = "1" ]; then
+  echo "== sf10_gate: Verify chunks SKIPPED (resume-from-compare against existing $OUT) =="
+  chunks=()
+fi
 echo "== sf10_gate: ${#chunks[@]} Verify chunks of <=$CHUNK queries, -Xmx$MEM each =="
 ci=0
 for chunk in "${chunks[@]}"; do
@@ -98,23 +107,48 @@ import datetime, json, subprocess, sys
 sfdir, outdir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
 oracle = json.load(open("/tmp/sf10_oracle_full.json"))
 keys = sorted(oracle)
-BATCH = 40
+# r19 measured: 40/batch → 3 in-batch OOM 'failures', 25/batch → 18 (the
+# heavy j-series oracles cluster alphabetically); every one passed solo.
+# Small batches cost a little view-setup overhead and save the retries.
+BATCH = 12
 npass, failures, batches = 0, [], 0
-for i in range(0, len(keys), BATCH):
-    batches += 1
-    sub = {k: oracle[k] for k in keys[i:i+BATCH]}
+
+def run_batch(names):
+    """One fresh compare.py process over `names`; returns (npass, fails)."""
+    sub = {k: oracle[k] for k in names}
     with open(f"{outdir}/oracle_sql.json", "w") as f:
         json.dump(sub, f)
-    # fresh process per batch: DuckDB memory accumulation over a long
-    # compare produced phantom allocation failures in r18
     r = subprocess.run([sys.executable, "tools/compare.py", sfdir, outdir],
                        capture_output=True, text=True)
+    p, fails = 0, []
     for line in r.stdout.splitlines():
         if line.startswith("PASS "):
-            npass += 1
+            p += 1
         elif line.startswith("FAIL ") and not line.startswith("FAIL: zero"):
-            failures.append(line)
-            print(line)
+            fails.append(line)
+    return p, fails
+
+for i in range(0, len(keys), BATCH):
+    batches += 1
+    # fresh process per batch: DuckDB memory accumulation over a long
+    # compare produced phantom allocation failures in r18
+    p, fails = run_batch(keys[i:i+BATCH])
+    npass += p
+    # a FAIL inside a batch can still be the accumulation class (r19:
+    # three 'Out of Memory (bad allocation)' oracle errors inside one
+    # 40-oracle batch all passed solo) — retry each failure ALONE in a
+    # fresh process; only a solo failure is a real failure
+    for line in fails:
+        name = line.split()[1].rstrip(":")
+        batches += 1
+        p2, fails2 = run_batch([name])
+        if p2 == 1 and not fails2:
+            npass += 1
+            print(f"RETRY-PASS {name} (in-batch failure was DuckDB "
+                  "memory accumulation, passed solo)")
+        else:
+            failures.extend(fails2 if fails2 else [line])
+            print((fails2 if fails2 else [line])[0])
 # restore the full oracle map so the outdir stays a complete artifact
 with open(f"{outdir}/oracle_sql.json", "w") as f:
     json.dump(oracle, f)
