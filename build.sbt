@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Gate scripts (tools/sf10_gate.sh) point each chunk JVM's shuffle/block
+  // scratch at a private dir so the between-chunk sweep can't touch any
+  // other process's /tmp state (ADVICE r19).
+  sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(d => s"-Dspark.local.dir=$d").toSeq

@@ -17,6 +17,12 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // VERDICT r19 task 6: the suite exercises the same whitelisted global
+    // windows as the mains; without the filter the `sbt test` tail is pure
+    // WindowExec "No Partition Defined" spam. The filter is message-exact
+    // (Harness.scala), so WindowLintSpec remains the proof the silenced
+    // warnings are benign while every other window WARN still surfaces.
+    Harness.quietBenignWindowWarns()
     s
   }
 }

@@ -61,8 +61,13 @@ sbt -batch "runMain graft.OracleDump /tmp/sf10_oracle_full.json" \
   > /tmp/sf10_gate_dump.log 2>&1 \
   || { tail -20 /tmp/sf10_gate_dump.log; echo "sf10_gate BLOCKED: OracleDump failed." >&2; exit 1; }
 
-# scratch-dir baseline: only dirs our own chunks create get swept
-ls -d /tmp/blockmgr-* /tmp/spark-* 2>/dev/null | sort > /tmp/sf10_scratch_before.txt || true
+# gate-private scratch (ADVICE r19): each chunk JVM gets its own
+# spark.local.dir under this root and ONLY that subtree is swept after the
+# chunk — the old global /tmp/blockmgr-*//tmp/spark-* diff-sweep could
+# delete the live shuffle dirs of any OTHER Spark/sbt process that started
+# during the ~1h gate.
+GATE_SCRATCH="$(mktemp -d /tmp/sf10_gate_scratch.XXXXXX)"
+trap 'rm -rf "$GATE_SCRATCH"' EXIT
 
 mkdir -p "$OUT"
 mapfile -t chunks < <(python3 - "$CHUNK" <<'PYEOF'
@@ -82,7 +87,9 @@ ci=0
 for chunk in "${chunks[@]}"; do
   ci=$((ci+1))
   echo "sf10_gate: chunk $ci/${#chunks[@]}: ${chunk%%,*}.."
+  mkdir -p "$GATE_SCRATCH/chunk$ci"
   if ! SPARK_DRIVER_MEM="$MEM" SPARK_GRAFT_ONLY="$chunk" \
+      SPARK_GRAFT_LOCAL_DIR="$GATE_SCRATCH/chunk$ci" \
       sbt -batch "runMain graft.Verify $SF10_DIR $OUT" \
       > "/tmp/sf10_gate_chunk$ci.log" 2>&1; then
     tail -20 "/tmp/sf10_gate_chunk$ci.log"
@@ -90,15 +97,9 @@ for chunk in "${chunks[@]}"; do
     exit 1
   fi
   grep "\[verify\]" "/tmp/sf10_gate_chunk$ci.log" || true
-  # sweep ONLY scratch dirs that appeared since the script started (our
-  # dead chunk JVMs'): accumulated shuffle files exhaust /tmp otherwise.
-  # The ls MUST be ||-protected: with one glob unmatched (e.g. Spark's
-  # clean shutdown already removed every blockmgr-*), ls exits 2 even
-  # while listing the other pattern's hits, and pipefail + set -e would
-  # kill the whole gate silently right after the first chunk.
-  { ls -d /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true; } | sort \
-    | comm -13 /tmp/sf10_scratch_before.txt - \
-    | xargs -r rm -rf
+  # sweep ONLY this chunk's own scratch (spark.local.dir above): accumulated
+  # shuffle files exhaust /tmp otherwise (ContextCleaner only fires on GC).
+  rm -rf "$GATE_SCRATCH/chunk$ci"
 done
 
 echo "== sf10_gate: batched DuckDB compare =="
@@ -111,44 +112,75 @@ keys = sorted(oracle)
 # heavy j-series oracles cluster alphabetically); every one passed solo.
 # Small batches cost a little view-setup overhead and save the retries.
 BATCH = 12
-npass, failures, batches = 0, [], 0
+npass, failures, batches, retried = 0, [], 0, []
+
+# the DuckDB memory-accumulation class (and its kernel-OOM-kill / crashed-
+# subprocess cousin, which yields queries with NO verdict at all): the ONLY
+# failure class the solo-retry self-heal may absorb (ADVICE r19). Genuine
+# row/column/type mismatches are real on first sight — a retry that
+# "passes" on one of those would be oracle nondeterminism, which must
+# surface, not be swallowed.
+MEMCLASS = ("Out of Memory", "bad allocation", "bad_alloc",
+            "no verdict from compare process")
 
 def run_batch(names):
-    """One fresh compare.py process over `names`; returns (npass, fails)."""
+    """One fresh compare.py process over `names`; returns (passed, fails).
+
+    A batch subprocess that dies without emitting a verdict for some of its
+    queries (hard crash, kernel OOM-kill, compare.py's 'FAIL: zero queries
+    compared' exit) gets those queries reported as synthetic memory-class
+    FAIL lines instead of silently dropping them (ADVICE r19, medium)."""
     sub = {k: oracle[k] for k in names}
     with open(f"{outdir}/oracle_sql.json", "w") as f:
         json.dump(sub, f)
     r = subprocess.run([sys.executable, "tools/compare.py", sfdir, outdir],
                        capture_output=True, text=True)
-    p, fails = 0, []
+    passed, fails = [], []
     for line in r.stdout.splitlines():
         if line.startswith("PASS "):
-            p += 1
+            passed.append(line.split()[1].rstrip(":"))
         elif line.startswith("FAIL ") and not line.startswith("FAIL: zero"):
             fails.append(line)
-    return p, fails
+    verdicted = set(passed) | {f.split()[1].rstrip(":") for f in fails}
+    fails.extend(f"FAIL {n}: no verdict from compare process "
+                 f"(rc={r.returncode})" for n in names if n not in verdicted)
+    return passed, fails
 
 for i in range(0, len(keys), BATCH):
     batches += 1
     # fresh process per batch: DuckDB memory accumulation over a long
     # compare produced phantom allocation failures in r18
-    p, fails = run_batch(keys[i:i+BATCH])
-    npass += p
-    # a FAIL inside a batch can still be the accumulation class (r19:
-    # three 'Out of Memory (bad allocation)' oracle errors inside one
-    # 40-oracle batch all passed solo) — retry each failure ALONE in a
-    # fresh process; only a solo failure is a real failure
+    passed, fails = run_batch(keys[i:i+BATCH])
+    npass += len(passed)
+    # a memory-class FAIL inside a batch can still be the accumulation
+    # class (r19: 18 in-batch 'Out of Memory (bad allocation)' oracle
+    # errors all passed solo) — retry those ALONE in a fresh process.
+    # Any OTHER failure class is real immediately (ADVICE r19, low).
     for line in fails:
         name = line.split()[1].rstrip(":")
+        if not any(m in line for m in MEMCLASS):
+            failures.append(line)
+            print(line)
+            continue
         batches += 1
         p2, fails2 = run_batch([name])
-        if p2 == 1 and not fails2:
+        retried.append({"query": name, "in_batch": line,
+                        "solo": "pass" if (p2 and not fails2) else "fail"})
+        if p2 and not fails2:
             npass += 1
             print(f"RETRY-PASS {name} (in-batch failure was DuckDB "
                   "memory accumulation, passed solo)")
         else:
             failures.extend(fails2 if fails2 else [line])
             print((fails2 if fails2 else [line])[0])
+
+# full-coverage assertion (ADVICE r19, medium): every query must have
+# exactly one final verdict — a crashed batch must not exit the gate green
+# with partial coverage.
+if npass + len(failures) != len(keys):
+    failures.append(f"FAIL <gate>: coverage hole — {npass} pass + "
+                    f"{len(failures)} fail != {len(keys)} queries")
+    print(failures[-1])
 # restore the full oracle map so the outdir stays a complete artifact
 with open(f"{outdir}/oracle_sql.json", "w") as f:
     json.dump(oracle, f)
@@ -159,6 +191,7 @@ result = {
     "sf_dir": sfdir, "scale": "100x (sf10, key-shifted sf0.1)",
     "n_queries": len(keys), "n_pass": npass, "n_fail": len(failures),
     "compare_batches": batches,
+    "memclass_retries": retried,
     "failures": failures,
 }
 path = f"SF10_GATE_r{rnd:02d}.json"
