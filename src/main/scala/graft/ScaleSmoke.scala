@@ -144,7 +144,13 @@ object ScaleSmoke {
     // three-factor serpentine, and the quota-throttle enforcement ladder
     "a35_wal_split_recovery",
     "a36_locality_placement",
-    "a37_quota_throttle")
+    "a37_quota_throttle",
+    // round 20: WAL-delta incremental backup (snapshot bulk write +
+    // ExportSnapshot-style restore copy ×2 + incremental log replay) and
+    // the pressure-aware compaction throughput ladder (one data
+    // reduction to file metadata, then integer arithmetic)
+    "a38_incremental_backup",
+    "a39_compaction_throttle")
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "10000000").toLong
@@ -527,6 +533,17 @@ object ScaleSmoke {
       val rows = fn()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"$name%-26s $sec%8.2fs  ($rows rows)")
+      // Release this workload's driver/executor state so the full
+      // ~100-workload one-JVM battery holds the DEFAULT 8g heap
+      // (VERDICT r19 task 3: at 98 workloads the battery OOM'd on a
+      // broadcast build around workload ~87 — ~90 finished workloads'
+      // localCheckpoint blocks and dead broadcasts were still resident
+      // because ContextCleaner only fires on GC and nothing dropped the
+      // references). Untimed: runs after `sec` is taken.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc() // lets ContextCleaner reap dead broadcast/shuffle state
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

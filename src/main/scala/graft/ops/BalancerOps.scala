@@ -172,22 +172,59 @@ object BalancerOps {
     * destination, and a group whose other servers are all empty raises
     * "no surviving server" even though idle servers exist in the
     * config. That is inherent to the placement-only input schema; a
-    * caller that wants empty servers eligible should first seed them
-    * into the placement (zero-region rows are not representable here —
-    * run [[rsgroupPlacementPlan]] over the region set with the full
-    * fleet instead, which deals onto every configured server).
+    * caller that wants empty servers eligible passes the configured
+    * fleet through the `serversPerGroup` overload below (r20), which
+    * joins load-0 survivors into the destination deal.
     */
-  def serverDrainPlan(placement: DataFrame, drainServer: String): DataFrame = {
+  def serverDrainPlan(placement: DataFrame, drainServer: String): DataFrame =
+    serverDrainPlanImpl(placement, drainServer, fleet = None)
+
+  /** [[serverDrainPlan]] with the CONFIGURED fleet supplied (ADVICE r18
+    * #1, second half): `serversPerGroup` names every server each group
+    * owns (the [[rsgroupPlacementPlan]] `"<grp>-<idx>"` naming), so a
+    * freshly-added server that hosts nothing yet IS a drain destination —
+    * it carries load 0 and, being least-loaded, receives the biggest
+    * evacuated region first. The placement-only overload above keeps its
+    * known-fleet scope and behavior (oracle hash stable); BalancerSpec
+    * pins that an empty configured survivor genuinely receives moves and
+    * that a placement-known-fleet call is unchanged by the overload.
+    */
+  def serverDrainPlan(placement: DataFrame, drainServer: String,
+                      serversPerGroup: Map[String, Int]): DataFrame = {
+    require(serversPerGroup.values.forall(_ >= 1),
+      s"every group needs >= 1 configured server: $serversPerGroup")
+    val spark = placement.sparkSession
+    import spark.implicits._
+    val fleet = serversPerGroup.toSeq.sorted
+      .flatMap { case (g, n) => (0 until n).map(i => (g, s"$g-$i")) }
+      .toDF("grp", "server")
+    serverDrainPlanImpl(placement, drainServer, Some(fleet))
+  }
+
+  private def serverDrainPlanImpl(placement: DataFrame, drainServer: String,
+                                  fleet: Option[DataFrame]): DataFrame = {
     // consumed twice (drained rows + survivor loads): materialize so a
     // data-derived placement's reduction runs once
     val p = placement.select("region_id", "n_cells", "grp", "server")
       .graftCkpt()
     val drained = p.where(col("server") === drainServer)
-    // survivor fleet of the drained groups only — O(servers) rows
-    val destIdx = p.where(col("server") =!= drainServer)
+    // hosted survivor loads of the drained groups only — O(servers) rows
+    val hosted = p.where(col("server") =!= drainServer)
       .join(broadcast(drained.select("grp").distinct()), Seq("grp"))
       .groupBy(col("grp"), col("server"))
       .agg(sum("n_cells").as("load"))
+    // with a configured fleet, empty survivors join in at load 0 (they
+    // can't appear in `hosted` — a placement has no zero-region rows)
+    val survivors = fleet match {
+      case None => hosted
+      case Some(f) =>
+        f.where(col("server") =!= drainServer)
+          .join(broadcast(drained.select("grp").distinct()), Seq("grp"))
+          .join(hosted, Seq("grp", "server"), "left")
+          .select(col("grp"), col("server"),
+            coalesce(col("load"), lit(0L)).as("load"))
+    }
+    val destIdx = survivors
       .withColumn("dest_idx", row_number().over(
         Window.partitionBy(col("grp"))
           .orderBy(col("load").asc, col("server").asc)) - 1)
@@ -404,6 +441,94 @@ object BalancerOps {
           (col("event_id") % 7).as("seq"))
         .agg(count(lit(1)).as("size")))
       .orderBy(col("region_id").asc_nulls_last, col("seq").asc_nulls_last)
+
+  /** Pressure-aware compaction throughput ladder [public:
+    * o.a.h.hbase.regionserver.throttle
+    * .PressureAwareCompactionThroughputController — the allowed
+    * compaction throughput ramps linearly from a lower to an upper
+    * bound with "compaction pressure" = (storefileCount −
+    * minFilesToCompact) / (blockingFileCount − minFilesToCompact); at
+    * pressure ≥ 1 the store is BLOCKING writes, so compaction runs
+    * unthrottled to drain it]. All-integer spelling (the a30
+    * discipline): the pressure numerator is `clamp(n_files − minFiles,
+    * 0, blockingFiles − minFiles)` and the ramp is an exact integer
+    * `lower + ((upper − lower) · numer) DIV denom` — no IEEE anywhere,
+    * so both engines agree bit-for-bit. Composes over
+    * [[compactionSelect]]: per region, the ladder reports the store's
+    * file count, the bytes the selection would rewrite, the mode
+    * (`unlimited` at blocking pressure, else `throttled`) and the
+    * allowed bytes/sec. Runs entirely on store-file METADATA
+    * (O(files-per-region) rows after the one data reduction that built
+    * them — the master's bounded view at any data scale).
+    */
+  def compactionThrottle(files: DataFrame, minFiles: Int = 3,
+                         blockingFiles: Int = 8,
+                         lowerBps: Long = 50L * 1024 * 1024,
+                         upperBps: Long = 100L * 1024 * 1024): DataFrame = {
+    require(blockingFiles > minFiles && lowerBps > 0 && upperBps >= lowerBps,
+      s"bad throttle config: min=$minFiles blocking=$blockingFiles " +
+        s"bounds=[$lowerBps, $upperBps]")
+    val den = (blockingFiles - minFiles).toLong
+    compactionSelect(files, minFiles = minFiles)
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("action") === "compact", col("size"))
+          .otherwise(0L)).as("sel_bytes"))
+      .withColumn("p_num",
+        least(greatest(col("n_files") - minFiles, lit(0L)), lit(den)))
+      .select(col("region_id"), col("n_files"), col("sel_bytes"),
+        when(col("n_files") >= blockingFiles, "unlimited")
+          .otherwise("throttled").as("mode"),
+        (lit(lowerBps) +
+          expr(s"(CAST(${upperBps - lowerBps} AS BIGINT) * p_num) DIV $den"))
+          .as("allowed_bps"))
+  }
+
+  /** Apply a [[compactionThrottle]] ladder to a compaction work queue
+    * `(region_id, rate_bps)`: a throttled region's rate clamps to the
+    * ladder's allowed bytes/sec, an unlimited (blocking-pressure) region
+    * keeps whatever it asked for. `clamp(clamp(x)) = clamp(x)`, so a
+    * re-delivered enforcement chore is a no-op — a39 hashes that by
+    * applying the ladder twice (the a37 idempotence discipline). Both
+    * sides are O(regions) metadata.
+    */
+  def applyCompactionThrottle(queue: DataFrame, ladder: DataFrame): DataFrame =
+    queue.join(ladder.select(col("region_id"), col("mode"),
+        col("allowed_bps")), Seq("region_id"))
+      .select(col("region_id"),
+        when(col("mode") === "unlimited", col("rate_bps"))
+          .otherwise(least(col("rate_bps"), col("allowed_bps")))
+          .as("rate_bps"))
+
+  /** a39 — the throttle ladder under the driver gate, completing the
+    * throttle family (a37 = quota enforcement, a39 = compaction
+    * pressure). Store files derive from the fixture with a PER-REGION
+    * generation count `3 + (region_id · 3) % 7` (file counts 3..9), so
+    * every ladder arm fires at every fixture SF — including sf0.001's
+    * four regions (counts 3, 6, 9, 5): the pressure floor (3 files →
+    * lower bound), the mid-ramp, and blocking pressure (9 ≥ 8 →
+    * unlimited). The compactor's requested rate (250 MiB/s, above the
+    * upper bound) goes through [[applyCompactionThrottle]] TWICE, so
+    * re-delivery-is-a-no-op is part of the gate hash, not just a spec.
+    */
+  val a39_compaction_throttle: Q = (s, d) => {
+    val files = Tables.cells(s, d)
+      .withColumn("user_id", substring(col("rowkey"), 1, 12).cast("long"))
+      .withColumn("event_id", substring(col("rowkey"), 14, 12).cast("long"))
+      .withColumn("region_id", regionOf(col("user_id")))
+      .withColumn("gens", lit(3) + pmod(col("region_id") * 3, lit(7)))
+      .groupBy(col("region_id"), pmod(col("event_id"), col("gens")).as("seq"))
+      .agg(count(lit(1)).as("size"))
+    val ladder = compactionThrottle(files)
+    val queue = ladder.select(col("region_id"),
+      lit(250L * 1024 * 1024).as("rate_bps"))
+    val clamped =
+      applyCompactionThrottle(applyCompactionThrottle(queue, ladder), ladder)
+    ladder.join(clamped, Seq("region_id"))
+      .select(col("region_id"), col("n_files"), col("sel_bytes"),
+        col("mode"), col("allowed_bps"), col("rate_bps"))
+      .orderBy(col("region_id").asc_nulls_last)
+  }
 
   /** hbck-style region-chain consistency check [public:
     * o.a.h.hbase.util.HBaseFsck / HbckChore — "holes or overlaps in the
@@ -679,6 +804,7 @@ object BalancerOps {
     "a32_server_drain" -> a32_server_drain,
     "a34_weighted_placement" -> a34_weighted_placement,
     "a36_locality_placement" -> a36_locality_placement,
+    "a39_compaction_throttle" -> a39_compaction_throttle,
     "b35_hot_buckets" -> b35_hot_buckets,
     "b36_salted_scan" -> b36_salted_scan)
 }

@@ -276,6 +276,49 @@ object OracleSql {
          |       THEN 'compact' ELSE 'keep' END AS action
          |FROM rk
          |ORDER BY region_id NULLS LAST, seq NULLS LAST""".stripMargin,
+    // a39: the pressure ladder over a30's selection — per-region file
+    // counts 3 + (region*3) % 7, exact-integer ramp
+    // lower + ((upper-lower)*clamp(n-3,0,5)) // 5 (DuckDB `//` ≡ Spark
+    // DIV on non-negative longs), blocking at n >= 8 → unlimited, and
+    // the 250 MiB/s request clamped (idempotently — the Spark side
+    // applies the ladder twice; clamp∘clamp = clamp makes the spellings
+    // equal)
+    "a39_compaction_throttle" ->
+      s"""WITH e0 AS (SELECT $regionBucketCase AS region_id, event_id FROM events),
+         |f AS (SELECT region_id,
+         |             event_id % (3 + (region_id * 3) % 7) AS seq,
+         |             count(*) AS size
+         |      FROM e0 GROUP BY 1, 2),
+         |w AS (SELECT region_id, seq, size,
+         |        COALESCE(sum(size) OVER (PARTITION BY region_id ORDER BY seq ASC
+         |                                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+         |                 0) AS newer_sum
+         |      FROM f),
+         |sel AS (SELECT *, CASE WHEN 5 * size <= 6 * newer_sum THEN 1 ELSE 0 END AS s0
+         |        FROM w),
+         |cnt AS (SELECT region_id, sum(s0) AS n_sel FROM sel GROUP BY 1),
+         |rk AS (SELECT sel.region_id, sel.seq, sel.size, sel.s0, cnt.n_sel,
+         |         row_number() OVER (PARTITION BY sel.region_id, sel.s0
+         |                            ORDER BY sel.seq DESC) AS rn_new
+         |       FROM sel JOIN cnt ON sel.region_id = cnt.region_id),
+         |act AS (SELECT region_id, size,
+         |          CASE WHEN s0 = 1 AND n_sel >= 3 AND rn_new <= 10
+         |               THEN 'compact' ELSE 'keep' END AS action
+         |        FROM rk),
+         |lad AS (SELECT region_id, count(*) AS n_files,
+         |          CAST(sum(CASE WHEN action = 'compact' THEN size ELSE 0 END)
+         |               AS BIGINT) AS sel_bytes
+         |        FROM act GROUP BY 1)
+         |SELECT region_id, n_files, sel_bytes,
+         |  CASE WHEN n_files >= 8 THEN 'unlimited' ELSE 'throttled' END AS mode,
+         |  CAST(52428800 + (52428800 * least(greatest(n_files - 3, 0), 5)) // 5
+         |       AS BIGINT) AS allowed_bps,
+         |  CAST(CASE WHEN n_files >= 8 THEN 262144000
+         |       ELSE least(262144000,
+         |                  52428800 + (52428800 * least(greatest(n_files - 3, 0), 5)) // 5)
+         |       END AS BIGINT) AS rate_bps
+         |FROM lad
+         |ORDER BY region_id NULLS LAST""".stripMargin,
     // a27: canary probe — one deterministic probe row per region (the
     // region's min rowkey), read through the b7 latest-version rule
     // (puts only, newest per coordinate), per-region found/cell counts
@@ -534,6 +577,20 @@ object OracleSql {
           |  CAST(sum(CAST(ts % 999953 AS DECIMAL(18,0))) AS BIGINT) AS ssum,
           |  count(*) FILTER (WHERE op = 'delete') AS dels
           |FROM cells GROUP BY cf, qualifier
+          |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
+    // a38: the backup-free spelling — snapshot(T0) restored twice + the
+    // (T0, T1] WAL delta replayed must read as the plain ts <= T1 view,
+    // so the manifest pin, the ExportSnapshot-style copy job, the site
+    // sweep, and the delta bounds all sit inside one hash (T0/T1 are the
+    // frozen a6-family constants: mid and ~p80 of the measured ts range)
+    "a38_incremental_backup" ->
+      (cellsCte +
+        """SELECT cf, qualifier, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          |  CAST(sum(CAST(ts % 999917 AS DECIMAL(18,0))) AS BIGINT) AS tsum,
+          |  count(*) FILTER (WHERE op = 'delete') AS dels
+          |FROM cells WHERE ts <= 1706141821535472
+          |GROUP BY cf, qualifier
           |ORDER BY cf NULLS LAST, qualifier NULLS LAST""".stripMargin),
     // a16: the family-pruned read of the re-familied cells view —
     // family selection must behave exactly like the cf filter the

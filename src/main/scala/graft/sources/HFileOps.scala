@@ -1261,6 +1261,61 @@ object HFileOps {
     mergedReadFiles(spark, resolved, maxVersions)
   }
 
+  /** Materialize a snapshot manifest at a backup/restore site: copy the
+    * manifest's pinned store files into `dstDir` (resolving files archived
+    * since snapshot time, like [[restoreApply]]) and delete any store file
+    * at the site the manifest does not reference — after the call the site
+    * holds EXACTLY the snapshot's file set. The decision side is O(files)
+    * manifest metadata; the byte movement runs as ONE Spark job over the
+    * file list, one task per store file [public: o.a.h.hbase.snapshot
+    * .ExportSnapshot — snapshot export is a distributed copy job over the
+    * manifest's files, so at 100 TB the copy fan-out is the cluster's,
+    * never the master's]. Store files are immutable once written, so a
+    * re-delivered restore re-copies byte-identical content — idempotent by
+    * construction; `a38_incremental_backup` puts that property inside its
+    * gate hash by applying the restore twice.
+    */
+  def restoreMaterialize(spark: SparkSession, manifestPath: String,
+                         dstDir: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val srcBase = new HPath(manifestPath).getParent
+    val dstPath = new HPath(dstDir)
+    val fs = dstPath.getFileSystem(hadoopConf)
+    fs.mkdirs(dstPath)
+    val wanted: Seq[HPath] = manifestFiles(spark, manifestPath).map { f =>
+      val p = new HPath(f)
+      if (fs.exists(p)) p
+      else {
+        val arch = new HPath(new HPath(srcBase, "archive"), p.getName)
+        require(fs.exists(arch),
+          s"restore: store file $f is neither live nor archived at $arch")
+        arch
+      }
+    }
+    // site-side sweep: a file the manifest doesn't pin is not part of the
+    // restored table (stale earlier restore, post-restore flush, ...)
+    val keep = wanted.map(_.getName).toSet
+    Option(fs.globStatus(new HPath(dstPath, "*.hfile"))).getOrElse(Array.empty)
+      .filterNot(st => keep(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+    val serConf = new SerializableConfiguration(hadoopConf)
+    val dst = dstDir
+    val srcs = wanted.map(_.toString)
+    spark.sparkContext
+      .parallelize(srcs, math.min(srcs.size,
+        spark.sparkContext.defaultParallelism).max(1))
+      .foreach { src =>
+        val conf = serConf.value
+        val sp = new HPath(src)
+        val sfs = sp.getFileSystem(conf)
+        val dp = new HPath(new HPath(dst), sp.getName)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, sp, dp.getFileSystem(conf), dp,
+          false /* deleteSource */, true /* overwrite */, conf)
+        ()
+      }
+  }
+
   /** [[mergedRead]] over an EXPLICIT store-file list instead of a
     * directory glob — the read path a snapshot clone runs: the file set
     * is pinned by a manifest written at snapshot time, so store files

@@ -621,8 +621,72 @@ object WalOps {
       .orderBy(asc_nulls_last("cf"), asc_nulls_last("qualifier"))
   }
 
+  /** a38 — WAL-delta incremental backup/restore, the cycle HBase's backup
+    * tooling runs [public: o.a.h.hbase.backup.BackupAdmin — a FULL backup
+    * is a snapshot export; an INCREMENTAL backup ships the WAL delta since
+    * the previous backup point and restore replays it over the restored
+    * snapshot]. Composes the a18/a33 snapshot machinery with the a15/a35
+    * log discipline end to end:
+    *
+    *   1. full backup at T0 — the `ts <= T0` state bulk-written as gen-000
+    *      store files and pinned by a snapshot manifest;
+    *   2. incremental segment — the WAL delta `(T0, T1]` (seq = ts, the
+    *      a15 discipline), range-partitioned into region segments;
+    *   3. restore at the backup site — [[graft.sources.HFileOps
+    *      .restoreMaterialize]] copies the manifest's file set
+    *      (ExportSnapshot-style one-task-per-file job), applied TWICE so
+    *      re-delivered-restore-is-a-byte-level-no-op sits inside the gate
+    *      hash (the a37 idempotence discipline);
+    *   4. replay — the incremental log read back over the restored files.
+    *
+    * The digest of restored ∪ replayed must equal the never-backed-up
+    * `ts <= T1` view (the oracle is that WAL-free, snapshot-free
+    * spelling), so the manifest pin, the copy job, the site sweep, the log
+    * codec, and the (T0, T1] bounds are all semantically transparent or
+    * the hash moves. T0 is a6's frozen mid-range constant and T1 the ~80th
+    * percentile of the measured ts range — both non-vacuous at every SF
+    * and on key-shifted fixtures (gen_sf1 leaves ts unshifted). Scale
+    * shape: every data-sized leg (bulk write, copy, log write, replay,
+    * digest) is a distributed job; the only driver-side state is the
+    * manifest file list, the master's bounded O(files) view. WalSpec pins
+    * the row-level equivalence and site-sweep semantics the relational
+    * oracle can't see; PlanSpec pins the digest's one-reduction shape.
+    */
+  val a38_incremental_backup: graft.ops.Q = (s, d) => {
+    val t0 = 1705362487499628L // full-backup point (a6's frozen constant)
+    val t1 = 1706141821535472L // incremental backup point (~p80 of ts)
+    val srcDir = Tables.appTmpDir(s, "graft_bk_src", d)
+    val walDir = Tables.appTmpDir(s, "graft_bk_wal", d)
+    val siteDir = Tables.appTmpDir(s, "graft_bk_site", d)
+    val cells = Tables.cells(s, d)
+    val regions = HFileOps.regionCountForBytes(
+      Tables.bytesOnDisk(s, d, "events") / 2)
+    val gen0 = HFileOps.bulkWrite(cells.where(col("ts") <= t0), srcDir,
+      regions, compression = HFileCodec.CompressionGz,
+      encoding = HFileCodec.EncodingFastDiff, generation = 0)
+    HFileOps.snapshot(s, gen0.map(n => s"$srcDir/$n"),
+      s"$srcDir/backup-t0.manifest")
+    writeWal(cells.where(col("ts") > t0 && col("ts") <= t1)
+        .withColumn("seq", col("ts")),
+      walDir, segments = regions, prefix = "incr")
+    HFileOps.restoreMaterialize(s, s"$srcDir/backup-t0.manifest", siteDir)
+    HFileOps.restoreMaterialize(s, s"$srcDir/backup-t0.manifest", siteDir)
+    val restored = HFileOps.read(s, siteDir)
+    val replayed = readWal(s, walDir)
+      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
+    restored.unionByName(replayed)
+      .groupBy("cf", "qualifier")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("value")).as("vsum"),
+        sum((col("ts") % 999917L).cast(
+          org.apache.spark.sql.types.DecimalType(18, 0))).cast("long").as("tsum"),
+        count_if(col("op") === "delete").as("dels"))
+      .orderBy(asc_nulls_last("cf"), asc_nulls_last("qualifier"))
+  }
+
   val queries: Map[String, graft.ops.Q] = Map(
     "a15_wal_replay" -> a15_wal_replay,
     "a21_wal_replicate" -> a21_wal_replicate,
-    "a35_wal_split_recovery" -> a35_wal_split_recovery)
+    "a35_wal_split_recovery" -> a35_wal_split_recovery,
+    "a38_incremental_backup" -> a38_incremental_backup)
 }

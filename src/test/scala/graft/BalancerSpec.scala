@@ -137,6 +137,43 @@ class BalancerSpec extends SparkSuite {
     assert(compacted2 == (4 until 14), s"cap slice wrong: $compacted2")
   }
 
+  test("compaction throttle ladder: pressure floor, exact ramp steps, " +
+      "blocking => unlimited; double-apply == single-apply") {
+    import spark.implicits._
+    def filesOf(region: Int, n: Int) = (0 until n).map(i => (region, i.toLong, 10L))
+    // region r holds r+2 equal files, r = 0..8 → counts 2..10 span the
+    // whole ladder: below-min (2), the pressure floor (3), every ramp
+    // step (4..7), the blocking boundary (8) and beyond (10)
+    val rows = (0 to 8).flatMap(r => filesOf(r, r + 2))
+    val ladder = BalancerOps.compactionThrottle(
+      rows.toDF("region_id", "seq", "size"))
+    val got = ladder.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getString(3), r.getLong(4))))
+      .toMap
+    val MiB = 1024L * 1024
+    // n=2 (below min): pressure numerator clamps at 0 → lower bound
+    assert(got(0) == ((2L, "throttled", 50 * MiB)))
+    // n=3 (exactly minFiles): pressure 0 → lower bound
+    assert(got(1) == ((3L, "throttled", 50 * MiB)))
+    // ramp: each file over minFiles adds exactly (upper−lower)/5 = 10 MiB
+    assert(got(2) == ((4L, "throttled", 60 * MiB)))
+    assert(got(5) == ((7L, "throttled", 90 * MiB)))
+    // blocking boundary and beyond: unlimited, ladder value pegged at upper
+    assert(got(6) == ((8L, "unlimited", 100 * MiB)))
+    assert(got(8) == ((10L, "unlimited", 100 * MiB)))
+    // a compactor asking 250 MiB/s clamps where throttled, keeps its rate
+    // at blocking pressure; re-applying the ladder changes nothing
+    val queue = ladder.select(col("region_id"), lit(250 * MiB).as("rate_bps"))
+    val once = BalancerOps.applyCompactionThrottle(queue, ladder)
+    val o = once.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(o(1) == 50 * MiB && o(2) == 60 * MiB && o(6) == 250 * MiB)
+    val twice = BalancerOps.applyCompactionThrottle(once, ladder)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(twice == o, "double-apply must equal single-apply")
+    intercept[IllegalArgumentException](
+      BalancerOps.compactionThrottle(ladder, minFiles = 8, blockingFiles = 8))
+  }
+
   test("compaction selection invariants hold on randomized manifests") {
     // independent recomputation of the policy in plain Scala against the
     // DataFrame result, over randomized file manifests: every compacted
@@ -278,6 +315,39 @@ class BalancerSpec extends SparkSuite {
     assert(applied.where(col("server") === drainSrv).count() == 0L)
     assert(BalancerOps.serverDrainPlan(applied, drainSrv).count() == 0L,
       "re-draining an emptied server must be a no-op plan")
+  }
+
+  test("server drain with a configured fleet: an empty survivor receives moves; " +
+      "a fully-hosted fleet matches the placement-only plan") {
+    val regions = (0 until 17).map(i => (i, (i * 37 % 300 + 1).toLong))
+      .toDF("region_id", "n_cells")
+    val groupOf = when(col("region_id") % 3 === 0, "g0").otherwise("g1")
+    // place over 2 servers in g1, but the CONFIGURED fleet owns 3: g1-2
+    // was just added and hosts nothing — invisible to the placement-only
+    // plan, a first-class destination for the fleet-aware overload
+    val plan = BalancerOps.rsgroupPlacementPlan(regions, groupOf,
+      Map("g0" -> 2, "g1" -> 2)).graftCkpt()
+    val fleetMoves = BalancerOps.serverDrainPlan(plan, "g1-1",
+        Map("g0" -> 2, "g1" -> 3)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3)))
+    assert(fleetMoves.nonEmpty, "drained server hosted nothing — vacuous")
+    assert(fleetMoves.exists(_._3 == "g1-2"),
+      s"the empty configured survivor never received a move: ${fleetMoves.toSeq}")
+    // load-0 survivor is least-loaded → the biggest evacuated region
+    // lands on it first (the serpentine deal's first pick)
+    val biggest = fleetMoves.maxBy(m => (m._2, -m._1))
+    assert(biggest._3 == "g1-2",
+      s"biggest evacuated region went to ${biggest._3}, not the empty server")
+    // with every configured server hosting regions, the overload reduces
+    // to the placement-only plan (default behavior unchanged)
+    val plan3 = BalancerOps.rsgroupPlacementPlan(regions, groupOf,
+      Map("g0" -> 2, "g1" -> 3)).graftCkpt()
+    val a = BalancerOps.serverDrainPlan(plan3, "g1-1").collect()
+      .map(_.toString).sorted.toSeq
+    val b = BalancerOps.serverDrainPlan(plan3, "g1-1",
+        Map("g0" -> 2, "g1" -> 3)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "fleet-aware overload diverged from the placement-only plan")
   }
 
   test("server drain fails fast when the drained server is the group's only one") {

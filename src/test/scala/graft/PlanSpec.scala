@@ -449,6 +449,25 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("a38 backup digest: restored ∪ replayed reduces in one exchange — " +
+      "no join, no window, no parquet re-scan") {
+    // the backup/restore data movement happens in the constructor's own
+    // jobs (bulk write, ExportSnapshot-style copy, log write); the
+    // DECLARED digest plan reads the restored store files and the
+    // incremental log as row sources and must reduce them in ONE
+    // partial+final hash aggregation — any join, window, or parquet
+    // FileScan here would mean the digest re-derives state instead of
+    // reading the restored site
+    val plan = physical(SparkEntry.queries("a38_incremental_backup")(spark, sf))
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1,
+      s"backup digest should reduce in one exchange, got $hashExchanges\n$plan")
+    assert(!plan.contains("FileScan"), s"digest re-scanned parquet:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("j65 chunker is row-local: zero keyed exchanges, pruned two-column scan") {
     // one explode + same-row array slice: the only exchange the declared
     // query may carry is its gate ORDER BY (rangepartitioning)

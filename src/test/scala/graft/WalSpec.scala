@@ -303,6 +303,41 @@ class WalSpec extends SparkSuite {
       s"expected the fail-fast routing error, got: $e")
   }
 
+  test("incremental backup: restore(T0) + replay (T0,T1] == direct T1 view " +
+      "bit-for-bit; the site sweep removes files the manifest doesn't pin") {
+    import org.apache.hadoop.fs.{Path => HP}
+    val srcDir = tmpDir("bk_src").toString
+    val walDir = tmpDir("bk_wal").toString
+    val siteDir = tmpDir("bk_site").toString
+    val cells = walCells(400) // ts = 1000..1399
+    val (t0, t1) = (1199L, 1349L)
+    val gen0 = HFileOps.bulkWrite(
+      cells.where(col("ts") <= t0)
+        .select("rowkey", "cf", "qualifier", "ts", "value", "op"),
+      srcDir, regions = 3, generation = 0)
+    HFileOps.snapshot(spark, gen0.map(n => s"$srcDir/$n"),
+      s"$srcDir/backup.manifest")
+    WalOps.writeWal(cells.where(col("ts") > t0 && col("ts") <= t1),
+      walDir, segments = 2, prefix = "incr")
+    // stale site state the restore must sweep: a store file no manifest pins
+    val fs = new HP(siteDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new HP(siteDir, "gen-009-region-00099.hfile")
+    val os = fs.create(stale, true)
+    try os.write("not a pinned store file".getBytes("UTF-8")) finally os.close()
+    HFileOps.restoreMaterialize(spark, s"$srcDir/backup.manifest", siteDir)
+    HFileOps.restoreMaterialize(spark, s"$srcDir/backup.manifest", siteDir) // re-delivery
+    assert(!fs.exists(stale), "restore must remove store files the manifest doesn't reference")
+    val got = HFileOps.read(spark, siteDir)
+      .unionByName(WalOps.readWal(spark, walDir)
+        .select("rowkey", "cf", "qualifier", "ts", "value", "op"))
+      .collect().map(_.toString).sorted
+    val want = cells.where(col("ts") <= t1)
+      .select("rowkey", "cf", "qualifier", "ts", "value", "op")
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want),
+      "restored snapshot ∪ incremental replay must equal the direct ts <= T1 view")
+  }
+
   test("two flushes advance the replay bound; only the suffix replays") {
     val walDir = tmpDir("wal_rec2").toString
     val storeDir = tmpDir("wal_rec2_store").toString
