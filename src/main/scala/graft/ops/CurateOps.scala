@@ -52,7 +52,8 @@ object CurateOps {
     val pairs = DedupOps.candidatePairs(sigs, threshold = threshold)
     // clusters() runs its label-propagation loop eagerly and leaves the
     // final labels cached, so sigs can be released as soon as it returns
-    val labels = DedupOps.clusters(pairs, df.select("doc_id"))
+    val labels = DedupOps.clusters(pairs, df.select("doc_id"),
+      canonicalPairs = true)
     sigs.unpersist()
     val reps = labels.groupBy("cluster_id")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
@@ -187,7 +188,13 @@ object CurateOps {
       .graftCkpt() // consumed by the LM scorer AND the post-filter join
 
     // -- 4. LM filter: drop the worst decile by nll -----------------
-    val scored = TextOps.bigramNll(scrubbed)
+    // ckpt: distributedNtile evaluates its input THREE times (boundary
+    // sketch, per-bucket totals, the ranking window) — materializing the
+    // (doc_id, nbi, nll) score table (one short row per doc) turns two
+    // of those into reads instead of re-running the bigram model join +
+    // per-doc aggregation each time (r20; guide §1.2 "don't compute
+    // things you throw away")
+    val scored = TextOps.bigramNll(scrubbed).graftCkpt()
     // plain columns (never SortOrder): distributedNtile builds range
     // comparisons from these; nll/doc_id are non-null so asc ≡ the
     // oracle's NULLS LAST

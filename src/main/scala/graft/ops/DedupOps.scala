@@ -180,7 +180,16 @@ object DedupOps {
     * cap still fails LOUDLY (ADVICE r10) because truncated labels would
     * corrupt every downstream canonical-doc choice.
     */
-  def clusters(pairs: DataFrame, vertices: DataFrame, maxIter: Int = 30): DataFrame = {
+  /** `canonicalPairs = true` asserts the input is already DISTINCT with
+    * a < b on every row (true for every producer in this repo:
+    * [[shingleEdges]], [[candidatePairs]], [[semanticDedup]]'s pair
+    * union — each ends in a distinct over (a, b) pairs oriented by
+    * construction), letting the orientation pass skip its corpus-pair
+    * exchange: the big→small projection is then row-local and the
+    * initial checkpoint materializes WITHOUT a shuffle.
+    */
+  def clusters(pairs: DataFrame, vertices: DataFrame, maxIter: Int = 30,
+               canonicalPairs: Boolean = false): DataFrame = {
     // cache the raw pair set: callers routinely derive `vertices` from the
     // SAME upstream subtree (j38/smoke build verts from the edge list, J2
     // from the signature table), so without the cache the whole LSH /
@@ -195,10 +204,10 @@ object DedupOps {
     // cache alone would keep the lineage and by round k the logical plan
     // is O(2^k) nodes (an 8g driver OOMed just RENDERING it when the seed
     // sat on KMeans + joins; r9 lesson)
-    var edges = p
+    val oriented = p
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+    var edges = (if (canonicalPairs) oriented else oriented.distinct())
       .graftCkpt()
     // no edges ⟹ every vertex is its own component — skip the loop
     // entirely; a clean corpus hits this path
@@ -290,7 +299,7 @@ object DedupOps {
     val docs = Tables.documents(s, d)
     val sigs = signatures(docs).cache()
     val pairs = candidatePairs(sigs, threshold = threshold)
-    clusters(pairs, sigs.select("doc_id"))
+    clusters(pairs, sigs.select("doc_id"), canonicalPairs = true)
   }
 
   /** Exact n-gram Jaccard for a pair set — the verify stage when estimated
@@ -442,7 +451,8 @@ object DedupOps {
         expr("graft_cosine(eh, embedding)").as("sim"))
     val pairs = coldPairs.union(hotPairs).where(col("sim") >= threshold)
       .select("a", "b").distinct()
-    val labels = clusters(pairs, assigned.select(col("vec_id").as("doc_id")))
+    val labels = clusters(pairs, assigned.select(col("vec_id").as("doc_id")),
+      canonicalPairs = true)
     val keep = labels.groupBy("cluster_id").agg(min("doc_id").as("canon"))
     val out = labels.join(keep, "cluster_id")
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("component"),
@@ -470,18 +480,33 @@ object DedupOps {
     */
   def shingleEdges(docs: DataFrame, L: Int = 30): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
+    // Per-doc window dedup is ROW-LOCAL (array_distinct before the
+    // explode), so the corpus-wide (doc, w) distinct exchange the r19
+    // spelling paid is gone; one row per (doc, distinct window) leaves
+    // the scan.
     val dw = docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .where(length(col("t")) >= L)
-      .select(col("doc_id"), explode(expr(s"graft_shingles(t, $L)")).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"graft_shingles(t, $L)"))).as("w"))
+    // ONE w-keyed exchange: the occurrence count rides a window over the
+    // same partitioning (the j28 trick — state O(1) per window even for
+    // boilerplate windows held by the whole corpus), the 2..4 band
+    // filters BEFORE anything collects, and the groupBy reuses the
+    // window's hash partitioning, so the ≤4-member doc list and the
+    // in-row pair expansion add no exchange. The r19 spelling re-keyed
+    // the (doc, w) table on w three more times (count + two self-join
+    // legs); this one moves it once and never self-joins.
+    val counted = dw
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")))
+      .where(col("c").between(2, 4))
+    counted.groupBy("w").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    val sel = dw.groupBy("w").agg(count(lit(1)).as("c"))
-      .where(col("c").between(2, 4)).select("w")
-    val dsel = dw.join(sel, "w")
-    dsel.select(col("w"), col("doc_id").as("a"))
-      .join(dsel.select(col("w"), col("doc_id").as("b")), "w")
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
   }
 
   def j38_connected_components: Q = (s, d) => {
@@ -491,7 +516,7 @@ object DedupOps {
     val e0 = shingleEdges(Tables.documents(s, d).where(col("doc_id") < 2000))
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
-    clusters(e0, verts, maxIter = 30)
+    clusters(e0, verts, maxIter = 30, canonicalPairs = true)
       .select(col("doc_id"), col("cluster_id").as("component"))
       .orderBy(asc_nulls_last("doc_id"))
   }
@@ -715,9 +740,12 @@ object DedupOps {
       .select(col("doc_id"), col("h"), col("__mc"))
       .graftCkpt()
     val defNew = flagged.where(!col("__mc")).drop("__mc")
-    val candAdmitted = flagged.where(col("__mc")).drop("__mc")
+    val candAdmitted0 = flagged.where(col("__mc")).drop("__mc")
       .join(ex, Seq("h"), "left_anti")
-      .graftCkpt() // consumed by the admit union AND the FPR stats
+    // the ckpt exists for the FPR stats' second read; without logStats
+    // the sliver has ONE consumer and materializing it is a wasted job
+    val candAdmitted =
+      if (logStats) candAdmitted0.graftCkpt() else candAdmitted0
     if (logStats) {
       val nRej = defNew.count()
       val nCand = flagged.count() - nRej
@@ -784,7 +812,7 @@ object DedupOps {
     val e0 = shingleEdges(docs)
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
-    val labels = clusters(e0, verts, maxIter = 30)
+    val labels = clusters(e0, verts, maxIter = 30, canonicalPairs = true)
     val sized = labels.join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "doc_id")
@@ -829,7 +857,8 @@ object DedupOps {
     val e0 = shingleEdges(docs)
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
-    val sized = clusters(e0, verts, maxIter = 30).join(
+    val sized = clusters(e0, verts, maxIter = 30,
+      canonicalPairs = true).join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "doc_id")
     // duplicate clusters only: one keyed count, filtered before the
@@ -873,7 +902,8 @@ object DedupOps {
     val e0 = shingleEdges(docs)
     val verts = e0.select(col("a").as("doc_id"))
       .union(e0.select(col("b").as("doc_id"))).distinct()
-    val labels = clusters(e0, verts, maxIter = 30)
+    val labels = clusters(e0, verts, maxIter = 30,
+      canonicalPairs = true)
     val bucket = pmod(
       conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(10L))

@@ -73,9 +73,33 @@ object LangIdOps {
             textCol: String = "text"): LangIdModel = {
     val bg = explodeGrams(labeled, Seq(langCol), n, textCol)
       .withColumnRenamed(langCol, "lang")
-    val cnt = bg.groupBy("lang", "g").agg(count(lit(1)).as("c"))
-    val tot = bg.groupBy("lang").agg(count(lit(1)).as("nl"))
-    val voc = bg.agg(countDistinct(col("g")).as("v"))
+    // ONE corpus gram pass: the per-(lang, gram) counts are the finest
+    // grain, so the per-lang totals (Σ occurrences = Σ c) and the global
+    // vocabulary (distinct grams) are exact rollups of the cnt table —
+    // vocabulary×languages-bounded aggregations, never a second corpus
+    // explode. (The r19 spelling aggregated bg three times; with the
+    // profile join consumers that planned SIXTEEN corpus scans in j60 —
+    // the r20 before-plan.) cnt is materialized once for its three
+    // consumers; it is the model's own bounded size by construction.
+    trainFromCounts(trainCounts(bg),
+      labeled.select(col(langCol).as("cand")).distinct(), n)
+  }
+
+  /** The per-(lang, gram) occurrence counts — ONE corpus gram pass,
+    * materialized (the table is vocabulary×languages-bounded, the model's
+    * own size) so the three rollups above never re-run the explode.
+    */
+  private def trainCounts(bg: DataFrame): DataFrame =
+    graft.ops.ckpt(bg.groupBy("lang", "g").agg(count(lit(1)).as("c")))
+
+  /** Model assembly from a materialized count table: per-lang totals and
+    * the vocabulary are exact rollups of `cnt` (Σ c per lang ≡ occurrence
+    * count per lang; distinct g over cnt ≡ distinct g over occurrences).
+    */
+  private def trainFromCounts(cnt: DataFrame, langs: DataFrame,
+                              n: Int): LangIdModel = {
+    val tot = cnt.groupBy("lang").agg(sum(col("c")).as("nl"))
+    val voc = cnt.agg(countDistinct(col("g")).as("v"))
     val prof = cnt.join(tot, "lang").crossJoin(broadcast(voc))
       .select(col("lang"), col("g"),
         round(log((col("c") + 1).cast("double")
@@ -85,8 +109,7 @@ object LangIdOps {
       .select(col("lang"),
         round(log(lit(1.0) / (col("nl") + col("v")).cast("double")), 6)
           .cast(DecimalType(18, 6)).as("logp0"))
-    LangIdModel(prof, dflt,
-      labeled.select(col(langCol).as("cand")).distinct(), n)
+    LangIdModel(prof, dflt, langs, n)
   }
 
   /** [[train]] with the profile vocabulary capped to the `cap` globally
@@ -97,9 +120,14 @@ object LangIdOps {
     */
   def trainCapped(labeled: DataFrame, cap: Int, n: Int = 2,
                   langCol: String = "lang", textCol: String = "text"): LangIdModel = {
-    val m = train(labeled, n, langCol, textCol)
-    val kept = explodeGrams(labeled, Seq(langCol), n, textCol)
-      .groupBy("g").agg(count(lit(1)).as("c"))
+    val bg = explodeGrams(labeled, Seq(langCol), n, textCol)
+      .withColumnRenamed(langCol, "lang")
+    val cnt = trainCounts(bg)
+    val m = trainFromCounts(cnt,
+      labeled.select(col(langCol).as("cand")).distinct(), n)
+    // global gram frequency is another exact rollup of the SAME count
+    // table (Σ_lang c) — the r19 spelling re-exploded the corpus for it
+    val kept = cnt.groupBy("g").agg(sum(col("c")).as("c"))
       .orderBy(desc("c"), asc("g")).limit(cap).select("g")
     m.copy(profiles = m.profiles.join(broadcast(kept), "g"))
   }
@@ -109,9 +137,16 @@ object LangIdOps {
     * (doc, candidate) decimal-sum aggregate, one bounded-heap argmax.
     */
   def predict(docs: DataFrame, m: LangIdModel,
-              textCol: String = "text"): DataFrame = {
-    val dgc = explodeGrams(docs, Seq("doc_id"), m.n, textCol)
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+              textCol: String = "text"): DataFrame =
+    scoreArgmax(explodeGrams(docs, Seq("doc_id"), m.n, textCol)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k")), m)
+
+  /** Scoring + argmax over a pre-aggregated (doc_id, g, k) gram-count
+    * table — split out so a caller that already holds the per-doc gram
+    * support (j60 trains and classifies the SAME corpus) skips the
+    * second corpus explode.
+    */
+  private def scoreArgmax(dgc: DataFrame, m: LangIdModel): DataFrame = {
     val scored = dgc
       .crossJoin(broadcast(m.langs))
       .join(broadcast(m.profiles.withColumnRenamed("lang", "cand")),
@@ -207,8 +242,25 @@ object LangIdOps {
     */
   val j60_langid: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val m = train(docs)
-    predict(docs, m)
+    val n = 2
+    // Train and classify share ONE corpus gram explode: doc_id is the
+    // fixture's unique key, so the materialized (doc, lang, gram, k)
+    // pre-aggregate IS the per-doc gram support, and the model's
+    // (lang, gram) counts are its exact rollup (Σ k). The r19 spelling
+    // (train + predict each re-deriving from the raw table) planned 16
+    // documents scans / 40 exchanges. fanOut is load-bearing on the
+    // fixture: its scan is one row group, so without it the shared
+    // explode serializes onto one core inside the eager ckpt (measured
+    // 2.4 s construct-time); at production split counts fanOut is the
+    // identity.
+    val dglk = graft.ops.ckpt(
+      explodeGrams(ScaleOps.fanOut(docs), Seq("doc_id", "lang"), n, "text")
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("k")))
+    val cnt = graft.ops.ckpt(
+      dglk.groupBy("lang", "g").agg(sum(col("k")).as("c")))
+    val m = trainFromCounts(cnt,
+      docs.select(col("lang").as("cand")).distinct(), n)
+    scoreArgmax(dglk.select(col("doc_id"), col("g"), col("k")), m)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .groupBy("lang", "pred")
       .agg(count(lit(1)).as("n"))

@@ -71,7 +71,7 @@ object RankOps {
 
   def j35_bm25_topk: Q = (s, d) => {
     val idx = rrfIndex(s, d)
-    val scored = bm25Scored(s, d, mod125, idx.tfdl, idx.stats)
+    val scored = bm25Scored(s, d, mod125, idx)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
@@ -90,41 +90,47 @@ object RankOps {
     * batch queries build them fresh — one run, nothing to reuse.
     */
   final case class RrfIndex(
-      tfdl: org.apache.spark.sql.DataFrame,   // per-(doc, tok) tf + doc length
+      tf: org.apache.spark.sql.DataFrame,     // per-(doc, tok) tf
+      dl: org.apache.spark.sql.DataFrame,     // per-doc length (map-only)
       stats: org.apache.spark.sql.DataFrame,  // 1 row: n_docs, toktot
       emb: org.apache.spark.sql.DataFrame)    // vec_id, embedding, e_norm
 
   def rrfIndex(s: org.apache.spark.sql.SparkSession, d: String): RrfIndex = {
-    // ONE corpus explode by construction. A first cut derived dl/df/
-    // stats as separate aggregations over a shared tf frame — but each
-    // consumer pushed a different inferred IsNotNull set into its copy
-    // of the subtree, the branches stopped being canonically identical,
-    // AQE stage reuse never fired, and the measured plan read + exploded
-    // the corpus FIVE times. This spelling doesn't depend on exchange
-    // reuse at all:
-    //  - dl rides tf as a doc-keyed window (no second corpus pass);
+    // ONE corpus explode by construction, and (r20) NO corpus-wide
+    // exchange in the batch path at all:
+    //  - tf stays the lazy (doc, tok) pre-aggregate; bm25Scored pushes
+    //    its query-term semi-join BELOW this aggregation (tok is a
+    //    grouping key), so only the candidate sliver ever crosses the
+    //    groupBy exchange — the r19 shape shuffled the FULL corpus token
+    //    multiset twice (groupBy + the dl window) before the broadcast
+    //    join could drop non-query rows;
+    //  - dl is a MAP-ONLY projection of the documents table:
+    //    size(split(..)) counts exactly the rows the explode produces
+    //    (split keeps empty strings, so both count token occurrences
+    //    including empties — bit-equal to the old sum(tf) window);
     //  - df is a (qid,tok) window over the POST-JOIN candidate set —
-    //    equal to global df because the broadcast join keeps every tf
-    //    row of a query term — so it's computed on the tiny sliver;
+    //    equal to global df because the join keeps every tf row of a
+    //    query term — so it's computed on the tiny sliver;
     //  - qterms/stats are direct document-table scans (no explode;
     //    stats counts tokens with size(split(..)), vectorized).
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-    val tfdl = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("dl"))
     val stats = Tables.documents(s, d).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(lower(col("text")), " "))).cast("long").as("toktot"))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         TextOps.l2Col(col("embedding")).as("e_norm"))
-    RrfIndex(tfdl, stats, emb)
+    RrfIndex(tf, dl, stats, emb)
   }
 
   private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String,
                          sel: ProbeSel,
-                         tfdl: org.apache.spark.sql.DataFrame,
-                         stats: org.apache.spark.sql.DataFrame) = {
+                         idx: RrfIndex) = {
     val qterms = sel(Tables.documents(s, d), "doc_id")
       .select(col("doc_id").as("qid"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
@@ -139,9 +145,16 @@ object RankOps {
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     val contrib = round(idf * tfn, 6).cast(DecimalType(18, 6))
 
-    tfdl.join(broadcast(qterms), "tok")
+    // the semi-join (key = the grouping column tok) is pushed below tf's
+    // partial aggregation by PushDownLeftSemiAntiJoin, so non-query
+    // tokens die in the scan stage; the inner join then attaches qid to
+    // the surviving sliver, and dl/stats ride broadcasts onto it
+    idx.tf
+      .join(broadcast(qterms.select("tok").distinct()), Seq("tok"), "left_semi")
+      .join(broadcast(qterms), "tok")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("qid", "tok")))
-      .crossJoin(broadcast(stats))
+      .join(idx.dl, "doc_id")
+      .crossJoin(broadcast(idx.stats))
       .groupBy("qid", "doc_id")
       .agg(sum(contrib).cast(DecimalType(38, 6)).cast("double").as("score"))
   }
@@ -225,7 +238,7 @@ object RankOps {
   private def lexLeg(s: org.apache.spark.sql.SparkSession, d: String,
                      sel: ProbeSel, idx: RrfIndex): org.apache.spark.sql.DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    bm25Scored(s, d, sel, idx.tfdl, idx.stats)
+    bm25Scored(s, d, sel, idx)
       .where(col("doc_id") =!= col("qid"))
       .withColumn("lrnk", row_number().over(wq)).where(col("lrnk") <= 20)
       .select(col("qid"), col("doc_id"), col("lrnk"))

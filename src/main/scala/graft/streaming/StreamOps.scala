@@ -606,9 +606,10 @@ object StreamOps {
     // explode/aggregation/norm pass (the bm25ScoreStream lifecycle; the
     // caches unpersist when the session's last stream terminates)
     val idx0 = graft.ops.RankOps.rrfIndex(spark, sfDir)
-    val idx = idx0.copy(tfdl = idx0.tfdl.cache(), stats = idx0.stats.cache(),
-      emb = idx0.emb.cache())
-    Seq(idx.tfdl, idx.stats, idx.emb).foreach(registerServingCache(spark, _))
+    val idx = idx0.copy(tf = idx0.tf.cache(), dl = idx0.dl.cache(),
+      stats = idx0.stats.cache(), emb = idx0.emb.cache())
+    Seq(idx.tf, idx.dl, idx.stats, idx.emb)
+      .foreach(registerServingCache(spark, _))
     probeIds.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
