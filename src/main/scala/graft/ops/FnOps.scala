@@ -117,7 +117,11 @@ object FnOps {
 
   /** h9: JSON extraction over events.props (`{"k": <int>}` shape). */
   def h9_fn_json: Q = (s, d) =>
-    Tables.events(s, d)
+    // fanOut: the fixture's single-row-group scan runs 100k JSON parses
+    // on one core without it (measured: exec ~0.8 s single-task; the
+    // same-JVM identical-work SQL twin reads the same, so the cost is
+    // the parse, not the graft path); identity at production split counts
+    ScaleOps.fanOut(Tables.events(s, d))
       .groupBy("event_type")
       .agg(sum(get_json_object(col("props"), "$.k").cast("int").cast(DecimalType(18, 0)))
         .cast("long").as("ksum"))

@@ -148,7 +148,7 @@ object RepetitionOps {
   }
 
   def j29_decontaminate: Q = (s, d) =>
-    contaminationHits(Tables.documents(s, d), n = 3)
+    contaminationHits(ScaleOps.fanOut(Tables.documents(s, d)), n = 3)
       .orderBy(desc("hits"), asc_nulls_last("doc_id")).limit(100)
 
   /** j58: FUZZY decontamination — the published ratio-threshold recipe

@@ -57,6 +57,16 @@ object ReplicaOps {
   private[graft] def srcCells(s: SparkSession, d: String): DataFrame =
     enrich(Tables.cells(s, d))
 
+  /** [[srcCells]] with a fanned-out scan — the a26 manifest path pays one
+    * md5 per cell on a single-row-group fixture scan, so parallelizing
+    * the map work wins there (2.02 s -> 1.71 s at sf0.1); a25's
+    * full-outer join measured SLOWER with the extra exchange (2.07 s ->
+    * 2.63 s) and stays on the plain scan. Identity at production split
+    * counts either way.
+    */
+  private[graft] def srcCellsFanned(s: SparkSession, d: String): DataFrame =
+    enrich(ScaleOps.fanOut(Tables.cells(s, d)))
+
   /** Deterministic replica drift (the j18/j29 fixture pattern: the
     * fixture has no second cluster, so the gate synthesizes one by
     * arithmetic both engines can replay). Drift touches only the
@@ -211,7 +221,8 @@ object ReplicaOps {
 
   /** a26 — the SyncTable range plan under the driver gate. */
   val a26_sync_ranges: Q = (s, d) =>
-    syncRanges(srcCells(s, d), tgtCells(s, d), regionOf(col("user_id")))
+    syncRanges(srcCellsFanned(s, d), driftOf(srcCellsFanned(s, d)),
+      regionOf(col("user_id")))
       .orderBy(col("range_id").asc_nulls_last)
 
   val queries: Map[String, Q] = Map(

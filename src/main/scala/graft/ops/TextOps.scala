@@ -353,7 +353,10 @@ object TextOps {
     * feeds model and scoring).
     */
   def bigramNll(docs: DataFrame): DataFrame = {
-    val pairs = docs
+    // fanOut: identity unless the input is a split-starved file scan
+    // (j43's single-row-group fixture — the bigram explode then runs on
+    // one core); j47's checkpointed intermediate passes through untouched
+    val pairs = ScaleOps.fanOut(docs)
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"),
@@ -506,7 +509,7 @@ object TextOps {
       (col("doc_id") % 256).cast("string"), lit(".10."),
       (col("doc_id") % 100).cast("string"), lit(".7 call +1-555-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    Tables.documents(s, d)
+    ScaleOps.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"), aug.as("a"))
       .select(col("doc_id"),
@@ -553,6 +556,9 @@ object TextOps {
     * builds); N is a one-value scalar.
     */
   def j49_lm_backoff: Q = (s, d) => {
+    // no fanOut: measured 1.29 s -> 1.85 s at sf0.1 (r20) — the five
+    // model/support branches each replay the round-robin exchange, which
+    // costs more than the single-task explode it parallelizes
     val docs = Tables.documents(s, d)
     def toks(df: DataFrame) =
       df.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
@@ -640,7 +646,7 @@ object TextOps {
     */
   def j51_dsir_select: Q = (s, d) => {
     val B = 1024
-    val ws = Tables.documents(s, d)
+    val ws = ScaleOps.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
     val db = ws.where(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"),
