@@ -403,9 +403,7 @@ object ScaleSmoke {
         // clusters() itself). The planted every-100th near-dups make the
         // component set non-vacuous by construction.
         val edges = ops.DedupOps.shingleEdges(Tables.documents(spark, dir))
-        val verts = edges.select(col("a").as("doc_id"))
-          .union(edges.select(col("b").as("doc_id"))).distinct()
-        val labels = ops.DedupOps.clusters(edges, verts)
+        val labels = ops.DedupOps.clustersFromEdges(edges, canonicalPairs = true)
         val merged = labels.where(col("cluster_id") =!= col("doc_id")).count()
         require(merged > 0, "planted dup components not found — smoke is vacuous")
         merged

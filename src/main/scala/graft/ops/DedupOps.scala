@@ -190,37 +190,99 @@ object DedupOps {
     */
   def clusters(pairs: DataFrame, vertices: DataFrame, maxIter: Int = 30,
                canonicalPairs: Boolean = false): DataFrame = {
-    // cache the raw pair set: callers routinely derive `vertices` from the
-    // SAME upstream subtree (j38/smoke build verts from the edge list, J2
-    // from the signature table), so without the cache the whole LSH /
-    // shingle-edge DAG would run once for the orientation pass and AGAIN
-    // when the final label join materializes (measured 91 s vs 41 s on the
-    // 100× cc_uncapped smoke). Unpersisted before return — every consumer
-    // below is eagerly checkpointed by then.
+    // cache the raw pair set: callers of THIS form may derive `vertices`
+    // from the SAME upstream subtree as the pairs (the J2/smoke shape),
+    // so without the cache the whole LSH/shingle-edge DAG would run once
+    // for the orientation pass and AGAIN when the final label join
+    // materializes (measured 91 s vs 41 s on the 100× cc_uncapped smoke).
+    // Unpersisted before return — every consumer below is eagerly
+    // checkpointed by then. Callers whose vertex set IS the edge-endpoint
+    // set should use [[clustersFromEdges]], which needs no cache at all.
     val p = pairs.cache()
-    // canonical big→small orientation, self-loops and duplicates dropped;
-    // eagerly checkpointed so upstream candidate computation runs exactly
-    // ONCE and every round's plan starts from materialized partitions —
-    // cache alone would keep the lineage and by round k the logical plan
-    // is O(2^k) nodes (an 8g driver OOMed just RENDERING it when the seed
-    // sat on KMeans + joins; r9 lesson)
-    val oriented = p
+    ccFixpoint(orientEdges(p, canonicalPairs), maxIter) match {
+      // no edges ⟹ every vertex is its own component — skip the loop
+      // entirely; a clean corpus hits this path
+      case None =>
+        val out = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
+          .graftCkpt()
+        p.unpersist()
+        out
+      case Some(fix) =>
+        // fixpoint edge set IS the labeling: stars rooted at component
+        // minima, each non-root u carrying exactly (u → root). The
+        // groupBy-min is a belt (at a true fixpoint u has one neighbor);
+        // roots and isolated vertices label themselves via the left-join
+        // coalesce. Eagerly checkpointed — the label table is consumed by
+        // joins downstream (CurateOps, semanticDedup), and materializing
+        // here lets the pair cache be dropped safely even when `vertices`
+        // shares its subtree.
+        val roots = fix.groupBy(col("u").as("doc_id")).agg(min("v").as("root"))
+        val labels = vertices.select(col("doc_id"))
+          .join(roots, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("doc_id")).as("cluster_id"))
+          .graftCkpt()
+        p.unpersist()
+        labels
+    }
+  }
+
+  /** [[clusters]] for callers whose vertex set IS the edge-endpoint set
+    * (j38/j63/j64/j66 and the cc smoke all build `vertices` as the
+    * union-distinct of the pair endpoints): labels fall straight out of
+    * the fixpoint star forest — non-roots carry (u → root), roots label
+    * themselves — so no vertex table is evaluated, the pair subtree is
+    * consumed exactly ONCE (into the orientation checkpoint — no cache),
+    * and no endpoint union-distinct or label join runs at all. The star
+    * forest covers every endpoint of the input edges because the
+    * alternating-star rounds preserve the vertex set (Kiveris SoCC'14;
+    * each round re-attaches neighbors, never drops a node), and at the
+    * except()-proven fixpoint no vertex is both a root and a non-root, so
+    * the two label legs are disjoint by construction.
+    */
+  def clustersFromEdges(pairs: DataFrame, maxIter: Int = 30,
+                        canonicalPairs: Boolean = false): DataFrame =
+    ccFixpoint(orientEdges(pairs, canonicalPairs), maxIter) match {
+      case None =>
+        // no edges ⟹ no endpoints ⟹ empty labeling (typed like `pairs`)
+        pairs.select(col("a").as("doc_id"), col("b").as("cluster_id")).limit(0)
+      case Some(fix) =>
+        val roots = fix.groupBy(col("u").as("doc_id")).agg(min("v").as("root"))
+        roots.select(col("doc_id"), col("root").as("cluster_id"))
+          .unionByName(roots.select(col("root").as("doc_id"),
+            col("root").as("cluster_id")).distinct())
+    }
+
+  /** Canonical big→small orientation with self-loops (and, unless the
+    * producer guarantees distinct a<b pairs, duplicates) dropped, as a
+    * LAZY local checkpoint: upstream candidate computation runs exactly
+    * once — materialized by [[ccFixpoint]]'s first checksum pass, so the
+    * materialization and the convergence probe share one job — and every
+    * star round's plan starts from materialized partitions (cache alone
+    * would keep the lineage and by round k the logical plan is O(2^k)
+    * nodes; an 8g driver OOMed just RENDERING it — r9 lesson).
+    */
+  private def orientEdges(pairs: DataFrame, canonicalPairs: Boolean): DataFrame = {
+    val oriented = pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-    var edges = (if (canonicalPairs) oriented else oriented.distinct())
-      .graftCkpt()
-    // no edges ⟹ every vertex is its own component — skip the loop
-    // entirely; a clean corpus hits this path
-    if (edges.isEmpty) {
-      lastCcRounds = 0
-      val out = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .graftCkpt()
-      p.unpersist()
-      return out
-    }
+    (if (canonicalPairs) oriented else oriented.distinct())
+      .graftCkpt(eager = false)
+  }
+
+  /** The alternating large-star/small-star loop to its proven fixpoint.
+    * Returns None when the edge set is empty (caller labels vertices as
+    * their own components), else the materialized fixpoint star forest.
+    */
+  private def ccFixpoint(edges0: DataFrame, maxIter: Int): Option[DataFrame] = {
     // large-star: symmetrize, take each node's neighborhood min, and
     // re-attach every LARGER neighbor to min(m, u). Output keeps the
-    // big→small orientation by construction (new v = min(mn,u) ≤ u < old v)
+    // big→small orientation by construction (new v = min(mn,u) ≤ u < old
+    // v). NO distinct here: duplicate rewired edges are harmless to
+    // small-star (its min aggregation is duplicate-blind, its own
+    // distinct dedups the round's output) and the pre-distinct volume is
+    // ≤ one row per input edge, so skipping it drops one corpus-pair
+    // exchange per round.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -228,7 +290,6 @@ object DedupOps {
       sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        .distinct()
     }
     // small-star: edges arrive big→small, so Γ⁻(u) is exactly u's v-list;
     // re-attach every smaller neighbor (and u) to the neighborhood min.
@@ -244,18 +305,25 @@ object DedupOps {
     // probe: (|E|, Σ xxhash64(u,v)) — two exact integers per round; equal
     // consecutive probes almost surely means a stable edge set, then the
     // one-shot except() below proves it exactly (distinct sets of equal
-    // size with an empty one-way difference ARE equal)
+    // size with an empty one-way difference ARE equal). Doubles as the
+    // materializing action of each round's LAZY checkpoint, so probe and
+    // materialization cost ONE job, not two.
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)).as("n"),
         sum(xxhash64(col("u"), col("v"))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
       (r.getLong(0), r.getDecimal(1))
     }
+    var edges = edges0
     var prev: (Long, java.math.BigDecimal) = checksum(edges)
+    if (prev._1 == 0L) {
+      lastCcRounds = 0
+      return None
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).graftCkpt()
+      val next = smallStar(largeStar(edges)).graftCkpt(eager = false)
       val cs = checksum(next)
       if (cs._1 == prev._1 && cs._2.compareTo(prev._2) == 0)
         converged = next.except(edges).limit(1).isEmpty
@@ -276,21 +344,7 @@ object DedupOps {
     require(converged,
       s"connected components did not converge within $maxIter star rounds — " +
         "raise maxIter")
-    // fixpoint edge set IS the labeling: stars rooted at component minima,
-    // each non-root u carrying exactly (u → root). The groupBy-min is a
-    // belt (at a true fixpoint u has one neighbor); roots and isolated
-    // vertices label themselves via the left-join coalesce. Eagerly
-    // checkpointed — the label table is consumed by joins downstream
-    // (CurateOps, semanticDedup), and materializing here lets the pair
-    // cache be dropped safely even when `vertices` shares its subtree.
-    val roots = edges.groupBy(col("u").as("doc_id")).agg(min("v").as("root"))
-    val labels = vertices.select(col("doc_id"))
-      .join(roots, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("root"), col("doc_id")).as("cluster_id"))
-      .graftCkpt()
-    p.unpersist()
-    labels
+    Some(edges)
   }
 
   /** J2 end-to-end: near-dup cluster assignment for every document. */
@@ -490,13 +544,19 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(expr(s"graft_shingles(t, $L)"))).as("w"))
     // ONE w-keyed exchange: the occurrence count rides a window over the
-    // same partitioning (the j28 trick — state O(1) per window even for
-    // boilerplate windows held by the whole corpus), the 2..4 band
-    // filters BEFORE anything collects, and the groupBy reuses the
-    // window's hash partitioning, so the ≤4-member doc list and the
-    // in-row pair expansion add no exchange. The r19 spelling re-keyed
-    // the (doc, w) table on w three more times (count + two self-join
-    // legs); this one moves it once and never self-joins.
+    // same partitioning, the 2..4 band filters before anything collects,
+    // and the groupBy reuses the window's hash partitioning, so the
+    // ≤4-member doc list and the in-row pair expansion add no exchange.
+    // The r19 spelling re-keyed the (doc, w) table on w three more times
+    // (count + two self-join legs); this one moves it once and never
+    // self-joins. Note the WindowExec does buffer each w partition
+    // (spillable) before the 2..4 filter runs — a boilerplate window held
+    // by the whole corpus is buffered, not O(1) state — but the buffered
+    // rows are (doc_id, w) only, and the r21 A/B showed the bounded-state
+    // alternative (a size-capped typed aggregate) LOSES: past 128 groups
+    // per task ObjectHashAggregate falls back to sort-based anyway, so it
+    // pays the same w-sort plus per-row typed-aggregate overhead
+    // (j38-family +25% isolated, median-of-3 at sf0.1).
     val counted = dw
       .withColumn("c", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("w")))
@@ -514,9 +574,7 @@ object DedupOps {
     // recursive-CTE closure); the uncapped construction is exercised by
     // ScaleSmoke's j38_cc_uncapped entry over the full scaled corpus
     val e0 = shingleEdges(Tables.documents(s, d).where(col("doc_id") < 2000))
-    val verts = e0.select(col("a").as("doc_id"))
-      .union(e0.select(col("b").as("doc_id"))).distinct()
-    clusters(e0, verts, maxIter = 30, canonicalPairs = true)
+    clustersFromEdges(e0, maxIter = 30, canonicalPairs = true)
       .select(col("doc_id"), col("cluster_id").as("component"))
       .orderBy(asc_nulls_last("doc_id"))
   }
@@ -809,10 +867,8 @@ object DedupOps {
     */
   private[graft] def dedupReport(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val e0 = shingleEdges(docs)
-    val verts = e0.select(col("a").as("doc_id"))
-      .union(e0.select(col("b").as("doc_id"))).distinct()
-    val labels = clusters(e0, verts, maxIter = 30, canonicalPairs = true)
+    val labels = clustersFromEdges(shingleEdges(docs), maxIter = 30,
+      canonicalPairs = true)
     val sized = labels.join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "doc_id")
@@ -854,10 +910,7 @@ object DedupOps {
     */
   private[graft] def dedupCanonical(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val e0 = shingleEdges(docs)
-    val verts = e0.select(col("a").as("doc_id"))
-      .union(e0.select(col("b").as("doc_id"))).distinct()
-    val sized = clusters(e0, verts, maxIter = 30,
+    val sized = clustersFromEdges(shingleEdges(docs), maxIter = 30,
       canonicalPairs = true).join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "doc_id")
@@ -899,10 +952,7 @@ object DedupOps {
     */
   private[graft] def splitAssign(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val e0 = shingleEdges(docs)
-    val verts = e0.select(col("a").as("doc_id"))
-      .union(e0.select(col("b").as("doc_id"))).distinct()
-    val labels = clusters(e0, verts, maxIter = 30,
+    val labels = clustersFromEdges(shingleEdges(docs), maxIter = 30,
       canonicalPairs = true)
     val bucket = pmod(
       conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)

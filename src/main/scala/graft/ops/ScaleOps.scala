@@ -25,8 +25,11 @@ object ScaleOps {
     * Applied selectively, measured per query: it pays off only where the
     * pre-shuffle map work dominates (j33's digest pass: 3.1 s → 0.9 s at
     * sf0.1). A query whose cost sits in an already-parallel shuffle or
-    * in I/O just pays the extra exchange (j31/j32/j29 measured SLOWER
-    * with it — reverted).
+    * in I/O just pays the extra exchange (j31/j32 measured SLOWER with
+    * it — reverted; j49 likewise, its five model branches each replayed
+    * the round-robin exchange. j29 initially measured as a loser too,
+    * but the r20 isolated A/B — after its gram explode got heavier under
+    * n=3 word-grams — read 0.99 → 0.95 s, so it now fans out).
     *
     * The split-starvation decision comes from SCAN METADATA, not from
     * `df.rdd.getNumPartitions` — that spelling physically planned the
