@@ -173,11 +173,18 @@ object RepetitionOps {
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws")), 3)
     val evalG = grams.where(col("doc_id") % 97 === 0)
       .select("g").distinct().withColumn("hit", lit(1))
+    // dedup (doc, g) FIRST with one map-side-combinable aggregation, then
+    // count with plain sums: the double-countDistinct spelling planned an
+    // Expand (every joined gram occurrence duplicated ×2) through the
+    // doc_id exchange; `hit` is a function of g, so max(hit) per (doc, g)
+    // then count/count_if per doc is the same pair of numbers with the
+    // gram stream shuffled once at (doc, g) grain and no row duplication.
     grams.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(evalG), Seq("g"), "left")
+      .groupBy("doc_id", "g").agg(max(col("hit")).as("hit"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("g")).as("total"),
-        countDistinct(when(col("hit") === 1, col("g"))).as("hits"))
+      .agg(count(lit(1)).as("total"),
+        count_if(col("hit") === 1).as("hits"))
       .withColumn("cls",
         when(col("hits") * 2 > col("total"), "contaminated")
           .when(col("hits") * 20 > col("total"), "partial")

@@ -469,7 +469,7 @@ object WalOps {
     // consumed twice (routing broadcast + survivor listing): ckpt so the
     // placement's one data reduction never re-runs
     val assign = graft.ops.BalancerOps.serverDrainPlan(placement, "g1-1")
-      .select("region_id", "to_server").graftCkpt()
+      .select("region_id", "to_server").graftCkpt(eager = false)
     val dead = Tables.cells(s, d)
       .withColumn("region_id", regionExpr)
       .join(broadcast(assign.select("region_id")), Seq("region_id"))
