@@ -247,10 +247,16 @@ object DedupOps {
         // no edges ⟹ no endpoints ⟹ empty labeling (typed like `pairs`)
         pairs.select(col("a").as("doc_id"), col("b").as("cluster_id")).limit(0)
       case Some(fix) =>
-        val roots = fix.groupBy(col("u").as("doc_id")).agg(min("v").as("root"))
-        roots.select(col("doc_id"), col("root").as("cluster_id"))
-          .unionByName(roots.select(col("root").as("doc_id"),
-            col("root").as("cluster_id")).distinct())
+        // each star edge (u → root) labels BOTH its endpoints: u as a
+        // member, root as itself — a row-local explode then ONE keyed min
+        // (the min is the usual belt: at a true fixpoint each doc_id
+        // carries exactly one label). A roots-aggregate + union spelling
+        // planned the roots exchange twice; this is one exchange total.
+        fix.select(explode(array(
+            struct(col("u").as("doc_id"), col("v").as("cluster_id")),
+            struct(col("v").as("doc_id"), col("v").as("cluster_id")))).as("l"))
+          .groupBy(col("l.doc_id").as("doc_id"))
+          .agg(min(col("l.cluster_id")).as("cluster_id"))
     }
 
   /** Canonical big→small orientation with self-loops (and, unless the
@@ -869,9 +875,12 @@ object DedupOps {
       : org.apache.spark.sql.DataFrame = {
     val labels = clustersFromEdges(shingleEdges(docs), maxIter = 30,
       canonicalPairs = true)
+    // two consumers (per-cluster sizes + the canonical rows): materialize
+    // once so the label aggregation and the docs-length join don't run
+    // twice
     val sized = labels.join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
-      "doc_id")
+      "doc_id").graftCkpt()
     val perCluster = sized.groupBy("cluster_id")
       .agg(count(lit(1)).as("sz"), sum("len").as("chars"))
     val canonical = sized.where(col("doc_id") === col("cluster_id"))
@@ -910,10 +919,13 @@ object DedupOps {
     */
   private[graft] def dedupCanonical(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // two consumers (the dup-size census + the window input): materialize
+    // once so the label aggregation and the docs-length join don't run
+    // twice
     val sized = clustersFromEdges(shingleEdges(docs), maxIter = 30,
       canonicalPairs = true).join(
       docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
-      "doc_id")
+      "doc_id").graftCkpt()
     // duplicate clusters only: one keyed count, filtered before the
     // window so singletons never reach the per-cluster heap
     val dupSizes = sized.groupBy("cluster_id")
