@@ -212,10 +212,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("j34 PII scrub shares j33's map-only shape") {
+    // same tolerance as the j33 pin: r20 added fanOut to j34 (isolated
+    // A/B 0.92 -> 0.51 s at sf0.1), so the plan may carry the round-robin
+    // split-starvation exchange — identity at production split counts —
+    // besides the output-order range exchange; still no hash shuffle and
+    // no join anywhere.
     val plan = physical(SparkEntry.queries("j34_pii_scrub")(spark, sf))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1 && plan.contains("rangepartitioning"),
-      s"expected only the output-order range exchange\n$plan")
+    assert(exchanges <= 2 && plan.contains("rangepartitioning"),
+      s"expected only fanOut + the output-order range exchange\n$plan")
     assert(!plan.contains("hashpartitioning"), plan)
     assert(!plan.contains("Join"), plan)
   }
